@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local pre-check replicating the driver's DuckDB oracle compare.
+
+Usage: python3 scripts/selfcheck.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name>/ parquet (Spark result) and runs the matching
+oracle_sql.json query in DuckDB over the sf tables; compares after sorting
+columns by name and rows by all columns. Dev tool only — not shipped code.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            failures += 1
+            continue
+        mismatched = []
+        for c in g.columns:
+            a, b = g[c], w[c]
+            try:
+                eq = (a.isna() & b.isna()) | (a == b)
+            except Exception:  # noqa: BLE001
+                eq = a.astype(str) == b.astype(str)
+            if not bool(eq.all()):
+                mismatched.append(c)
+        if mismatched:
+            print(f"FAIL {name}: value mismatch in {mismatched}")
+            for c in mismatched[:2]:
+                diff = g[c][~((g[c].isna() & w[c].isna()) | (g[c] == w[c]))]
+                idx = diff.index[:3]
+                print(f"   {c}: got={list(g[c][idx])} want={list(w[c][idx])}")
+            failures += 1
+        else:
+            print(f"ok   {name} ({len(g)} rows)")
+    print(f"{'SELFCHECK PASS' if failures == 0 else f'SELFCHECK FAIL ({failures})'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

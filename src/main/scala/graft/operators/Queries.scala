@@ -1,0 +1,336 @@
+package graft.operators
+
+import graft.{GraftSession, QueryDef, QueryRegistry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The analytics query battery (SURVEY.md §2.B).
+  *
+  * Mirrors the reference's analytics patterns — filtered scans and topN
+  * (spark/sql/quickstart.sql:43), groupBy-count-orderBy-limit and regex log
+  * parsing (glue/"S3 Calls benchmarking Code.py":47-80), time-window counts
+  * (glue Code.py:115-128), dataset parity via except/intersect
+  * (spark/.../TestAutomationUtils.scala:59-85) — re-expressed as pure
+  * DataFrame pipelines so Catalyst owns pushdown, pruning, and join
+  * strategy. Dimension-sized sides are broadcast explicitly; fact-fact
+  * joins rely on shuffle hash/sort-merge with AQE skew handling.
+  */
+object Queries extends QueryRegistry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  /** Exact money arithmetic: cast to decimal pre-agg, emit double. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  // --- q1_pricing_summary: TPC-H Q1-style scan+agg; filter must push to parquet.
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q3_shipping_priority: dim-filtered 3-way join + agg + deterministic topN.
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1997-01-01"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1997-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // --- q5_local_supplier: 6-way star join; all dims broadcast, facts shuffle once.
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supplier = t(s, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // --- q_top_events: groupBy-count-orderBy-limit (glue top-paths pattern).
+  def qTopEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(desc("n"), asc("event_type"))
+      .limit(3)
+
+  private val qTopEventsSql =
+    """SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""".stripMargin
+
+  // --- q_log_parse: regex field extraction + LIKE filter + agg (glue log-parse pattern).
+  def qLogParse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "error" && col("props").like("%k%"))
+      .withColumn("k_bucket", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long") % 10)
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("k_bucket")
+
+  private val qLogParseSql =
+    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_type = 'error' AND props LIKE '%k%'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q_time_buckets: event-time bucketing (glue commit-window count pattern).
+  def qTimeBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("hour_ts")
+
+  private val qTimeBucketsSql =
+    """SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q_window_rank: top-3 orders per customer (single shuffle on o_custkey).
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val qWindowRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // --- q_running_sum: per-customer running revenue (exact decimal frame sum).
+  def qRunningSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qRunningSumSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --- q_batch_parity: except/intersect dataset diffing (TestAutomationUtils.scala:59-85).
+  def qBatchParity(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val a = ord.filter(col("o_totalprice") > 100).select("o_orderkey", "o_orderstatus")
+    val b = ord.filter(col("o_orderstatus") === "O").select("o_orderkey", "o_orderstatus")
+    val ex = a.except(b).agg(count(lit(1)).as("n")).select(lit("except").as("kind"), col("n"))
+    val in = a.intersect(b).agg(count(lit(1)).as("n")).select(lit("intersect").as("kind"), col("n"))
+    ex.unionAll(in).orderBy("kind")
+  }
+
+  private val qBatchParitySql =
+    """WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100),
+      |     b AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O')
+      |SELECT 'except' AS kind, COUNT(*) AS n FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'intersect' AS kind, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |ORDER BY kind""".stripMargin
+
+  // --- q_semi_anti: EXISTS / NOT EXISTS as left-semi / left-anti joins.
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ordKeys = t(s, dir, "orders").select("o_custkey")
+    val semi = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "leftsemi")
+      .agg(count(lit(1)).as("n")).select(lit("semi").as("kind"), col("n"))
+    val anti = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "leftanti")
+      .agg(count(lit(1)).as("n")).select(lit("anti").as("kind"), col("n"))
+    semi.unionAll(anti).orderBy("kind")
+  }
+
+  private val qSemiAntiSql =
+    """SELECT 'semi' AS kind, COUNT(*) AS n FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'anti' AS kind, COUNT(*) AS n FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY kind""".stripMargin
+
+  // --- q_rollup: multi-level aggregation in one pass (partial-agg friendly).
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  private val qRollupSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""".stripMargin
+
+  // --- q_skew_join: fact-fact shuffle join; AQE splits skewed partitions at scale.
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast("double").as("total"))
+      .orderBy("o_orderpriority")
+
+  private val qSkewJoinSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q_range_join: banded time-range join. The naive form is a cross join with a
+  // range predicate (O(n*m)); banding by 10-minute buckets turns it into an
+  // equi-join on (user_id, bucket) — each probe row explodes to 2 buckets, so
+  // cost is O(n + matches) with a single shuffle. This is the scale path for
+  // interval joins at 100 TB; the DuckDB oracle states the naive semantics.
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val bucket: Column => Column = c => floor(unix_micros(c) / lit(600000000L))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"), bucket(col("ts")).as("cb"))
+    val probes = errors
+      .withColumn("b", explode(array(bucket(col("ts")), bucket(col("ts")) - 1)))
+    val matched = probes
+      .join(clicks, col("user_id") === col("c_user") && col("b") === col("cb"))
+      .filter(col("cts") >= col("ts") - expr("INTERVAL 10 MINUTES") && col("cts") < col("ts"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+    errors.select("event_id").join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
+  private val qRangeJoinSql =
+    """SELECT a.event_id, COUNT(b.event_id) AS n_clicks
+      |FROM (SELECT * FROM events WHERE event_type = 'error') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      |  ON b.user_id = a.user_id AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+      |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
+
+  // --- q_asof_join: last signup strictly before each purchase, per user.
+  // Implemented as a single window pass (one shuffle on user_id) rather than a
+  // per-row backward search — the sort-merge as-of pattern.
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("last_signup_ms",
+        unix_millis(max(when(col("event_type") === "signup", col("ts"))).over(w)))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "last_signup_ms")
+      .orderBy("event_id")
+  }
+
+  private val qAsofJoinSql =
+    """SELECT event_id, user_id, last_signup_ms FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ms(MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS last_signup_ms
+      |  FROM events) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  // --- q_approx_distinct: exact twin for the oracle; the HLL variant is
+  // asserted within 5% of this in OperatorsSpec (approx_count_distinct).
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  private val qApproxDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
+    QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
+    QueryDef("q5_local_supplier", q5LocalSupplier, Some(q5Sql)),
+    QueryDef("q_top_events", qTopEvents, Some(qTopEventsSql)),
+    QueryDef("q_log_parse", qLogParse, Some(qLogParseSql)),
+    QueryDef("q_time_buckets", qTimeBuckets, Some(qTimeBucketsSql)),
+    QueryDef("q_window_rank", qWindowRank, Some(qWindowRankSql)),
+    QueryDef("q_running_sum", qRunningSum, Some(qRunningSumSql)),
+    QueryDef("q_batch_parity", qBatchParity, Some(qBatchParitySql)),
+    QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
+    QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
+    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
+    QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)))
+}
