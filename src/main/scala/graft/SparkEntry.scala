@@ -8,7 +8,8 @@ object SparkEntry {
   /** All registered operator families. Each registry contributes QueryDefs
     * (Spark impl + optional DuckDB oracle). */
   def registries: Seq[QueryRegistry] = Seq(
-    graft.operators.Queries)
+    graft.operators.Queries,
+    graft.tables.TableOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,459 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Names of the per-record metadata columns stored in every data file
+  * (the graft analogues of Hudi's `_hoodie_commit_time` /
+  * `_hoodie_record_key`, reference TestAutomationUtils.scala:17
+  * HOODIE_META_COLUMNS). `_graft_commit_time` is what makes incremental
+  * reads a metadata filter instead of a snapshot diff.
+  */
+object GraftMeta {
+  val CommitTime = "_graft_commit_time"
+  val RecordKey = "_graft_record_key"
+  val Bucket = "_graft_bucket"
+  val cols: Seq[String] = Seq(CommitTime, RecordKey)
+}
+
+/** Partition-path generators — the analogue of Hudi key generators
+  * (reference TestAutomationUtils.scala:103-110, CustomKeyGenerator with
+  * timestamp-based partition paths). `apply` adds any derived columns;
+  * `partitionCols` are written as hive-style directories. */
+sealed trait KeyGen {
+  def apply(df: DataFrame): DataFrame = df
+  def partitionCols: Seq[String] = Nil
+  /** Columns synthesized by this keygen (not part of the user schema). */
+  def syntheticCols: Seq[String] = Nil
+}
+
+case object NoPartition extends KeyGen
+
+/** Partition by an existing (string) field, hive-style. */
+final case class FieldPartition(field: String) extends KeyGen {
+  override def partitionCols: Seq[String] = Seq(field)
+}
+
+/** Timestamp-based key generator: partitions by the day of `tsField`,
+  * like the reference's timebased keygen (`output.dateformat=yyyy/MM/dd`). */
+final case class TimestampDayPartition(tsField: String, outCol: String = "p_day") extends KeyGen {
+  override def apply(df: DataFrame): DataFrame =
+    df.withColumn(outCol, date_format(col(tsField), "yyyy-MM-dd"))
+  override def partitionCols: Seq[String] = Seq(outCol)
+  override def syntheticCols: Seq[String] = Seq(outCol)
+}
+
+final case class GraftTableConfig(
+    path: String,
+    keyField: String,
+    precombineField: String,
+    keyGen: KeyGen = NoPartition,
+    numBuckets: Int = 0,
+    writeChangelog: Boolean = false)
+
+/** A copy-on-write, record-keyed lakehouse table on plain parquet + a JSON
+  * commit timeline — the Spark-native re-expression of the reference's Hudi
+  * table semantics (quickstart.sql: INSERT/UPDATE/MERGE/DELETE, TIMESTAMP AS
+  * OF, hudi_table_changes; TestAutomationUtils upsert/precombine contract).
+  *
+  * Scale design (SURVEY.md §3/§5):
+  *   - All mutation math is DataFrame joins — Catalyst plans them, AQE
+  *     handles skew; nothing is collected to the driver except file lists.
+  *   - Upsert rewrites ONLY files that provably contain batch keys: pruned
+  *     first by key-range stats and hash-bucket id from the timeline (sound:
+  *     a file containing key k always has minKey<=k<=maxKey), then confirmed
+  *     by a key leftsemi-join against the candidates.
+  *   - Incremental/CDC reads are metadata filters (`_graft_commit_time`) or
+  *     pre-materialized changelog files — never snapshot diffs.
+  *   - Single-writer (driver-serialized commits); commit files are
+  *     temp-written then atomically renamed.
+  */
+final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
+
+  val timeline: Timeline = Timeline(spark, cfg.path)
+  private val root = new Path(cfg.path)
+  private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def rootStr: String = fs.makeQualified(root).toUri.getPath
+
+  private def keyCol: Column = col(cfg.keyField)
+
+  /** Zero-padded string form of the key so string range pruning matches
+    * numeric order (keys are assumed non-negative for integral types). */
+  private def keyStr(c: Column, df: DataFrame): Column =
+    df.schema(cfg.keyField).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        lpad(c.cast("string"), 20, "0")
+      case _ => c.cast("string")
+    }
+
+  private def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(cfg.numBuckets))
+
+  // ---------------------------------------------------------------- reads
+
+  private def disableTypeInference(): Unit =
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
+  private[tables] def readFiles(files: Seq[FileMeta]): DataFrame = {
+    require(files.nonEmpty, s"no live files in ${cfg.path}")
+    disableTypeInference()
+    spark.read
+      .option("basePath", cfg.path)
+      .parquet(files.map(f => s"${cfg.path}/${f.path}"): _*)
+  }
+
+  private def snapshotWithMeta(asOf: Option[String]): DataFrame = {
+    val files = timeline.liveFiles(asOf)
+    readFiles(files)
+  }
+
+  private def dropInternal(df: DataFrame): DataFrame =
+    df.drop(GraftMeta.cols :+ GraftMeta.Bucket: _*)
+
+  /** Latest-snapshot read (user columns only). */
+  def read(): DataFrame = dropInternal(snapshotWithMeta(None))
+
+  /** Snapshot AS OF `instant` (inclusive) — quickstart.sql:77-81. */
+  def readAsOf(instant: String): DataFrame = dropInternal(snapshotWithMeta(Some(instant)))
+
+  /** Records inserted/updated in instants (begin, end] at their latest
+    * state — `hudi_table_changes(..., 'latest_state', begin, end)`
+    * (quickstart.sql:83-90). A pure metadata filter on the snapshot. */
+  def incremental(beginExclusive: String, endInclusive: String): DataFrame =
+    dropInternal(
+      snapshotWithMeta(Some(endInclusive))
+        .filter(col(GraftMeta.CommitTime) > beginExclusive &&
+          col(GraftMeta.CommitTime) <= endInclusive))
+
+  /** CDC read from the pre-materialized changelog: `_change_type` in
+    * {insert, update_preimage, update_postimage, delete} + user columns. */
+  def cdc(beginExclusive: String, endInclusive: String): DataFrame = {
+    val dirs = timeline
+      .instants()
+      .filter(i => i > beginExclusive && i <= endInclusive)
+      .map(i => new Path(s"${cfg.path}/_graft/cdc/$i"))
+      .filter(fs.exists(_))
+    require(dirs.nonEmpty, s"no CDC data in ($beginExclusive, $endInclusive]")
+    spark.read.parquet(dirs.map(_.toString): _*)
+  }
+
+  /** Key-based point lookup reading only bucket- and range-pruned files. */
+  def pointLookup(keys: Seq[Any]): DataFrame = {
+    val files = lookupFiles(keys)
+    if (files.isEmpty) read().filter(lit(false))
+    else dropInternal(readFiles(files)).filter(keyCol.isin(keys: _*))
+  }
+
+  /** The pruned file set a point lookup touches (exposed for tests). */
+  def lookupFiles(keys: Seq[Any]): Seq[FileMeta] = {
+    val padded = keys.map {
+      case n: Long => f"$n%020d"
+      case n: Int => f"$n%020d"
+      case other => other.toString
+    }
+    val buckets: Set[Int] =
+      if (cfg.numBuckets <= 0) Set.empty
+      else {
+        val kdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(keys.map(k => org.apache.spark.sql.Row(k.toString)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
+        // bucket is computed on the key's ORIGINAL type; cast back before hashing
+        val keyType = read().schema(cfg.keyField).dataType
+        kdf.select(pmod(xxhash64(col("k").cast(keyType)), lit(cfg.numBuckets)).as("b"))
+          .distinct().collect().map(_.getLong(0).toInt).toSet
+      }
+    timeline.liveFiles(None).filter { f =>
+      val bucketOk = cfg.numBuckets <= 0 || buckets.contains(f.bucket)
+      val rangeOk = padded.exists(k => f.minKey <= k && k <= f.maxKey)
+      bucketOk && rangeOk
+    }
+  }
+
+  // ---------------------------------------------------------------- writes
+
+  /** In-batch dedup: keep the record with the highest precombine value per
+    * key (ties broken deterministically by the full row hash) — the
+    * reference's `hoodie.datasource.write.precombine.field` contract. */
+  private def precombine(batch: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(cfg.keyField)
+      .orderBy(col(cfg.precombineField).desc, xxhash64(struct(batch.columns.map(col): _*)))
+    batch.withColumn("_graft_pc_rn", row_number().over(w))
+      .filter(col("_graft_pc_rn") === 1)
+      .drop("_graft_pc_rn")
+  }
+
+  private def relPath(absFileName: String): String = {
+    // input_file_name() returns a URI-encoded string (spaces as %20 etc.);
+    // decode so stored paths match the literal file names on disk.
+    val p =
+      try new java.net.URI(absFileName).getPath
+      catch { case _: java.net.URISyntaxException => absFileName }
+    val decoded = if (p == null || p.isEmpty) absFileName else p
+    decoded.stripPrefix(rootStr).stripPrefix("/")
+  }
+
+  /** Write `df` (user columns + meta columns) as the data files of
+    * `instant`; returns their FileMeta (stats collected with a cheap
+    * post-write scan — at production scale these come from parquet footers
+    * on the executors instead). */
+  private def writeFiles(df: DataFrame, instant: String, numFiles: Int = 0,
+      sortCols: Seq[String] = Nil): Seq[FileMeta] = {
+    var out = cfg.keyGen(df)
+    if (cfg.numBuckets > 0) out = out.withColumn(GraftMeta.Bucket, bucketOf(keyCol))
+    if (numFiles > 0) {
+      out =
+        if (sortCols.nonEmpty)
+          out.repartitionByRange(numFiles, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        else out.repartition(numFiles)
+    }
+    val partCols = cfg.keyGen.partitionCols ++
+      (if (cfg.numBuckets > 0) Seq(GraftMeta.Bucket) else Nil)
+    val dir = s"${cfg.path}/data/$instant"
+    val writer = out.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
+
+    // per-file key-range stats for upsert/lookup pruning
+    val written = spark.read.parquet(dir)
+    val stats = written
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min(keyStr(keyCol, written)).as("mn"),
+        max(keyStr(keyCol, written)).as("mx"),
+        count(lit(1)).as("rows"))
+      .collect()
+    stats.map { r =>
+      val rel = relPath(r.getString(0))
+      val segs = rel.split("/").filter(_.contains("="))
+      val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "=")).mkString("/")
+      val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
+        .map(_.split("=")(1).toInt).getOrElse(0)
+      FileMeta(rel, partition, bucket, r.getString(1), r.getString(2), r.getLong(3))
+    }.toSeq
+  }
+
+  private def writeCdc(df: DataFrame, instant: String): Unit =
+    if (cfg.writeChangelog) {
+      df.write.mode("overwrite").parquet(s"${cfg.path}/_graft/cdc/$instant")
+    }
+
+  private def withMeta(df: DataFrame, instant: String): DataFrame =
+    df.withColumn(GraftMeta.CommitTime, lit(instant))
+      .withColumn(GraftMeta.RecordKey, keyStr(keyCol, df))
+
+  /** User columns of the current snapshot (meta + synthetic cols removed). */
+  private def userCols(df: DataFrame): Seq[String] =
+    df.columns.filterNot(c =>
+      GraftMeta.cols.contains(c) || c == GraftMeta.Bucket ||
+        cfg.keyGen.syntheticCols.contains(c)).toSeq
+
+  /** Bulk insert (append-only, no key collision handling) — the fast path,
+    * like the reference's bulk loads. Applies precombine within the batch. */
+  def insert(batch: DataFrame, numFiles: Int = 0): String = {
+    timeline.init()
+    val instant = timeline.nextInstant()
+    val deduped = precombine(batch)
+    val adds = writeFiles(withMeta(deduped, instant), instant, numFiles)
+    writeCdc(deduped.withColumn("_change_type", lit("insert")), instant)
+    timeline.commit(Commit(instant, "insert", adds, Nil))
+    instant
+  }
+
+  /** Keyed upsert: incoming records replace stored records with the same
+    * key; new keys are inserted. COW — only files actually containing batch
+    * keys are rewritten. */
+  def upsert(batch: DataFrame): String = upsertResolved(precombine(batch), "upsert")
+
+  private def upsertResolved(batch0: DataFrame, op: String): String = {
+    if (timeline.liveFiles(None).isEmpty) {
+      val i = insert(batch0)
+      return i
+    }
+    timeline.init()
+    val instant = timeline.nextInstant()
+    val live = timeline.liveFiles(None)
+    val batch = batch0.cache()
+
+    // prune candidate files by batch key range + bucket set
+    val rangeRow = batch.agg(
+      min(keyStr(keyCol, batch)).as("mn"), max(keyStr(keyCol, batch)).as("mx")).head()
+    val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
+    val batchBuckets: Set[Int] =
+      if (cfg.numBuckets <= 0) Set.empty
+      else batch.select(bucketOf(keyCol).as("b")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+    val cand = live.filter { f =>
+      val rangeOk = f.minKey <= bMax && bMin <= f.maxKey
+      val bucketOk = cfg.numBuckets <= 0 || batchBuckets.contains(f.bucket)
+      rangeOk && bucketOk
+    }
+
+    val (hitFiles, affected) =
+      if (cand.isEmpty) (Seq.empty[FileMeta], None)
+      else {
+        // capture the file name BEFORE the join — input_file_name() is
+        // ambiguous once two scans are in the plan
+        val candDF = readFiles(cand).withColumn("_graft_file", input_file_name())
+        val hits = candDF
+          .join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftsemi")
+          .select(col("_graft_file")).distinct()
+          .collect().map(r => relPath(r.getString(0))).toSet
+        val hit = cand.filter(f => hits.contains(f.path))
+        (hit, if (hit.isEmpty) None else Some(readFiles(hit)))
+      }
+
+    val newRows = withMeta(batch, instant)
+    val cols = userCols(newRows) ++ GraftMeta.cols
+    val out = affected match {
+      case Some(aff) =>
+        val carried = aff.join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftanti")
+        carried.selectExpr(cols.map(c => s"`$c`"): _*)
+          .unionByName(newRows.selectExpr(cols.map(c => s"`$c`"): _*))
+      case None => newRows.selectExpr(cols.map(c => s"`$c`"): _*)
+    }
+    val adds = writeFiles(out, instant)
+
+    if (cfg.writeChangelog) {
+      val uc = userCols(newRows)
+      affected match {
+        case Some(aff) =>
+          val matchedKeys = aff.select(keyCol).distinct()
+          val pre = aff.join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftsemi")
+            .selectExpr(uc.map(c => s"`$c`"): _*)
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = batch.join(matchedKeys, Seq(cfg.keyField), "leftsemi")
+            .selectExpr(uc.map(c => s"`$c`"): _*)
+            .withColumn("_change_type", lit("update_postimage"))
+          val ins = batch.join(matchedKeys, Seq(cfg.keyField), "leftanti")
+            .selectExpr(uc.map(c => s"`$c`"): _*)
+            .withColumn("_change_type", lit("insert"))
+          writeCdc(pre.unionByName(post).unionByName(ins), instant)
+        case None =>
+          writeCdc(batch.selectExpr(uc.map(c => s"`$c`"): _*)
+            .withColumn("_change_type", lit("insert")), instant)
+      }
+    }
+    batch.unpersist()
+    timeline.commit(Commit(instant, op, adds, hitFiles.map(_.path)))
+    instant
+  }
+
+  /** DELETE by predicate (quickstart.sql:71-74): rewrites only files that
+    * contain matching rows. */
+  def delete(predicate: Column): String = {
+    timeline.init()
+    val instant = timeline.nextInstant()
+    val live = timeline.liveFiles(None)
+    val snap = readFiles(live)
+    val hits = snap.filter(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => relPath(r.getString(0))).toSet
+    val hitFiles = live.filter(f => hits.contains(f.path))
+    if (hitFiles.isEmpty) {
+      timeline.commit(Commit(instant, "delete", Nil, Nil))
+      return instant
+    }
+    val affected = readFiles(hitFiles)
+    val kept = affected.filter(!predicate)
+    val cols = userCols(affected) ++ GraftMeta.cols
+    val adds =
+      if (kept.isEmpty) Nil
+      else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
+    writeCdc(
+      affected.filter(predicate).selectExpr(userCols(affected).map(c => s"`$c`"): _*)
+        .withColumn("_change_type", lit("delete")),
+      instant)
+    timeline.commit(Commit(instant, "delete", adds, hitFiles.map(_.path)))
+    instant
+  }
+
+  /** MERGE INTO (quickstart.sql:59-66): WHEN MATCHED THEN UPDATE SET * /
+    * WHEN NOT MATCHED THEN INSERT *. The source must have the target's user
+    * schema. Optionally a custom matched-update projection over columns of
+    * `t` (target) and `s` (source). */
+  def merge(
+      source: DataFrame,
+      whenMatchedUpdate: Option[Seq[(String, Column)]] = None,
+      whenNotMatchedInsert: Boolean = true): String = {
+    val src = precombine(source)
+    val snap = snapshotWithMeta(None)
+    val uc = userCols(snap)
+    val target = snap.selectExpr(uc.map(c => s"`$c`"): _*)
+    val batch = whenMatchedUpdate match {
+      case None =>
+        // UPDATE SET * / INSERT *: the source rows ARE the new versions
+        if (whenNotMatchedInsert) src.selectExpr(uc.map(c => s"`$c`"): _*)
+        else src.join(target.select(keyCol).distinct(), Seq(cfg.keyField), "leftsemi")
+          .selectExpr(uc.map(c => s"`$c`"): _*)
+      case Some(setExprs) =>
+        val t = target.alias("t")
+        val s = src.alias("s")
+        val joined = t.join(s, col(s"t.${cfg.keyField}") === col(s"s.${cfg.keyField}"))
+        val updated = joined.select(uc.map { c =>
+          setExprs.find(_._1 == c).map(_._2.as(c)).getOrElse(col(s"t.`$c`").as(c))
+        }: _*)
+        val inserts =
+          if (!whenNotMatchedInsert) updated.limit(0)
+          else s.join(t.select(col(s"t.${cfg.keyField}")), col(s"s.${cfg.keyField}") === col(s"t.${cfg.keyField}"), "leftanti")
+            .selectExpr(uc.map(c => s"`$c`"): _*)
+        updated.unionByName(inserts)
+    }
+    upsertResolved(batch, "merge")
+  }
+
+  // ------------------------------------------------------------- services
+
+  /** Bin-pack small files into ~`targetRows`-sized files (the analogue of
+    * Hudi inline compaction / small-file handling,
+    * DeltaStreamerExample.scala:49-56). Data content is unchanged. */
+  def compact(targetRows: Long): String = {
+    timeline.init()
+    val instant = timeline.nextInstant()
+    val live = timeline.liveFiles(None)
+    val totalRows = live.map(_.rows).sum
+    val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt)
+    val snap = readFiles(live)
+    val cols = userCols(snap) ++ GraftMeta.cols
+    val adds = writeFiles(snap.selectExpr(cols.map(c => s"`$c`"): _*), instant, nFiles)
+    timeline.commit(Commit(instant, "compact", adds, live.map(_.path)))
+    instant
+  }
+
+  /** Rewrite the table range-clustered on `sortCols` (the analogue of Hudi
+    * clustering, flink consistent_hashing.sql:93-97): co-locates rows for
+    * downstream range/point pruning. Content is unchanged. */
+  def cluster(sortCols: Seq[String], numFiles: Int): String = {
+    timeline.init()
+    val instant = timeline.nextInstant()
+    val live = timeline.liveFiles(None)
+    val snap = readFiles(live)
+    val cols = userCols(snap) ++ GraftMeta.cols
+    val adds = writeFiles(
+      snap.selectExpr(cols.map(c => s"`$c`"): _*), instant, numFiles, sortCols)
+    timeline.commit(Commit(instant, "cluster", adds, live.map(_.path)))
+    instant
+  }
+
+  /** Physically delete files no longer referenced as of `asOfInstant`
+    * (Hudi cleaner). Safe only once readers of older snapshots are done. */
+  def clean(asOfInstant: String): Int = {
+    val removed = timeline.removedFiles(asOfInstant)
+    removed.count { rel =>
+      fs.delete(new Path(s"${cfg.path}/$rel"), false)
+    }
+  }
+
+  /** Drop any existing table state (test helper). */
+  def dropIfExists(): Unit = {
+    if (fs.exists(root)) fs.delete(root, true)
+  }
+}
+
+object GraftTable {
+  def apply(spark: SparkSession, cfg: GraftTableConfig): GraftTable =
+    new GraftTable(spark, cfg)
+}

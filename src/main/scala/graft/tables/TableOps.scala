@@ -1,0 +1,245 @@
+package graft.tables
+
+import graft.{GraftSession, QueryDef, QueryRegistry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.A — the lakehouse table-management operators, each exercised
+  * end-to-end on a scratch GraftTable built deterministically from the
+  * testdata and checked against a pure-SQL DuckDB oracle stating the same
+  * semantics (quickstart.sql's INSERT/UPDATE/MERGE/DELETE/time-travel/
+  * incremental/CDC flow, TestAutomationUtils' upsert+precombine contract,
+  * and the table services from the flink configs).
+  */
+object TableOps extends QueryRegistry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  private def scratch(name: String, sfDir: String): String =
+    s"/tmp/graft_tables/${name}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def ordersTable(s: SparkSession, dir: String, name: String,
+      keyGen: KeyGen = NoPartition, numBuckets: Int = 0,
+      changelog: Boolean = false): (GraftTable, DataFrame) = {
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch(name, dir), "o_orderkey", "o_orderkey",
+      keyGen = keyGen, numBuckets = numBuckets, writeChangelog = changelog))
+    tbl.dropIfExists()
+    (tbl, t(s, dir, "orders"))
+  }
+
+  private val ordersCols =
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+  /** The deterministic upsert batch used by several ops: keys % 10 == 0 get
+    * status 'U' and +100 price. */
+  private def upsertBatch(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("o_orderstatus", lit("U"))
+
+  private val upsertedSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders""".stripMargin
+
+  // --- t_insert: bulk insert → snapshot read.
+  def tInsert(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_insert")
+    tbl.insert(orders, numFiles = 4)
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_upsert: keyed upsert, incoming wins; only colliding files rewritten.
+  def tUpsert(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_upsert")
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_delete: DELETE by predicate.
+  def tDelete(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_delete")
+    tbl.insert(orders, numFiles = 4)
+    tbl.delete(col("o_orderstatus") === "F")
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_merge: MERGE INTO, UPDATE SET * / INSERT * (quickstart.sql:59-66).
+  def tMerge(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_merge")
+    tbl.insert(orders, numFiles = 4)
+    val matched = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 50)
+      .withColumn("o_orderstatus", lit("M"))
+    val fresh = orders.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    tbl.merge(matched.unionByName(fresh))
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_precombine_dedup: precombine keeps the highest `ver` per key.
+  def tPrecombineDedup(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_precombine_dedup", dir), "o_orderkey", "ver"))
+    tbl.dropIfExists()
+    val v1 = orders.withColumn("ver", lit(1))
+    val v2 = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("ver", lit(2))
+    tbl.insert(v1.unionByName(v2), numFiles = 4)
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_time_travel: snapshot AS OF the first commit.
+  def tTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_time_travel")
+    val i1 = tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    tbl.readAsOf(i1).orderBy("o_orderkey")
+  }
+
+  // --- t_incremental: latest state of records changed in (i1, i2].
+  def tIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_incremental")
+    val i1 = tbl.insert(orders, numFiles = 4)
+    val i2 = tbl.upsert(upsertBatch(orders))
+    tbl.incremental(i1, i2).orderBy("o_orderkey")
+  }
+
+  // --- t_cdc: changelog read across an upsert and a delete commit.
+  def tCdc(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_cdc", changelog = true)
+    val i1 = tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    val i3 = tbl.delete(col("o_orderstatus") === "F")
+    tbl.cdc(i1, i3).orderBy("_change_type", "o_orderkey")
+  }
+
+  // --- t_compaction: 3 fragmented inserts bin-packed into few files.
+  def tCompaction(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_compaction")
+    (0 to 2).foreach { m =>
+      tbl.insert(orders.filter(col("o_orderkey") % 3 === m), numFiles = 8)
+    }
+    tbl.compact(targetRows = 10000000L)
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_clustering: range-cluster by customer; content unchanged.
+  def tClustering(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_clustering")
+    tbl.insert(orders, numFiles = 8)
+    tbl.cluster(Seq("o_custkey"), numFiles = 8)
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_bucket_index: hash-bucketed layout; point lookup reads only
+  // bucket+range-pruned files (asserted in TablesSpec).
+  def tBucketIndex(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_bucket_index", numBuckets = 8)
+    tbl.insert(orders, numFiles = 2)
+    tbl.pointLookup(Seq(1L, 7L, 42L, 100L, 999L)).orderBy("o_orderkey")
+  }
+
+  // --- t_partition_prune: hive-style partition dirs; filter prunes partitions.
+  def tPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) =
+      ordersTable(s, dir, "t_partition_prune", keyGen = FieldPartition("o_orderpriority"))
+    tbl.insert(orders, numFiles = 2)
+    tbl.read().filter(col("o_orderpriority") === "1-URGENT").orderBy("o_orderkey")
+  }
+
+  // --- t_keygen_timestamp: timestamp-based partition paths (yyyy-MM-dd).
+  def tKeygenTimestamp(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_keygen_timestamp", dir), "event_id", "event_id",
+      keyGen = TimestampDayPartition("ts", "p_day")))
+    tbl.dropIfExists()
+    tbl.insert(events, numFiles = 2)
+    tbl.read()
+      .filter(col("p_day").between("2024-01-05", "2024-01-11"))
+      .select("event_id", "p_day", "user_id", "value")
+      .orderBy("event_id")
+  }
+
+  // --- t_ctas: CREATE TABLE AS SELECT (quickstart.sql:92-99).
+  def tCtas(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val agg = orders.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_spend"))
+    val tbl = GraftTable(s, GraftTableConfig(scratch("t_ctas", dir), "o_custkey", "o_custkey"))
+    tbl.dropIfExists()
+    tbl.insert(agg, numFiles = 2)
+    tbl.read().orderBy("o_custkey")
+  }
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("t_insert", tInsert,
+      Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
+    QueryDef("t_upsert", tUpsert, Some(s"$upsertedSql ORDER BY o_orderkey")),
+    QueryDef("t_delete", tDelete,
+      Some(s"SELECT $ordersCols FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey")),
+    QueryDef("t_merge", tMerge, Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_precombine_dedup", tPrecombineDedup, Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS ver
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_time_travel", tTimeTravel,
+      Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
+    QueryDef("t_incremental", tIncremental, Some(
+      """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |  o_totalprice + 100 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_cdc", tCdc, Some(
+      """SELECT 'update_preimage' AS _change_type, o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT 'update_postimage', o_orderkey, o_custkey, 'U', o_totalprice + 100,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 <> 0
+        |ORDER BY _change_type, o_orderkey""".stripMargin)),
+    QueryDef("t_compaction", tCompaction,
+      Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
+    QueryDef("t_clustering", tClustering,
+      Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
+    QueryDef("t_bucket_index", tBucketIndex, Some(
+      s"SELECT $ordersCols FROM orders WHERE o_orderkey IN (1, 7, 42, 100, 999) ORDER BY o_orderkey")),
+    QueryDef("t_partition_prune", tPartitionPrune, Some(
+      s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
+    QueryDef("t_keygen_timestamp", tKeygenTimestamp, Some(
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS p_day, user_id, value
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-11'
+        |ORDER BY event_id""".stripMargin)),
+    QueryDef("t_ctas", tCtas, Some(
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

@@ -1,0 +1,143 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Stats + identity of one data file committed to a [[GraftTable]].
+  *
+  * `minKey`/`maxKey` are stringified key bounds (numeric keys are
+  * zero-padded so string order == numeric order) used for upsert/lookup
+  * file pruning; `bucket` is the hash-bucket id when the table has a
+  * bucket index; `partition` is the hive-style partition path fragment
+  * (empty for unpartitioned tables).
+  */
+final case class FileMeta(
+    path: String, // relative to table root
+    partition: String,
+    bucket: Int,
+    minKey: String,
+    maxKey: String,
+    rows: Long)
+
+/** One commit instant on the timeline. */
+final case class Commit(
+    instant: String,
+    op: String,
+    adds: Seq[FileMeta],
+    removes: Seq[String])
+
+/** The commit timeline of a GraftTable: `_graft/<instant>.commit.json`
+  * files, one per atomic commit (temp-write + atomic rename).
+  *
+  * This plays the role of Hudi's `.hoodie` timeline + metadata-table file
+  * listing (reference: the glue S3-calls benchmark measures exactly the
+  * listing cost this avoids — readers list O(#commits) small JSON files and
+  * never LIST data directories).
+  */
+final class Timeline(fs: FileSystem, tableDir: Path) {
+
+  private val metaDir = new Path(tableDir, "_graft")
+  private val mapper = new ObjectMapper()
+
+  def init(): Unit = fs.mkdirs(metaDir)
+
+  def exists(): Boolean = fs.exists(metaDir)
+
+  def instants(): Seq[String] =
+    if (!fs.exists(metaDir)) Seq.empty
+    else
+      fs.listStatus(metaDir)
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".commit.json"))
+        .map(_.stripSuffix(".commit.json"))
+        .sorted
+        .toSeq
+
+  def latestInstant(): Option[String] = instants().lastOption
+
+  def nextInstant(): String = {
+    val n = instants().lastOption.map(_.toLong + 1).getOrElse(1L)
+    f"$n%05d"
+  }
+
+  def commit(c: Commit): Unit = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("instant", c.instant)
+    root.put("op", c.op)
+    val adds: ArrayNode = root.putArray("adds")
+    c.adds.foreach { f =>
+      val n = adds.addObject()
+      n.put("path", f.path)
+      n.put("partition", f.partition)
+      n.put("bucket", f.bucket)
+      n.put("minKey", f.minKey)
+      n.put("maxKey", f.maxKey)
+      n.put("rows", f.rows)
+    }
+    val removes: ArrayNode = root.putArray("removes")
+    c.removes.foreach(removes.add)
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+    val tmp = new Path(metaDir, s".tmp-${c.instant}-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    out.write(bytes)
+    out.close()
+    val dest = new Path(metaDir, s"${c.instant}.commit.json")
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"concurrent commit detected at instant ${c.instant}")
+    }
+  }
+
+  def readCommit(instant: String): Commit = {
+    val p = new Path(metaDir, s"$instant.commit.json")
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    val root = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+    val adds = mutable.ArrayBuffer.empty[FileMeta]
+    root.get("adds").forEach { (n: JsonNode) =>
+      adds += FileMeta(
+        n.get("path").asText(),
+        n.get("partition").asText(),
+        n.get("bucket").asInt(),
+        n.get("minKey").asText(),
+        n.get("maxKey").asText(),
+        n.get("rows").asLong())
+    }
+    val removes = mutable.ArrayBuffer.empty[String]
+    root.get("removes").forEach((n: JsonNode) => removes += n.asText())
+    Commit(root.get("instant").asText(), root.get("op").asText(), adds.toSeq, removes.toSeq)
+  }
+
+  /** Live files visible in the snapshot AS OF `asOf` (inclusive). */
+  def liveFiles(asOf: Option[String] = None): Seq[FileMeta] = {
+    val upTo = instants().filter(i => asOf.forall(i <= _))
+    val live = mutable.LinkedHashMap.empty[String, FileMeta]
+    upTo.foreach { i =>
+      val c = readCommit(i)
+      c.removes.foreach(live.remove)
+      c.adds.foreach(f => live.put(f.path, f))
+    }
+    live.values.toSeq
+  }
+
+  /** Files removed by any commit at or before `asOf` — physical-delete
+    * candidates for `clean`. */
+  def removedFiles(asOf: String): Seq[String] =
+    instants().filter(_ <= asOf).flatMap(i => readCommit(i).removes)
+}
+
+object Timeline {
+  def apply(spark: org.apache.spark.sql.SparkSession, tablePath: String): Timeline = {
+    val conf: Configuration = spark.sparkContext.hadoopConfiguration
+    val p = new Path(tablePath)
+    new Timeline(p.getFileSystem(conf), p)
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.tables._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftTable internals that the DuckDB oracle can't observe: COW file
+  * pruning, compaction/clustering layout, bucket-index lookup pruning,
+  * timeline atomicity, cleaning. */
+class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = GraftSession.builder("graft-test", "4").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshTable(name: String, numBuckets: Int = 0,
+      keyGen: KeyGen = NoPartition, changelog: Boolean = false): GraftTable = {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      s"/tmp/graft_spec/$name", "o_orderkey", "o_orderkey",
+      keyGen = keyGen, numBuckets = numBuckets, writeChangelog = changelog))
+    tbl.dropIfExists()
+    tbl
+  }
+
+  private def orders = GraftSession.table(spark, sfDir, "orders")
+
+  test("upsert rewrites only files containing batch keys (COW pruning)") {
+    val tbl = freshTable("cow_prune")
+    tbl.insert(orders, numFiles = 8)
+    val before = tbl.timeline.liveFiles(None).map(_.path).toSet
+    assert(before.size == 8)
+
+    // single-key upsert must not rewrite the whole table
+    val one = orders.filter(col("o_orderkey") === 42)
+      .withColumn("o_orderstatus", lit("Z"))
+    val i2 = tbl.upsert(one)
+    val c = tbl.timeline.readCommit(i2)
+    assert(c.removes.size < before.size,
+      s"upsert of 1 key rewrote ${c.removes.size} of ${before.size} files")
+    assert(tbl.read().filter(col("o_orderkey") === 42).select("o_orderstatus")
+      .head().getString(0) == "Z")
+    assert(tbl.read().count() == orders.count())
+  }
+
+  test("bucket index prunes point-lookup file set") {
+    val tbl = freshTable("bucket_prune", numBuckets = 8)
+    tbl.insert(orders, numFiles = 4) // 8 buckets x up-to-4 files
+    val total = tbl.timeline.liveFiles(None).size
+    val touched = tbl.lookupFiles(Seq(7L)).size
+    assert(total >= 8)
+    assert(touched <= total / 4,
+      s"point lookup touched $touched of $total files — bucket pruning broken")
+    assert(tbl.pointLookup(Seq(7L)).count() == 1)
+  }
+
+  test("compaction bin-packs files and preserves content") {
+    val tbl = freshTable("compact")
+    (0 to 2).foreach(m => tbl.insert(orders.filter(col("o_orderkey") % 3 === m), numFiles = 6))
+    assert(tbl.timeline.liveFiles(None).size == 18)
+    tbl.compact(targetRows = 1000000L)
+    assert(tbl.timeline.liveFiles(None).size == 1)
+    assert(tbl.read().count() == orders.count())
+  }
+
+  test("clustering range-partitions files by sort key") {
+    val tbl = freshTable("cluster")
+    tbl.insert(orders, numFiles = 6)
+    tbl.cluster(Seq("o_custkey"), numFiles = 4)
+    val snap = tbl.read().withColumn("f", input_file_name())
+    // files must hold disjoint o_custkey ranges after range clustering
+    val ranges = snap.groupBy("f")
+      .agg(min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, mx1), (mn2, _)) => assert(mx1 <= mn2, s"overlapping ranges $ranges")
+      case _ =>
+    }
+  }
+
+  test("partition pruning reaches the file index") {
+    val tbl = freshTable("part_prune", keyGen = FieldPartition("o_orderpriority"))
+    tbl.insert(orders, numFiles = 2)
+    val pruned = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+    val scanned = pruned.select(input_file_name()).distinct().count()
+    val all = tbl.timeline.liveFiles(None).size
+    assert(scanned < all, s"scanned $scanned of $all files — no partition pruning")
+  }
+
+  test("clean physically removes replaced files") {
+    val tbl = freshTable("clean")
+    tbl.insert(orders, numFiles = 4)
+    val i2 = tbl.compact(targetRows = 1000000L)
+    val removed = tbl.clean(i2)
+    assert(removed == 4)
+    assert(tbl.read().count() == orders.count()) // live snapshot untouched
+  }
+
+  test("time travel + incremental agree with the timeline") {
+    val tbl = freshTable("tt")
+    val i1 = tbl.insert(orders, numFiles = 2)
+    val batch = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val i2 = tbl.upsert(batch)
+    assert(tbl.readAsOf(i1).count() == orders.count())
+    val inc = tbl.incremental(i1, i2)
+    assert(inc.count() == batch.count())
+    assert(tbl.read().count() == orders.count())
+  }
+
+  test("merge with custom matched-update projection") {
+    val tbl = freshTable("merge_custom")
+    tbl.insert(orders, numFiles = 2)
+    val src = orders.filter(col("o_orderkey") % 50 === 0)
+      .withColumn("o_totalprice", lit(-1.0))
+    tbl.merge(src,
+      whenMatchedUpdate = Some(Seq(
+        "o_totalprice" -> (col("t.o_totalprice") + col("s.o_totalprice")))),
+      whenNotMatchedInsert = false)
+    val got = tbl.read().filter(col("o_orderkey") === 0).select("o_totalprice").head().getDouble(0)
+    val want = orders.filter(col("o_orderkey") === 0).select("o_totalprice").head().getDouble(0) - 1.0
+    assert(math.abs(got - want) < 1e-9)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = GraftSession.table(spark, sfDir, "lineitem")
+    val approx = li.agg(approx_count_distinct("l_partkey").as("a")).head().getLong(0)
+    val exact = li.agg(countDistinct("l_partkey").as("e")).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}
