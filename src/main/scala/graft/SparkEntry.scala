@@ -9,7 +9,12 @@ object SparkEntry {
     * (Spark impl + optional DuckDB oracle). */
   def registries: Seq[QueryRegistry] = Seq(
     graft.operators.Queries,
-    graft.tables.TableOps)
+    graft.tables.TableOps,
+    graft.dedup.Dedup,
+    graft.ann.Ann,
+    graft.text.TextOps,
+    graft.multimodal.Multimodal,
+    graft.streaming.StreamingOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,91 @@
+package graft.ann
+
+import graft.{GraftSession, QueryDef, QueryRegistry}
+import graft.dedup.Dedup.{dot, norm2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.D — similarity search over the `embeddings` table.
+  *
+  * s_topk_bruteforce broadcasts the (small) query set against the corpus —
+  * an embarrassingly parallel linear scan, the right baseline at any scale
+  * (no shuffle of the corpus; per-partition top-k via the window is bounded
+  * by k·|queries|). s_topk_ivf is the scale path: corpus bucketed by nearest
+  * centroid once (IVF build), queries probe only `nprobe` buckets, cutting
+  * scanned rows by ~|buckets|/nprobe.
+  */
+object Ann extends QueryRegistry {
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "embeddings")
+
+  private val K = 10
+
+  // --- s_topk_bruteforce: exact cosine top-k for query vectors vec_id < 5.
+  def sTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe", "qn")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_r", round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "vec_id", "cos_r")
+      .orderBy("q_id", "rank")
+  }
+
+  private val sTopkBruteforceSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |p AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+       |      / (e.nrm * q.nrm), 6) AS cos_r
+       |  FROM e JOIN e q ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, vec_id, cos_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
+       |  FROM p)
+       |SELECT q_id, rank, vec_id, cos_r FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  // --- s_topk_ivf: IVF-style ANN. Centroids are deterministically sampled
+  // corpus vectors (vec_id % 100 == 0); every vector is assigned to its
+  // nearest centroid (the inverted file); queries probe the 2 nearest
+  // centroid buckets only. Approximate → rows-only oracle; AnnSpec asserts
+  // recall vs the brute-force baseline.
+  def sTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm"))
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // IVF build: assign each vector to its nearest centroid (one broadcast pass)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
+    // query side: probe the 2 nearest buckets
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe", "qn")
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("c_id"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("vec_id"))
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_r", round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "vec_id", "cos_r")
+      .orderBy("q_id", "rank")
+  }
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
+    QueryDef("s_topk_ivf", sTopkIvf, None))
+}

@@ -1,0 +1,191 @@
+package graft.dedup
+
+import graft.{GraftSession, QueryDef, QueryRegistry}
+import graft.text.TextOps.normText
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — the deduplication family for LLM training-data
+  * pipelines, over the `documents` and `embeddings` tables.
+  *
+  * Scale design: exact dedup is a single hash aggregation (map-side
+  * partials, one shuffle). N-gram Jaccard never forms the n² cross product —
+  * it joins on shared shingles, so cost is O(sum of shingle-bucket²), and at
+  * 100 TB you run d_minhash_lsh first so only LSH-candidate pairs are
+  * verified. SimHash bands 64 bits into 4×16-bit chunks (pigeonhole: any
+  * pair at hamming distance <=3 shares a chunk), turning near-dup search
+  * into an equi-join. Embedding dedup's exact form is quadratic and kept
+  * for oracle parity at test scale; its scale path is the same banding idea
+  * (s_topk_ivf's centroid buckets / simhash-over-floats).
+  */
+object Dedup extends QueryRegistry {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "embeddings")
+
+  // --- d_exact: hash-groupBy exact dedup; keep the lowest doc_id per group.
+  def dExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  private val dExactSql =
+    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+      |      FROM documents)
+      |GROUP BY h ORDER BY keep_id""".stripMargin
+
+  /** Distinct 3-word shingles per document: (doc_id, sh). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 3,
+          array_distinct(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+
+  /** Exact Jaccard over candidate pairs that share >= 1 shingle. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("da", "sh")
+    val b = sh.toDF("db", "sh")
+    val common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+  }
+
+  // --- d_ngram_jaccard: word-shingle Jaccard near-dup pairs (exact, blocked
+  // by shared shingles — no cross product).
+  def dNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingles(s, dir))
+      .filter(col("jac") >= 0.5)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
+      .orderBy("doc_a", "doc_b")
+
+  private val dNgramJaccardSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+      |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin
+
+  // --- d_minhash_lsh: MinHash signatures + LSH banding; verified candidates.
+  // Deterministic but not SQL-expressible → rows-only oracle; DedupSpec
+  // asserts it recovers every exact-dup pair.
+  private val NumHashes = 64
+  private val Bands = 16 // 16 bands x 4 rows
+
+  def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val mhCols = (0 until NumHashes).map(i =>
+      min(xxhash64(concat(lit(i.toString), lit("#"), col("sh")))).as(s"mh$i"))
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"mh$i")): _*).as("sig"))
+    }
+    val buckets = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+    val cand = buckets.toDF("da", "band", "sig")
+      .join(buckets.toDF("db", "band", "sig"), Seq("band", "sig"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    // verify candidates with exact Jaccard
+    jaccardPairs(shingles(s, dir))
+      .join(cand, Seq("da", "db"), "leftsemi")
+      .filter(col("jac") >= 0.5)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- d_simhash: 64-bit SimHash; pairs within hamming distance 3 found by
+  // 4x16-bit chunk banding (pigeonhole-complete for hd<=3). Rows-only oracle.
+  def dSimhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode_outer(array_distinct(split(normText(col("text")), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val bitSums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val simhash = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    val sigs = bitSums.select(col("doc_id"), simhash.as("sh"))
+    val chunks = sigs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("ci"), shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sh"), col("ck.ci"), col("ck.cv"))
+    val pairs = chunks.select(col("doc_id").as("da"), col("sh").as("sha"), col("ci"), col("cv"))
+      .join(chunks.select(col("doc_id").as("db"), col("sh").as("shb"), col("ci"), col("cv")),
+        Seq("ci", "cv"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "sha", "shb").distinct()
+      .withColumn("hd", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hd") <= 3)
+    pairs.select(col("da").as("doc_a"), col("db").as("doc_b"), col("hd").cast("long").as("hd"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Index-order double fold of a float-vector dot product — bit-identical
+    * to the DuckDB `list_sum(list_transform(...))` twin. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  // --- d_embed_cosine: embedding near-dup pairs above cosine 0.45. Exact
+  // quadratic form for oracle parity (fine at test scale; the 100 TB path
+  // prunes candidates with LSH/IVF banding first — see s_topk_ivf).
+  def dEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm"))
+    val a = e.toDF("va", "ea", "na")
+    val b = e.toDF("vb", "eb", "nb")
+    a.join(b, col("va") < col("vb"))
+      .withColumn("cos_r", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_r") >= 0.45)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_r"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val dEmbedCosineSql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.nrm * b.nrm), 6) AS cos_r
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.nrm * b.nrm), 6) >= 0.45
+      |ORDER BY 1, 2""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("d_exact", dExact, Some(dExactSql)),
+    QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
+    QueryDef("d_minhash_lsh", dMinhashLsh, None),
+    QueryDef("d_simhash", dSimhash, None),
+    QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)))
+}

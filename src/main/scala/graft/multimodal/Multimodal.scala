@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import graft.{GraftSession, QueryDef, QueryRegistry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.F — multimodal column plumbing for LLM-data pipelines.
+  *
+  * Media payloads are opaque `binary` columns + typed metadata, processed
+  * per-partition so decode libraries (not present in this container — the
+  * decoder below is a clearly-marked deterministic fake) amortize their init
+  * across a batch. The Spark-side contract — schema, binary transport,
+  * partition-parallel decode, metadata extraction — is real and tested.
+  */
+object Multimodal extends QueryRegistry {
+
+  /** A media record as a pipeline would carry it: payload + typed metadata. */
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  final case class DecodedMeta(doc_id: Long, width: Int, height: Int, channels: Int)
+
+  /** STUB decoder — stands in for an image library (none in this
+    * container). Deterministic fake: "dimensions" derived from payload
+    * bytes. A real deployment swaps only this function; the partition-wise
+    * plumbing around it is unchanged. */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    (n % 64 + 1, n % 48 + 1, 3)
+  }
+
+  /** Partition-parallel decode of a binary media column: the mapPartitions
+    * shape lets a real decoder init once per partition (the Scala analogue
+    * of `mapInPandas` batch decoding). */
+  def decodeMeta(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real decoders would initialize native resources here, once
+        it.map { case (id, bytes) =>
+          val (w, h, c) = fakeDecode(bytes)
+          DecodedMeta(id, w, h, c)
+        }
+      }
+      .toDF()
+  }
+
+  /** Build a deterministic binary media column from documents (UTF-8 bytes
+    * of the first 64 chars) — the transport shape of a real corpus. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "documents")
+      .select(col("doc_id"), lit("image/fake").as("media_type"),
+        substring(col("text"), 1, 64).cast("binary").as("payload"))
+
+  // --- m_binary_meta: binary payload + metadata extraction, SQL-checkable
+  // (byte length, content hash, fake dimensions are all byte-derived).
+  def mBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+      .select(
+        col("doc_id"),
+        length(col("head").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("head")).as("content_md5"),
+        (length(col("head").cast("binary")).cast("long") % 64 + 1).as("fake_width"),
+        (length(col("head").cast("binary")).cast("long") % 48 + 1).as("fake_height"))
+      .orderBy("doc_id")
+
+  private val mBinaryMetaSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n_bytes,
+      |  md5(substr(text, 1, 64)) AS content_md5,
+      |  CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) % 64 + 1 AS fake_width,
+      |  CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) % 48 + 1 AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)))
+}

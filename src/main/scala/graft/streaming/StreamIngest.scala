@@ -1,0 +1,68 @@
+package graft.streaming
+
+import scala.collection.mutable.ListBuffer
+
+import graft.tables.GraftTable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming ingestion into a GraftTable — the Spark-native
+  * analogue of the reference's continuous DeltaStreamer pipeline
+  * (DeltaStreamerExample.scala:14-62: Kafka source → upsert → table) and the
+  * Flink HudiDataStreamWriter. Here the source is any streaming DataFrame
+  * (file source in tests; Kafka in production — same contract).
+  */
+object StreamIngest {
+
+  /** Upsert each micro-batch into the table. Exactly-once effect comes from
+    * the combination of checkpointed source offsets + idempotent re-upsert
+    * (re-running a batch upserts the same record keys to the same values).
+    */
+  def toGraftTable(stream: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { table.upsert(batch); () }
+      }
+      .start()
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionState(sessId: Long, startUs: Long, lastUs: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long, sess_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Gap-based sessionization with explicit state (flatMapGroupsWithState) —
+    * emits a session as soon as a later event closes it. The batch twin is
+    * StreamingOps.stSessionize; StreamingSpec asserts they agree on closed
+    * sessions. State per user is O(1) (the open session only), so executor
+    * state stays bounded at any stream length. */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          val evs = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val closed = ListBuffer.empty[SessionOut]
+          var st = state.getOption
+          evs.foreach { e =>
+            st match {
+              case None =>
+                st = Some(SessionState(1L, e.ts_us, e.ts_us, 1L))
+              case Some(s) if e.ts_us - s.lastUs > gapUs =>
+                closed += SessionOut(uid, s.sessId, s.startUs / 1000, s.lastUs / 1000, s.n)
+                st = Some(SessionState(s.sessId + 1, e.ts_us, e.ts_us, 1L))
+              case Some(s) =>
+                st = Some(s.copy(lastUs = math.max(s.lastUs, e.ts_us), n = s.n + 1))
+            }
+          }
+          st.foreach(state.update)
+          closed.iterator
+        })
+  }
+}

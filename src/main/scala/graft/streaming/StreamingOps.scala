@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.{GraftSession, QueryDef, QueryRegistry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.G — streaming semantics (the DeltaStreamer/Kafka→table side
+  * of the reference), expressed as event-time computations that run
+  * identically in batch and as Structured Streaming queries.
+  *
+  * The `queries` entries here are the BATCH equivalents (DuckDB-checkable);
+  * StreamingSpec runs the same logic through `readStream`/`writeStream`
+  * micro-batches (file source, watermarks, foreachBatch into a GraftTable
+  * with idempotent batch commits) and asserts stream==batch.
+  */
+object StreamingOps extends QueryRegistry {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "events")
+
+  /** Tumbling 1-hour event-time window agg — usable verbatim under
+    * `readStream` + watermark (that is what StreamingSpec does). */
+  def windowAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
+  // --- st_window_agg: batch twin of the streaming windowed aggregation.
+  def stWindowAgg(s: SparkSession, dir: String): DataFrame =
+    windowAgg(events(s, dir)).orderBy("win_start", "event_type")
+
+  private val stWindowAggSql =
+    """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- st_sessionize: 30-minute-gap sessionization. Batch form: windowed
+  // gap detection + cumulative session numbering (one shuffle on user_id).
+  // Streaming form: flatMapGroupsWithState in StreamingSpec.
+  private val GapMinutes = 30
+
+  def stSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(wRun))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  private val stSessionizeSql =
+    s"""WITH x AS (SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL $GapMinutes MINUTE THEN 1 ELSE 0 END AS ns
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |y AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM x)
+       |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, epoch_ms(min(ts)) AS start_ms,
+       |  epoch_ms(max(ts)) AS end_ms, COUNT(*) AS n_events
+       |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
+    QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)))
+}

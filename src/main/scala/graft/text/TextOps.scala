@@ -1,0 +1,122 @@
+package graft.text
+
+import graft.{GraftSession, QueryDef, QueryRegistry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.E — per-document text analysis for LLM-data pipelines.
+  * All pure, codegen'd per-row expressions: no shuffle except the final
+  * aggregations, so these scan at parquet speed at any scale.
+  */
+object TextOps extends QueryRegistry {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "documents")
+
+  /** Canonical text normalization shared by all dedup/text operators:
+    * collapse whitespace, trim, lowercase. DuckDB twin:
+    * `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`. */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  // --- x_fingerprint: stable content fingerprint of the normalized text.
+  def xFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  private val xFingerprintSql =
+    s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id"
+
+  // --- x_tokens: whitespace tokens + BPE-ish regex tokens + chars.
+  def xTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      when(trim(col("text")) === "", 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val xTokensSql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- x_quality: length/alpha/stopword heuristics (pure arithmetic, so the
+  // ratios are bit-identical across engines).
+  def xQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nChars = length(col("text")).cast("long")
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val stops = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|an|and|or|of|to|in|is|for|on|with)\\b"))).cast("long")
+    val wsTokens = when(trim(col("text")) === "", 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    d.select(
+      col("doc_id"),
+      nChars.as("n_chars_calc"),
+      when(nChars === 0, lit(null)).otherwise(alpha.cast("double") / nChars.cast("double"))
+        .as("alpha_ratio"),
+      when(wsTokens === 0, lit(null)).otherwise(stops.cast("double") / wsTokens.cast("double"))
+        .as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val xQualitySql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |    / nullif(CAST(length(text) AS DOUBLE), 0) AS alpha_ratio,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|for|on|with)\b')) AS DOUBLE)
+      |    / nullif(CAST(CASE WHEN trim(text) = '' THEN 0
+      |        ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE), 0) AS stop_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- x_langid: stopword/CJK-scored language ID, confusion matrix vs the
+  // labeled lang column. Deterministic argmax (fixed tie-break order).
+  def xLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lower0 = lower(col("text"))
+    def hits(pat: String): Column = size(regexp_extract_all(lower0, lit(pat))).cast("long")
+    val sEn = hits("\\b(the|and|of|to)\\b")
+    val sEs = hits("\\b(el|la|los|que)\\b")
+    val sFr = hits("\\b(le|les|et|une)\\b")
+    val sDe = hits("\\b(der|die|und|das)\\b")
+    val sZh = size(regexp_extract_all(col("text"), lit("[一-鿿]"), lit(0))).cast("long")
+    val m = greatest(sDe, sEn, sEs, sFr, sZh)
+    val pred = when(sDe === m, "de").when(sEn === m, "en")
+      .when(sEs === m, "es").when(sFr === m, "fr").otherwise("zh")
+    d.select(col("lang"), pred.as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  private val xLangidSql =
+    """WITH s AS (SELECT lang,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to)\b')) AS BIGINT) AS s_en,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que)\b')) AS BIGINT) AS s_es,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|une)\b')) AS BIGINT) AS s_fr,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das)\b')) AS BIGINT) AS s_de,
+      |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+      |  FROM documents),
+      |p AS (SELECT lang,
+      |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |       ELSE 'zh' END AS pred
+      |  FROM s)
+      |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("x_fingerprint", xFingerprint, Some(xFingerprintSql)),
+    QueryDef("x_tokens", xTokens, Some(xTokensSql)),
+    QueryDef("x_quality", xQuality, Some(xQualitySql)),
+    QueryDef("x_langid", xLangid, Some(xLangidSql)))
+}

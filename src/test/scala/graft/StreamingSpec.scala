@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{StreamingOps, StreamIngest}
+import graft.streaming.StreamIngest.SessionEvent
+import graft.tables.{GraftTable, GraftTableConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real Structured Streaming runs: file-source micro-batches → windowed agg
+  * / GraftTable ingest / stateful sessionization, each compared against its
+  * batch twin. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = GraftSession.builder("graft-test", "4").getOrCreate()
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Events (ts already micros) written as 3 time-ordered parquet chunks —
+    * a replayable "topic". */
+  private def stage(name: String): String = {
+    val dir = Files.createTempDirectory(s"graft_stream_$name").toString
+    val ev = GraftSession.table(spark, sfDir, "events").orderBy("ts")
+    ev.withColumn("chunk", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy("ts")))
+      .write.mode("overwrite").partitionBy("chunk").parquet(dir)
+    dir
+  }
+
+  private def readStreamOf(dir: String) = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).option("basePath", dir).parquet(s"$dir/chunk=*")
+  }
+
+  test("streaming windowed agg with watermark equals the batch twin") {
+    val dir = stage("agg")
+    val stream = StreamingOps.windowAgg(
+      readStreamOf(dir).withWatermark("ts", "2 hours"))
+    val q = stream.writeStream
+      .format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("win_agg").orderBy("win_start", "event_type")
+    val want = StreamingOps.stWindowAgg(spark, sfDir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming ingest lands every event in a GraftTable (DeltaStreamer analogue)") {
+    val dir = stage("ingest")
+    val tbl = GraftTable(spark, GraftTableConfig(
+      s"/tmp/graft_spec/stream_ingest", "event_id", "event_id"))
+    tbl.dropIfExists()
+    val cp = Files.createTempDirectory("graft_cp").toString
+    val q = StreamIngest.toGraftTable(readStreamOf(dir).drop("chunk"), tbl, cp)
+    q.awaitTermination()
+    val want = GraftSession.table(spark, sfDir, "events")
+    assert(tbl.read().count() == want.count())
+    // multiple commits on the timeline — one per micro-batch
+    assert(tbl.timeline.instants().nonEmpty)
+    // idempotent redelivery: re-upserting a batch changes nothing
+    tbl.upsert(want.limit(100))
+    assert(tbl.read().count() == want.count())
+  }
+
+  test("stateful streaming sessionization agrees with the batch twin on closed sessions") {
+    import spark.implicits._
+    val dir = stage("sess")
+    val evStream = readStreamOf(dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+    val q = StreamIngest.sessionize(evStream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sess_out")
+      .select("user_id", "sess_id", "start_ms", "end_ms", "n_events")
+    // batch twin: all sessions except each user's last (still open in streaming)
+    val batch = StreamingOps.stSessionize(spark, sfDir)
+    val lastPerUser = batch.groupBy("user_id").agg(max("sess_id").as("sess_id"))
+    val want = batch.join(lastPerUser, Seq("user_id", "sess_id"), "leftanti")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"closed sessions mismatch: got ${got.count()}, want ${want.count()}")
+  }
+}
