@@ -41,23 +41,36 @@ object Dedup extends QueryRegistry {
       |      FROM documents)
       |GROUP BY h ORDER BY keep_id""".stripMargin
 
-  /** Distinct 3-word shingles per document: (doc_id, sh). */
+  /** Distinct 3-word shingles per document, identified by a 64-bit hash:
+    * (doc_id, sh: long). Hashing inside the lambda means shingle strings are
+    * never materialized — dedup joins and minhash work on longs (collision
+    * probability across a corpus is ~n²/2^64, negligible). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
       .select(col("doc_id"),
         explode(when(size(col("w")) >= 3,
-          array_distinct(expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
-          .otherwise(array().cast("array<string>"))).as("sh"))
+          array_distinct(expr("transform(sequence(0, size(w)-3), i -> xxhash64(w[i], w[i+1], w[i+2]))")))
+          .otherwise(array().cast("array<bigint>"))).as("sh"))
 
-  /** Exact Jaccard over candidate pairs that share >= 1 shingle. */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  /** Exact Jaccard over pairs that share >= 1 shingle, optionally restricted
+    * to a candidate pair set (the LSH path — only candidates are verified,
+    * so the shingle join never expands beyond LSH buckets). */
+  private def jaccardPairs(sh: DataFrame, candidates: Option[DataFrame] = None): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("da", "sh")
-    val b = sh.toDF("db", "sh")
-    val common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val restricted = candidates match {
+      case Some(cand) =>
+        val docs = cand.select(col("da").as("doc_id"))
+          .union(cand.select(col("db").as("doc_id"))).distinct()
+        sh.join(broadcast(docs), "doc_id")
+      case None => sh
+    }
+    val a = restricted.toDF("da", "sh")
+    val b = restricted.toDF("db", "sh")
+    var common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+    candidates.foreach(cand => common = common.join(cand, Seq("da", "db"), "leftsemi"))
     common
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
       .join(sizes.toDF("da", "na"), "da")
       .join(sizes.toDF("db", "nb"), "db")
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
@@ -93,9 +106,9 @@ object Dedup extends QueryRegistry {
   private val Bands = 16 // 16 bands x 4 rows
 
   def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val mhCols = (0 until NumHashes).map(i =>
-      min(xxhash64(concat(lit(i.toString), lit("#"), col("sh")))).as(s"mh$i"))
+    val sh = shingles(s, dir).cache()
+    // the shingle id is already a 64-bit hash; 64 cheap long-mix permutations
+    val mhCols = (0 until NumHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh$i"))
     val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -107,9 +120,8 @@ object Dedup extends QueryRegistry {
       .join(buckets.toDF("db", "band", "sig"), Seq("band", "sig"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    // verify candidates with exact Jaccard
-    jaccardPairs(shingles(s, dir))
-      .join(cand, Seq("da", "db"), "leftsemi")
+    // verify ONLY the LSH candidates with exact Jaccard
+    jaccardPairs(sh, Some(cand))
       .filter(col("jac") >= 0.5)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
       .orderBy("doc_a", "doc_b")
@@ -153,18 +165,43 @@ object Dedup extends QueryRegistry {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  // --- d_embed_cosine: embedding near-dup pairs above cosine 0.45. Exact
-  // quadratic form for oracle parity (fine at test scale; the 100 TB path
-  // prunes candidates with LSH/IVF banding first — see s_topk_ivf).
+  /** Round like Spark/DuckDB `round(x, 6)` (half-up, away from zero). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // --- d_embed_cosine: embedding near-dup pairs above cosine 0.45 (exact).
+  // Executed as a broadcast block scan: the corpus (id, double-vector, norm)
+  // is broadcast once and every partition streams its rows against it with a
+  // tight primitive loop — no n²-row join is ever materialized, only
+  // matching pairs are emitted. Same index-ordered double fold as the DuckDB
+  // oracle, so results are bit-identical. At corpus sizes beyond broadcast
+  // range the B side is processed in blocks (outer loop over broadcast
+  // chunks); candidate pruning via LSH (d_minhash_lsh / s_topk_ivf banding)
+  // is the sub-quadratic path.
   def dEmbedCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nrm"))
-    val a = e.toDF("va", "ea", "na")
-    val b = e.toDF("vb", "eb", "nb")
-    a.join(b, col("va") < col("vb"))
-      .withColumn("cos_r", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
-      .filter(col("cos_r") >= 0.45)
-      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_r"))
+    import s.implicits._
+    val prepped = embs(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val d = new Array[Double](v.length)
+        var i = 0
+        var n = 0.0
+        while (i < v.length) { d(i) = v(i).toDouble; n += d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(n))
+      }
+    val bc = s.sparkContext.broadcast(prepped.collect().sortBy(_._1))
+    val threshold = 0.45
+    prepped.flatMap { case (ida, va, na) =>
+      bc.value.iterator
+        .filter(_._1 > ida)
+        .flatMap { case (idb, vb, nb) =>
+          var dot = 0.0
+          var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+          val cos = round6(dot / (na * nb))
+          if (cos >= threshold) Some((ida, idb, cos)) else None
+        }
+    }.toDF("vec_a", "vec_b", "cos_r")
       .orderBy("vec_a", "vec_b")
   }
 
