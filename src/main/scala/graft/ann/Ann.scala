@@ -1,12 +1,13 @@
 package graft.ann
 
 import graft.{GraftSession, QueryDef, QueryRegistry}
-import graft.dedup.Dedup.{dot, norm2}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2.D — similarity search over the `embeddings` table.
+/** SURVEY.md §2.D — similarity search over the `embeddings` table, built on
+  * the native codegen [[graft.functions.CosineSim]] expression.
   *
   * s_topk_bruteforce broadcasts the (small) query set against the corpus —
   * an embarrassingly parallel linear scan, the right baseline at any scale
@@ -17,19 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Ann extends QueryRegistry {
 
-  private def embs(s: SparkSession, dir: String): DataFrame =
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     GraftSession.table(s, dir, "embeddings")
+  }
 
   private val K = 10
 
   // --- s_topk_bruteforce: exact cosine top-k for query vectors vec_id < 5.
   def sTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nrm"))
-    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe", "qn")
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos_r", round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cos_r", round(expr("cosine_sim(embedding, qe)"), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select("q_id", "rank", "vec_id", "cos_r")
@@ -53,32 +55,32 @@ object Ann extends QueryRegistry {
   // --- s_topk_ivf: IVF-style ANN. Centroids are deterministically sampled
   // corpus vectors (vec_id % 100 == 0); every vector is assigned to its
   // nearest centroid (the inverted file); queries probe the 2 nearest
-  // centroid buckets only. Approximate → rows-only oracle; AnnSpec asserts
-  // recall vs the brute-force baseline.
+  // centroid buckets only. Approximate → rows-only oracle; PipelineSpec
+  // asserts recall vs the brute-force baseline.
   def sTopkIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nrm"))
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
     // IVF build: assign each vector to its nearest centroid (one broadcast pass)
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
     val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("c_cos", round(dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
+      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
     // query side: probe the 2 nearest buckets
-    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe", "qn")
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
     val wProbe = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("c_id"))
     val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("c_cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("c_cos", round(expr("cosine_sim(qe, ce)"), 6))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= 2)
-      .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("bucket"))
+      .select(col("q_id"), col("qe"), col("c_id").as("bucket"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("vec_id"))
-    assigned.join(broadcast(probes), Seq("bucket"))
+    assigned.join(broadcast(probes.withColumnRenamed("bucket", "bucket_p")),
+        col("bucket") === col("bucket_p"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos_r", round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cos_r", round(expr("cosine_sim(embedding, qe)"), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select("q_id", "rank", "vec_id", "cos_r")

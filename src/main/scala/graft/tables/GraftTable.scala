@@ -127,16 +127,33 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         .filter(col(GraftMeta.CommitTime) > beginExclusive &&
           col(GraftMeta.CommitTime) <= endInclusive))
 
-  /** CDC read from the pre-materialized changelog: `_change_type` in
-    * {insert, update_preimage, update_postimage, delete} + user columns. */
+  /** CDC read: `_change_type` in {insert, update_preimage, update_postimage,
+    * delete} + user columns. Update/delete images come from the changelog
+    * files materialized at write time (sized by the batch, not the table);
+    * insert images are DERIVED from the commit's own data files via the
+    * `_graft_commit_time` metadata column — pure-insert commits write no
+    * changelog at all. (CDC history for a commit survives until its files
+    * are physically removed by `clean`.) */
   def cdc(beginExclusive: String, endInclusive: String): DataFrame = {
-    val dirs = timeline
-      .instants()
-      .filter(i => i > beginExclusive && i <= endInclusive)
-      .map(i => new Path(s"${cfg.path}/_graft/cdc/$i"))
-      .filter(fs.exists(_))
-    require(dirs.nonEmpty, s"no CDC data in ($beginExclusive, $endInclusive]")
-    spark.read.parquet(dirs.map(_.toString): _*)
+    require(cfg.writeChangelog, s"table ${cfg.path} was not created with writeChangelog")
+    val range = timeline.instants().filter(i => i > beginExclusive && i <= endInclusive)
+    require(range.nonEmpty, s"no commits in ($beginExclusive, $endInclusive]")
+    val parts = range.flatMap { i =>
+      val c = timeline.readCommit(i)
+      val changelogDir = new Path(s"${cfg.path}/_graft/cdc/$i")
+      val changelog =
+        if (fs.exists(changelogDir)) Seq(spark.read.parquet(changelogDir.toString))
+        else Seq.empty
+      val derivedInserts =
+        if (c.op == "insert" && c.adds.nonEmpty)
+          Seq(dropInternal(readFiles(c.adds))
+            .drop(cfg.keyGen.syntheticCols: _*)
+            .withColumn("_change_type", lit("insert")))
+        else Seq.empty
+      changelog ++ derivedInserts
+    }
+    require(parts.nonEmpty, s"no CDC data in ($beginExclusive, $endInclusive]")
+    parts.reduce(_.unionByName(_))
   }
 
   /** Key-based point lookup reading only bucket- and range-pruned files. */
@@ -258,7 +275,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val instant = timeline.nextInstant()
     val deduped = precombine(batch)
     val adds = writeFiles(withMeta(deduped, instant), instant, numFiles)
-    writeCdc(deduped.withColumn("_change_type", lit("insert")), instant)
+    // no changelog for pure inserts — cdc() derives them from the data files
     timeline.commit(Commit(instant, "insert", adds, Nil))
     instant
   }
