@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.tables.{FieldPartition, GraftTable, GraftTableConfig, KeyGen, NoPartition, TimestampDayPartition}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `format("graft")` — the DataFrame-level read/write surface of GraftTable,
+  * mirroring how the reference drives Hudi tables
+  * (TestAutomationUtils.scala:33-35 `df.write.format("hudi").options(...)
+  * .mode("append").save(path)` / `spark.read.format("hudi").load(path)`).
+  *
+  * Write options:
+  *   - `graft.key` (required): record key field
+  *   - `graft.precombine` (default = key): precombine field, highest wins
+  *   - `graft.operation`: upsert (default) | insert
+  *   - `graft.partition`: hive-style partition field
+  *   - `graft.partition.day.from`: timestamp field → yyyy-MM-dd partition
+  *   - `graft.buckets`: hash-bucket count for the bucket index
+  *   - `graft.changelog`: true to materialize CDC images
+  *   SaveMode.Overwrite recreates the table; Append applies the operation.
+  *
+  * Read options:
+  *   - none → latest snapshot
+  *   - `asOf` → time-travel snapshot at that instant
+  *   - `begin` [+ `end`] → incremental read (latest state of rows changed)
+  *   - `cdc=true` + `begin` [+ `end`] → change images with `_change_type`
+  * Filters are re-applied inside the relation's plan, so parquet pushdown
+  * and partition pruning still engage under `format("graft")` reads.
+  */
+class GraftDataSource
+    extends RelationProvider
+    with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def keyGenOf(parameters: Map[String, String]): KeyGen =
+    parameters.get("graft.partition").map(FieldPartition.apply)
+      .orElse(parameters.get("graft.partition.day.from").map(f => TimestampDayPartition(f)))
+      .getOrElse(NoPartition)
+
+  private def configOf(path: String, parameters: Map[String, String]): GraftTableConfig = {
+    val key = parameters.getOrElse("graft.key", "")
+    GraftTableConfig(
+      path = path,
+      keyField = key,
+      precombineField = parameters.getOrElse("graft.precombine", key),
+      keyGen = keyGenOf(parameters),
+      numBuckets = parameters.getOrElse("graft.buckets", "0").toInt,
+      writeChangelog = parameters.getOrElse("graft.changelog", "false").toBoolean)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("format(\"graft\") requires .load(path)"))
+    val table = GraftTable(sqlContext.sparkSession, configOf(path, parameters))
+    val df = (parameters.get("asOf"), parameters.get("begin"),
+        parameters.getOrElse("cdc", "false").toBoolean) match {
+      case (Some(instant), _, _) => table.readAsOf(instant)
+      case (_, Some(begin), false) =>
+        table.incremental(begin, parameters.getOrElse("end", "99999"))
+      case (_, Some(begin), true) =>
+        table.cdc(begin, parameters.getOrElse("end", "99999"))
+      case _ => table.read()
+    }
+    GraftRelation(sqlContext, df)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("format(\"graft\") requires .save(path)"))
+    require(parameters.contains("graft.key"), "write requires option graft.key")
+    val table = GraftTable(sqlContext.sparkSession, configOf(path, parameters))
+    val op = parameters.getOrElse("graft.operation", "upsert")
+    mode match {
+      case SaveMode.Overwrite =>
+        table.dropIfExists()
+        table.insert(data)
+      case SaveMode.Append | SaveMode.ErrorIfExists | SaveMode.Ignore =>
+        op match {
+          case "insert" => table.insert(data)
+          case "upsert" => table.upsert(data)
+          case other => throw new IllegalArgumentException(s"unknown graft.operation: $other")
+        }
+    }
+    GraftRelation(sqlContext, table.read())
+  }
+}
+
+/** Relation backed by the table's snapshot plan. Pushed filters are applied
+  * INSIDE the plan (so Catalyst drives them into the parquet scans and the
+  * partition-dir index); Spark re-applies them above as well, which is
+  * harmless. */
+final case class GraftRelation(sqlContext: SQLContext, df: DataFrame)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def schema: StructType = df.schema
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(FilterToColumn.translate)
+      .foldLeft(df)((d, c) => d.filter(c))
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toSeq: _*)
+    projected.rdd
+  }
+}
+
+/** Translate Spark `sources.Filter`s back to Columns so pushdown survives
+  * the DSv1 boundary. Untranslatable filters are skipped (Spark re-applies
+  * every filter above the scan anyway). */
+object FilterToColumn {
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
