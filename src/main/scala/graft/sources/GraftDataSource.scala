@@ -33,9 +33,37 @@ import org.apache.spark.sql.types.StructType
 class GraftDataSource
     extends RelationProvider
     with CreatableRelationProvider
+    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ------------------------------------------------- streaming read surface
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("readStream.format(\"graft\") requires .load(path)"))
+    val s = schema.getOrElse(
+      GraftTable(sqlContext.sparkSession, configOf(path, parameters)).read().schema)
+    (shortName(), s)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters("path")
+    new GraftStreamSource(
+      sqlContext.sparkSession,
+      configOf(path, parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+  }
 
   private def keyGenOf(parameters: Map[String, String]): KeyGen =
     parameters.get("graft.partition").map(FieldPartition.apply)

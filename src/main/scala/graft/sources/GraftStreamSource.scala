@@ -1,0 +1,43 @@
+package graft.sources
+
+import graft.tables.{GraftTable, GraftTableConfig}
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/** Streaming read of a GraftTable: each micro-batch is the incremental
+  * changes between the last processed commit instant and the current head —
+  * the Spark-native analogue of the reference's streaming table reads
+  * (flink quickstart.sql:41 `read.start-commit`/`read.end-commit`,
+  * HudiDataStreamReader.java). Offsets ARE commit instants, so recovery
+  * from a checkpoint resumes exactly at the last committed instant, and the
+  * first batch (offset 0 → head) is the initial snapshot. */
+final class GraftStreamSource(
+    spark: SparkSession,
+    cfg: GraftTableConfig,
+    override val schema: StructType)
+    extends Source {
+
+  private val table = GraftTable(spark, cfg)
+
+  private def instantOf(o: Offset): String = {
+    val l = o match {
+      case lo: LongOffset => lo.offset
+      case other => other.json().toLong
+    }
+    f"$l%05d"
+  }
+
+  override def getOffset: Option[Offset] =
+    table.timeline.latestInstant().map(i => LongOffset(i.toLong))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val begin = start.map(instantOf).getOrElse("00000")
+    val df = table.incremental(begin, instantOf(end))
+    GraftSqlShim.internalCreateDataFrame(
+      spark, df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -72,6 +72,52 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.columns.toSeq == Seq("o_orderkey", "o_orderpriority"))
   }
 
+  test("readStream.format(graft) tails the commit timeline incrementally") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val p5 = "/tmp/graft_spec/ds_stream"
+    // two commits before the stream starts
+    orders.limit(200).write.format("graft")
+      .option("graft.key", "o_orderkey").mode(SaveMode.Overwrite).save(p5)
+    val upd = orders.limit(50).withColumn("o_orderstatus", lit("U"))
+    upd.write.format("graft")
+      .option("graft.key", "o_orderkey").mode(SaveMode.Append).save(p5)
+
+    val stream = spark.readStream.format("graft").load(p5)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("graft_tail")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("graft_tail")
+    // initial batch = incremental(0 -> head) = full latest snapshot
+    assert(got.count() == 200)
+    assert(got.filter(col("o_orderstatus") === "U").count() == 50)
+
+    // restart from the same checkpoint after a new commit: only the
+    // increment is delivered (offsets are commit instants). Memory sink
+    // can't recover checkpoints, so use a file sink.
+    val cp = java.nio.file.Files.createTempDirectory("graft_tail_cp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tail_out").toString
+    def runOnce(): Unit = {
+      val qq = spark.readStream.format("graft").load(p5)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qq.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 200)
+    orders.limit(230).filter(col("o_orderkey") >= 200) // 30 brand-new keys
+      .write.format("graft")
+      .option("graft.key", "o_orderkey").mode(SaveMode.Append).save(p5)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 230) // only the 30 new arrived
+  }
+
   test("precombine picks the highest version within a write batch") {
     val p4 = "/tmp/graft_spec/ds_pc"
     val v1 = orders.limit(100).withColumn("ver", lit(1))
