@@ -37,11 +37,14 @@ final case class FieldPartition(field: String) extends KeyGen {
   override def partitionCols: Seq[String] = Seq(field)
 }
 
-/** Timestamp-based key generator: partitions by the day of `tsField`,
-  * like the reference's timebased keygen (`output.dateformat=yyyy/MM/dd`). */
-final case class TimestampDayPartition(tsField: String, outCol: String = "p_day") extends KeyGen {
+/** Timestamp-based key generator: partitions by a date format of `tsField`,
+  * like the reference's timebased keygen (`output.dateformat=yyyy/MM/dd`,
+  * TestAutomationUtils.scala:103-110). The format must not contain '/' or
+  * characters illegal in paths beyond the hive-style `col=value` scheme. */
+final case class TimestampDayPartition(
+    tsField: String, outCol: String = "p_day", format: String = "yyyy-MM-dd") extends KeyGen {
   override def apply(df: DataFrame): DataFrame =
-    df.withColumn(outCol, date_format(col(tsField), "yyyy-MM-dd"))
+    df.withColumn(outCol, date_format(col(tsField), format))
   override def partitionCols: Seq[String] = Seq(outCol)
   override def syntheticCols: Seq[String] = Seq(outCol)
 }
@@ -117,6 +120,19 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
   /** Snapshot AS OF `instant` (inclusive) — quickstart.sql:77-81. */
   def readAsOf(instant: String): DataFrame = dropInternal(snapshotWithMeta(Some(instant)))
+
+  /** Snapshot AS OF a wall-clock time (epoch millis) — the reference's
+    * `TIMESTAMP AS OF '2022-03-07 09:16:28.100'` family resolves the same
+    * way: latest commit whose commit time is <= the given time. */
+  def readAsOfTimestamp(epochMs: Long): DataFrame = {
+    val i = timeline.instantAsOfTime(epochMs).getOrElse(
+      throw new IllegalArgumentException(s"no commit at or before epoch ms $epochMs"))
+    readAsOf(i)
+  }
+
+  /** Register the latest snapshot as a temp view so plain `spark.sql`
+    * SELECTs run against the table (the quickstart.sql query surface). */
+  def createOrReplaceView(name: String): Unit = read().createOrReplaceTempView(name)
 
   /** Records inserted/updated in instants (begin, end] at their latest
     * state — `hudi_table_changes(..., 'latest_state', begin, end)`
@@ -271,8 +287,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** Bulk insert (append-only, no key collision handling) — the fast path,
     * like the reference's bulk loads. Applies precombine within the batch. */
   def insert(batch: DataFrame, numFiles: Int = 0): String = {
-    timeline.init()
-    val instant = timeline.nextInstant()
+    val instant = timeline.reserveInstant()
     val deduped = precombine(batch)
     val adds = writeFiles(withMeta(deduped, instant), instant, numFiles)
     // no changelog for pure inserts — cdc() derives them from the data files
@@ -290,8 +305,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val i = insert(batch0)
       return i
     }
-    timeline.init()
-    val instant = timeline.nextInstant()
+    val instant = timeline.reserveInstant()
     val live = timeline.liveFiles(None)
     val batch = batch0.cache()
 
@@ -362,8 +376,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** DELETE by predicate (quickstart.sql:71-74): rewrites only files that
     * contain matching rows. */
   def delete(predicate: Column): String = {
-    timeline.init()
-    val instant = timeline.nextInstant()
+    val instant = timeline.reserveInstant()
     val live = timeline.liveFiles(None)
     val snap = readFiles(live)
     val hits = snap.filter(predicate)
@@ -428,8 +441,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * Hudi inline compaction / small-file handling,
     * DeltaStreamerExample.scala:49-56). Data content is unchanged. */
   def compact(targetRows: Long): String = {
-    timeline.init()
-    val instant = timeline.nextInstant()
+    val instant = timeline.reserveInstant()
     val live = timeline.liveFiles(None)
     val totalRows = live.map(_.rows).sum
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt)
@@ -444,8 +456,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * clustering, flink consistent_hashing.sql:93-97): co-locates rows for
     * downstream range/point pruning. Content is unchanged. */
   def cluster(sortCols: Seq[String], numFiles: Int): String = {
-    timeline.init()
-    val instant = timeline.nextInstant()
+    val instant = timeline.reserveInstant()
     val live = timeline.liveFiles(None)
     val snap = readFiles(live)
     val cols = userCols(snap) ++ GraftMeta.cols

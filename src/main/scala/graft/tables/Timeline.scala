@@ -62,11 +62,51 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
   def latestInstant(): Option[String] = instants().lastOption
 
   def nextInstant(): String = {
-    val n = instants().lastOption.map(_.toLong + 1).getOrElse(1L)
+    val all = allInstants()
+    val n = all.lastOption.map(_.toLong + 1).getOrElse(1L)
     f"$n%05d"
   }
 
+  /** Committed + in-flight instants (for reservation). */
+  private def allInstants(): Seq[String] =
+    if (!fs.exists(metaDir)) Seq.empty
+    else fs.listStatus(metaDir)
+      .map(_.getPath.getName)
+      .collect {
+        case n if n.endsWith(".commit.json") => n.stripSuffix(".commit.json")
+        case n if n.endsWith(".inflight") => n.stripSuffix(".inflight")
+      }
+      .sorted.toSeq
+
+  /** Atomically reserve the next instant (optimistic concurrency: the
+    * `.inflight` marker is created with overwrite=false, so two writers
+    * racing for the same instant serialize — the loser retries with the
+    * next number). */
+  def reserveInstant(): String = {
+    init()
+    var attempts = 0
+    while (attempts < 100) {
+      val i = nextInstant()
+      try {
+        fs.create(new Path(metaDir, s"$i.inflight"), false).close()
+        return i
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the race; re-derive
+      }
+    }
+    throw new IllegalStateException(s"could not reserve an instant after $attempts attempts")
+  }
+
   def commit(c: Commit): Unit = {
+    // first-committer-wins conflict check: every file this commit replaces
+    // must still be live (a concurrent writer may have replaced it first)
+    val live = liveFiles(None).map(_.path).toSet
+    val gone = c.removes.filterNot(live.contains)
+    if (gone.nonEmpty) {
+      fs.delete(new Path(metaDir, s"${c.instant}.inflight"), false)
+      throw new IllegalStateException(
+        s"write conflict at instant ${c.instant}: files already replaced: ${gone.take(3).mkString(", ")}")
+    }
     val root: ObjectNode = mapper.createObjectNode()
     root.put("instant", c.instant)
     root.put("op", c.op)
@@ -92,7 +132,15 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       fs.delete(tmp, false)
       throw new IllegalStateException(s"concurrent commit detected at instant ${c.instant}")
     }
+    fs.delete(new Path(metaDir, s"${c.instant}.inflight"), false)
   }
+
+  /** Latest committed instant whose wall-clock commit time is <= `ts`
+    * (epoch millis) — resolves `TIMESTAMP AS OF`-style time travel. */
+  def instantAsOfTime(epochMs: Long): Option[String] =
+    instants().filter { i =>
+      fs.getFileStatus(new Path(metaDir, s"$i.commit.json")).getModificationTime <= epochMs
+    }.lastOption
 
   def readCommit(instant: String): Commit = {
     val p = new Path(metaDir, s"$instant.commit.json")

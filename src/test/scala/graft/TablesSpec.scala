@@ -124,6 +124,44 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got - want) < 1e-9)
   }
 
+  test("timeline OCC: instant reservation is exclusive; stale commits rejected") {
+    val tbl = freshTable("occ")
+    tbl.insert(orders, numFiles = 2)
+    val t = tbl.timeline
+    val i1 = t.reserveInstant()
+    val i2 = t.reserveInstant() // second reservation must not collide
+    assert(i1 != i2)
+    // a commit claiming to replace a file that is no longer live must abort
+    val bogus = Commit(i1, "upsert", Nil, Seq("data/99999/nonexistent.parquet"))
+    assertThrows[IllegalStateException](t.commit(bogus))
+    // a valid commit on the later reserved instant still succeeds
+    t.commit(Commit(i2, "noop", Nil, Nil))
+    assert(t.instants().contains(i2))
+  }
+
+  test("wall-clock time travel resolves to the right instant") {
+    val tbl = freshTable("wallclock")
+    tbl.insert(orders.limit(10), numFiles = 1)
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(1100)
+    tbl.upsert(orders.limit(10).withColumn("o_orderstatus", lit("Z")))
+    assert(tbl.readAsOfTimestamp(afterFirst)
+      .filter(col("o_orderstatus") === "Z").count() == 0)
+    assert(tbl.readAsOfTimestamp(System.currentTimeMillis())
+      .filter(col("o_orderstatus") === "Z").count() == 10)
+  }
+
+  test("spark.sql runs over a registered graft view") {
+    val tbl = freshTable("sqlview")
+    tbl.insert(orders, numFiles = 2)
+    tbl.createOrReplaceView("graft_orders")
+    val got = spark.sql(
+      "SELECT o_orderstatus, COUNT(*) AS n FROM graft_orders GROUP BY 1 ORDER BY 1")
+    val want = orders.groupBy("o_orderstatus").count().orderBy("o_orderstatus")
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      want.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = GraftSession.table(spark, sfDir, "lineitem")
     val approx = li.agg(approx_count_distinct("l_partkey").as("a")).head().getLong(0)
