@@ -78,7 +78,8 @@ class GraftDataSource
       precombineField = parameters.getOrElse("graft.precombine", key),
       keyGen = keyGenOf(parameters),
       numBuckets = parameters.getOrElse("graft.buckets", "0").toInt,
-      writeChangelog = parameters.getOrElse("graft.changelog", "false").toBoolean)
+      writeChangelog = parameters.getOrElse("graft.changelog", "false").toBoolean,
+      tableType = parameters.getOrElse("graft.type", graft.tables.TableType.Cow))
   }
 
   override def createRelation(

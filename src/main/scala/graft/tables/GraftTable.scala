@@ -16,7 +16,8 @@ object GraftMeta {
   val CommitTime = "_graft_commit_time"
   val RecordKey = "_graft_record_key"
   val Bucket = "_graft_bucket"
-  val cols: Seq[String] = Seq(CommitTime, RecordKey)
+  val Deleted = "_graft_deleted" // MOR tombstone marker
+  val cols: Seq[String] = Seq(CommitTime, RecordKey, Deleted)
 }
 
 /** Partition-path generators — the analogue of Hudi key generators
@@ -49,13 +50,29 @@ final case class TimestampDayPartition(
   override def syntheticCols: Seq[String] = Seq(outCol)
 }
 
+/** Table types, mirroring the reference's COPY_ON_WRITE / MERGE_ON_READ
+  * (DeltaStreamerExample.scala:20-21, flink quickstart.sql `table.type`):
+  * COW rewrites colliding files on every upsert (read-optimized); MOR
+  * appends delta files and resolves the latest record version at read time
+  * (write-optimized), with `compact` folding deltas back into base files. */
+object TableType {
+  val Cow = "cow"
+  val Mor = "mor"
+}
+
 final case class GraftTableConfig(
     path: String,
     keyField: String,
     precombineField: String,
     keyGen: KeyGen = NoPartition,
     numBuckets: Int = 0,
-    writeChangelog: Boolean = false)
+    writeChangelog: Boolean = false,
+    tableType: String = TableType.Cow) {
+  require(tableType == TableType.Cow || tableType == TableType.Mor,
+    s"unknown tableType $tableType")
+  require(!(tableType == TableType.Mor && writeChangelog),
+    "CDC changelog is supported on COW tables only")
+}
 
 /** A copy-on-write, record-keyed lakehouse table on plain parquet + a JSON
   * commit timeline — the Spark-native re-expression of the reference's Hudi
@@ -107,9 +124,22 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .parquet(files.map(f => s"${cfg.path}/${f.path}"): _*)
   }
 
+  /** MOR read-path resolution: latest version per key wins (commit time,
+    * then precombine), tombstones filtered. COW snapshots are already
+    * resolved physically, so this is the identity there. */
+  private def resolve(df: DataFrame): DataFrame =
+    if (cfg.tableType == TableType.Cow) df
+    else {
+      val w = Window.partitionBy(cfg.keyField)
+        .orderBy(col(GraftMeta.CommitTime).desc, col(cfg.precombineField).desc)
+      df.withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1 && !col(GraftMeta.Deleted))
+        .drop("_graft_rn")
+    }
+
   private def snapshotWithMeta(asOf: Option[String]): DataFrame = {
     val files = timeline.liveFiles(asOf)
-    readFiles(files)
+    resolve(readFiles(files))
   }
 
   private def dropInternal(df: DataFrame): DataFrame =
@@ -172,11 +202,13 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     parts.reduce(_.unionByName(_))
   }
 
-  /** Key-based point lookup reading only bucket- and range-pruned files. */
+  /** Key-based point lookup reading only bucket- and range-pruned files.
+    * Sound under MOR too: any delta/tombstone for key k contains k, so
+    * range+bucket pruning retains it and resolution sees every version. */
   def pointLookup(keys: Seq[Any]): DataFrame = {
     val files = lookupFiles(keys)
     if (files.isEmpty) read().filter(lit(false))
-    else dropInternal(readFiles(files)).filter(keyCol.isin(keys: _*))
+    else dropInternal(resolve(readFiles(files).filter(keyCol.isin(keys: _*))))
   }
 
   /** The pruned file set a point lookup touches (exposed for tests). */
@@ -274,9 +306,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       df.write.mode("overwrite").parquet(s"${cfg.path}/_graft/cdc/$instant")
     }
 
-  private def withMeta(df: DataFrame, instant: String): DataFrame =
+  private def withMeta(df: DataFrame, instant: String, deleted: Boolean = false): DataFrame =
     df.withColumn(GraftMeta.CommitTime, lit(instant))
       .withColumn(GraftMeta.RecordKey, keyStr(keyCol, df))
+      .withColumn(GraftMeta.Deleted, lit(deleted))
 
   /** User columns of the current snapshot (meta + synthetic cols removed). */
   private def userCols(df: DataFrame): Seq[String] =
@@ -296,9 +329,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   }
 
   /** Keyed upsert: incoming records replace stored records with the same
-    * key; new keys are inserted. COW — only files actually containing batch
-    * keys are rewritten. */
-  def upsert(batch: DataFrame): String = upsertResolved(precombine(batch), "upsert")
+    * key; new keys are inserted. COW rewrites only files actually containing
+    * batch keys; MOR appends a delta file and resolves at read time. */
+  def upsert(batch: DataFrame): String =
+    if (cfg.tableType == TableType.Mor && timeline.liveFiles(None).nonEmpty)
+      appendDelta(precombine(batch), deleted = false)
+    else upsertResolved(precombine(batch), "upsert")
+
+  /** MOR write path: the batch lands as new files, nothing is rewritten. */
+  private def appendDelta(batch: DataFrame, deleted: Boolean): String = {
+    val instant = timeline.reserveInstant()
+    val adds = writeFiles(withMeta(batch, instant, deleted), instant)
+    timeline.commit(Commit(instant, "delta", adds, Nil))
+    instant
+  }
 
   private def upsertResolved(batch0: DataFrame, op: String): String = {
     if (timeline.liveFiles(None).isEmpty) {
@@ -373,9 +417,13 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     instant
   }
 
-  /** DELETE by predicate (quickstart.sql:71-74): rewrites only files that
-    * contain matching rows. */
+  /** DELETE by predicate (quickstart.sql:71-74): COW rewrites only files
+    * that contain matching rows; MOR appends tombstone rows. */
   def delete(predicate: Column): String = {
+    if (cfg.tableType == TableType.Mor) {
+      val doomed = read().filter(predicate)
+      return appendDelta(doomed, deleted = true)
+    }
     val instant = timeline.reserveInstant()
     val live = timeline.liveFiles(None)
     val snap = readFiles(live)
@@ -432,7 +480,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             .selectExpr(uc.map(c => s"`$c`"): _*)
         updated.unionByName(inserts)
     }
-    upsertResolved(batch, "merge")
+    if (cfg.tableType == TableType.Mor) appendDelta(batch, deleted = false)
+    else upsertResolved(batch, "merge")
   }
 
   // ------------------------------------------------------------- services
@@ -445,7 +494,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val live = timeline.liveFiles(None)
     val totalRows = live.map(_.rows).sum
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt)
-    val snap = readFiles(live)
+    // resolve() folds MOR deltas/tombstones into the rewritten base; winning
+    // rows keep their original commit times, so incremental reads survive
+    val snap = resolve(readFiles(live))
     val cols = userCols(snap) ++ GraftMeta.cols
     val adds = writeFiles(snap.selectExpr(cols.map(c => s"`$c`"): _*), instant, nFiles)
     timeline.commit(Commit(instant, "compact", adds, live.map(_.path)))
@@ -458,7 +509,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def cluster(sortCols: Seq[String], numFiles: Int): String = {
     val instant = timeline.reserveInstant()
     val live = timeline.liveFiles(None)
-    val snap = readFiles(live)
+    val snap = resolve(readFiles(live))
     val cols = userCols(snap) ++ GraftMeta.cols
     val adds = writeFiles(
       snap.selectExpr(cols.map(c => s"`$c`"): _*), instant, numFiles, sortCols)

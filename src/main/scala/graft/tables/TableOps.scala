@@ -171,6 +171,34 @@ object TableOps extends QueryRegistry {
       .orderBy("event_id")
   }
 
+  // --- t_mor_upsert: MERGE_ON_READ upsert — delta files + read-time
+  // resolution must give exactly the COW answer (same oracle as t_upsert).
+  def tMorUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_mor_upsert", dir), "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_mor_compact: MOR upsert + tombstone delete + compaction; the
+  // compacted base must equal the resolved view.
+  def tMorCompact(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_mor_compact", dir), "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    tbl.delete(col("o_orderstatus") === "F")
+    tbl.compact(targetRows = 10000000L)
+    tbl.read().orderBy("o_orderkey")
+  }
+
   // --- t_ctas: CREATE TABLE AS SELECT (quickstart.sql:92-99).
   def tCtas(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -238,6 +266,13 @@ object TableOps extends QueryRegistry {
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-11'
         |ORDER BY event_id""".stripMargin)),
+    QueryDef("t_mor_upsert", tMorUpsert, Some(s"$upsertedSql ORDER BY o_orderkey")),
+    // delete(status='F') runs after the upsert, so F-rows that the upsert
+    // re-stamped to 'U' (key % 10 = 0) survive
+    QueryDef("t_mor_compact", tMorCompact, Some(
+      s"""$upsertedSql
+         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 <> 0)
+         |ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_ctas", tCtas, Some(
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

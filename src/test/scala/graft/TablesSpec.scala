@@ -124,6 +124,32 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got - want) < 1e-9)
   }
 
+  test("MOR: upserts append deltas without rewriting base; compact folds them") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/mor", "o_orderkey", "o_orderkey", tableType = TableType.Mor))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    val baseFiles = tbl.timeline.liveFiles(None).map(_.path).toSet
+    val batch = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("M"))
+    val i2 = tbl.upsert(batch)
+    val c2 = tbl.timeline.readCommit(i2)
+    assert(c2.op == "delta" && c2.removes.isEmpty, "MOR upsert must not rewrite files")
+    assert(baseFiles.subsetOf(tbl.timeline.liveFiles(None).map(_.path).toSet))
+    // resolution: updated rows visible exactly once
+    assert(tbl.read().count() == orders.count())
+    assert(tbl.read().filter(col("o_orderstatus") === "M").count() == batch.count())
+    // tombstone delete then compact
+    tbl.delete(col("o_orderkey") % 7 === 0)
+    assert(tbl.read().count() == orders.count() - batch.count())
+    val before = tbl.timeline.liveFiles(None).size
+    tbl.compact(targetRows = 10000000L)
+    assert(tbl.timeline.liveFiles(None).size < before)
+    assert(tbl.read().count() == orders.count() - batch.count())
+    // time travel still sees the pre-delete state
+    assert(tbl.readAsOf(i2).filter(col("o_orderstatus") === "M").count() == batch.count())
+  }
+
   test("timeline OCC: instant reservation is exclusive; stale commits rejected") {
     val tbl = freshTable("occ")
     tbl.insert(orders, numFiles = 2)
