@@ -165,6 +165,60 @@ object Dedup extends QueryRegistry {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
+  // --- d_dup_groups: resolve the near-dup PAIR graph into duplicate GROUPS
+  // (connected components) — the step a real dedup pipeline needs after pair
+  // mining, since near-dup relations are not transitive. Min-label
+  // propagation to a fixpoint: each iteration is one shuffle join; cluster
+  // diameter bounds the iteration count (dup clusters are tiny, so this
+  // converges in 1-3 rounds at any corpus size). Oracle: recursive-CTE
+  // transitive closure in DuckDB.
+  def dDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(shingles(s, dir))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"))
+      .cache()
+    val edges = pairs.union(pairs.select(col("db"), col("da")))
+      .toDF("u", "v").cache()
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("group_id", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val propagated = labels
+        .join(edges, labels("doc_id") === edges("u"))
+        .select(col("v").as("doc_id"), col("group_id"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min("group_id").as("group_id"))
+      changed = propagated.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
+        .filter(col("group_id") =!= col("old")).count()
+      labels = propagated
+      rounds += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
+  private val dDupGroupsSql =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT da, db FROM co
+      |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+      |edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+      |SELECT u AS doc_id, MIN(v) AS group_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
   /** Round like Spark/DuckDB `round(x, 6)` (half-up, away from zero). */
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -222,6 +276,7 @@ object Dedup extends QueryRegistry {
   override val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
+    QueryDef("d_dup_groups", dDupGroups, Some(dDupGroupsSql)),
     QueryDef("d_minhash_lsh", dMinhashLsh, None),
     QueryDef("d_simhash", dSimhash, None),
     QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)))

@@ -211,6 +211,17 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     else dropInternal(resolve(readFiles(files).filter(keyCol.isin(keys: _*))))
   }
 
+  /** Which hash bucket a key routes to — the debugging helper the reference
+    * ships as flink/helpers/FindBucketNumber.java. */
+  def bucketFor(key: Any): Int = {
+    require(cfg.numBuckets > 0, s"table ${cfg.path} has no bucket index")
+    import spark.implicits._
+    val keyType = read().schema(cfg.keyField).dataType
+    Seq(key.toString).toDF("k")
+      .select(pmod(xxhash64(col("k").cast(keyType)), lit(cfg.numBuckets)).as("b"))
+      .head().getLong(0).toInt
+  }
+
   /** The pruned file set a point lookup touches (exposed for tests). */
   def lookupFiles(keys: Seq[Any]): Seq[FileMeta] = {
     val padded = keys.map {

@@ -1,0 +1,87 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+
+/** Table maintenance services around GraftTable — the analogues of the
+  * reference's async table services configuration. */
+object TableServices {
+
+  /** NUM_OR_TIME compaction trigger (DeltaStreamerExample.scala:49-56:
+    * `compaction.trigger.strategy=NUM_OR_TIME`, `compaction.delta_commits=5`,
+    * `compaction.delta_seconds=600`): compact when either the number of
+    * commits since the last compaction or the elapsed wall-clock time
+    * crosses its threshold. Returns the compaction instant if triggered. */
+  def maybeCompact(
+      table: GraftTable,
+      targetRows: Long,
+      deltaCommits: Int = 5,
+      deltaSeconds: Long = 600): Option[String] = {
+    val t = table.timeline
+    val instants = t.instants()
+    if (instants.isEmpty) return None
+    val sinceCompact = instants.reverse.takeWhile { i =>
+      val op = t.readCommit(i).op
+      op != "compact" && op != "cluster"
+    }
+    if (sinceCompact.isEmpty) return None
+    val numTrigger = sinceCompact.size >= deltaCommits
+    val oldest = sinceCompact.last
+    val fs = new Path(table.cfg.path).getFileSystem(
+      table.spark.sparkContext.hadoopConfiguration)
+    val oldestMs = fs.getFileStatus(
+      new Path(s"${table.cfg.path}/_graft/$oldest.commit.json")).getModificationTime
+    val timeTrigger = System.currentTimeMillis() - oldestMs >= deltaSeconds * 1000
+    if (numTrigger || timeTrigger) Some(table.compact(targetRows)) else None
+  }
+
+  private val CurrentVersion = 1
+
+  /** Table format version stored in `_graft/table.properties.json` — the
+    * upgrade/downgrade surface the reference exercises
+    * (DowngradeTable.scala). Version 1 is the only on-disk layout so far;
+    * the validation contract matches the reference's:
+    * downgrading to a NEWER version is an error, same-version is a no-op. */
+  def tableVersion(table: GraftTable): Int = {
+    val p = propsPath(table)
+    val fs = new Path(table.cfg.path).getFileSystem(
+      table.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) CurrentVersion
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      new ObjectMapper().readTree(new String(bytes, "UTF-8")).get("version").asInt()
+    }
+  }
+
+  def downgradeTable(table: GraftTable, toVersion: Int): Boolean = {
+    val from = tableVersion(table)
+    if (toVersion > from)
+      throw new IllegalArgumentException(
+        s"table can not be downgraded from $from to version $toVersion")
+    if (toVersion == from) return false
+    writeVersion(table, toVersion)
+    true
+  }
+
+  def upgradeTable(table: GraftTable, toVersion: Int = CurrentVersion): Boolean = {
+    val from = tableVersion(table)
+    if (toVersion < from)
+      throw new IllegalArgumentException(
+        s"table can not be upgraded from $from to older version $toVersion")
+    if (toVersion == from) return false
+    writeVersion(table, toVersion)
+    true
+  }
+
+  private def propsPath(table: GraftTable): Path =
+    new Path(s"${table.cfg.path}/_graft/table.properties.json")
+
+  private def writeVersion(table: GraftTable, v: Int): Unit = {
+    val fs = new Path(table.cfg.path).getFileSystem(
+      table.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(propsPath(table), true)
+    out.write(s"""{"version": $v}""".getBytes("UTF-8"))
+    out.close()
+  }
+}

@@ -188,6 +188,43 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("NUM_OR_TIME compaction trigger fires on commit count") {
+    val tbl = freshTable("svc_compact")
+    (0 to 2).foreach(m => tbl.insert(orders.filter(col("o_orderkey") % 3 === m), numFiles = 2))
+    // 3 commits < 5 and young: no trigger
+    assert(TableServices.maybeCompact(tbl, 1000000L, deltaCommits = 5, deltaSeconds = 3600).isEmpty)
+    // commit-count trigger
+    val fired = TableServices.maybeCompact(tbl, 1000000L, deltaCommits = 3, deltaSeconds = 3600)
+    assert(fired.nonEmpty)
+    assert(tbl.timeline.readCommit(fired.get).op == "compact")
+    // nothing new since the compaction: no re-trigger
+    assert(TableServices.maybeCompact(tbl, 1000000L, deltaCommits = 1, deltaSeconds = 0).isEmpty)
+    assert(tbl.read().count() == orders.count())
+  }
+
+  test("table version upgrade/downgrade contract matches the reference") {
+    val tbl = freshTable("svc_version")
+    tbl.insert(orders.limit(10), numFiles = 1)
+    assert(TableServices.tableVersion(tbl) == 1)
+    assert(!TableServices.downgradeTable(tbl, 1)) // same version: no-op
+    assertThrows[IllegalArgumentException](TableServices.downgradeTable(tbl, 2))
+    assert(TableServices.downgradeTable(tbl, 0))
+    assert(TableServices.tableVersion(tbl) == 0)
+    assert(TableServices.upgradeTable(tbl))
+    assert(TableServices.tableVersion(tbl) == 1)
+  }
+
+  test("bucketFor matches the physical file layout") {
+    val tbl = freshTable("bucket_for", numBuckets = 8)
+    tbl.insert(orders, numFiles = 1)
+    Seq(1L, 42L, 999L).foreach { k =>
+      val b = tbl.bucketFor(k)
+      val files = tbl.lookupFiles(Seq(k))
+      assert(files.nonEmpty && files.forall(_.bucket == b),
+        s"key $k: bucketFor=$b but files in ${files.map(_.bucket)}")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = GraftSession.table(spark, sfDir, "lineitem")
     val approx = li.agg(approx_count_distinct("l_partkey").as("a")).head().getLong(0)
