@@ -182,14 +182,18 @@ object Dedup extends QueryRegistry {
     var labels = edges.select(col("u").as("doc_id"))
       .distinct()
       .withColumn("group_id", col("doc_id"))
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
+      // eager localCheckpoint truncates the lineage each round — without it
+      // every iteration replays all previous joins
       val propagated = labels
         .join(edges, labels("doc_id") === edges("u"))
         .select(col("v").as("doc_id"), col("group_id"))
         .unionByName(labels)
         .groupBy("doc_id").agg(min("group_id").as("group_id"))
+        .localCheckpoint(true)
       changed = propagated.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
         .filter(col("group_id") =!= col("old")).count()
       labels = propagated
