@@ -113,14 +113,18 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
   // ---------------------------------------------------------------- reads
 
-  private def disableTypeInference(): Unit =
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-
+  /** Read an explicit file set. Partition columns live IN the data files
+    * (the hive-style dirs only duplicate them as `_gp_<col>=` path segments
+    * for humans and external tools), and `recursiveFileLookup` disables
+    * Spark's partition inference — which would otherwise reject mixing
+    * files from different commit-instant directories
+    * (CONFLICTING_DIRECTORY_STRUCTURES). Partition pruning is a timeline
+    * metadata operation here (see partitionFiles/readWhere), not directory
+    * inference. */
   private[tables] def readFiles(files: Seq[FileMeta]): DataFrame = {
     require(files.nonEmpty, s"no live files in ${cfg.path}")
-    disableTypeInference()
     spark.read
-      .option("basePath", cfg.path)
+      .option("recursiveFileLookup", "true")
       .parquet(files.map(f => s"${cfg.path}/${f.path}"): _*)
   }
 
@@ -211,6 +215,22 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     else dropInternal(resolve(readFiles(files).filter(keyCol.isin(keys: _*))))
   }
 
+  /** Live files whose partition path satisfies the predicate — timeline
+    * metadata pruning (no directory listing). Partition strings look like
+    * `city=san_francisco` (multi-level joined with '/'). */
+  def partitionFiles(pred: String => Boolean): Seq[FileMeta] =
+    timeline.liveFiles(None).filter(f => pred(f.partition))
+
+  /** Partition-pruned snapshot read: only files in matching partitions are
+    * scanned. Sound for keyed tables whose partition value is a function of
+    * the record (our key generators), so every version of a record lives in
+    * one partition. */
+  def readWhere(partitionPred: String => Boolean): DataFrame = {
+    val files = partitionFiles(partitionPred)
+    if (files.isEmpty) read().filter(lit(false))
+    else dropInternal(resolve(readFiles(files)))
+  }
+
   /** Which hash bucket a key routes to — the debugging helper the reference
     * ships as flink/helpers/FindBucketNumber.java. */
   def bucketFor(key: Any): Int = {
@@ -279,6 +299,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   private def writeFiles(df: DataFrame, instant: String, numFiles: Int = 0,
       sortCols: Seq[String] = Nil): Seq[FileMeta] = {
     var out = cfg.keyGen(df)
+    // duplicate partition cols into _gp_* so partitionBy lays out hive-style
+    // dirs while the REAL columns stay in the data files (readFiles skips
+    // inference, so data files must be self-contained)
+    cfg.keyGen.partitionCols.foreach(c => out = out.withColumn(s"_gp_$c", col(c)))
     if (cfg.numBuckets > 0) out = out.withColumn(GraftMeta.Bucket, bucketOf(keyCol))
     if (numFiles > 0) {
       out =
@@ -287,14 +311,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             .sortWithinPartitions(sortCols.map(col): _*)
         else out.repartition(numFiles)
     }
-    val partCols = cfg.keyGen.partitionCols ++
+    val partCols = cfg.keyGen.partitionCols.map(c => s"_gp_$c") ++
       (if (cfg.numBuckets > 0) Seq(GraftMeta.Bucket) else Nil)
     val dir = s"${cfg.path}/data/$instant"
     val writer = out.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
 
     // per-file key-range stats for upsert/lookup pruning
-    val written = spark.read.parquet(dir)
+    val written = spark.read.option("recursiveFileLookup", "true").parquet(dir)
     val stats = written
       .groupBy(input_file_name().as("f"))
       .agg(
@@ -305,7 +329,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     stats.map { r =>
       val rel = relPath(r.getString(0))
       val segs = rel.split("/").filter(_.contains("="))
-      val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "=")).mkString("/")
+      val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "="))
+        .map(_.stripPrefix("_gp_")).mkString("/")
       val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
         .map(_.split("=")(1).toInt).getOrElse(0)
       FileMeta(rel, partition, bucket, r.getString(1), r.getString(2), r.getLong(3))
@@ -389,7 +414,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           .select(col("_graft_file")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
         val hit = cand.filter(f => hits.contains(f.path))
-        (hit, if (hit.isEmpty) None else Some(readFiles(hit)))
+        // cached: reused by the rewrite union and both CDC image branches
+        (hit, if (hit.isEmpty) None else Some(readFiles(hit).cache()))
       }
 
     val newRows = withMeta(batch, instant)
@@ -424,6 +450,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       }
     }
     batch.unpersist()
+    affected.foreach(_.unpersist())
     timeline.commit(Commit(instant, op, adds, hitFiles.map(_.path)))
     instant
   }

@@ -154,7 +154,9 @@ object TableOps extends QueryRegistry {
     val (tbl, orders) =
       ordersTable(s, dir, "t_partition_prune", keyGen = FieldPartition("o_orderpriority"))
     tbl.insert(orders, numFiles = 2)
-    tbl.read().filter(col("o_orderpriority") === "1-URGENT").orderBy("o_orderkey")
+    // partition pruning from timeline metadata + the residual filter
+    tbl.readWhere(_ == "o_orderpriority=1-URGENT")
+      .filter(col("o_orderpriority") === "1-URGENT").orderBy("o_orderkey")
   }
 
   // --- t_keygen_timestamp: timestamp-based partition paths (yyyy-MM-dd).
@@ -165,7 +167,7 @@ object TableOps extends QueryRegistry {
       keyGen = TimestampDayPartition("ts", "p_day")))
     tbl.dropIfExists()
     tbl.insert(events, numFiles = 2)
-    tbl.read()
+    tbl.readWhere(p => p >= "p_day=2024-01-05" && p <= "p_day=2024-01-11")
       .filter(col("p_day").between("2024-01-05", "2024-01-11"))
       .select("event_id", "p_day", "user_id", "value")
       .orderBy("event_id")

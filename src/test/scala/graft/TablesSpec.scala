@@ -83,10 +83,17 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("partition pruning reaches the file index") {
     val tbl = freshTable("part_prune", keyGen = FieldPartition("o_orderpriority"))
     tbl.insert(orders, numFiles = 2)
-    val pruned = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
-    val scanned = pruned.select(input_file_name()).distinct().count()
     val all = tbl.timeline.liveFiles(None).size
-    assert(scanned < all, s"scanned $scanned of $all files — no partition pruning")
+    val prunedFiles = tbl.partitionFiles(_ == "o_orderpriority=1-URGENT").size
+    assert(prunedFiles < all, s"pruned to $prunedFiles of $all files")
+    val pruned = tbl.readWhere(_ == "o_orderpriority=1-URGENT")
+    val scanned = pruned.select(input_file_name()).distinct().count()
+    assert(scanned == prunedFiles, s"scanned $scanned, expected $prunedFiles")
+    assert(pruned.count() ==
+      orders.filter(col("o_orderpriority") === "1-URGENT").count())
+    // multi-commit partitioned reads must not trip partition inference
+    tbl.upsert(orders.limit(20).withColumn("o_totalprice", lit(0.0)))
+    assert(tbl.read().count() == orders.count())
   }
 
   test("clean physically removes replaced files") {
