@@ -125,6 +125,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     require(files.nonEmpty, s"no live files in ${cfg.path}")
     spark.read
       .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true") // schema evolution: union of all file schemas
       .parquet(files.map(f => s"${cfg.path}/${f.path}"): _*)
   }
 
@@ -423,8 +424,12 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val out = affected match {
       case Some(aff) =>
         val carried = aff.join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftanti")
-        carried.selectExpr(cols.map(c => s"`$c`"): _*)
-          .unionByName(newRows.selectExpr(cols.map(c => s"`$c`"): _*))
+          .drop(cfg.keyGen.syntheticCols: _*)
+        // allowMissingColumns = schema evolution: a batch may ADD columns;
+        // carried rows get nulls for them (and vice versa for columns the
+        // batch omits). Parquet handles per-file schema differences at read.
+        carried.unionByName(newRows.selectExpr(cols.map(c => s"`$c`"): _*),
+          allowMissingColumns = true)
       case None => newRows.selectExpr(cols.map(c => s"`$c`"): _*)
     }
     val adds = writeFiles(out, instant)

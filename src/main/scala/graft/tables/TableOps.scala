@@ -201,6 +201,46 @@ object TableOps extends QueryRegistry {
     tbl.read().orderBy("o_orderkey")
   }
 
+  // --- t_incr_etl: incremental aggregate maintenance — a per-customer
+  // rollup kept up to date from the upstream orders table via two
+  // watermarked incremental runs (Hudi2Hudi / DeltaStreamer chaining).
+  // Each run merges partial aggregates: matched rows ADD counts/sums.
+  // The oracle is simply the full aggregate — incremental == batch.
+  def tIncrEtl(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val src = GraftTable(s, GraftTableConfig(
+      scratch("t_incr_etl_src", dir), "o_orderkey", "o_orderkey"))
+    val tgt = GraftTable(s, GraftTableConfig(
+      scratch("t_incr_etl_tgt", dir), "o_custkey", "o_custkey"))
+    src.dropIfExists()
+    tgt.dropIfExists()
+
+    def transform(delta: DataFrame): DataFrame =
+      delta.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total_spend"))
+
+    def applyMerge(target: GraftTable, delta: DataFrame): Unit =
+      if (target.timeline.instants().isEmpty) { target.insert(delta); () }
+      else {
+        target.merge(delta, whenMatchedUpdate = Some(Seq(
+          "n_orders" -> (col("t.n_orders") + col("s.n_orders")),
+          "total_spend" -> (col("t.total_spend") + col("s.total_spend"))
+            .cast(DecimalType(18, 2)))))
+        ()
+      }
+
+    src.insert(orders.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    IncrementalPipeline.advance(src, tgt, "orders")(transform, applyMerge)
+    src.insert(orders.filter(col("o_orderkey") % 2 === 1), numFiles = 2)
+    IncrementalPipeline.advance(src, tgt, "orders")(transform, applyMerge)
+
+    tgt.read()
+      .select(col("o_custkey"), col("n_orders"),
+        col("total_spend").cast("double").as("total_spend"))
+      .orderBy("o_custkey")
+  }
+
   // --- t_ctas: CREATE TABLE AS SELECT (quickstart.sql:92-99).
   def tCtas(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -276,6 +316,10 @@ object TableOps extends QueryRegistry {
          |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 <> 0)
          |ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_ctas", tCtas, Some(
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("t_incr_etl", tIncrEtl, Some(
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))

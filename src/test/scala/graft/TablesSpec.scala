@@ -232,6 +232,47 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental pipeline: watermark advances once and only with new data") {
+    val src = freshTable("ip_src")
+    val tgt = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/ip_tgt", "o_custkey", "o_custkey"))
+    tgt.dropIfExists()
+    def run() = IncrementalPipeline.advance(src, tgt, "src")(
+      _.groupBy("o_custkey").agg(count(lit(1)).as("n_orders")),
+      (t, df) => if (t.timeline.instants().isEmpty) { t.insert(df); () }
+      else {
+        t.merge(df, whenMatchedUpdate =
+          Some(Seq("n_orders" -> (col("t.n_orders") + col("s.n_orders")))))
+        ()
+      })
+    src.insert(orders.limit(500), numFiles = 2)
+    assert(run().nonEmpty)
+    assert(IncrementalPipeline.lastApplied(tgt, "src").contains("00001"))
+    // caught up: no-op
+    assert(run().isEmpty)
+    // new upstream commit: exactly the delta is processed
+    src.insert(orders.filter(col("o_orderkey") >= 500), numFiles = 2)
+    val r2 = run()
+    assert(r2.contains(("00001", "00002")))
+    val total = tgt.read().agg(sum("n_orders")).head().getLong(0)
+    assert(total == orders.count())
+  }
+
+  test("schema evolution: upsert batches may add columns; old rows read null") {
+    val tbl = freshTable("evolve")
+    tbl.insert(orders, numFiles = 2)
+    val batch = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_channel", lit("web")) // new column
+    tbl.upsert(batch)
+    val snap = tbl.read()
+    assert(snap.columns.contains("o_channel"))
+    assert(snap.filter(col("o_channel") === "web").count() == batch.count())
+    assert(snap.filter(col("o_channel").isNull).count() == orders.count() - batch.count())
+    // further upserts WITHOUT the new column still work
+    tbl.upsert(orders.filter(col("o_orderkey") === 1).withColumn("o_orderstatus", lit("Z")))
+    assert(tbl.read().count() == orders.count())
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = GraftSession.table(spark, sfDir, "lineitem")
     val approx = li.agg(approx_count_distinct("l_partkey").as("a")).head().getLong(0)
