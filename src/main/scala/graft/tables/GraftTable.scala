@@ -560,6 +560,59 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     instant
   }
 
+  /** Z-order clustering on two numeric columns (the multidimensional
+    * variant of `cluster`, like Hudi's z-order layout optimization): rows
+    * close in BOTH dimensions land in the same files, so per-file min/max
+    * stats prune range queries on either column. Content unchanged. */
+  def clusterZOrder(colA: String, colB: String, numFiles: Int): String = {
+    val instant = timeline.reserveInstant()
+    val live = timeline.liveFiles(None)
+    val snap = resolve(readFiles(live))
+    val cols = userCols(snap) ++ GraftMeta.cols
+    val r = snap.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val z = graft.functions.ZOrder.zValue(
+      col(colA), r.getDouble(0), r.getDouble(1),
+      col(colB), r.getDouble(2), r.getDouble(3))
+    val out = snap.selectExpr(cols.map(c => s"`$c`"): _*)
+      .withColumn("_graft_z", z)
+      .repartitionByRange(numFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+    val adds = writeFiles(out, instant)
+    timeline.commit(Commit(instant, "cluster", adds, live.map(_.path)))
+    instant
+  }
+
+  /** Roll back the LATEST commit (Hudi rollback/restore): its commit file
+    * and the data files it added are removed; files it replaced become live
+    * again automatically (timeline resolution). Only the newest commit can
+    * be rolled back — earlier ones are load-bearing for later snapshots. */
+  def rollback(instant: String): Unit = {
+    val latest = timeline.latestInstant()
+    require(latest.contains(instant),
+      s"only the latest commit (${latest.getOrElse("none")}) can be rolled back, not $instant")
+    val c = timeline.readCommit(instant)
+    c.adds.foreach(f => fs.delete(new Path(s"${cfg.path}/${f.path}"), false))
+    fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
+    fs.delete(new Path(s"${cfg.path}/_graft/$instant.commit.json"), false)
+  }
+
+  /** INSERT OVERWRITE for whole partitions: replaces every live file whose
+    * partition value matches the batch's partitions with the batch content
+    * (the Hudi insert_overwrite operation). Requires a partitioned table. */
+  def insertOverwritePartitions(batch: DataFrame): String = {
+    require(cfg.keyGen.partitionCols.nonEmpty, "table is not partitioned")
+    val instant = timeline.reserveInstant()
+    val deduped = precombine(batch)
+    val adds = writeFiles(withMeta(deduped, instant), instant)
+    val replaced = adds.map(_.partition).toSet
+    val removes = timeline.liveFiles(None).filter(f => replaced.contains(f.partition))
+    timeline.commit(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
+    instant
+  }
+
   /** Physically delete files no longer referenced as of `asOfInstant`
     * (Hudi cleaner). Safe only once readers of older snapshots are done. */
   def clean(asOfInstant: String): Int = {

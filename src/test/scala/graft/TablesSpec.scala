@@ -273,6 +273,62 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == orders.count())
   }
 
+  test("z-order clustering bounds per-file ranges in BOTH dimensions") {
+    def fileBoxes(tbl: GraftTable): Array[(Double, Double)] = {
+      val snap = tbl.read().withColumn("f", input_file_name())
+      snap.groupBy("f").agg(
+        (max("o_custkey") - min("o_custkey")).cast("double").as("cr"),
+        (max("o_orderkey") - min("o_orderkey")).cast("double").as("or"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    }
+    val zt = freshTable("zorder")
+    zt.insert(orders, numFiles = 8)
+    zt.clusterZOrder("o_custkey", "o_orderkey", numFiles = 16)
+    assert(zt.read().count() == orders.count())
+    val lin = freshTable("zorder_lin")
+    lin.insert(orders, numFiles = 8)
+    lin.cluster(Seq("o_custkey"), numFiles = 16)
+    // z-order balances extents across BOTH dimensions: under a single-column
+    // custkey sort every file spans nearly the FULL o_orderkey domain, while
+    // z-ordered files must stay bounded in o_orderkey too
+    val oDomain = orders.count().toDouble // orderkeys are 0..n-1
+    val zO = fileBoxes(zt).map(_._2 / oDomain)
+    val lO = fileBoxes(lin).map(_._2 / oDomain)
+    val (zAvg, lAvg) = (zO.sum / zO.length, lO.sum / lO.length)
+    assert(lAvg > 0.9, s"baseline files unexpectedly bounded in orderkey: $lAvg")
+    assert(zAvg < 0.5 * lAvg, s"z-order orderkey extent $zAvg !<< linear $lAvg")
+  }
+
+  test("rollback undoes the latest commit and revives replaced files") {
+    val tbl = freshTable("rollback")
+    tbl.insert(orders, numFiles = 2)
+    val i2 = tbl.upsert(orders.limit(20).withColumn("o_orderstatus", lit("R")))
+    assert(tbl.read().filter(col("o_orderstatus") === "R").count() == 20)
+    tbl.rollback(i2)
+    assert(tbl.read().filter(col("o_orderstatus") === "R").count() == 0)
+    assert(tbl.read().count() == orders.count())
+    // non-latest rollback refused
+    val i3 = tbl.upsert(orders.limit(5).withColumn("o_orderstatus", lit("S")))
+    assertThrows[IllegalArgumentException](tbl.rollback("00001"))
+    assert(tbl.timeline.latestInstant().contains(i3))
+  }
+
+  test("insert overwrite replaces whole partitions") {
+    val tbl = freshTable("ins_ovr", keyGen = FieldPartition("o_orderpriority"))
+    tbl.insert(orders, numFiles = 2)
+    val urgentFixed = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .limit(100).withColumn("o_totalprice", lit(1.0))
+    tbl.insertOverwritePartitions(urgentFixed)
+    val snap = tbl.read()
+    // the 1-URGENT partition now holds ONLY the overwrite batch
+    assert(snap.filter(col("o_orderpriority") === "1-URGENT").count() == 100)
+    assert(snap.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_totalprice") =!= 1.0).count() == 0)
+    // other partitions untouched
+    assert(snap.filter(col("o_orderpriority") =!= "1-URGENT").count() ==
+      orders.filter(col("o_orderpriority") =!= "1-URGENT").count())
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = GraftSession.table(spark, sfDir, "lineitem")
     val approx = li.agg(approx_count_distinct("l_partkey").as("a")).head().getLong(0)
