@@ -114,9 +114,100 @@ object TextOps extends QueryRegistry {
       |  FROM s)
       |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- x_vocab: corpus vocabulary with counts, top 100 (tokenizer prep).
+  // One explode + one hash agg — map-side partial aggregation keeps the
+  // shuffle at |vocab|, not |tokens|.
+  def xVocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(normText(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(100)
+
+  private val xVocabSql =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+      |  FROM documents)
+      |WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  // --- x_redact: PII scrubbing (emails, long digit runs) — the standard
+  // pre-training cleanup pass; pure per-row codegen'd regex.
+  def xRedact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\d{6,}", "<NUM>").as("clean_text"))
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        length(col("clean_text")).cast("long").as("clean_chars"))
+      .orderBy("doc_id")
+
+  private val xRedactSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{6,}', '<NUM>', 'g')) AS clean_md5,
+      |  CAST(length(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{6,}', '<NUM>', 'g')) AS BIGINT) AS clean_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- x_sample_mix: deterministic stratified sampling for training-data
+  // mixes — per-language keep rates applied via a stable key-derived
+  // residue (reproducible across runs and engines, no RNG).
+  def xSampleMix(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 80)
+      .when(col("lang") === "zh", 50)
+      .otherwise(25)
+    docs(s, dir)
+      .filter(pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100)) < rate)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  private val xSampleMixSql =
+    """SELECT lang, COUNT(*) AS n_kept FROM documents
+      |WHERE ((doc_id * 2654435761) % 1000000007) % 100 <
+      |  CASE WHEN lang = 'en' THEN 80 WHEN lang = 'zh' THEN 50 ELSE 25 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- x_pack: greedy context-window packing — assign docs (in stable
+  // doc_id order, per language) to ~2048-token training sequences via a
+  // running token-count window; the standard pretraining batch-prep step.
+  def xPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = when(trim(col("text")) === "", 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .withColumn("n_tok", toks)
+      .withColumn("seq_id", floor((sum(col("n_tok")).over(w) - 1) / 2048L))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang", "seq_id")
+  }
+
+  private val xPackSql =
+    """WITH t AS (SELECT lang, doc_id,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tok
+      |  FROM documents),
+      |r AS (SELECT lang, n_tok,
+      |    (CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1) // 2048 AS seq_id
+      |  FROM t)
+      |SELECT lang, seq_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("x_fingerprint", xFingerprint, Some(xFingerprintSql)),
     QueryDef("x_tokens", xTokens, Some(xTokensSql)),
     QueryDef("x_quality", xQuality, Some(xQualitySql)),
-    QueryDef("x_langid", xLangid, Some(xLangidSql)))
+    QueryDef("x_langid", xLangid, Some(xLangidSql)),
+    QueryDef("x_vocab", xVocab, Some(xVocabSql)),
+    QueryDef("x_redact", xRedact, Some(xRedactSql)),
+    QueryDef("x_sample_mix", xSampleMix, Some(xSampleMixSql)),
+    QueryDef("x_pack", xPack, Some(xPackSql)))
 }
