@@ -318,24 +318,72 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val writer = out.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
 
-    // per-file key-range stats for upsert/lookup pruning
-    val written = spark.read.option("recursiveFileLookup", "true").parquet(dir)
-    val stats = written
-      .groupBy(input_file_name().as("f"))
-      .agg(
-        min(keyStr(keyCol, written)).as("mn"),
-        max(keyStr(keyCol, written)).as("mx"),
-        count(lit(1)).as("rows"))
-      .collect()
-    stats.map { r =>
-      val rel = relPath(r.getString(0))
-      val segs = rel.split("/").filter(_.contains("="))
-      val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "="))
-        .map(_.stripPrefix("_gp_")).mkString("/")
-      val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
-        .map(_.split("=")(1).toInt).getOrElse(0)
-      FileMeta(rel, partition, bucket, r.getString(1), r.getString(2), r.getLong(3))
+    // per-file key-range stats for upsert/lookup pruning, harvested from the
+    // parquet FOOTERS the write just produced — no data is re-read. (On a
+    // cluster this loop would run on executors; footers are a few KB each.)
+    val it = fs.listFiles(new Path(dir), true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    }
+    files.flatMap { p =>
+      footerKeyStats(p) match {
+        case None => // empty part file (no row groups): drop it, not a data file
+          fs.delete(p, false)
+          None
+        case Some((mn, mx, rows)) =>
+          // Path.toUri handles spaces etc. without a lossy string round-trip
+          val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+          val segs = rel.split("/").filter(_.contains("="))
+          val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "="))
+            .map(_.stripPrefix("_gp_")).mkString("/")
+          val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
+            .map(_.split("=")(1).toInt).getOrElse(0)
+          Some(FileMeta(rel, partition, bucket, mn, mx, rows))
+      }
     }.toSeq
+  }
+
+  /** (minKey, maxKey, rowCount) of one data file from its parquet footer —
+    * None for an empty file (no row groups); keys normalized to the
+    * padded-string form used for pruning. */
+  private def footerKeyStats(p: Path): Option[(String, String, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var rows = 0L
+      var mn: String = null
+      var mx: String = null
+      blocks.forEach { b =>
+        rows += b.getRowCount
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == cfg.keyField) {
+            val st = c.getStatistics
+            require(st != null && st.hasNonNullValue,
+              s"no key statistics in footer of $p — unsupported key type?")
+            val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+              case (l: java.lang.Number, h: java.lang.Number)
+                  if !l.isInstanceOf[java.lang.Double] && !l.isInstanceOf[java.lang.Float] =>
+                (f"${l.longValue()}%020d", f"${h.longValue()}%020d")
+              case (l: org.apache.parquet.io.api.Binary, h: org.apache.parquet.io.api.Binary) =>
+                (l.toStringUsingUTF8, h.toStringUsingUTF8)
+              case (l, h) => (l.toString, h.toString)
+            }
+            if (mn == null || lo < mn) mn = lo
+            if (mx == null || hi > mx) mx = hi
+          }
+        }
+      }
+      if (rows == 0) None
+      else {
+        require(mn != null, s"key column ${cfg.keyField} not found in footer of $p")
+        Some((mn, mx, rows))
+      }
+    } finally reader.close()
   }
 
   private def writeCdc(df: DataFrame, instant: String): Unit =
