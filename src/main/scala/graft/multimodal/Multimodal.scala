@@ -73,6 +73,56 @@ object Multimodal extends QueryRegistry {
       |  CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) % 48 + 1 AS fake_height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  final case class FramePatch(
+      doc_id: Long, frame: Int, patch: Int, feature: Long)
+
+  /** Full media pipeline shape: decode → frame-sample → patchify →
+    * feature-extract, as one partition-parallel pass (decoder init amortized
+    * per partition). Frame count and features are deterministic functions of
+    * the payload bytes (STUB kernels — a real deployment swaps only the
+    * kernel bodies; batch shape, schema and partitioning are the real
+    * contract). Every frame yields 4 patches. */
+  def framePipeline(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val frames = (n % 7 + 1).toInt // fake frame-sampler
+          for {
+            f <- 0 until frames
+            p <- 0 until 4
+          } yield FramePatch(id, f, p, (n * (f + 1) + 31L * p) % 997L)
+        }
+      }
+      .toDF()
+  }
+
+  // --- m_media_pipeline: per-document frame/patch/feature rollup of the
+  // pipeline above; the fake kernels are arithmetic on byte length, so the
+  // oracle states them in closed SQL form.
+  def mMediaPipeline(s: SparkSession, dir: String): DataFrame =
+    framePipeline(s, mediaTable(s, dir))
+      .groupBy("doc_id")
+      .agg(
+        (max("frame") + 1).cast("long").as("n_frames"),
+        count(lit(1)).as("n_patches"),
+        sum("feature").as("feature_sum"))
+      .orderBy("doc_id")
+
+  private val mMediaPipelineSql =
+    """WITH m AS (SELECT doc_id,
+      |    CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n
+      |  FROM documents),
+      |f1 AS (SELECT doc_id, n, unnest(generate_series(0, n % 7)) AS f FROM m),
+      |fp AS (SELECT doc_id, f, p, (n * (f + 1) + 31 * p) % 997 AS feature
+      |  FROM (SELECT doc_id, n, f, unnest(generate_series(0, 3)) AS p FROM f1))
+      |SELECT doc_id, CAST(MAX(f) + 1 AS BIGINT) AS n_frames, COUNT(*) AS n_patches,
+      |  CAST(SUM(feature) AS BIGINT) AS feature_sum
+      |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
-    QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)))
+    QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
+    QueryDef("m_media_pipeline", mMediaPipeline, Some(mMediaPipelineSql)))
 }
