@@ -262,10 +262,53 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         kdf.select(pmod(xxhash64(col("k").cast(keyType)), lit(cfg.numBuckets)).as("b"))
           .distinct().collect().map(_.getLong(0).toInt).toSet
       }
-    timeline.liveFiles(None).filter { f =>
+    val ranged = timeline.liveFiles(None).filter { f =>
       val bucketOk = cfg.numBuckets <= 0 || buckets.contains(f.bucket)
       val rangeOk = padded.exists(k => f.minKey <= k && k <= f.maxKey)
       bucketOk && rangeOk
+    }
+    // final pruning level: the parquet bloom filter on the key column (no
+    // false negatives, so results are unchanged — files that survive range
+    // and bucket checks but provably lack every key are skipped)
+    ranged.filter(f => bloomMayContain(new Path(s"${cfg.path}/${f.path}"), keys))
+  }
+
+  /** True unless the file's key-column bloom filter excludes EVERY key.
+    * Conservative: any missing bloom or unsupported key type keeps the
+    * file. */
+  private def bloomMayContain(p: Path, keys: Seq[Any]): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    try {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var anyMaybe = false
+        blocks.forEach { b =>
+          if (!anyMaybe) {
+            b.getColumns.forEach { c =>
+              if (!anyMaybe && c.getPath.toDotString == cfg.keyField) {
+                val bloom = reader.getBloomFilterDataReader(b).readBloomFilter(c)
+                if (bloom == null) anyMaybe = true // no bloom written: keep
+                else {
+                  val hit = keys.exists {
+                    case n: Long => bloom.findHash(bloom.hash(n))
+                    case n: Int => bloom.findHash(bloom.hash(n))
+                    case s: String => bloom.findHash(
+                      bloom.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+                    case _ => true // unsupported key type: keep
+                  }
+                  if (hit) anyMaybe = true
+                }
+              }
+            }
+          }
+        }
+        anyMaybe
+      } finally reader.close()
+    } catch {
+      case _: Exception => true // unreadable metadata: keep the file
     }
   }
 
@@ -316,6 +359,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       (if (cfg.numBuckets > 0) Seq(GraftMeta.Bucket) else Nil)
     val dir = s"${cfg.path}/data/$instant"
     val writer = out.write.mode("overwrite")
+      // parquet-native bloom filter on the key column: point lookups test it
+      // from the footer metadata before scheduling any file read
+      .option(s"parquet.bloom.filter.enabled#${cfg.keyField}", "true")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
 
     // per-file key-range stats for upsert/lookup pruning, harvested from the

@@ -273,6 +273,19 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == orders.count())
   }
 
+  test("bloom filters prune point lookups beyond range checks") {
+    val tbl = freshTable("bloom")
+    // unordered inserts: every file spans nearly the full key range, so
+    // range pruning keeps all files and only the bloom can discriminate
+    tbl.insert(orders, numFiles = 10)
+    val all = tbl.timeline.liveFiles(None).size
+    val touched = tbl.lookupFiles(Seq(42L)).size
+    assert(touched < all, s"bloom pruning ineffective: $touched of $all files")
+    assert(tbl.pointLookup(Seq(42L)).count() == 1) // no false negatives
+    // a key that doesn't exist prunes everything (or nearly)
+    assert(tbl.lookupFiles(Seq(99999999L)).isEmpty)
+  }
+
   test("z-order clustering bounds per-file ranges in BOTH dimensions") {
     def fileBoxes(tbl: GraftTable): Array[(Double, Double)] = {
       val snap = tbl.read().withColumn("f", input_file_name())
