@@ -48,7 +48,7 @@ class GraftDataSource
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("readStream.format(\"graft\") requires .load(path)"))
     val s = schema.getOrElse(
-      GraftTable(sqlContext.sparkSession, configOf(path, parameters)).read().schema)
+      GraftTable(sqlContext.sparkSession, configOf(sqlContext.sparkSession, path, parameters)).read().schema)
     (shortName(), s)
   }
 
@@ -61,7 +61,7 @@ class GraftDataSource
     val path = parameters("path")
     new GraftStreamSource(
       sqlContext.sparkSession,
-      configOf(path, parameters),
+      configOf(sqlContext.sparkSession, path, parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2)
   }
 
@@ -70,23 +70,37 @@ class GraftDataSource
       .orElse(parameters.get("graft.partition.day.from").map(f => TimestampDayPartition(f)))
       .getOrElse(NoPartition)
 
-  private def configOf(path: String, parameters: Map[String, String]): GraftTableConfig = {
-    val key = parameters.getOrElse("graft.key", "")
+  /** Effective config: the persisted table config (written on first write,
+    * like hoodie.properties) serves as the base; explicit options override
+    * it. A brand-new table needs at least graft.key. */
+  private def configOf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      parameters: Map[String, String]): GraftTableConfig = {
+    val stored = graft.tables.TableProperties.load(spark, path)
+    val key = parameters.get("graft.key")
+      .orElse(stored.map(_.keyField)).getOrElse("")
     GraftTableConfig(
       path = path,
       keyField = key,
-      precombineField = parameters.getOrElse("graft.precombine", key),
-      keyGen = keyGenOf(parameters),
-      numBuckets = parameters.getOrElse("graft.buckets", "0").toInt,
-      writeChangelog = parameters.getOrElse("graft.changelog", "false").toBoolean,
-      tableType = parameters.getOrElse("graft.type", graft.tables.TableType.Cow))
+      precombineField = parameters.get("graft.precombine")
+        .orElse(stored.map(_.precombineField)).getOrElse(key),
+      keyGen = if (parameters.contains("graft.partition") ||
+          parameters.contains("graft.partition.day.from")) keyGenOf(parameters)
+        else stored.map(_.keyGen).getOrElse(NoPartition),
+      numBuckets = parameters.get("graft.buckets").map(_.toInt)
+        .orElse(stored.map(_.numBuckets)).getOrElse(0),
+      writeChangelog = parameters.get("graft.changelog").map(_.toBoolean)
+        .orElse(stored.map(_.writeChangelog)).getOrElse(false),
+      tableType = parameters.get("graft.type")
+        .orElse(stored.map(_.tableType)).getOrElse(graft.tables.TableType.Cow))
   }
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") requires .load(path)"))
-    val table = GraftTable(sqlContext.sparkSession, configOf(path, parameters))
+    val table = GraftTable(sqlContext.sparkSession, configOf(sqlContext.sparkSession, path, parameters))
     val df = (parameters.get("asOf"), parameters.get("begin"),
         parameters.getOrElse("cdc", "false").toBoolean) match {
       case (Some(instant), _, _) => table.readAsOf(instant)
@@ -106,8 +120,10 @@ class GraftDataSource
       data: DataFrame): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") requires .save(path)"))
-    require(parameters.contains("graft.key"), "write requires option graft.key")
-    val table = GraftTable(sqlContext.sparkSession, configOf(path, parameters))
+    val cfg = configOf(sqlContext.sparkSession, path, parameters)
+    require(cfg.keyField.nonEmpty,
+      "write requires option graft.key (or an existing table with persisted config)")
+    val table = GraftTable(sqlContext.sparkSession, cfg)
     val op = parameters.getOrElse("graft.operation", "upsert")
     mode match {
       case SaveMode.Overwrite =>

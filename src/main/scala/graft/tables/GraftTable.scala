@@ -94,6 +94,11 @@ final case class GraftTableConfig(
 final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
   val timeline: Timeline = Timeline(spark, cfg.path)
+  private var configSaved = false
+  /** Persist the table config on first write (Hudi hoodie.properties
+    * analogue) so readers need no options. */
+  private def ensureConfig(): Unit =
+    if (!configSaved) { TableProperties.save(spark, cfg); configSaved = true }
   private val root = new Path(cfg.path)
   private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def rootStr: String = fs.makeQualified(root).toUri.getPath
@@ -451,6 +456,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** Bulk insert (append-only, no key collision handling) — the fast path,
     * like the reference's bulk loads. Applies precombine within the batch. */
   def insert(batch: DataFrame, numFiles: Int = 0): String = {
+    ensureConfig()
     val instant = timeline.reserveInstant()
     val deduped = precombine(batch)
     val adds = writeFiles(withMeta(deduped, instant), instant, numFiles)
@@ -469,6 +475,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
   /** MOR write path: the batch lands as new files, nothing is rewritten. */
   private def appendDelta(batch: DataFrame, deleted: Boolean): String = {
+    ensureConfig()
     val instant = timeline.reserveInstant()
     val adds = writeFiles(withMeta(batch, instant, deleted), instant)
     timeline.commit(Commit(instant, "delta", adds, Nil))
@@ -476,6 +483,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   }
 
   private def upsertResolved(batch0: DataFrame, op: String): String = {
+    ensureConfig()
     if (timeline.liveFiles(None).isEmpty) {
       val i = insert(batch0)
       return i
@@ -557,6 +565,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** DELETE by predicate (quickstart.sql:71-74): COW rewrites only files
     * that contain matching rows; MOR appends tombstone rows. */
   def delete(predicate: Column): String = {
+    ensureConfig()
     if (cfg.tableType == TableType.Mor) {
       val doomed = read().filter(predicate)
       return appendDelta(doomed, deleted = true)
@@ -697,6 +706,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * partition value matches the batch's partitions with the batch content
     * (the Hudi insert_overwrite operation). Requires a partitioned table. */
   def insertOverwritePartitions(batch: DataFrame): String = {
+    ensureConfig()
     require(cfg.keyGen.partitionCols.nonEmpty, "table is not partitioned")
     val instant = timeline.reserveInstant()
     val deduped = precombine(batch)

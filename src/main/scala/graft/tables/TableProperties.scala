@@ -1,0 +1,63 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Persistent table configuration in `_graft/config.json` — the analogue of
+  * Hudi's `hoodie.properties`: written on table creation so readers (and
+  * the `format("graft")` source) never need the key/type/partition options
+  * re-specified. */
+object TableProperties {
+
+  private val mapper = new ObjectMapper()
+
+  private def path(tablePath: String) = new Path(s"$tablePath/_graft/config.json")
+
+  private def keyGenToString(k: KeyGen): String = k match {
+    case NoPartition => "none"
+    case FieldPartition(f) => s"field:$f"
+    case TimestampDayPartition(f, out, fmt) => s"tsday:$f:$out:$fmt"
+  }
+
+  private def keyGenFromString(s: String): KeyGen = s.split(":", -1) match {
+    case Array("none") => NoPartition
+    case Array("field", f) => FieldPartition(f)
+    case Array("tsday", f, out, fmt) => TimestampDayPartition(f, out, fmt)
+    case other => throw new IllegalArgumentException(s"bad keygen spec: ${other.mkString(":")}")
+  }
+
+  def save(spark: SparkSession, cfg: GraftTableConfig): Unit = {
+    val fs = new Path(cfg.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("keyField", cfg.keyField)
+    root.put("precombineField", cfg.precombineField)
+    root.put("keyGen", keyGenToString(cfg.keyGen))
+    root.put("numBuckets", cfg.numBuckets)
+    root.put("writeChangelog", cfg.writeChangelog)
+    root.put("tableType", cfg.tableType)
+    val out = fs.create(path(cfg.path), true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    out.close()
+  }
+
+  def load(spark: SparkSession, tablePath: String): Option[GraftTableConfig] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = path(tablePath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      val n = mapper.readTree(new String(bytes, "UTF-8"))
+      Some(GraftTableConfig(
+        path = tablePath,
+        keyField = n.get("keyField").asText(),
+        precombineField = n.get("precombineField").asText(),
+        keyGen = keyGenFromString(n.get("keyGen").asText()),
+        numBuckets = n.get("numBuckets").asInt(),
+        writeChangelog = n.get("writeChangelog").asBoolean(),
+        tableType = n.get("tableType").asText()))
+    }
+  }
+}

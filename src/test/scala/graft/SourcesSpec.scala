@@ -118,6 +118,20 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 230) // only the 30 new arrived
   }
 
+  test("persisted table config: MOR table appends and reads with zero options") {
+    val p6 = "/tmp/graft_spec/ds_props"
+    orders.limit(300).write.format("graft")
+      .option("graft.key", "o_orderkey").option("graft.type", "mor")
+      .mode(SaveMode.Overwrite).save(p6)
+    // append with NO options: key and table type come from _graft/config.json
+    orders.limit(50).withColumn("o_orderstatus", lit("U"))
+      .write.format("graft").mode(SaveMode.Append).save(p6)
+    // read with NO options: MOR resolution must still apply (no dup keys)
+    val snap = spark.read.format("graft").load(p6)
+    assert(snap.count() == 300)
+    assert(snap.filter(col("o_orderstatus") === "U").count() == 50)
+  }
+
   test("precombine picks the highest version within a write batch") {
     val p4 = "/tmp/graft_spec/ds_pc"
     val v1 = orders.limit(100).withColumn("ver", lit(1))
