@@ -201,7 +201,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         if (fs.exists(changelogDir)) Seq(spark.read.parquet(changelogDir.toString))
         else Seq.empty
       val derivedInserts =
-        if (c.op == "insert" && c.adds.nonEmpty)
+        // insert_overwrite rows also derive as inserts (its implicit
+        // partition-wide deletes are not imaged — documented limitation)
+        if ((c.op == "insert" || c.op == "insert_overwrite") && c.adds.nonEmpty)
           Seq(dropInternal(readFiles(c.adds))
             .drop(cfg.keyGen.syntheticCols: _*)
             .withColumn("_change_type", lit("insert")))
@@ -495,6 +497,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // prune candidate files by batch key range + bucket set
     val rangeRow = batch.agg(
       min(keyStr(keyCol, batch)).as("mn"), max(keyStr(keyCol, batch)).as("mx")).head()
+    if (rangeRow.isNullAt(0)) { // empty batch: record a no-op commit
+      batch.unpersist()
+      timeline.commit(Commit(instant, op, Nil, Nil))
+      return instant
+    }
     val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
     val batchBuckets: Set[Int] =
       if (cfg.numBuckets <= 0) Set.empty
