@@ -105,9 +105,9 @@ class GraftDataSource
         parameters.getOrElse("cdc", "false").toBoolean) match {
       case (Some(instant), _, _) => table.readAsOf(instant)
       case (_, Some(begin), false) =>
-        table.incremental(begin, parameters.getOrElse("end", "99999"))
+        table.incremental(begin, parameters.getOrElse("end", graft.tables.Timeline.pad(999999999L)))
       case (_, Some(begin), true) =>
-        table.cdc(begin, parameters.getOrElse("end", "99999"))
+        table.cdc(begin, parameters.getOrElse("end", graft.tables.Timeline.pad(999999999L)))
       case _ => table.read()
     }
     GraftRelation(sqlContext, df)
@@ -125,11 +125,15 @@ class GraftDataSource
       "write requires option graft.key (or an existing table with persisted config)")
     val table = GraftTable(sqlContext.sparkSession, cfg)
     val op = parameters.getOrElse("graft.operation", "upsert")
+    val exists = table.timeline.exists()
     mode match {
       case SaveMode.Overwrite =>
         table.dropIfExists()
         table.insert(data)
-      case SaveMode.Append | SaveMode.ErrorIfExists | SaveMode.Ignore =>
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table already exists at $path")
+      case SaveMode.Ignore if exists => // no-op per the SaveMode contract
+      case _ =>
         op match {
           case "insert" => table.insert(data)
           case "upsert" => table.upsert(data)

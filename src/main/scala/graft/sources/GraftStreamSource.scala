@@ -26,14 +26,14 @@ final class GraftStreamSource(
       case lo: LongOffset => lo.offset
       case other => other.json().toLong
     }
-    f"$l%05d"
+    graft.tables.Timeline.pad(l)
   }
 
   override def getOffset: Option[Offset] =
     table.timeline.latestInstant().map(i => LongOffset(i.toLong))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val begin = start.map(instantOf).getOrElse("00000")
+    val begin = start.map(instantOf).getOrElse(graft.tables.Timeline.pad(0))
     val df = table.incremental(begin, instantOf(end))
     GraftSqlShim.internalCreateDataFrame(
       spark, df.queryExecution.toRdd, df.schema, isStreaming = true)

@@ -58,7 +58,12 @@ object StreamIngest {
                 closed += SessionOut(uid, s.sessId, s.startUs / 1000, s.lastUs / 1000, s.n)
                 st = Some(SessionState(s.sessId + 1, e.ts_us, e.ts_us, 1L))
               case Some(s) =>
-                st = Some(s.copy(lastUs = math.max(s.lastUs, e.ts_us), n = s.n + 1))
+                // a late (out-of-order, within-gap) event may extend the
+                // session backwards too — matches the batch twin's min(ts)
+                st = Some(s.copy(
+                  startUs = math.min(s.startUs, e.ts_us),
+                  lastUs = math.max(s.lastUs, e.ts_us),
+                  n = s.n + 1))
             }
           }
           st.foreach(state.update)

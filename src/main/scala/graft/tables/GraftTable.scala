@@ -211,7 +211,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       changelog ++ derivedInserts
     }
     require(parts.nonEmpty, s"no CDC data in ($beginExclusive, $endInclusive]")
-    parts.reduce(_.unionByName(_))
+    // allowMissingColumns: ranges spanning a schema-evolution commit mix
+    // changelog frames with different column sets
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Key-based point lookup reading only bucket- and range-pruned files.
@@ -299,12 +301,19 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
                 val bloom = reader.getBloomFilterDataReader(b).readBloomFilter(c)
                 if (bloom == null) anyMaybe = true // no bloom written: keep
                 else {
-                  val hit = keys.exists {
-                    case n: Long => bloom.findHash(bloom.hash(n))
-                    case n: Int => bloom.findHash(bloom.hash(n))
-                    case s: String => bloom.findHash(
-                      bloom.hash(org.apache.parquet.io.api.Binary.fromString(s)))
-                    case _ => true // unsupported key type: keep
+                  // hash with the COLUMN's physical width, not the caller's
+                  // boxed type — an Int key against an INT64 column would
+                  // otherwise hash 4 bytes and false-negative every file
+                  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                  val physical = c.getPrimitiveType.getPrimitiveTypeName
+                  val hit = keys.exists { k =>
+                    (k, physical) match {
+                      case (n: Number, INT64) => bloom.findHash(bloom.hash(n.longValue()))
+                      case (n: Number, INT32) => bloom.findHash(bloom.hash(n.intValue()))
+                      case (s: String, BINARY) => bloom.findHash(
+                        bloom.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+                      case _ => true // unsupported key/physical combo: keep
+                    }
                   }
                   if (hit) anyMaybe = true
                 }
@@ -421,6 +430,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
               case (l: java.lang.Number, h: java.lang.Number)
                   if !l.isInstanceOf[java.lang.Double] && !l.isInstanceOf[java.lang.Float] =>
+                // zero-padded string order == numeric order only for
+                // non-negative keys; reject violations at write time rather
+                // than silently mis-pruning later
+                require(l.longValue() >= 0,
+                  s"graft requires non-negative integral record keys; got ${l.longValue()} in $p")
                 (f"${l.longValue()}%020d", f"${h.longValue()}%020d")
               case (l: org.apache.parquet.io.api.Binary, h: org.apache.parquet.io.api.Binary) =>
                 (l.toStringUsingUTF8, h.toStringUsingUTF8)
@@ -589,13 +603,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       return instant
     }
     val affected = readFiles(hitFiles)
-    val kept = affected.filter(!predicate)
+    // NULL predicate results must KEEP the row (SQL DELETE semantics) —
+    // filter(!predicate) would silently drop them
+    val kept = affected.filter(!coalesce(predicate, lit(false)))
     val cols = userCols(affected) ++ GraftMeta.cols
     val adds =
       if (kept.isEmpty) Nil
       else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
     writeCdc(
-      affected.filter(predicate).selectExpr(userCols(affected).map(c => s"`$c`"): _*)
+      affected.filter(coalesce(predicate, lit(false)))
+        .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
         .withColumn("_change_type", lit("delete")),
       instant)
     timeline.commit(Commit(instant, "delete", adds, hitFiles.map(_.path)))
@@ -682,6 +699,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val r = snap.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"clusterZOrder($colA, $colB) requires non-null numeric values in both columns")
     val z = graft.functions.ZOrder.zValue(
       col(colA), r.getDouble(0), r.getDouble(1),
       col(colB), r.getDouble(2), r.getDouble(3))
@@ -707,6 +726,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     c.adds.foreach(f => fs.delete(new Path(s"${cfg.path}/${f.path}"), false))
     fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
     fs.delete(new Path(s"${cfg.path}/_graft/$instant.commit.json"), false)
+    timeline.invalidate(instant)
   }
 
   /** INSERT OVERWRITE for whole partitions: replaces every live file whose

@@ -12,8 +12,14 @@ import org.apache.spark.sql.DataFrame
   * maintainable at 100 TB.
   *
   * The watermark (last applied upstream instant) is stored in the TARGET
-  * table's `_graft/` directory, so target and watermark advance together
-  * and a crashed run simply reprocesses the same idempotent increment.
+  * table's `_graft/` directory and saved after `apply` succeeds. A run that
+  * crashes between apply and the watermark write reprocesses the same
+  * increment — harmless when `apply` is idempotent (the default keyed
+  * upsert), but ADDITIVE merges (aggregate maintenance) would double-count
+  * that increment: such pipelines should guard by recording the applied
+  * range in the target (e.g. a column or side table keyed by the range) or
+  * accept at-least-once semantics. Making the watermark part of the target
+  * commit's metadata (atomic exactly-once) is a planned timeline extension.
   */
 object IncrementalPipeline {
 
@@ -54,7 +60,7 @@ object IncrementalPipeline {
       transform: DataFrame => DataFrame,
       apply: (GraftTable, DataFrame) => Unit = (t, df) => { t.upsert(df); () })
       : Option[(String, String)] = {
-    val from = lastApplied(target, sourceId).getOrElse("00000")
+    val from = lastApplied(target, sourceId).getOrElse(Timeline.pad(0))
     val to = source.timeline.latestInstant().getOrElse(return None)
     if (to <= from) return None
     val delta = transform(source.incremental(from, to))

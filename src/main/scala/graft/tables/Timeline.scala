@@ -64,7 +64,8 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
   def nextInstant(): String = {
     val all = allInstants()
     val n = all.lastOption.map(_.toLong + 1).getOrElse(1L)
-    f"$n%05d"
+    require(n < 1000000000L, "timeline exhausted (1e9 commits)")
+    Timeline.pad(n)
   }
 
   /** Committed + in-flight instants (for reservation). */
@@ -142,7 +143,18 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       fs.getFileStatus(new Path(metaDir, s"$i.commit.json")).getModificationTime <= epochMs
     }.lastOption
 
-  def readCommit(instant: String): Commit = {
+  // commit files are immutable once written (only rollback removes one), so
+  // parse each at most once per Timeline instance — liveFiles() is called
+  // several times per table operation and would otherwise re-parse the whole
+  // timeline each call
+  private val commitCache = mutable.HashMap.empty[String, Commit]
+
+  private[tables] def invalidate(instant: String): Unit = commitCache.remove(instant)
+
+  def readCommit(instant: String): Commit =
+    commitCache.getOrElseUpdate(instant, readCommitUncached(instant))
+
+  private def readCommitUncached(instant: String): Commit = {
     val p = new Path(metaDir, s"$instant.commit.json")
     val in = fs.open(p)
     val bytes =
@@ -183,6 +195,11 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
 }
 
 object Timeline {
+  /** 9-digit zero padding keeps lexical order == numeric order for up to
+    * 1e9 commits (enforced in nextInstant) — a streaming table at one
+    * commit per second lasts ~30 years. */
+  def pad(n: Long): String = f"$n%09d"
+
   def apply(spark: org.apache.spark.sql.SparkSession, tablePath: String): Timeline = {
     val conf: Configuration = spark.sparkContext.hadoopConfiguration
     val p = new Path(tablePath)

@@ -35,9 +35,9 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("read options: asOf time travel and incremental") {
-    val asOf1 = spark.read.format("graft").option("asOf", "00001").load(path)
+    val asOf1 = spark.read.format("graft").option("asOf", "000000001").load(path)
     assert(asOf1.filter(col("o_orderstatus") === "U").count() == 0)
-    val inc = spark.read.format("graft").option("begin", "00001").load(path)
+    val inc = spark.read.format("graft").option("begin", "000000001").load(path)
     assert(inc.count() == orders.filter(col("o_orderkey") % 10 === 0).count())
     assert(inc.filter(col("o_orderstatus") =!= "U").count() == 0)
   }
@@ -52,7 +52,7 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("graft.key", "o_orderkey").option("graft.changelog", "true")
       .mode(SaveMode.Append).save(p2)
     val cdc = spark.read.format("graft")
-      .option("begin", "00001").option("cdc", "true")
+      .option("begin", "000000001").option("cdc", "true")
       .option("graft.changelog", "true").load(p2)
     val types = cdc.select("_change_type").distinct().collect().map(_.getString(0)).toSet
     assert(types == Set("update_preimage", "update_postimage"))

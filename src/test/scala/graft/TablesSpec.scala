@@ -247,13 +247,13 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       })
     src.insert(orders.limit(500), numFiles = 2)
     assert(run().nonEmpty)
-    assert(IncrementalPipeline.lastApplied(tgt, "src").contains("00001"))
+    assert(IncrementalPipeline.lastApplied(tgt, "src").contains("000000001"))
     // caught up: no-op
     assert(run().isEmpty)
     // new upstream commit: exactly the delta is processed
     src.insert(orders.filter(col("o_orderkey") >= 500), numFiles = 2)
     val r2 = run()
-    assert(r2.contains(("00001", "00002")))
+    assert(r2.contains(("000000001", "000000002")))
     val total = tgt.read().agg(sum("n_orders")).head().getLong(0)
     assert(total == orders.count())
   }
@@ -312,6 +312,18 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zAvg < 0.5 * lAvg, s"z-order orderkey extent $zAvg !<< linear $lAvg")
   }
 
+  test("delete keeps rows whose predicate evaluates to NULL") {
+    val tbl = freshTable("null_delete")
+    // schema-evolve in a nullable column: old rows have o_channel = NULL
+    tbl.insert(orders.limit(100), numFiles = 1)
+    tbl.upsert(orders.limit(100).filter(col("o_orderkey") < 30)
+      .withColumn("o_channel", lit("web")))
+    tbl.delete(col("o_channel") === "web")
+    // NULL = 'web' rows must survive; only the 30 'web' rows go
+    assert(tbl.read().count() == 70)
+    assert(tbl.read().filter(col("o_channel").isNull).count() == 70)
+  }
+
   test("rollback undoes the latest commit and revives replaced files") {
     val tbl = freshTable("rollback")
     tbl.insert(orders, numFiles = 2)
@@ -322,7 +334,7 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == orders.count())
     // non-latest rollback refused
     val i3 = tbl.upsert(orders.limit(5).withColumn("o_orderstatus", lit("S")))
-    assertThrows[IllegalArgumentException](tbl.rollback("00001"))
+    assertThrows[IllegalArgumentException](tbl.rollback("000000001"))
     assert(tbl.timeline.latestInstant().contains(i3))
   }
 
