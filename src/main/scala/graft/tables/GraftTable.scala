@@ -471,37 +471,40 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
   /** Bulk insert (append-only, no key collision handling) — the fast path,
     * like the reference's bulk loads. Applies precombine within the batch. */
-  def insert(batch: DataFrame, numFiles: Int = 0): String = {
+  def insert(batch: DataFrame, numFiles: Int = 0,
+      commitMeta: Map[String, String] = Map.empty): String = {
     ensureConfig()
     val instant = timeline.reserveInstant()
     val deduped = precombine(batch)
     val adds = writeFiles(withMeta(deduped, instant), instant, numFiles)
     // no changelog for pure inserts — cdc() derives them from the data files
-    timeline.commit(Commit(instant, "insert", adds, Nil))
+    timeline.commit(Commit(instant, "insert", adds, Nil, commitMeta))
     instant
   }
 
   /** Keyed upsert: incoming records replace stored records with the same
     * key; new keys are inserted. COW rewrites only files actually containing
     * batch keys; MOR appends a delta file and resolves at read time. */
-  def upsert(batch: DataFrame): String =
+  def upsert(batch: DataFrame, commitMeta: Map[String, String] = Map.empty): String =
     if (cfg.tableType == TableType.Mor && timeline.liveFiles(None).nonEmpty)
-      appendDelta(precombine(batch), deleted = false)
-    else upsertResolved(precombine(batch), "upsert")
+      appendDelta(precombine(batch), deleted = false, commitMeta)
+    else upsertResolved(precombine(batch), "upsert", commitMeta)
 
   /** MOR write path: the batch lands as new files, nothing is rewritten. */
-  private def appendDelta(batch: DataFrame, deleted: Boolean): String = {
+  private def appendDelta(batch: DataFrame, deleted: Boolean,
+      commitMeta: Map[String, String] = Map.empty): String = {
     ensureConfig()
     val instant = timeline.reserveInstant()
     val adds = writeFiles(withMeta(batch, instant, deleted), instant)
-    timeline.commit(Commit(instant, "delta", adds, Nil))
+    timeline.commit(Commit(instant, "delta", adds, Nil, commitMeta))
     instant
   }
 
-  private def upsertResolved(batch0: DataFrame, op: String): String = {
+  private def upsertResolved(batch0: DataFrame, op: String,
+      commitMeta: Map[String, String] = Map.empty): String = {
     ensureConfig()
     if (timeline.liveFiles(None).isEmpty) {
-      val i = insert(batch0)
+      val i = insert(batch0, commitMeta = commitMeta)
       return i
     }
     val instant = timeline.reserveInstant()
@@ -513,7 +516,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       min(keyStr(keyCol, batch)).as("mn"), max(keyStr(keyCol, batch)).as("mx")).head()
     if (rangeRow.isNullAt(0)) { // empty batch: record a no-op commit
       batch.unpersist()
-      timeline.commit(Commit(instant, op, Nil, Nil))
+      timeline.commit(Commit(instant, op, Nil, Nil, commitMeta))
       return instant
     }
     val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
@@ -579,7 +582,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
     batch.unpersist()
     affected.foreach(_.unpersist())
-    timeline.commit(Commit(instant, op, adds, hitFiles.map(_.path)))
+    timeline.commit(Commit(instant, op, adds, hitFiles.map(_.path), commitMeta))
     instant
   }
 
@@ -626,7 +629,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def merge(
       source: DataFrame,
       whenMatchedUpdate: Option[Seq[(String, Column)]] = None,
-      whenNotMatchedInsert: Boolean = true): String = {
+      whenNotMatchedInsert: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty): String = {
     val src = precombine(source)
     val snap = snapshotWithMeta(None)
     val uc = userCols(snap)
@@ -650,8 +654,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             .selectExpr(uc.map(c => s"`$c`"): _*)
         updated.unionByName(inserts)
     }
-    if (cfg.tableType == TableType.Mor) appendDelta(batch, deleted = false)
-    else upsertResolved(batch, "merge")
+    if (cfg.tableType == TableType.Mor) appendDelta(batch, deleted = false, commitMeta)
+    else upsertResolved(batch, "merge", commitMeta)
   }
 
   // ------------------------------------------------------------- services

@@ -11,33 +11,41 @@ import org.apache.spark.sql.DataFrame
   * O(changed data), never O(table) — this is what makes derived tables
   * maintainable at 100 TB.
   *
-  * The watermark (last applied upstream instant) is stored in the TARGET
-  * table's `_graft/` directory and saved after `apply` succeeds. A run that
-  * crashes between apply and the watermark write reprocesses the same
-  * increment — harmless when `apply` is idempotent (the default keyed
-  * upsert), but ADDITIVE merges (aggregate maintenance) would double-count
-  * that increment: such pipelines should guard by recording the applied
-  * range in the target (e.g. a column or side table keyed by the range) or
-  * accept at-least-once semantics. Making the watermark part of the target
-  * commit's metadata (atomic exactly-once) is a planned timeline extension.
+  * Exactly-once: `advance` hands `apply` a commitMeta map carrying the
+  * applied upstream range; when the apply lands it through a table write
+  * (the default does), the watermark is committed ATOMICALLY with the data —
+  * a crash-retry sees the range already applied in the target's timeline and
+  * skips it, so even non-idempotent applies (additive aggregate merges)
+  * never double-count. A plain watermark file is kept as a fast hint and for
+  * apply functions that bypass table commits (those are at-least-once).
   */
 object IncrementalPipeline {
 
   private val mapper = new ObjectMapper()
 
+  private def metaKey(sourceId: String) = s"graft.watermark.$sourceId"
+
   private def watermarkPath(target: GraftTable, sourceId: String): Path =
     new Path(s"${target.cfg.path}/_graft/watermark_$sourceId.json")
 
+  /** Last applied upstream instant: the max watermark recorded in the
+    * target's commit metadata (authoritative, atomic), or the hint file —
+    * whichever is later. */
   def lastApplied(target: GraftTable, sourceId: String): Option[String] = {
+    val fromCommits = target.timeline.instants()
+      .flatMap(i => target.timeline.readCommit(i).meta.get(metaKey(sourceId)))
+      .maxOption
     val fs = new Path(target.cfg.path).getFileSystem(
       target.spark.sparkContext.hadoopConfiguration)
     val p = watermarkPath(target, sourceId)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-      Some(mapper.readTree(new String(bytes, "UTF-8")).get("instant").asText())
-    }
+    val fromFile =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        Some(mapper.readTree(new String(bytes, "UTF-8")).get("instant").asText())
+      }
+    (fromCommits.toSeq ++ fromFile.toSeq).maxOption
   }
 
   private def saveWatermark(target: GraftTable, sourceId: String, instant: String): Unit = {
@@ -50,21 +58,22 @@ object IncrementalPipeline {
 
   /** Process everything upstream since the watermark. `transform` maps the
     * incremental rows (latest state of changed records) to the target's
-    * shape; `apply` lands them (defaults to upsert; pass a custom fn for
-    * aggregate maintenance via merge). Returns the (from, to] range applied,
-    * or None when the target is already caught up. */
+    * shape; `apply` lands them and MUST pass the given commitMeta to the
+    * table write for exactly-once semantics (the default upserts with it).
+    * Returns the (from, to] range applied, or None when already caught up. */
   def advance(
       source: GraftTable,
       target: GraftTable,
       sourceId: String)(
       transform: DataFrame => DataFrame,
-      apply: (GraftTable, DataFrame) => Unit = (t, df) => { t.upsert(df); () })
+      apply: (GraftTable, DataFrame, Map[String, String]) => Unit =
+        (t, df, m) => { t.upsert(df, m); () })
       : Option[(String, String)] = {
     val from = lastApplied(target, sourceId).getOrElse(Timeline.pad(0))
     val to = source.timeline.latestInstant().getOrElse(return None)
     if (to <= from) return None
     val delta = transform(source.incremental(from, to))
-    apply(target, delta)
+    apply(target, delta, Map(metaKey(sourceId) -> to))
     saveWatermark(target, sourceId, to)
     Some((from, to))
   }

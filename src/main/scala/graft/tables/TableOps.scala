@@ -220,13 +220,15 @@ object TableOps extends QueryRegistry {
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total_spend"))
 
-    def applyMerge(target: GraftTable, delta: DataFrame): Unit =
-      if (target.timeline.instants().isEmpty) { target.insert(delta); () }
+    // commitMeta carries the watermark into the table commit: the additive
+    // merge becomes exactly-once even across crash-retries
+    def applyMerge(target: GraftTable, delta: DataFrame, meta: Map[String, String]): Unit =
+      if (target.timeline.instants().isEmpty) { target.insert(delta, commitMeta = meta); () }
       else {
         target.merge(delta, whenMatchedUpdate = Some(Seq(
           "n_orders" -> (col("t.n_orders") + col("s.n_orders")),
           "total_spend" -> (col("t.total_spend") + col("s.total_spend"))
-            .cast(DecimalType(18, 2)))))
+            .cast(DecimalType(18, 2)))), commitMeta = meta)
         ()
       }
 

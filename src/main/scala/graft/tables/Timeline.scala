@@ -25,12 +25,16 @@ final case class FileMeta(
     maxKey: String,
     rows: Long)
 
-/** One commit instant on the timeline. */
+/** One commit instant on the timeline. `meta` carries small app-level
+  * key/values committed ATOMICALLY with the data (e.g. incremental-pipeline
+  * watermarks — exactly-once because the watermark and the data land in one
+  * rename). */
 final case class Commit(
     instant: String,
     op: String,
     adds: Seq[FileMeta],
-    removes: Seq[String])
+    removes: Seq[String],
+    meta: Map[String, String] = Map.empty)
 
 /** The commit timeline of a GraftTable: `_graft/<instant>.commit.json`
   * files, one per atomic commit (temp-write + atomic rename).
@@ -123,6 +127,8 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     }
     val removes: ArrayNode = root.putArray("removes")
     c.removes.foreach(removes.add)
+    val metaNode = root.putObject("meta")
+    c.meta.foreach { case (k, v) => metaNode.put(k, v) }
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     val tmp = new Path(metaDir, s".tmp-${c.instant}-${System.nanoTime()}")
     val out = fs.create(tmp, true)
@@ -173,7 +179,13 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     }
     val removes = mutable.ArrayBuffer.empty[String]
     root.get("removes").forEach((n: JsonNode) => removes += n.asText())
-    Commit(root.get("instant").asText(), root.get("op").asText(), adds.toSeq, removes.toSeq)
+    val meta = mutable.LinkedHashMap.empty[String, String]
+    val metaNode = root.get("meta")
+    if (metaNode != null) {
+      metaNode.fields().forEachRemaining(e => meta += e.getKey -> e.getValue.asText())
+    }
+    Commit(root.get("instant").asText(), root.get("op").asText(),
+      adds.toSeq, removes.toSeq, meta.toMap)
   }
 
   /** Live files visible in the snapshot AS OF `asOf` (inclusive). */

@@ -237,23 +237,29 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tgt = GraftTable(spark, GraftTableConfig(
       "/tmp/graft_spec/ip_tgt", "o_custkey", "o_custkey"))
     tgt.dropIfExists()
+    var crashAfterApply = false
     def run() = IncrementalPipeline.advance(src, tgt, "src")(
       _.groupBy("o_custkey").agg(count(lit(1)).as("n_orders")),
-      (t, df) => if (t.timeline.instants().isEmpty) { t.insert(df); () }
-      else {
-        t.merge(df, whenMatchedUpdate =
-          Some(Seq("n_orders" -> (col("t.n_orders") + col("s.n_orders")))))
-        ()
+      (t, df, m) => {
+        if (t.timeline.instants().isEmpty) t.insert(df, commitMeta = m)
+        else t.merge(df, whenMatchedUpdate =
+          Some(Seq("n_orders" -> (col("t.n_orders") + col("s.n_orders")))), commitMeta = m)
+        if (crashAfterApply) throw new RuntimeException("simulated crash after apply")
       })
     src.insert(orders.limit(500), numFiles = 2)
     assert(run().nonEmpty)
     assert(IncrementalPipeline.lastApplied(tgt, "src").contains("000000001"))
     // caught up: no-op
     assert(run().isEmpty)
-    // new upstream commit: exactly the delta is processed
+    // new upstream commit, and the run CRASHES after the merge lands but
+    // before the watermark hint is written
     src.insert(orders.filter(col("o_orderkey") >= 500), numFiles = 2)
-    val r2 = run()
-    assert(r2.contains(("000000001", "000000002")))
+    crashAfterApply = true
+    assertThrows[RuntimeException](run())
+    crashAfterApply = false
+    // retry must NOT double-apply: the watermark is in the target's commit
+    // metadata, atomic with the merge
+    assert(run().isEmpty)
     val total = tgt.read().agg(sum("n_orders")).head().getLong(0)
     assert(total == orders.count())
   }
