@@ -757,6 +757,30 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
   }
 
+  /** Timeline history as a DataFrame: one row per commit with op and
+    * add/remove/row counts — the inspection surface the reference gets from
+    * Hudi's CLI/metrics (DeltaStreamerExample.scala:57-58 hoodie.metrics). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    timeline.instants()
+      .map { i =>
+        val c = timeline.readCommit(i)
+        (c.instant, c.op, c.adds.size.toLong, c.removes.size.toLong,
+          c.adds.map(_.rows).sum)
+      }
+      .toDF("instant", "op", "n_adds", "n_removes", "rows_written")
+  }
+
+  /** Live-storage stats per partition: file and row counts. */
+  def storageStats(): DataFrame = {
+    import spark.implicits._
+    timeline.liveFiles(None)
+      .groupBy(_.partition)
+      .map { case (part, fs0) => (part, fs0.size.toLong, fs0.map(_.rows).sum) }
+      .toSeq.sortBy(_._1)
+      .toDF("partition", "n_files", "n_rows")
+  }
+
   /** Drop any existing table state (test helper). */
   def dropIfExists(): Unit = {
     if (fs.exists(root)) fs.delete(root, true)

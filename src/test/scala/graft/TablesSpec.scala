@@ -360,6 +360,18 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       orders.filter(col("o_orderpriority") =!= "1-URGENT").count())
   }
 
+  test("history and storageStats reflect the timeline") {
+    val tbl = freshTable("stats", keyGen = FieldPartition("o_orderpriority"))
+    tbl.insert(orders, numFiles = 2)
+    tbl.upsert(orders.limit(10).withColumn("o_totalprice", lit(9.99)))
+    val h = tbl.history().collect()
+    assert(h.map(_.getString(1)).toSeq == Seq("insert", "upsert"))
+    assert(h.head.getLong(4) == orders.count()) // rows written by the insert
+    val s = tbl.storageStats()
+    assert(s.count() == 5) // one row per priority partition
+    assert(s.agg(sum("n_rows")).head().getLong(0) >= orders.count())
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = GraftSession.table(spark, sfDir, "lineitem")
     val approx = li.agg(approx_count_distinct("l_partkey").as("a")).head().getLong(0)
