@@ -105,9 +105,9 @@ class GraftDataSource
         parameters.getOrElse("cdc", "false").toBoolean) match {
       case (Some(instant), _, _) => table.readAsOf(instant)
       case (_, Some(begin), false) =>
-        table.incremental(begin, parameters.getOrElse("end", graft.tables.Timeline.pad(999999999L)))
+        table.incremental(begin, parameters.getOrElse("end", graft.tables.Timeline.MaxInstant))
       case (_, Some(begin), true) =>
-        table.cdc(begin, parameters.getOrElse("end", graft.tables.Timeline.pad(999999999L)))
+        table.cdc(begin, parameters.getOrElse("end", graft.tables.Timeline.MaxInstant))
       case _ => table.read()
     }
     GraftRelation(sqlContext, df)
@@ -125,7 +125,9 @@ class GraftDataSource
       "write requires option graft.key (or an existing table with persisted config)")
     val table = GraftTable(sqlContext.sparkSession, cfg)
     val op = parameters.getOrElse("graft.operation", "upsert")
-    val exists = table.timeline.exists()
+    // committed data, not directory existence — a crashed first write may
+    // have created _graft/ (config.json) without any commit
+    val exists = table.timeline.instants().nonEmpty
     mode match {
       case SaveMode.Overwrite =>
         table.dropIfExists()

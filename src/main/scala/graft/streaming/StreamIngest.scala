@@ -57,9 +57,14 @@ object StreamIngest {
               case Some(s) if e.ts_us - s.lastUs > gapUs =>
                 closed += SessionOut(uid, s.sessId, s.startUs / 1000, s.lastUs / 1000, s.n)
                 st = Some(SessionState(s.sessId + 1, e.ts_us, e.ts_us, 1L))
+              case Some(s) if e.ts_us < s.startUs - gapUs =>
+                // too-late data: older than any event this session could
+                // absorb — dropped (the stream's watermark policy; it
+                // belongs to an already-emitted session)
+                ()
               case Some(s) =>
-                // a late (out-of-order, within-gap) event may extend the
-                // session backwards too — matches the batch twin's min(ts)
+                // a late within-gap event may extend the session backwards
+                // too — matches the batch twin's min(ts)
                 st = Some(s.copy(
                   startUs = math.min(s.startUs, e.ts_us),
                   lastUs = math.max(s.lastUs, e.ts_us),

@@ -374,37 +374,47 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val partCols = cfg.keyGen.partitionCols.map(c => s"_gp_$c") ++
       (if (cfg.numBuckets > 0) Seq(GraftMeta.Bucket) else Nil)
     val dir = s"${cfg.path}/data/$instant"
-    val writer = out.write.mode("overwrite")
-      // parquet-native bloom filter on the key column: point lookups test it
-      // from the footer metadata before scheduling any file read
-      .option(s"parquet.bloom.filter.enabled#${cfg.keyField}", "true")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
+    try {
+      val writer = out.write.mode("overwrite")
+        // parquet-native bloom filter on the key column: point lookups test
+        // it from the footer metadata before scheduling any file read
+        .option(s"parquet.bloom.filter.enabled#${cfg.keyField}", "true")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
 
-    // per-file key-range stats for upsert/lookup pruning, harvested from the
-    // parquet FOOTERS the write just produced — no data is re-read. (On a
-    // cluster this loop would run on executors; footers are a few KB each.)
-    val it = fs.listFiles(new Path(dir), true)
-    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
-    }
-    files.flatMap { p =>
-      footerKeyStats(p) match {
-        case None => // empty part file (no row groups): drop it, not a data file
-          fs.delete(p, false)
-          None
-        case Some((mn, mx, rows)) =>
-          // Path.toUri handles spaces etc. without a lossy string round-trip
-          val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
-          val segs = rel.split("/").filter(_.contains("="))
-          val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "="))
-            .map(_.stripPrefix("_gp_")).mkString("/")
-          val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
-            .map(_.split("=")(1).toInt).getOrElse(0)
-          Some(FileMeta(rel, partition, bucket, mn, mx, rows))
+      // per-file key-range stats for upsert/lookup pruning, harvested from
+      // the parquet FOOTERS the write just produced — no data is re-read.
+      // (On a cluster this loop would run on executors; footers are small.)
+      val it = fs.listFiles(new Path(dir), true)
+      val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
       }
-    }.toSeq
+      files.flatMap { p =>
+        footerKeyStats(p) match {
+          case None => // empty part file (no row groups): drop it, not a data file
+            fs.delete(p, false)
+            None
+          case Some((mn, mx, rows)) =>
+            // Path.toUri handles spaces etc. without a lossy string round-trip
+            val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+            val segs = rel.split("/").filter(_.contains("="))
+            val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "="))
+              .map(_.stripPrefix("_gp_")).mkString("/")
+            val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
+              .map(_.split("=")(1).toInt).getOrElse(0)
+            Some(FileMeta(rel, partition, bucket, mn, mx, rows))
+        }
+      }.toSeq
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // failed or invalid write (e.g. negative keys detected in the
+        // stats pass): remove the output and tombstone the reserved instant
+        // so nothing leaks and the number is never reused
+        fs.delete(new Path(dir), true)
+        timeline.abort(instant)
+        throw e
+    }
   }
 
   /** (minKey, maxKey, rowCount) of one data file from its parquet footer —
@@ -730,7 +740,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     c.adds.foreach(f => fs.delete(new Path(s"${cfg.path}/${f.path}"), false))
     fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
     fs.delete(new Path(s"${cfg.path}/_graft/$instant.commit.json"), false)
-    timeline.invalidate(instant)
+    // tombstone: the instant number is never reused, so commits cached by
+    // other table handles can never be re-bound to different data
+    timeline.abort(instant)
   }
 
   /** INSERT OVERWRITE for whole partitions: replaces every live file whose

@@ -60,7 +60,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
         .map(_.getPath.getName)
         .filter(_.endsWith(".commit.json"))
         .map(_.stripSuffix(".commit.json"))
-        .sorted
+        .sortBy(_.toLong) // numeric, robust to any padding-width drift
         .toSeq
 
   def latestInstant(): Option[String] = instants().lastOption
@@ -68,11 +68,13 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
   def nextInstant(): String = {
     val all = allInstants()
     val n = all.lastOption.map(_.toLong + 1).getOrElse(1L)
-    require(n < 1000000000L, "timeline exhausted (1e9 commits)")
+    require(n <= Timeline.MaxInstantNum, "timeline exhausted (1e9 commits)")
     Timeline.pad(n)
   }
 
-  /** Committed + in-flight instants (for reservation). */
+  /** Committed + in-flight + rolled-back instants (for reservation —
+    * rolled-back instant numbers are never reused, so cached Commit objects
+    * in other handles can never be silently re-bound to different data). */
   private def allInstants(): Seq[String] =
     if (!fs.exists(metaDir)) Seq.empty
     else fs.listStatus(metaDir)
@@ -80,8 +82,17 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       .collect {
         case n if n.endsWith(".commit.json") => n.stripSuffix(".commit.json")
         case n if n.endsWith(".inflight") => n.stripSuffix(".inflight")
+        case n if n.endsWith(".rolledback") => n.stripSuffix(".rolledback")
       }
-      .sorted.toSeq
+      .sortBy(_.toLong).toSeq
+
+  /** Release a reserved instant whose write failed or was rolled back:
+    * the `.rolledback` tombstone keeps the number from being reused. */
+  def abort(instant: String): Unit = {
+    fs.create(new Path(metaDir, s"$instant.rolledback"), true).close()
+    fs.delete(new Path(metaDir, s"$instant.inflight"), false)
+    commitCache.remove(instant)
+  }
 
   /** Atomically reserve the next instant (optimistic concurrency: the
     * `.inflight` marker is created with overwrite=false, so two writers
@@ -209,8 +220,13 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
 object Timeline {
   /** 9-digit zero padding keeps lexical order == numeric order for up to
     * 1e9 commits (enforced in nextInstant) — a streaming table at one
-    * commit per second lasts ~30 years. */
+    * commit per second lasts ~30 years. Format v1 timelines are 9-digit
+    * only; mixed widths are not supported. */
   def pad(n: Long): String = f"$n%09d"
+
+  val MaxInstantNum: Long = 999999999L
+  /** The maximum representable instant — default `end` for open ranges. */
+  val MaxInstant: String = pad(MaxInstantNum)
 
   def apply(spark: org.apache.spark.sql.SparkSession, tablePath: String): Timeline = {
     val conf: Configuration = spark.sparkContext.hadoopConfiguration
