@@ -14,7 +14,8 @@ object SparkEntry {
     graft.ann.Ann,
     graft.text.TextOps,
     graft.multimodal.Multimodal,
-    graft.streaming.StreamingOps)
+    graft.streaming.StreamingOps,
+    graft.pipeline.Curation)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

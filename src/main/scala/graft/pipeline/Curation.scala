@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.{GraftSession, QueryDef, QueryRegistry}
+import graft.text.TextOps.normText
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C-E capstone — the end-to-end training-data curation funnel
+  * a pretraining pipeline actually runs, composed from the verified pieces:
+  *
+  *   1. exact dedup (normalized-text hash, keep lowest doc_id)
+  *   2. quality gate (length + alpha ratio)
+  *   3. deterministic per-language mix sampling
+  *   4. join to the embedding corpus (doc_id = vec_id) for downstream ANN
+  *
+  * Everything stays one declarative plan: the dedup is a window over the
+  * fingerprint hash (one shuffle), the gates are codegen'd row filters, the
+  * embedding join broadcasts nothing it shouldn't — at 100 TB this runs as
+  * scan → window → filters → shuffle-join with no driver involvement.
+  */
+object Curation extends QueryRegistry {
+
+  def cCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = GraftSession.table(s, dir, "documents")
+    val embs = GraftSession.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+
+    val nChars = length(col("text")).cast("long")
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val keepRate = when(col("lang") === "en", 80)
+      .when(col("lang") === "zh", 50).otherwise(25)
+    val wDedup = Window.partitionBy("fp").orderBy("doc_id")
+
+    docs
+      .withColumn("fp", md5(normText(col("text"))))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1) // 1. exact dedup, lowest doc_id survives
+      .filter(nChars >= 64 && // 2. quality gate
+        alpha.cast("double") / nChars.cast("double") > 0.6)
+      .filter( // 3. per-language mix sampling (stable residue)
+        pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100)) < keepRate)
+      .join(embs, col("doc_id") === col("vec_id")) // 4. embedding join
+      .select(col("doc_id"), col("lang"), col("label"),
+        nChars.as("n_chars_calc"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val cCurationFunnelSql =
+    """WITH fp AS (SELECT doc_id, lang, text,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |      ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang, label, CAST(length(text) AS BIGINT) AS n_chars_calc, fp
+      |FROM fp JOIN embeddings ON doc_id = vec_id
+      |WHERE rn = 1
+      |  AND length(text) >= 64
+      |  AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |    / CAST(length(text) AS DOUBLE) > 0.6
+      |  AND ((doc_id * 2654435761) % 1000000007) % 100 <
+      |    CASE WHEN lang = 'en' THEN 80 WHEN lang = 'zh' THEN 50 ELSE 25 END
+      |ORDER BY doc_id""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("c_curation_funnel", cCurationFunnel, Some(cCurationFunnelSql)))
+}
