@@ -47,8 +47,17 @@ class GraftDataSource
       parameters: Map[String, String]): (String, StructType) = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("readStream.format(\"graft\") requires .load(path)"))
-    val s = schema.getOrElse(
-      GraftTable(sqlContext.sparkSession, configOf(sqlContext.sparkSession, path, parameters)).read().schema)
+    val s = schema.getOrElse {
+      val spark = sqlContext.sparkSession
+      val table = GraftTable(spark, configOf(spark, path, parameters))
+      // a table can exist (config written) with no committed data yet —
+      // fall back to the schema persisted at write time rather than crash
+      if (table.timeline.liveFiles(None).nonEmpty) table.read().schema
+      else graft.tables.TableProperties.loadSchema(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft table at $path has no committed data and no persisted " +
+            "schema yet; pass .schema(...) to readStream"))
+    }
     (shortName(), s)
   }
 

@@ -95,6 +95,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
   val timeline: Timeline = Timeline(spark, cfg.path)
   private var configSaved = false
+  private var savedSchemaJson: String = null
   /** Persist the table config on first write (Hudi hoodie.properties
     * analogue) so readers need no options. */
   private def ensureConfig(): Unit =
@@ -254,9 +255,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
   /** The pruned file set a point lookup touches (exposed for tests). */
   def lookupFiles(keys: Seq[Any]): Seq[FileMeta] = {
+    // pad ANY integral key to match keyStr/footerKeyStats normalization —
+    // an unpadded Short/Byte key would fail every padded min/max range
+    // check and silently prune all files
     val padded = keys.map {
       case n: Long => f"$n%020d"
-      case n: Int => f"$n%020d"
+      case n: Int => f"${n.toLong}%020d"
+      case n: Short => f"${n.toLong}%020d"
+      case n: Byte => f"${n.toLong}%020d"
       case other => other.toString
     }
     val buckets: Set[Int] =
@@ -373,45 +379,64 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
     val partCols = cfg.keyGen.partitionCols.map(c => s"_gp_$c") ++
       (if (cfg.numBuckets > 0) Seq(GraftMeta.Bucket) else Nil)
+    // persist the user-visible schema BEFORE the data write: even a crashed
+    // first write leaves readStream a schema to resolve against
+    val userSchema = org.apache.spark.sql.types.StructType(out.schema.filterNot(f =>
+      GraftMeta.cols.contains(f.name) || f.name == GraftMeta.Bucket ||
+        f.name.startsWith("_gp_")))
+    if (savedSchemaJson != userSchema.json) {
+      TableProperties.saveSchema(spark, cfg.path, userSchema)
+      savedSchemaJson = userSchema.json
+    }
     val dir = s"${cfg.path}/data/$instant"
-    try {
-      val writer = out.write.mode("overwrite")
-        // parquet-native bloom filter on the key column: point lookups test
-        // it from the footer metadata before scheduling any file read
-        .option(s"parquet.bloom.filter.enabled#${cfg.keyField}", "true")
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
+    // failure cleanup (orphan files, inflight marker) is the caller's job:
+    // every mutation runs inside withReservedInstant
+    val writer = out.write.mode("overwrite")
+      // parquet-native bloom filter on the key column: point lookups test
+      // it from the footer metadata before scheduling any file read
+      .option(s"parquet.bloom.filter.enabled#${cfg.keyField}", "true")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
 
-      // per-file key-range stats for upsert/lookup pruning, harvested from
-      // the parquet FOOTERS the write just produced — no data is re-read.
-      // (On a cluster this loop would run on executors; footers are small.)
-      val it = fs.listFiles(new Path(dir), true)
-      val files = scala.collection.mutable.ArrayBuffer.empty[Path]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    // per-file key-range stats for upsert/lookup pruning, harvested from
+    // the parquet FOOTERS the write just produced — no data is re-read.
+    // (On a cluster this loop would run on executors; footers are small.)
+    val it = fs.listFiles(new Path(dir), true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    }
+    files.flatMap { p =>
+      footerKeyStats(p) match {
+        case None => // empty part file (no row groups): drop it, not a data file
+          fs.delete(p, false)
+          None
+        case Some((mn, mx, rows)) =>
+          // Path.toUri handles spaces etc. without a lossy string round-trip
+          val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+          val segs = rel.split("/").filter(_.contains("="))
+          val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "="))
+            .map(_.stripPrefix("_gp_")).mkString("/")
+          val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
+            .map(_.split("=")(1).toInt).getOrElse(0)
+          Some(FileMeta(rel, partition, bucket, mn, mx, rows))
       }
-      files.flatMap { p =>
-        footerKeyStats(p) match {
-          case None => // empty part file (no row groups): drop it, not a data file
-            fs.delete(p, false)
-            None
-          case Some((mn, mx, rows)) =>
-            // Path.toUri handles spaces etc. without a lossy string round-trip
-            val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
-            val segs = rel.split("/").filter(_.contains("="))
-            val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "="))
-              .map(_.stripPrefix("_gp_")).mkString("/")
-            val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
-              .map(_.split("=")(1).toInt).getOrElse(0)
-            Some(FileMeta(rel, partition, bucket, mn, mx, rows))
-        }
-      }.toSeq
-    } catch {
+    }.toSeq
+  }
+
+  /** Reserve an instant and run `body` with it. On ANY failure after the
+    * reservation — a data/CDC write error, an invalid batch detected in the
+    * stats pass, or a commit-time conflict thrown by Timeline.commit — the
+    * instant's data and changelog output are deleted and the reservation
+    * tombstoned, so a failed mutation leaks neither orphan files nor an
+    * `.inflight` marker. */
+  private def withReservedInstant[T](body: String => T): T = {
+    val instant = timeline.reserveInstant()
+    try body(instant)
+    catch {
       case scala.util.control.NonFatal(e) =>
-        // failed or invalid write (e.g. negative keys detected in the
-        // stats pass): remove the output and tombstone the reserved instant
-        // so nothing leaks and the number is never reused
-        fs.delete(new Path(dir), true)
+        fs.delete(new Path(s"${cfg.path}/data/$instant"), true)
+        fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
         timeline.abort(instant)
         throw e
     }
@@ -484,12 +509,13 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def insert(batch: DataFrame, numFiles: Int = 0,
       commitMeta: Map[String, String] = Map.empty): String = {
     ensureConfig()
-    val instant = timeline.reserveInstant()
     val deduped = precombine(batch)
-    val adds = writeFiles(withMeta(deduped, instant), instant, numFiles)
-    // no changelog for pure inserts — cdc() derives them from the data files
-    timeline.commit(Commit(instant, "insert", adds, Nil, commitMeta))
-    instant
+    withReservedInstant { instant =>
+      val adds = writeFiles(withMeta(deduped, instant), instant, numFiles)
+      // no changelog for pure inserts — cdc() derives them from the data files
+      timeline.commit(Commit(instant, "insert", adds, Nil, commitMeta))
+      instant
+    }
   }
 
   /** Keyed upsert: incoming records replace stored records with the same
@@ -504,32 +530,38 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   private def appendDelta(batch: DataFrame, deleted: Boolean,
       commitMeta: Map[String, String] = Map.empty): String = {
     ensureConfig()
-    val instant = timeline.reserveInstant()
-    val adds = writeFiles(withMeta(batch, instant, deleted), instant)
-    timeline.commit(Commit(instant, "delta", adds, Nil, commitMeta))
-    instant
+    withReservedInstant { instant =>
+      val adds = writeFiles(withMeta(batch, instant, deleted), instant)
+      timeline.commit(Commit(instant, "delta", adds, Nil, commitMeta))
+      instant
+    }
   }
 
   private def upsertResolved(batch0: DataFrame, op: String,
       commitMeta: Map[String, String] = Map.empty): String = {
     ensureConfig()
-    if (timeline.liveFiles(None).isEmpty) {
-      val i = insert(batch0, commitMeta = commitMeta)
-      return i
+    if (timeline.liveFiles(None).isEmpty) insert(batch0, commitMeta = commitMeta)
+    else withReservedInstant { instant =>
+      val live = timeline.liveFiles(None)
+      val batch = batch0.cache()
+      try {
+        // prune candidate files by batch key range + bucket set
+        val rangeRow = batch.agg(
+          min(keyStr(keyCol, batch)).as("mn"), max(keyStr(keyCol, batch)).as("mx")).head()
+        if (rangeRow.isNullAt(0)) { // empty batch: record a no-op commit
+          timeline.commit(Commit(instant, op, Nil, Nil, commitMeta))
+        } else {
+          upsertNonEmpty(batch, live, instant, op, commitMeta,
+            rangeRow.getString(0), rangeRow.getString(1))
+        }
+        instant
+      } finally batch.unpersist()
     }
-    val instant = timeline.reserveInstant()
-    val live = timeline.liveFiles(None)
-    val batch = batch0.cache()
+  }
 
-    // prune candidate files by batch key range + bucket set
-    val rangeRow = batch.agg(
-      min(keyStr(keyCol, batch)).as("mn"), max(keyStr(keyCol, batch)).as("mx")).head()
-    if (rangeRow.isNullAt(0)) { // empty batch: record a no-op commit
-      batch.unpersist()
-      timeline.commit(Commit(instant, op, Nil, Nil, commitMeta))
-      return instant
-    }
-    val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
+  private def upsertNonEmpty(batch: DataFrame, live: Seq[FileMeta],
+      instant: String, op: String, commitMeta: Map[String, String],
+      bMin: String, bMax: String): Unit = {
     val batchBuckets: Set[Int] =
       if (cfg.numBuckets <= 0) Set.empty
       else batch.select(bucketOf(keyCol).as("b")).distinct()
@@ -557,6 +589,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
     val newRows = withMeta(batch, instant)
     val cols = userCols(newRows) ++ GraftMeta.cols
+    try {
     val out = affected match {
       case Some(aff) =>
         val carried = aff.join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftanti")
@@ -590,10 +623,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             .withColumn("_change_type", lit("insert")), instant)
       }
     }
-    batch.unpersist()
-    affected.foreach(_.unpersist())
     timeline.commit(Commit(instant, op, adds, hitFiles.map(_.path), commitMeta))
-    instant
+    } finally affected.foreach(_.unpersist())
   }
 
   /** DELETE by predicate (quickstart.sql:71-74): COW rewrites only files
@@ -602,34 +633,34 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     ensureConfig()
     if (cfg.tableType == TableType.Mor) {
       val doomed = read().filter(predicate)
-      return appendDelta(doomed, deleted = true)
+      appendDelta(doomed, deleted = true)
+    } else withReservedInstant { instant =>
+      val live = timeline.liveFiles(None)
+      val snap = readFiles(live)
+      val hits = snap.filter(predicate)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => relPath(r.getString(0))).toSet
+      val hitFiles = live.filter(f => hits.contains(f.path))
+      if (hitFiles.isEmpty) {
+        timeline.commit(Commit(instant, "delete", Nil, Nil))
+      } else {
+        val affected = readFiles(hitFiles)
+        // NULL predicate results must KEEP the row (SQL DELETE semantics) —
+        // filter(!predicate) would silently drop them
+        val kept = affected.filter(!coalesce(predicate, lit(false)))
+        val cols = userCols(affected) ++ GraftMeta.cols
+        val adds =
+          if (kept.isEmpty) Nil
+          else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
+        writeCdc(
+          affected.filter(coalesce(predicate, lit(false)))
+            .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
+            .withColumn("_change_type", lit("delete")),
+          instant)
+        timeline.commit(Commit(instant, "delete", adds, hitFiles.map(_.path)))
+      }
+      instant
     }
-    val instant = timeline.reserveInstant()
-    val live = timeline.liveFiles(None)
-    val snap = readFiles(live)
-    val hits = snap.filter(predicate)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(r => relPath(r.getString(0))).toSet
-    val hitFiles = live.filter(f => hits.contains(f.path))
-    if (hitFiles.isEmpty) {
-      timeline.commit(Commit(instant, "delete", Nil, Nil))
-      return instant
-    }
-    val affected = readFiles(hitFiles)
-    // NULL predicate results must KEEP the row (SQL DELETE semantics) —
-    // filter(!predicate) would silently drop them
-    val kept = affected.filter(!coalesce(predicate, lit(false)))
-    val cols = userCols(affected) ++ GraftMeta.cols
-    val adds =
-      if (kept.isEmpty) Nil
-      else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
-    writeCdc(
-      affected.filter(coalesce(predicate, lit(false)))
-        .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
-        .withColumn("_change_type", lit("delete")),
-      instant)
-    timeline.commit(Commit(instant, "delete", adds, hitFiles.map(_.path)))
-    instant
   }
 
   /** MERGE INTO (quickstart.sql:59-66): WHEN MATCHED THEN UPDATE SET * /
@@ -673,8 +704,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** Bin-pack small files into ~`targetRows`-sized files (the analogue of
     * Hudi inline compaction / small-file handling,
     * DeltaStreamerExample.scala:49-56). Data content is unchanged. */
-  def compact(targetRows: Long): String = {
-    val instant = timeline.reserveInstant()
+  def compact(targetRows: Long): String = withReservedInstant { instant =>
     val live = timeline.liveFiles(None)
     val totalRows = live.map(_.rows).sum
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt)
@@ -690,8 +720,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** Rewrite the table range-clustered on `sortCols` (the analogue of Hudi
     * clustering, flink consistent_hashing.sql:93-97): co-locates rows for
     * downstream range/point pruning. Content is unchanged. */
-  def cluster(sortCols: Seq[String], numFiles: Int): String = {
-    val instant = timeline.reserveInstant()
+  def cluster(sortCols: Seq[String], numFiles: Int): String = withReservedInstant { instant =>
     val live = timeline.liveFiles(None)
     val snap = resolve(readFiles(live))
     val cols = userCols(snap) ++ GraftMeta.cols
@@ -705,8 +734,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * variant of `cluster`, like Hudi's z-order layout optimization): rows
     * close in BOTH dimensions land in the same files, so per-file min/max
     * stats prune range queries on either column. Content unchanged. */
-  def clusterZOrder(colA: String, colB: String, numFiles: Int): String = {
-    val instant = timeline.reserveInstant()
+  def clusterZOrder(colA: String, colB: String, numFiles: Int): String = withReservedInstant { instant =>
     val live = timeline.liveFiles(None)
     val snap = resolve(readFiles(live))
     val cols = userCols(snap) ++ GraftMeta.cols
@@ -751,13 +779,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def insertOverwritePartitions(batch: DataFrame): String = {
     ensureConfig()
     require(cfg.keyGen.partitionCols.nonEmpty, "table is not partitioned")
-    val instant = timeline.reserveInstant()
     val deduped = precombine(batch)
-    val adds = writeFiles(withMeta(deduped, instant), instant)
-    val replaced = adds.map(_.partition).toSet
-    val removes = timeline.liveFiles(None).filter(f => replaced.contains(f.partition))
-    timeline.commit(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
-    instant
+    withReservedInstant { instant =>
+      val adds = writeFiles(withMeta(deduped, instant), instant)
+      val replaced = adds.map(_.partition).toSet
+      val removes = timeline.liveFiles(None).filter(f => replaced.contains(f.partition))
+      timeline.commit(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
+      instant
+    }
   }
 
   /** Physically delete files no longer referenced as of `asOfInstant`

@@ -4,6 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Persistent table configuration in `_graft/config.json` — the analogue of
   * Hudi's `hoodie.properties`: written on table creation so readers (and
@@ -40,6 +41,29 @@ object TableProperties {
     val out = fs.create(path(cfg.path), true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     out.close()
+  }
+
+  private def schemaPath(tablePath: String) = new Path(s"$tablePath/_graft/schema.json")
+
+  /** Persist the table's user-visible schema (what `read()` returns) —
+    * written before each data write, so the streaming source can resolve a
+    * schema even for a table with no committed data yet. */
+  def saveSchema(spark: SparkSession, tablePath: String, schema: StructType): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(schemaPath(tablePath), true)
+    out.write(schema.json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def loadSchema(spark: SparkSession, tablePath: String): Option[StructType] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = schemaPath(tablePath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      Some(DataType.fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType])
+    }
   }
 
   def load(spark: SparkSession, tablePath: String): Option[GraftTableConfig] = {

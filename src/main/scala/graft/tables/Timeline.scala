@@ -113,9 +113,14 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     throw new IllegalStateException(s"could not reserve an instant after $attempts attempts")
   }
 
-  def commit(c: Commit): Unit = {
-    // first-committer-wins conflict check: every file this commit replaces
-    // must still be live (a concurrent writer may have replaced it first)
+  def commit(c: Commit): Unit = Timeline.commitLock(fs, tableDir).synchronized {
+    // First-committer-wins conflict check: every file this commit replaces
+    // must still be live (a concurrent writer may have replaced it first).
+    // The JVM-wide per-table lock makes check+rename mutually exclusive for
+    // writer THREADS sharing this driver (the supported concurrency model —
+    // e.g. parallel streaming queries into one table). Writers in DIFFERENT
+    // JVMs are outside the stated single-driver model: for them the check is
+    // best-effort, like Hudi without a lock provider.
     val live = liveFiles(None).map(_.path).toSet
     val gone = c.removes.filterNot(live.contains)
     if (gone.nonEmpty) {
@@ -218,6 +223,16 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
 }
 
 object Timeline {
+  // One lock object per qualified table path, JVM-wide: serializes the
+  // commit-conflict validation with the commit rename across every Timeline
+  // handle (and thread) for the same table in this driver.
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[tables] def commitLock(fs: FileSystem, tableDir: Path): Object =
+    commitLocks.computeIfAbsent(
+      fs.makeQualified(tableDir).toString, _ => new Object)
+
   /** 9-digit zero padding keeps lexical order == numeric order for up to
     * 1e9 commits (enforced in nextInstant) — a streaming table at one
     * commit per second lasts ~30 years. Format v1 timelines are 9-digit

@@ -143,4 +143,17 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == 100)
     assert(got.filter(col("ver") === 2).count() == 40)
   }
+
+  test("readStream resolves a schema for a table with no committed data") {
+    import graft.tables.{GraftTable, GraftTableConfig}
+    val p5 = "/tmp/graft_spec/ds_empty_stream"
+    val tbl = GraftTable(spark, GraftTableConfig(p5, "o_orderkey", "o_orderkey"))
+    tbl.dropIfExists()
+    // a crashed first write: config + schema persisted, zero commits
+    assertThrows[Exception](
+      tbl.insert(orders.limit(5).withColumn("o_orderkey", lit(-1L))))
+    assert(tbl.timeline.instants().isEmpty)
+    val sdf = spark.readStream.format("graft").load(p5)
+    assert(sdf.schema.fieldNames.contains("o_totalprice"))
+  }
 }

@@ -378,4 +378,35 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = li.agg(countDistinct("l_partkey").as("e")).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
+
+  test("point lookup pads Short keys like the file stats do") {
+    val df = orders.limit(50)
+      .select(col("o_orderkey").cast("short").as("k"), col("o_totalprice"))
+    val tbl = GraftTable(spark, GraftTableConfig("/tmp/graft_spec/short_key", "k", "k"))
+    tbl.dropIfExists()
+    tbl.insert(df, numFiles = 2)
+    val key = df.head().getShort(0)
+    // unpadded "42" vs padded file min/max would prune every file and
+    // silently return empty — the padding must match keyStr's
+    assert(tbl.lookupFiles(Seq(key)).nonEmpty)
+    assert(tbl.pointLookup(Seq(key)).count() == 1)
+  }
+
+  test("failed mutation leaks neither inflight markers nor orphan data files") {
+    val tbl = freshTable("orphan_cleanup")
+    tbl.insert(orders.limit(100), numFiles = 2)
+    // negative keys are rejected in the footer-stats pass, AFTER the data
+    // files are on disk — the cleanup path must remove them and tombstone
+    // the reserved instant
+    assertThrows[Exception](
+      tbl.upsert(orders.limit(5).withColumn("o_orderkey", lit(-1L))))
+    val meta = new java.io.File("/tmp/graft_spec/orphan_cleanup/_graft").listFiles().map(_.getName)
+    assert(!meta.exists(_.endsWith(".inflight")))
+    assert(meta.exists(_.endsWith(".rolledback")))
+    assert(tbl.timeline.instants().size == 1)
+    val dataDirs = new java.io.File("/tmp/graft_spec/orphan_cleanup/data")
+      .listFiles().map(_.getName).toSet
+    assert(dataDirs == tbl.timeline.instants().toSet) // no orphan instant dirs
+    assert(tbl.read().count() == 100) // table state untouched
+  }
 }
