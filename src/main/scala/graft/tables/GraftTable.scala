@@ -545,14 +545,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val live = timeline.liveFiles(None)
       val batch = batch0.cache()
       try {
-        // prune candidate files by batch key range + bucket set
-        val rangeRow = batch.agg(
-          min(keyStr(keyCol, batch)).as("mn"), max(keyStr(keyCol, batch)).as("mx")).head()
+        // prune candidate files by batch key range + bucket set — ONE
+        // aggregation job computes both (min/max key + distinct buckets)
+        val aggCols = Seq(
+          min(keyStr(keyCol, batch)).as("mn"), max(keyStr(keyCol, batch)).as("mx")) ++
+          (if (cfg.numBuckets > 0) Seq(collect_set(bucketOf(keyCol)).as("bk")) else Nil)
+        val rangeRow = batch.agg(aggCols.head, aggCols.tail: _*).head()
         if (rangeRow.isNullAt(0)) { // empty batch: record a no-op commit
           timeline.commit(Commit(instant, op, Nil, Nil, commitMeta))
         } else {
+          val batchBuckets: Set[Int] =
+            if (cfg.numBuckets <= 0) Set.empty
+            else rangeRow.getSeq[Long](2).map(_.toInt).toSet
           upsertNonEmpty(batch, live, instant, op, commitMeta,
-            rangeRow.getString(0), rangeRow.getString(1))
+            rangeRow.getString(0), rangeRow.getString(1), batchBuckets)
         }
         instant
       } finally batch.unpersist()
@@ -561,11 +567,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
   private def upsertNonEmpty(batch: DataFrame, live: Seq[FileMeta],
       instant: String, op: String, commitMeta: Map[String, String],
-      bMin: String, bMax: String): Unit = {
-    val batchBuckets: Set[Int] =
-      if (cfg.numBuckets <= 0) Set.empty
-      else batch.select(bucketOf(keyCol).as("b")).distinct()
-        .collect().map(_.getLong(0).toInt).toSet
+      bMin: String, bMax: String, batchBuckets: Set[Int]): Unit = {
     val cand = live.filter { f =>
       val rangeOk = f.minKey <= bMax && bMin <= f.maxKey
       val bucketOk = cfg.numBuckets <= 0 || batchBuckets.contains(f.bucket)
