@@ -88,11 +88,15 @@ object GraftFunctions {
 }
 
 /** SessionExtensions injector — the config-driven path:
-  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  * Injects the graft SQL functions AND the UPDATE/MERGE rewrite rule for
+  * graft-catalog tables (see graft.sources.GraftDmlRule). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       children => CosineSim(children.head, children(1))))
+    ext.injectResolutionRule(session => graft.sources.GraftDmlRule(session))
+  }
 }

@@ -3,31 +3,38 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Z-order (Morton) curve values for two numeric dimensions: each dimension
-  * is min-max scaled to 16 bits and the bits interleaved, so range-
-  * clustering on the z-value co-locates rows that are close in BOTH
-  * dimensions — point/range queries on either column then prune well from
-  * per-file min/max stats. Built from shift/or expressions only (no
+/** Z-order (Morton) curve values for N numeric dimensions: each dimension
+  * is min-max scaled to a fixed bit width and the bits interleaved, so
+  * range-clustering on the z-value co-locates rows that are close in EVERY
+  * dimension — point/range queries on any clustered column then prune well
+  * from per-file min/max stats. Built from shift/or expressions only (no
   * multiplication overflow under ANSI mode), fully codegen'd. */
 object ZOrder {
 
-  private val Bits = 16
-
-  /** Scale a numeric column to [0, 2^16). Constant dimensions map to 0. */
-  private def scale16(c: Column, mn: Double, mx: Double): Column =
+  /** Scale a numeric column to [0, 2^bits). Constant dimensions map to 0. */
+  private def scaleBits(c: Column, mn: Double, mx: Double, bits: Int): Column =
     if (mx <= mn) lit(0L)
-    else least(lit((1 << Bits) - 1),
-      floor((c.cast("double") - lit(mn)) / lit(mx - mn) * lit((1 << Bits) - 1)))
-      .cast("long")
+    else least(lit((1L << bits) - 1),
+      floor((c.cast("double") - lit(mn)) / lit(mx - mn) * lit(((1L << bits) - 1).toDouble))
+      .cast("long"))
+
+  /** The interleaved z-value of N dimensions, each given as
+    * (column, min, max). Bit width per dimension is min(16, 63/N) so the
+    * result always fits a non-negative long. */
+  def zValueN(dims: Seq[(Column, Double, Double)]): Column = {
+    require(dims.size >= 2, "z-order needs at least 2 dimensions")
+    val n = dims.size
+    val bits = math.min(16, 63 / n)
+    val scaled = dims.map { case (c, mn, mx) => scaleBits(c, mn, mx, bits) }
+    (0 until bits).flatMap { b =>
+      scaled.zipWithIndex.map { case (s, i) =>
+        shiftleft(shiftright(s, b).bitwiseAND(1), n * b + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
 
   /** The interleaved z-value of (x, y) given each dimension's min/max. */
   def zValue(x: Column, xMin: Double, xMax: Double,
-      y: Column, yMin: Double, yMax: Double): Column = {
-    val xi = scale16(x, xMin, xMax)
-    val yi = scale16(y, yMin, yMax)
-    (0 until Bits).map { b =>
-      shiftleft(shiftright(xi, b).bitwiseAND(1), 2 * b)
-        .bitwiseOR(shiftleft(shiftright(yi, b).bitwiseAND(1), 2 * b + 1))
-    }.reduce(_.bitwiseOR(_))
-  }
+      y: Column, yMin: Double, yMax: Double): Column =
+    zValueN(Seq((x, xMin, xMax), (y, yMin, yMax)))
 }

@@ -646,20 +646,24 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       if (hitFiles.isEmpty) {
         timeline.commit(Commit(instant, "delete", Nil, Nil))
       } else {
-        val affected = readFiles(hitFiles)
-        // NULL predicate results must KEEP the row (SQL DELETE semantics) —
-        // filter(!predicate) would silently drop them
-        val kept = affected.filter(!coalesce(predicate, lit(false)))
-        val cols = userCols(affected) ++ GraftMeta.cols
-        val adds =
-          if (kept.isEmpty) Nil
-          else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
-        writeCdc(
-          affected.filter(coalesce(predicate, lit(false)))
-            .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
-            .withColumn("_change_type", lit("delete")),
-          instant)
-        timeline.commit(Commit(instant, "delete", adds, hitFiles.map(_.path)))
+        // cached: the kept-rows rewrite and the CDC delete images both scan
+        // the same hit files
+        val affected = readFiles(hitFiles).cache()
+        try {
+          // NULL predicate results must KEEP the row (SQL DELETE semantics) —
+          // filter(!predicate) would silently drop them
+          val kept = affected.filter(!coalesce(predicate, lit(false)))
+          val cols = userCols(affected) ++ GraftMeta.cols
+          val adds =
+            if (kept.isEmpty) Nil
+            else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
+          writeCdc(
+            affected.filter(coalesce(predicate, lit(false)))
+              .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
+              .withColumn("_change_type", lit("delete")),
+            instant)
+          timeline.commit(Commit(instant, "delete", adds, hitFiles.map(_.path)))
+        } finally affected.unpersist()
       }
       instant
     }
@@ -732,22 +736,25 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     instant
   }
 
-  /** Z-order clustering on two numeric columns (the multidimensional
+  /** Z-order clustering on N >= 2 numeric columns (the multidimensional
     * variant of `cluster`, like Hudi's z-order layout optimization): rows
-    * close in BOTH dimensions land in the same files, so per-file min/max
-    * stats prune range queries on either column. Content unchanged. */
-  def clusterZOrder(colA: String, colB: String, numFiles: Int): String = withReservedInstant { instant =>
+    * close in EVERY dimension land in the same files, so per-file min/max
+    * stats prune range queries on any clustered column. Content unchanged. */
+  def clusterZOrder(sortCols: Seq[String], numFiles: Int): String = withReservedInstant { instant =>
+    require(sortCols.size >= 2, "clusterZOrder needs at least 2 columns")
     val live = timeline.liveFiles(None)
     val snap = resolve(readFiles(live))
     val cols = userCols(snap) ++ GraftMeta.cols
+    // one job computes every dimension's min/max
     val r = snap.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"clusterZOrder($colA, $colB) requires non-null numeric values in both columns")
-    val z = graft.functions.ZOrder.zValue(
-      col(colA), r.getDouble(0), r.getDouble(1),
-      col(colB), r.getDouble(2), r.getDouble(3))
+      sortCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).head,
+      sortCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).tail: _*).head()
+    val dims = sortCols.zipWithIndex.map { case (c, i) =>
+      require(!r.isNullAt(2 * i),
+        s"clusterZOrder($c) requires non-null numeric values in every column")
+      (col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }
+    val z = graft.functions.ZOrder.zValueN(dims)
     val out = snap.selectExpr(cols.map(c => s"`$c`"): _*)
       .withColumn("_graft_z", z)
       .repartitionByRange(numFiles, col("_graft_z"))
@@ -757,6 +764,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     timeline.commit(Commit(instant, "cluster", adds, live.map(_.path)))
     instant
   }
+
+  /** Two-column z-order clustering (compat overload). */
+  def clusterZOrder(colA: String, colB: String, numFiles: Int): String =
+    clusterZOrder(Seq(colA, colB), numFiles)
 
   /** Roll back the LATEST commit (Hudi rollback/restore): its commit file
     * and the data files it added are removed; files it replaced become live
@@ -786,6 +797,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val adds = writeFiles(withMeta(deduped, instant), instant)
       val replaced = adds.map(_.partition).toSet
       val removes = timeline.liveFiles(None).filter(f => replaced.contains(f.partition))
+      timeline.commit(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
+      instant
+    }
+  }
+
+  /** INSERT OVERWRITE TABLE: replaces the ENTIRE live file set with the
+    * batch in one commit. Timeline history is preserved — time travel still
+    * sees pre-overwrite snapshots (unlike a drop-and-recreate). */
+  def insertOverwriteTable(batch: DataFrame): String = {
+    ensureConfig()
+    val deduped = precombine(batch)
+    withReservedInstant { instant =>
+      val removes = timeline.liveFiles(None)
+      val adds = writeFiles(withMeta(deduped, instant), instant)
       timeline.commit(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
       instant
     }

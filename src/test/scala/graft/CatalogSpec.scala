@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL catalog surface: CREATE TABLE / INSERT INTO / UPDATE / MERGE
+  * INTO / DELETE / time travel / CTAS / INSERT OVERWRITE driven entirely
+  * through `spark.sql`, mirroring the reference's spark-sql quickstart
+  * (reference spark/sql/quickstart.sql:1-99) against the graft catalog. */
+class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = "/tmp/graft_warehouse_spec"
+
+  private lazy val spark: SparkSession = {
+    val d = new java.io.File(wh)
+    if (d.exists()) { def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }; rm(d) }
+    GraftSession.builder("graft-catalog-test", "4")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("CREATE TABLE + INSERT INTO + filtered SELECT (quickstart.sql:1-43)") {
+    sql("""CREATE TABLE graft.trips (
+          |  uuid STRING, rider STRING, driver STRING, fare DOUBLE, city STRING
+          |) USING graft
+          |PARTITIONED BY (city)
+          |TBLPROPERTIES (primaryKey = 'uuid', preCombineField = 'fare')""".stripMargin)
+    sql("""INSERT INTO graft.trips VALUES
+          |  ('t-1','rider-A','driver-K',19.10,'san_francisco'),
+          |  ('t-2','rider-B','driver-L',27.70,'san_francisco'),
+          |  ('t-3','rider-C','driver-M',33.90,'sao_paulo'),
+          |  ('t-4','rider-D','driver-N',93.50,'chennai')""".stripMargin)
+    assert(sql("SELECT * FROM graft.trips").count() == 4)
+    val high = sql("SELECT uuid, fare FROM graft.trips WHERE fare > 20 ORDER BY uuid")
+    assert(high.collect().map(_.getString(0)).toSeq == Seq("t-2", "t-3", "t-4"))
+  }
+
+  test("UPDATE by predicate (quickstart.sql:45-47)") {
+    sql("UPDATE graft.trips SET fare = fare * 10 WHERE rider = 'rider-D'")
+    val fare = sql("SELECT fare FROM graft.trips WHERE uuid = 't-4'").head().getDouble(0)
+    assert(math.abs(fare - 935.0) < 1e-9)
+    assert(sql("SELECT * FROM graft.trips").count() == 4) // others untouched
+  }
+
+  test("MERGE INTO: matched update assignment + not-matched insert (quickstart.sql:59-66)") {
+    spark.createDataFrame(Seq(
+      ("t-1", "rider-A", "driver-K", -5.0, "san_francisco", 1.0),
+      ("t-9", "rider-Z", "driver-Z", 50.0, "sao_paulo", 0.0)))
+      .toDF("uuid", "rider", "driver", "fare", "city", "fare_adjustment")
+      .createOrReplaceTempView("fare_adjustment")
+    sql("""MERGE INTO graft.trips AS target
+          |USING fare_adjustment AS source
+          |ON target.uuid = source.uuid
+          |WHEN MATCHED THEN UPDATE SET target.fare = target.fare + source.fare_adjustment
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql("SELECT * FROM graft.trips").count() == 5)
+    val t1 = sql("SELECT fare, rider FROM graft.trips WHERE uuid = 't-1'").head()
+    assert(math.abs(t1.getDouble(0) - 20.10) < 1e-9) // 19.10 + 1.0; other cols kept
+    assert(t1.getString(1) == "rider-A")
+    assert(sql("SELECT fare FROM graft.trips WHERE uuid = 't-9'").head().getDouble(0) == 50.0)
+  }
+
+  test("DELETE by predicate via SupportsDelete (quickstart.sql:71-74)") {
+    sql("DELETE FROM graft.trips WHERE uuid = 't-9'")
+    assert(sql("SELECT * FROM graft.trips").count() == 4)
+    assert(sql("SELECT * FROM graft.trips WHERE uuid = 't-9'").count() == 0)
+  }
+
+  test("time travel VERSION AS OF sees the pre-update snapshot (quickstart.sql:77-81)") {
+    val v1 = sql("SELECT fare FROM graft.trips VERSION AS OF '000000001' WHERE uuid = 't-4'")
+    assert(math.abs(v1.head().getDouble(0) - 93.50) < 1e-9) // before the UPDATE
+    val now = sql("SELECT fare FROM graft.trips WHERE uuid = 't-4'")
+    assert(math.abs(now.head().getDouble(0) - 935.0) < 1e-9)
+  }
+
+  test("CTAS (quickstart.sql:92-99)") {
+    sql("""CREATE TABLE graft.trips_sp USING graft
+          |TBLPROPERTIES (primaryKey = 'uuid')
+          |AS SELECT uuid, rider, fare FROM graft.trips WHERE city = 'sao_paulo'""".stripMargin)
+    assert(sql("SELECT * FROM graft.trips_sp").count() == 1)
+    assert(sql("SELECT rider FROM graft.trips_sp").head().getString(0) == "rider-C")
+  }
+
+  test("INSERT OVERWRITE replaces content in one commit; history preserved") {
+    sql("INSERT OVERWRITE graft.trips_sp VALUES ('t-7','rider-Q',7.0)")
+    assert(sql("SELECT uuid FROM graft.trips_sp").head().getString(0) == "t-7")
+    // the pre-overwrite snapshot is still readable
+    val old = sql("SELECT rider FROM graft.trips_sp VERSION AS OF '000000001'")
+    assert(old.head().getString(0) == "rider-C")
+  }
+
+  test("SHOW TABLES / DROP TABLE") {
+    val names = sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+    assert(names.contains("trips") && names.contains("trips_sp"))
+    sql("DROP TABLE graft.trips_sp")
+    assert(!sql("SHOW TABLES IN graft").collect().map(_.getString(1)).contains("trips_sp"))
+  }
+
+  test("count(*) and projection-only scans work through the V1 fallback") {
+    assert(sql("SELECT count(*) FROM graft.trips").head().getLong(0) == 4L)
+    assert(sql("SELECT city FROM graft.trips").distinct().count() == 3)
+  }
+}

@@ -318,6 +318,26 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zAvg < 0.5 * lAvg, s"z-order orderkey extent $zAvg !<< linear $lAvg")
   }
 
+  test("3-dim z-order bounds per-file ranges in every dimension") {
+    val zt = freshTable("zorder3")
+    val src = orders.withColumn("o_day", dayofyear(col("o_orderdate")))
+    zt.insert(src, numFiles = 8)
+    zt.clusterZOrder(Seq("o_custkey", "o_orderkey", "o_day"), numFiles = 27)
+    assert(zt.read().count() == orders.count())
+    // every file must be bounded well below the full domain in EACH dim
+    val spans = zt.read().withColumn("f", input_file_name())
+      .groupBy("f").agg(
+        ((max("o_custkey") - min("o_custkey")) /
+          lit(orders.agg(max("o_custkey")).head().getLong(0).toDouble)).as("c"),
+        ((max("o_orderkey") - min("o_orderkey")) /
+          lit(orders.count().toDouble)).as("o"),
+        ((max("o_day") - min("o_day")) / 366.0).as("d"))
+      .agg(avg("c"), avg("o"), avg("d")).head()
+    assert(spans.getDouble(0) < 0.7, s"custkey extent ${spans.getDouble(0)}")
+    assert(spans.getDouble(1) < 0.7, s"orderkey extent ${spans.getDouble(1)}")
+    assert(spans.getDouble(2) < 0.7, s"day extent ${spans.getDouble(2)}")
+  }
+
   test("delete keeps rows whose predicate evaluates to NULL") {
     val tbl = freshTable("null_delete")
     // schema-evolve in a nullable column: old rows have o_channel = NULL
