@@ -87,7 +87,77 @@ object Ann extends QueryRegistry {
       .orderBy("q_id", "rank")
   }
 
+  // --- s_kmeans: deterministic k-means topic clustering over embeddings
+  // (k=8, init = the 8 lowest vec_ids, two assignment rounds) — the
+  // centroid-build step IVF/topic-bucketing needs. Embeddings are quantized
+  // to 1e-6 as BIGINTs so centroid means are exact integer sums —
+  // order-independent, hence bit-identical to the DuckDB oracle; distances
+  // are index-ordered double folds (same contract as d_embed_cosine).
+  // Scale: centroids are broadcast (k rows), assignment is an embarrassingly
+  // parallel map, and the recenter is one (k × dim)-sized shuffle.
+  def sKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("qv"))
+      .cache()
+    val distExpr =
+      """aggregate(zip_with(qv, ce, (x, c) ->
+        |  (cast(x as double) / 1000000.0 - c) * (cast(x as double) / 1000000.0 - c)),
+        |  cast(0.0 as double), (a, v) -> a + v)""".stripMargin
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("c_id"))
+      q.join(broadcast(cents), lit(true))
+        .withColumn("dist", expr(distExpr))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "qv", "c_id")
+    }
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned.select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos")
+        .agg((sum("x").cast("double") / count(lit(1)).cast("double") / lit(1000000.0)).as("mv"))
+        .groupBy("c_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), p -> p.mv)").as("ce"))
+    val c0 = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"),
+        expr("transform(qv, x -> cast(x as double) / 1000000.0)").as("ce"))
+    val a2 = assign(recenter(assign(c0)))
+    a2.groupBy(col("c_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("id_sum"))
+      .orderBy("cluster_id")
+  }
+
+  private val sKmeansSql =
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS c_id, list_transform(qv, x -> CAST(x AS DOUBLE) / 1000000.0) AS ce
+      |  FROM q WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, qv, c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |  FROM (SELECT q.vec_id, q.qv, c.c_id,
+      |      list_sum(list_transform(range(1, len(q.qv) + 1),
+      |        i -> (CAST(q.qv[i] AS DOUBLE) / 1000000.0 - c.ce[i])
+      |           * (CAST(q.qv[i] AS DOUBLE) / 1000000.0 - c.ce[i]))) AS dist
+      |    FROM q CROSS JOIN c0 c)),
+      |m0 AS (SELECT c_id, unnest(range(1, len(qv) + 1)) AS i, unnest(qv) AS x
+      |  FROM a1 WHERE rn = 1),
+      |m1 AS (SELECT c_id, i,
+      |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mv
+      |  FROM m0 GROUP BY c_id, i),
+      |c1 AS (SELECT c_id, list(mv ORDER BY i) AS ce FROM m1 GROUP BY c_id),
+      |a2 AS (SELECT vec_id, c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |  FROM (SELECT q.vec_id, c.c_id,
+      |      list_sum(list_transform(range(1, len(q.qv) + 1),
+      |        i -> (CAST(q.qv[i] AS DOUBLE) / 1000000.0 - c.ce[i])
+      |           * (CAST(q.qv[i] AS DOUBLE) / 1000000.0 - c.ce[i]))) AS dist
+      |    FROM q CROSS JOIN c1 c))
+      |SELECT c_id AS cluster_id, COUNT(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      |FROM a2 WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
-    QueryDef("s_topk_ivf", sTopkIvf, None))
+    QueryDef("s_topk_ivf", sTopkIvf, None),
+    QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)))
 }

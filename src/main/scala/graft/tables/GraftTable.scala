@@ -132,8 +132,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     spark.read
       .option("recursiveFileLookup", "true")
       .option("mergeSchema", "true") // schema evolution: union of all file schemas
-      .parquet(files.map(f => s"${cfg.path}/${f.path}"): _*)
+      .parquet(files.map(f => dataPath(f.path)): _*)
   }
+
+  /** Absolute read path of a committed file: table-relative, or external
+    * (`ext:`-prefixed, registered by [[bootstrap]] and never owned —
+    * `clean` won't delete it). */
+  private def dataPath(rel: String): String =
+    if (rel.startsWith("ext:")) rel.stripPrefix("ext:") else s"${cfg.path}/$rel"
 
   /** MOR read-path resolution: latest version per key wins (commit time,
     * then precombine), tombstones filtered. COW snapshots are already
@@ -154,7 +160,53 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   }
 
   private def dropInternal(df: DataFrame): DataFrame =
-    df.drop(GraftMeta.cols :+ GraftMeta.Bucket: _*)
+    df.drop((GraftMeta.cols :+ GraftMeta.Bucket) ++ droppedCols: _*)
+
+  // -------------------------------------------------- column-drop evolution
+
+  private var droppedCache: Option[Seq[String]] = None
+  private def droppedPath = new Path(s"${cfg.path}/_graft/dropped.json")
+
+  /** Columns dropped via [[dropColumns]] — hidden from every read path. */
+  private def droppedCols: Seq[String] = droppedCache.getOrElse {
+    val d =
+      if (!fs.exists(droppedPath)) Seq.empty[String]
+      else {
+        val in = fs.open(droppedPath)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(bytes, "UTF-8"))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        arr.forEach(n => buf += n.asText())
+        buf.toSeq
+      }
+    droppedCache = Some(d)
+    d
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only, like Hudi/Iceberg column
+    * drops: the columns vanish from every read immediately; existing data
+    * files are untouched, and the next rewrite of a file group (upsert/
+    * compact/cluster) physically purges them from the rewritten files.
+    * (CDC changelog files written before the drop keep their historical
+    * schema.) */
+  def dropColumns(colsToDrop: Seq[String]): Unit = {
+    require(!colsToDrop.contains(cfg.keyField), "cannot drop the record key column")
+    require(!colsToDrop.contains(cfg.precombineField), "cannot drop the precombine column")
+    val merged = (droppedCols ++ colsToDrop).distinct
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    merged.foreach(arr.add)
+    val out = fs.create(droppedPath, true)
+    out.write(mapper.writeValueAsBytes(arr))
+    out.close()
+    droppedCache = Some(merged)
+    // keep the persisted streaming-source schema in sync
+    TableProperties.loadSchema(spark, cfg.path).foreach { sch =>
+      TableProperties.saveSchema(spark, cfg.path,
+        org.apache.spark.sql.types.StructType(sch.filterNot(f => merged.contains(f.name))))
+    }
+  }
 
   /** Latest-snapshot read (user columns only). */
   def read(): DataFrame = dropInternal(snapshotWithMeta(None))
@@ -355,7 +407,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       try new java.net.URI(absFileName).getPath
       catch { case _: java.net.URISyntaxException => absFileName }
     val decoded = if (p == null || p.isEmpty) absFileName else p
-    decoded.stripPrefix(rootStr).stripPrefix("/")
+    if (decoded.startsWith(rootStr + "/")) decoded.stripPrefix(rootStr).stripPrefix("/")
+    else "ext:" + decoded // bootstrapped external file
   }
 
   /** Write `df` (user columns + meta columns) as the data files of
@@ -498,11 +551,19 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .withColumn(GraftMeta.RecordKey, keyStr(keyCol, df))
       .withColumn(GraftMeta.Deleted, lit(deleted))
 
-  /** User columns of the current snapshot (meta + synthetic cols removed). */
+  /** User columns of the current snapshot (meta + synthetic + dropped cols
+    * removed). Rewrites select through this, so dropped columns are
+    * physically purged as file groups get rewritten. */
   private def userCols(df: DataFrame): Seq[String] =
     df.columns.filterNot(c =>
       GraftMeta.cols.contains(c) || c == GraftMeta.Bucket ||
-        cfg.keyGen.syntheticCols.contains(c)).toSeq
+        cfg.keyGen.syntheticCols.contains(c) || droppedCols.contains(c)).toSeq
+
+  /** userCols plus whichever graft meta columns the frame actually has —
+    * bootstrapped external files carry no meta columns, so rewrites of them
+    * must not select meta columns that don't exist. */
+  private def presentCols(df: DataFrame): Seq[String] =
+    userCols(df) ++ GraftMeta.cols.filter(df.columns.contains)
 
   /** Bulk insert (append-only, no key collision handling) — the fast path,
     * like the reference's bulk loads. Applies precombine within the batch. */
@@ -653,7 +714,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           // NULL predicate results must KEEP the row (SQL DELETE semantics) —
           // filter(!predicate) would silently drop them
           val kept = affected.filter(!coalesce(predicate, lit(false)))
-          val cols = userCols(affected) ++ GraftMeta.cols
+          val cols = presentCols(affected)
           val adds =
             if (kept.isEmpty) Nil
             else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
@@ -667,6 +728,82 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       }
       instant
     }
+  }
+
+  /** DELETE by record-key set — the keyed-delete fast path (RowKind `-D`
+    * changelog deletes, key-targeted erasure). Candidate files are pruned by
+    * the batch's key range and bucket set exactly like upsert, so the
+    * rewrite touches O(batch) file groups, not O(table). MOR appends
+    * tombstones instead. `keys` is any frame containing the key column. */
+  def deleteByKeys(keys: DataFrame): String = {
+    ensureConfig()
+    val keyDf = keys.select(keyCol).distinct()
+    if (cfg.tableType == TableType.Mor) {
+      val doomed = read().join(keyDf, Seq(cfg.keyField), "leftsemi")
+      return appendDelta(doomed, deleted = true)
+    }
+    withReservedInstant { instant =>
+      val live = timeline.liveFiles(None)
+      val kdf = keyDf.cache()
+      try {
+        val rangeRow = kdf.agg(
+          min(keyStr(keyCol, kdf)).as("mn"), max(keyStr(keyCol, kdf)).as("mx")).head()
+        if (rangeRow.isNullAt(0) || live.isEmpty) {
+          timeline.commit(Commit(instant, "delete", Nil, Nil))
+          instant
+        } else {
+          val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
+          val cand = live.filter(f => f.minKey <= bMax && bMin <= f.maxKey)
+          val hits =
+            if (cand.isEmpty) Set.empty[String]
+            else readFiles(cand).withColumn("_graft_file", input_file_name())
+              .join(kdf, Seq(cfg.keyField), "leftsemi")
+              .select(col("_graft_file")).distinct()
+              .collect().map(r => relPath(r.getString(0))).toSet
+          val hitFiles = cand.filter(f => hits.contains(f.path))
+          if (hitFiles.isEmpty) {
+            timeline.commit(Commit(instant, "delete", Nil, Nil))
+          } else {
+            val affected = readFiles(hitFiles).cache()
+            try {
+              val kept = affected.join(kdf, Seq(cfg.keyField), "leftanti")
+              val cols = presentCols(affected)
+              val adds =
+                if (kept.isEmpty) Nil
+                else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
+              writeCdc(
+                affected.join(kdf, Seq(cfg.keyField), "leftsemi")
+                  .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
+                  .withColumn("_change_type", lit("delete")),
+                instant)
+              timeline.commit(Commit(instant, "delete", adds, hitFiles.map(_.path)))
+            } finally affected.unpersist()
+          }
+          instant
+        }
+      } finally kdf.unpersist()
+    }
+  }
+
+  /** Apply a RowKind-tagged changelog batch — the Spark-native analogue of
+    * the reference's streaming changelog writer
+    * (flink/.../HudiDataStreamWriter.java: RowKind INSERT / UPDATE_BEFORE /
+    * UPDATE_AFTER / DELETE). Semantics: the LAST action per key (ordered by
+    * `seqCol`) wins; `+I`/`I`/`+U`/`U` rows upsert, `-D`/`D` rows delete by
+    * key, and `-U` update-before images are ignored (the post-image carries
+    * the state). */
+  def applyChangelog(changes: DataFrame, rowKindCol: String, seqCol: String): String = {
+    val kind = upper(col(rowKindCol))
+    val active = changes.filter(kind.isin("I", "+I", "U", "+U", "D", "-D"))
+    // last action per key; ties on seq broken deterministically by kind
+    val w = Window.partitionBy(cfg.keyField).orderBy(col(seqCol).desc, kind.asc)
+    val last = active.withColumn("_graft_cl_rn", row_number().over(w))
+      .filter(col("_graft_cl_rn") === 1).drop("_graft_cl_rn").cache()
+    try {
+      val isDelete = upper(col(rowKindCol)).isin("D", "-D")
+      deleteByKeys(last.filter(isDelete).select(keyCol))
+      upsert(last.filter(!isDelete).drop(rowKindCol))
+    } finally last.unpersist()
   }
 
   /** MERGE INTO (quickstart.sql:59-66): WHEN MATCHED THEN UPDATE SET * /
@@ -717,7 +854,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // resolve() folds MOR deltas/tombstones into the rewritten base; winning
     // rows keep their original commit times, so incremental reads survive
     val snap = resolve(readFiles(live))
-    val cols = userCols(snap) ++ GraftMeta.cols
+    val cols = presentCols(snap)
     val adds = writeFiles(snap.selectExpr(cols.map(c => s"`$c`"): _*), instant, nFiles)
     timeline.commit(Commit(instant, "compact", adds, live.map(_.path)))
     instant
@@ -729,7 +866,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def cluster(sortCols: Seq[String], numFiles: Int): String = withReservedInstant { instant =>
     val live = timeline.liveFiles(None)
     val snap = resolve(readFiles(live))
-    val cols = userCols(snap) ++ GraftMeta.cols
+    val cols = presentCols(snap)
     val adds = writeFiles(
       snap.selectExpr(cols.map(c => s"`$c`"): _*), instant, numFiles, sortCols)
     timeline.commit(Commit(instant, "cluster", adds, live.map(_.path)))
@@ -744,7 +881,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     require(sortCols.size >= 2, "clusterZOrder needs at least 2 columns")
     val live = timeline.liveFiles(None)
     val snap = resolve(readFiles(live))
-    val cols = userCols(snap) ++ GraftMeta.cols
+    val cols = presentCols(snap)
     // one job computes every dimension's min/max
     val r = snap.agg(
       sortCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).head,
@@ -778,12 +915,64 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     require(latest.contains(instant),
       s"only the latest commit (${latest.getOrElse("none")}) can be rolled back, not $instant")
     val c = timeline.readCommit(instant)
-    c.adds.foreach(f => fs.delete(new Path(s"${cfg.path}/${f.path}"), false))
+    // external (bootstrapped) files are not owned by the table: deregister only
+    c.adds.filterNot(_.path.startsWith("ext:"))
+      .foreach(f => fs.delete(new Path(s"${cfg.path}/${f.path}"), false))
     fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
     fs.delete(new Path(s"${cfg.path}/_graft/$instant.commit.json"), false)
     // tombstone: the instant number is never reused, so commits cached by
     // other table handles can never be re-bound to different data
     timeline.abort(instant)
+  }
+
+  /** Mark a committed instant as a savepoint (Hudi savepoint): `clean`
+    * keeps every file needed to rebuild this snapshot, and [[restore]] can
+    * roll the table back to it. */
+  def savepoint(instant: String): Unit = timeline.savepoint(instant)
+
+  /** Restore the table to a savepointed instant (Hudi restore): every
+    * commit after it is rolled back newest-first — their data files and
+    * commit entries are removed, so the savepoint becomes the latest
+    * snapshot. Destructive for the rolled-back commits (like Hudi). */
+  def restore(instant: String): Unit = {
+    require(timeline.savepoints().contains(instant),
+      s"restore requires a savepoint at $instant (savepoints: ${timeline.savepoints().mkString(", ")})")
+    timeline.instants().filter(_ > instant).reverse.foreach(rollback)
+  }
+
+  /** Metadata-only bootstrap of an existing parquet file/directory into
+    * this table (Hudi METADATA_ONLY bootstrap): external files are
+    * registered on the timeline with key stats harvested from their
+    * parquet footers — nothing is copied or rewritten, so onboarding a
+    * 100 TB parquet lake is a footer-scan, not a data migration. Later
+    * upserts migrate colliding file groups into table-managed storage;
+    * `clean` never deletes external files. */
+  def bootstrap(sourceDir: String): String = {
+    require(cfg.tableType == TableType.Cow && cfg.numBuckets == 0 &&
+      cfg.keyGen == NoPartition,
+      "bootstrap supports unpartitioned, unbucketed COW tables")
+    ensureConfig()
+    withReservedInstant { instant =>
+      val src = new Path(sourceDir)
+      val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = sfs.listFiles(src, true)
+      val found = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) found += f.getPath
+      }
+      require(found.nonEmpty, s"no parquet files under $sourceDir")
+      val adds = found.flatMap { p =>
+        footerKeyStats(p).map { case (mn, mx, rows) =>
+          FileMeta("ext:" + p.toUri.getPath, "", 0, mn, mx, rows)
+        }
+      }.toSeq
+      // persist the user schema so streaming readers resolve without data
+      TableProperties.saveSchema(spark, cfg.path,
+        spark.read.parquet(adds.map(f => dataPath(f.path)): _*).schema)
+      timeline.commit(Commit(instant, "bootstrap", adds, Nil))
+      instant
+    }
   }
 
   /** INSERT OVERWRITE for whole partitions: replaces every live file whose
@@ -817,11 +1006,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   }
 
   /** Physically delete files no longer referenced as of `asOfInstant`
-    * (Hudi cleaner). Safe only once readers of older snapshots are done. */
+    * (Hudi cleaner). Safe only once readers of older snapshots are done.
+    * Files live in any savepointed snapshot are retained (Hudi cleaner
+    * contract), and external (bootstrapped) files are never deleted. */
   def clean(asOfInstant: String): Int = {
+    val protectedFiles = timeline.savepoints()
+      .flatMap(sp => timeline.liveFiles(Some(sp)).map(_.path)).toSet
     val removed = timeline.removedFiles(asOfInstant)
     removed.count { rel =>
-      fs.delete(new Path(s"${cfg.path}/$rel"), false)
+      !rel.startsWith("ext:") && !protectedFiles.contains(rel) &&
+        fs.delete(new Path(s"${cfg.path}/$rel"), false)
     }
   }
 

@@ -243,6 +243,70 @@ object TableOps extends QueryRegistry {
       .orderBy("o_custkey")
   }
 
+  // --- t_savepoint_restore: savepoint the initial snapshot, mutate twice,
+  // restore — the table must be bit-identical to the savepointed state.
+  def tSavepointRestore(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_savepoint_restore")
+    val i1 = tbl.insert(orders, numFiles = 4)
+    tbl.savepoint(i1)
+    tbl.upsert(upsertBatch(orders))
+    tbl.delete(col("o_orderstatus") === "F")
+    tbl.restore(i1)
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_delete_keys: keyed delete (RowKind -D / erasure path); candidate
+  // files pruned by the key batch's range before any rewrite.
+  def tDeleteKeys(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_delete_keys")
+    tbl.insert(orders, numFiles = 4)
+    tbl.deleteByKeys(orders.filter(col("o_orderkey") % 4 === 1).select("o_orderkey"))
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_changelog: apply a RowKind changelog (+I / -U / +U / -D) — the
+  // reference's HudiDataStreamWriter flow. -U pre-images are ignored;
+  // updates, deletes, and inserts of new keys all land.
+  def tChangelog(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_changelog")
+    tbl.insert(orders, numFiles = 4)
+    val pre = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("row_kind", lit("-U"))
+    val post = upsertBatch(orders).withColumn("row_kind", lit("+U"))
+    val dels = orders.filter(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 === 3)
+      .withColumn("row_kind", lit("-D"))
+    val ins = orders.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+      .withColumn("o_orderstatus", lit("I"))
+      .withColumn("row_kind", lit("+I"))
+    tbl.applyChangelog(
+      pre.unionByName(post).unionByName(dels).unionByName(ins), "row_kind", "o_orderkey")
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_bootstrap: metadata-only onboarding of an existing parquet file —
+  // footer stats registered, no copy — then an upsert on top migrates only
+  // colliding file groups into table-managed storage.
+  def tBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_bootstrap", dir), "o_orderkey", "o_orderkey"))
+    tbl.dropIfExists()
+    tbl.bootstrap(s"$dir/orders.parquet")
+    tbl.upsert(upsertBatch(orders))
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_schema_drop: metadata-only column drop; later batches may omit the
+  // column entirely, and reads never see it again.
+  def tSchemaDrop(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_schema_drop")
+    tbl.insert(orders, numFiles = 4)
+    tbl.dropColumns(Seq("o_orderpriority"))
+    tbl.upsert(upsertBatch(orders).drop("o_orderpriority"))
+    tbl.read().orderBy("o_orderkey")
+  }
+
   // --- t_ctas: CREATE TABLE AS SELECT (quickstart.sql:92-99).
   def tCtas(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -317,6 +381,28 @@ object TableOps extends QueryRegistry {
       s"""$upsertedSql
          |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 <> 0)
          |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_savepoint_restore", tSavepointRestore,
+      Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
+    QueryDef("t_delete_keys", tDeleteKeys, Some(
+      s"SELECT $ordersCols FROM orders WHERE o_orderkey % 4 <> 1 ORDER BY o_orderkey")),
+    QueryDef("t_changelog", tChangelog, Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 3)
+        |UNION ALL
+        |SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, 'I' AS o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_bootstrap", tBootstrap, Some(s"$upsertedSql ORDER BY o_orderkey")),
+    QueryDef("t_schema_drop", tSchemaDrop, Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_ctas", tCtas, Some(
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -220,6 +220,29 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     * candidates for `clean`. */
   def removedFiles(asOf: String): Seq[String] =
     instants().filter(_ <= asOf).flatMap(i => readCommit(i).removes)
+
+  // ------------------------------------------------------------ savepoints
+
+  /** Mark a committed instant as a savepoint (Hudi savepoint): `clean` will
+    * never physically delete files needed to restore this snapshot, and
+    * `restore` can roll the table back to it. */
+  def savepoint(instant: String): Unit = {
+    require(instants().contains(instant), s"cannot savepoint unknown instant $instant")
+    fs.create(new Path(metaDir, s"$instant.savepoint"), true).close()
+  }
+
+  def savepoints(): Seq[String] =
+    if (!fs.exists(metaDir)) Seq.empty
+    else fs.listStatus(metaDir)
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".savepoint"))
+      .map(_.stripSuffix(".savepoint"))
+      .sortBy(_.toLong).toSeq
+
+  def deleteSavepoint(instant: String): Unit = {
+    fs.delete(new Path(metaDir, s"$instant.savepoint"), false)
+    ()
+  }
 }
 
 object Timeline {

@@ -201,7 +201,44 @@ object TextOps extends QueryRegistry {
       |SELECT lang, seq_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- x_decontaminate: benchmark decontamination — flag training docs
+  // sharing any 5-word shingle with the held-out eval set (doc_id % 19 = 0),
+  // the standard test-set-overlap check before pretraining. Shingles are
+  // hashed to 64-bit ids on the Spark side (never materialized as strings),
+  // and the join is shingle-blocked — no train×eval cross product, so at
+  // 100 TB the cost is one shuffle of hashed shingles (the eval side is
+  // tiny and broadcast).
+  def xDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 5,
+          array_distinct(expr(
+            "transform(sequence(0, size(w)-5), i -> xxhash64(w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+          .otherwise(array().cast("array<bigint>"))).as("sh"))
+    val eval0 = sh.filter(col("doc_id") % 19 === 0).toDF("eval_id", "sh")
+    val train = sh.filter(col("doc_id") % 19 =!= 0)
+    train.join(broadcast(eval0), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(countDistinct("eval_id").as("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
+  private val xDecontaminateSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+      |  FROM d)
+      |SELECT t.doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_hits
+      |FROM sh t JOIN sh e ON t.s = e.s
+      |WHERE t.doc_id % 19 <> 0 AND e.doc_id % 19 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("x_decontaminate", xDecontaminate, Some(xDecontaminateSql)),
     QueryDef("x_fingerprint", xFingerprint, Some(xFingerprintSql)),
     QueryDef("x_tokens", xTokens, Some(xTokensSql)),
     QueryDef("x_quality", xQuality, Some(xQualitySql)),

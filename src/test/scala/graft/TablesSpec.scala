@@ -412,6 +412,104 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.pointLookup(Seq(key)).count() == 1)
   }
 
+  test("savepoint protects files from clean; restore rewinds to the snapshot") {
+    val tbl = freshTable("savepoint")
+    val i1 = tbl.insert(orders, numFiles = 4)
+    tbl.savepoint(i1)
+    tbl.upsert(orders.limit(50).withColumn("o_orderstatus", lit("Z")))
+    val i3 = tbl.compact(targetRows = 10000000L)
+    // clean must NOT delete files the savepointed snapshot still needs
+    tbl.clean(i3)
+    assert(tbl.readAsOf(i1).count() == orders.count(),
+      "clean deleted files needed by the savepoint")
+    // restore rewinds: later commits rolled back newest-first
+    tbl.restore(i1)
+    assert(tbl.timeline.latestInstant().contains(i1))
+    assert(tbl.read().filter(col("o_orderstatus") === "Z").count() == 0)
+    assert(tbl.read().count() == orders.count())
+    // restore to a non-savepointed instant is refused
+    tbl.upsert(orders.limit(5).withColumn("o_orderstatus", lit("Q")))
+    assertThrows[IllegalArgumentException](tbl.restore("000000099"))
+  }
+
+  test("deleteByKeys prunes candidate files by the key batch's range") {
+    val tbl = freshTable("del_keys")
+    // range-clustered layout so a narrow key batch hits few files
+    tbl.insert(orders, numFiles = 8)
+    tbl.cluster(Seq("o_orderkey"), numFiles = 8)
+    val live = tbl.timeline.liveFiles(None).size
+    val keys = orders.filter(col("o_orderkey") < 50).select("o_orderkey")
+    val i = tbl.deleteByKeys(keys)
+    val c = tbl.timeline.readCommit(i)
+    assert(c.removes.size < live / 2,
+      s"keyed delete rewrote ${c.removes.size} of $live files")
+    assert(tbl.read().count() == orders.count() - 50)
+    assert(tbl.read().filter(col("o_orderkey") < 50).count() == 0)
+    // MOR path: tombstones, no rewrite
+    val mor = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/del_keys_mor", "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor))
+    mor.dropIfExists()
+    mor.insert(orders, numFiles = 2)
+    val im = mor.deleteByKeys(orders.filter(col("o_orderkey") < 10).select("o_orderkey"))
+    assert(mor.timeline.readCommit(im).removes.isEmpty)
+    assert(mor.read().count() == orders.count() - 10)
+  }
+
+  test("applyChangelog: last action per key wins; -U pre-images ignored") {
+    val tbl = freshTable("changelog")
+    tbl.insert(orders, numFiles = 2)
+    val n = orders.count()
+    // same key updated (seq 1) then deleted (seq 2): delete must win
+    val k0 = orders.limit(1)
+    val changes =
+      k0.withColumn("row_kind", lit("-U")).withColumn("seq", lit(1L))
+        .unionByName(k0.withColumn("o_orderstatus", lit("U"))
+          .withColumn("row_kind", lit("+U")).withColumn("seq", lit(1L)))
+        .unionByName(k0.withColumn("row_kind", lit("-D")).withColumn("seq", lit(2L)))
+    tbl.applyChangelog(changes, "row_kind", "seq")
+    assert(tbl.read().count() == n - 1)
+    val key0 = k0.head().getLong(0)
+    assert(tbl.read().filter(col("o_orderkey") === key0).count() == 0)
+  }
+
+  test("bootstrap registers external files without copying; upsert migrates") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/bootstrap", "o_orderkey", "o_orderkey"))
+    tbl.dropIfExists()
+    tbl.bootstrap(s"$sfDir/orders.parquet")
+    // zero-copy: no data/ dir yet, snapshot == source
+    assert(!new java.io.File("/tmp/graft_spec/bootstrap/data").exists())
+    assert(tbl.read().count() == orders.count())
+    assert(tbl.timeline.liveFiles(None).forall(_.path.startsWith("ext:")))
+    // upsert on top: migrates colliding groups into managed storage
+    tbl.upsert(orders.limit(10).withColumn("o_orderstatus", lit("B")))
+    assert(tbl.read().count() == orders.count())
+    assert(tbl.read().filter(col("o_orderstatus") === "B").count() == 10)
+    // delete works across mixed external/managed files
+    tbl.delete(col("o_orderstatus") === "B")
+    assert(tbl.read().count() == orders.count() - 10)
+    // clean never touches the external source file
+    tbl.clean(tbl.timeline.latestInstant().get)
+    assert(new java.io.File(s"$sfDir/orders.parquet").exists())
+    assert(GraftSession.table(spark, sfDir, "orders").count() == orders.count())
+  }
+
+  test("dropColumns hides the column immediately and purges it on rewrite") {
+    val tbl = freshTable("drop_col")
+    tbl.insert(orders, numFiles = 2)
+    tbl.dropColumns(Seq("o_comment_missing_ok", "o_orderpriority"))
+    assert(!tbl.read().columns.contains("o_orderpriority"))
+    // key/precombine columns are protected
+    assertThrows[IllegalArgumentException](tbl.dropColumns(Seq("o_orderkey")))
+    // a rewrite physically purges the dropped column from rewritten files
+    tbl.compact(targetRows = 10000000L)
+    val files = tbl.timeline.liveFiles(None)
+    val physical = spark.read.parquet(s"/tmp/graft_spec/drop_col/${files.head.path}")
+    assert(!physical.columns.contains("o_orderpriority"))
+    assert(tbl.read().count() == orders.count())
+  }
+
   test("failed mutation leaks neither inflight markers nor orphan data files") {
     val tbl = freshTable("orphan_cleanup")
     tbl.insert(orders.limit(100), numFiles = 2)
