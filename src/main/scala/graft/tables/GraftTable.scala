@@ -129,10 +129,36 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * inference. */
   private[tables] def readFiles(files: Seq[FileMeta]): DataFrame = {
     require(files.nonEmpty, s"no live files in ${cfg.path}")
-    spark.read
-      .option("recursiveFileLookup", "true")
-      .option("mergeSchema", "true") // schema evolution: union of all file schemas
-      .parquet(files.map(f => dataPath(f.path)): _*)
+    val reader = spark.read.option("recursiveFileLookup", "true")
+    // With the accumulated union schema from _graft/schema.json the scan
+    // needs NO schema-inference job (mergeSchema reads every footer on every
+    // read — a whole Spark job, and at cloud scale a storage-request storm).
+    // Files missing a column (older files pre-evolution, bootstrapped
+    // external files without meta columns) read it as null, which is
+    // exactly mergeSchema's semantics.
+    readSchema() match {
+      case Some(sch) => reader.schema(sch).parquet(files.map(f => dataPath(f.path)): _*)
+      case None => reader.option("mergeSchema", "true")
+        .parquet(files.map(f => dataPath(f.path)): _*)
+    }
+  }
+
+  // cached union read schema (user schema + graft meta columns); invalidated
+  // whenever this handle persists a new schema or drops columns
+  private var readSchemaCache: Option[Option[org.apache.spark.sql.types.StructType]] = None
+  private def invalidateReadSchema(): Unit = readSchemaCache = None
+  private def readSchema(): Option[org.apache.spark.sql.types.StructType] = {
+    readSchemaCache.getOrElse {
+      import org.apache.spark.sql.types._
+      val s = TableProperties.loadSchema(spark, cfg.path).map { user =>
+        StructType(user.fields.toSeq ++ Seq(
+          StructField(GraftMeta.CommitTime, StringType),
+          StructField(GraftMeta.RecordKey, StringType),
+          StructField(GraftMeta.Deleted, BooleanType)))
+      }
+      readSchemaCache = Some(s)
+      s
+    }
   }
 
   /** Absolute read path of a committed file: table-relative, or external
@@ -206,6 +232,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       TableProperties.saveSchema(spark, cfg.path,
         org.apache.spark.sql.types.StructType(sch.filterNot(f => merged.contains(f.name))))
     }
+    invalidateReadSchema()
   }
 
   /** Latest-snapshot read (user columns only). */
@@ -436,10 +463,21 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // first write leaves readStream a schema to resolve against
     val userSchema = org.apache.spark.sql.types.StructType(out.schema.filterNot(f =>
       GraftMeta.cols.contains(f.name) || f.name == GraftMeta.Bucket ||
-        f.name.startsWith("_gp_")))
+        f.name.startsWith("_gp_") || droppedCols.contains(f.name)))
     if (savedSchemaJson != userSchema.json) {
-      TableProperties.saveSchema(spark, cfg.path, userSchema)
+      // ACCUMULATE the union of every written schema (latest type wins) so
+      // readFiles' explicit schema covers older files after add-column
+      // evolution — a narrower later batch must not hide earlier columns
+      val merged = TableProperties.loadSchema(spark, cfg.path) match {
+        case Some(existing) =>
+          val updated = existing.fields.map(f => userSchema.find(_.name == f.name).getOrElse(f))
+          val extra = userSchema.filterNot(f => existing.exists(_.name == f.name))
+          org.apache.spark.sql.types.StructType((updated ++ extra).toSeq)
+        case None => userSchema
+      }
+      TableProperties.saveSchema(spark, cfg.path, merged)
       savedSchemaJson = userSchema.json
+      invalidateReadSchema()
     }
     val dir = s"${cfg.path}/data/$instant"
     // failure cleanup (orphan files, inflight marker) is the caller's job:
@@ -609,7 +647,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         // prune candidate files by batch key range + bucket set — ONE
         // aggregation job computes both (min/max key + distinct buckets)
         val aggCols = Seq(
-          min(keyStr(keyCol, batch)).as("mn"), max(keyStr(keyCol, batch)).as("mx")) ++
+          min(keyStr(keyCol, batch)).as("mn"), max(keyStr(keyCol, batch)).as("mx"),
+          count(lit(1)).as("cnt")) ++
           (if (cfg.numBuckets > 0) Seq(collect_set(bucketOf(keyCol)).as("bk")) else Nil)
         val rangeRow = batch.agg(aggCols.head, aggCols.tail: _*).head()
         if (rangeRow.isNullAt(0)) { // empty batch: record a no-op commit
@@ -617,18 +656,28 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         } else {
           val batchBuckets: Set[Int] =
             if (cfg.numBuckets <= 0) Set.empty
-            else rangeRow.getSeq[Long](2).map(_.toInt).toSet
+            else rangeRow.getSeq[Long](3).map(_.toInt).toSet
           upsertNonEmpty(batch, live, instant, op, commitMeta,
-            rangeRow.getString(0), rangeRow.getString(1), batchBuckets)
+            rangeRow.getString(0), rangeRow.getString(1), rangeRow.getLong(2), batchBuckets)
         }
         instant
       } finally batch.unpersist()
     }
   }
 
+  /** Output file count for a rewrite of `rows` total rows, sized to the
+    * table's current rows-per-file so rewrites neither explode small files
+    * (a 4-file rewrite must not emit 36 shuffle-partition-sized shards —
+    * the small-file blowup the reference's glue bench measures) nor build
+    * jumbo files. */
+  private def rewriteFileCount(live: Seq[FileMeta], rows: Long): Int = {
+    val avg = math.max(1L, live.map(_.rows).sum / math.max(1, live.size))
+    math.max(1, math.ceil(rows.toDouble / avg).toInt)
+  }
+
   private def upsertNonEmpty(batch: DataFrame, live: Seq[FileMeta],
       instant: String, op: String, commitMeta: Map[String, String],
-      bMin: String, bMax: String, batchBuckets: Set[Int]): Unit = {
+      bMin: String, bMax: String, batchRows: Long, batchBuckets: Set[Int]): Unit = {
     val cand = live.filter { f =>
       val rangeOk = f.minKey <= bMax && bMin <= f.maxKey
       val bucketOk = cfg.numBuckets <= 0 || batchBuckets.contains(f.bucket)
@@ -664,23 +713,38 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           allowMissingColumns = true)
       case None => newRows.selectExpr(cols.map(c => s"`$c`"): _*)
     }
-    val adds = writeFiles(out, instant)
+    // size the rewrite like the files it replaces: carried rows stay ≈ hit
+    // rows minus replaced, batch rows add their share
+    val nOut = rewriteFileCount(live, hitFiles.map(_.rows).sum + batchRows)
+    val adds = writeFiles(out, instant, numFiles = nOut)
 
     if (cfg.writeChangelog) {
       val uc = userCols(newRows)
       affected match {
         case Some(aff) =>
-          val matchedKeys = aff.select(keyCol).distinct()
-          val pre = aff.join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftsemi")
-            .selectExpr(uc.map(c => s"`$c`"): _*)
-            .withColumn("_change_type", lit("update_preimage"))
-          val post = batch.join(matchedKeys, Seq(cfg.keyField), "leftsemi")
-            .selectExpr(uc.map(c => s"`$c`"): _*)
-            .withColumn("_change_type", lit("update_postimage"))
-          val ins = batch.join(matchedKeys, Seq(cfg.keyField), "leftanti")
-            .selectExpr(uc.map(c => s"`$c`"): _*)
-            .withColumn("_change_type", lit("insert"))
-          writeCdc(pre.unionByName(post).unionByName(ins), instant)
+          // ONE full-outer join yields all three image kinds in a single
+          // pass (matched → pre+post, batch-only → insert, stored-only →
+          // carried, no image). Sides are null-padded per column so a
+          // schema-evolving batch (new columns the stored files lack, or
+          // vice versa) images cleanly.
+          def projStruct(df: DataFrame) = {
+            val have = df.columns.toSet
+            struct(uc.map(c =>
+              (if (have(c)) col(c)
+               else lit(null).cast(newRows.schema(c).dataType)).as(c)): _*)
+          }
+          val oldSide = aff.select(keyCol.as("_gk"), projStruct(aff).as("_old"))
+          val newSide = batch.select(keyCol.as("_gk"), projStruct(batch).as("_new"))
+          val images = oldSide.join(newSide, Seq("_gk"), "full_outer")
+            .filter(col("_new").isNotNull) // stored-only rows: carried, no image
+            .select(explode(
+              when(col("_old").isNotNull,
+                array(struct(col("_old").as("row"), lit("update_preimage").as("_ct")),
+                  struct(col("_new").as("row"), lit("update_postimage").as("_ct"))))
+                .otherwise(array(struct(col("_new").as("row"), lit("insert").as("_ct")))))
+              .as("e"))
+            .select(col("e.row.*"), col("e._ct").as("_change_type"))
+          writeCdc(images, instant)
         case None =>
           writeCdc(batch.selectExpr(uc.map(c => s"`$c`"): _*)
             .withColumn("_change_type", lit("insert")), instant)
@@ -717,7 +781,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           val cols = presentCols(affected)
           val adds =
             if (kept.isEmpty) Nil
-            else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
+            else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant,
+              numFiles = rewriteFileCount(live, hitFiles.map(_.rows).sum))
           writeCdc(
             affected.filter(coalesce(predicate, lit(false)))
               .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
@@ -770,7 +835,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
               val cols = presentCols(affected)
               val adds =
                 if (kept.isEmpty) Nil
-                else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant)
+                else writeFiles(kept.selectExpr(cols.map(c => s"`$c`"): _*), instant,
+                  numFiles = rewriteFileCount(live, hitFiles.map(_.rows).sum))
               writeCdc(
                 affected.join(kdf, Seq(cfg.keyField), "leftsemi")
                   .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
@@ -793,6 +859,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * key, and `-U` update-before images are ignored (the post-image carries
     * the state). */
   def applyChangelog(changes: DataFrame, rowKindCol: String, seqCol: String): String = {
+    ensureConfig()
     val kind = upper(col(rowKindCol))
     val active = changes.filter(kind.isin("I", "+I", "U", "+U", "D", "-D"))
     // last action per key; ties on seq broken deterministically by kind
@@ -801,8 +868,51 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .filter(col("_graft_cl_rn") === 1).drop("_graft_cl_rn").cache()
     try {
       val isDelete = upper(col(rowKindCol)).isin("D", "-D")
-      deleteByKeys(last.filter(isDelete).select(keyCol))
-      upsert(last.filter(!isDelete).drop(rowKindCol))
+      val upserts = last.filter(!isDelete).drop(rowKindCol)
+      // MOR and CDC-imaged tables compose the two keyed primitives (delete
+      // tombstones / CDC images need the split); plain COW fuses everything
+      // into ONE rewrite commit: candidate files are pruned by the range of
+      // ALL changed keys, carried rows exclude every changed key (so
+      // deleted keys vanish and updated keys are replaced), and the upsert
+      // rows land — one candidate scan, one write, one atomic commit.
+      if (cfg.tableType == TableType.Mor || cfg.writeChangelog) {
+        deleteByKeys(last.filter(isDelete).select(keyCol))
+        return upsert(upserts)
+      }
+      if (timeline.liveFiles(None).isEmpty) return insert(upserts)
+      withReservedInstant { instant =>
+        val live = timeline.liveFiles(None)
+        val rangeRow = last.agg(
+          min(keyStr(keyCol, last)).as("mn"), max(keyStr(keyCol, last)).as("mx"),
+          count(lit(1)).as("cnt")).head()
+        if (rangeRow.isNullAt(0)) {
+          timeline.commit(Commit(instant, "changelog", Nil, Nil))
+        } else {
+          val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
+          val cand = live.filter(f => f.minKey <= bMax && bMin <= f.maxKey)
+          val allKeys = last.select(keyCol).distinct()
+          val hits =
+            if (cand.isEmpty) Set.empty[String]
+            else readFiles(cand).withColumn("_graft_file", input_file_name())
+              .join(allKeys, Seq(cfg.keyField), "leftsemi")
+              .select(col("_graft_file")).distinct()
+              .collect().map(r => relPath(r.getString(0))).toSet
+          val hitFiles = cand.filter(f => hits.contains(f.path))
+          val newRows = withMeta(upserts, instant)
+          val cols = userCols(newRows) ++ GraftMeta.cols
+          val out =
+            if (hitFiles.isEmpty) newRows.selectExpr(cols.map(c => s"`$c`"): _*)
+            else readFiles(hitFiles)
+              .join(allKeys, Seq(cfg.keyField), "leftanti")
+              .drop(cfg.keyGen.syntheticCols: _*)
+              .unionByName(newRows.selectExpr(cols.map(c => s"`$c`"): _*),
+                allowMissingColumns = true)
+          val nOut = rewriteFileCount(live, hitFiles.map(_.rows).sum + rangeRow.getLong(2))
+          val adds = writeFiles(out, instant, numFiles = nOut)
+          timeline.commit(Commit(instant, "changelog", adds, hitFiles.map(_.path)))
+        }
+        instant
+      }
     } finally last.unpersist()
   }
 
@@ -970,6 +1080,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       // persist the user schema so streaming readers resolve without data
       TableProperties.saveSchema(spark, cfg.path,
         spark.read.parquet(adds.map(f => dataPath(f.path)): _*).schema)
+      invalidateReadSchema()
       timeline.commit(Commit(instant, "bootstrap", adds, Nil))
       instant
     }

@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a subset of SparkEntry queries (args = names), two runs
+  * each (cold + warm), at SPARK_GRAFT_SF_DIR. Not part of the driver
+  * contract. */
+object BenchSome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tableNames.foreach(t => GraftSession.table(spark, sfDir, t).limit(1000).count())
+    val qs = SparkEntry.queries
+    args.foreach { name =>
+      val fn = qs(name)
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        println(f"[benchsome] $name run$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+    }
+    spark.stop()
+  }
+}
