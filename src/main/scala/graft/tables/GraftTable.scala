@@ -272,7 +272,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * are physically removed by `clean`.) */
   def cdc(beginExclusive: String, endInclusive: String): DataFrame = {
     require(cfg.writeChangelog, s"table ${cfg.path} was not created with writeChangelog")
-    val range = timeline.instants().filter(i => i > beginExclusive && i <= endInclusive)
+    // archived commits still serve CDC (changelog files + commit metadata
+    // outlive timeline archival; only `clean` erases history)
+    val range = (timeline.archivedInstants() ++ timeline.instants()).distinct.sorted
+      .filter(i => i > beginExclusive && i <= endInclusive)
     require(range.nonEmpty, s"no commits in ($beginExclusive, $endInclusive]")
     val parts = range.flatMap { i =>
       val c = timeline.readCommit(i)
@@ -1047,7 +1050,26 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def restore(instant: String): Unit = {
     require(timeline.savepoints().contains(instant),
       s"restore requires a savepoint at $instant (savepoints: ${timeline.savepoints().mkString(", ")})")
+    require(!timeline.archivedInstants().exists(_ > instant),
+      s"cannot restore to $instant: later commits were archived")
+    // checkpoints taken after the savepoint reference rolled-back files —
+    // they must go before the commits do (liveFiles would resolve from them)
+    timeline.checkpoints().filter(_ > instant).foreach(timeline.deleteCheckpoint)
     timeline.instants().filter(_ > instant).reverse.foreach(rollback)
+  }
+
+  /** Checkpoint the CURRENT snapshot's file listing into one metadata file
+    * and archive every commit at or before it out of the hot timeline
+    * (Hudi metadata-table files index + archived timeline). After this,
+    * every read replays O(commits since checkpoint) instead of the whole
+    * history — the maintenance service a years-lived streaming table needs.
+    * Returns the checkpointed instant. */
+  def checkpointTimeline(): String = {
+    val latest = timeline.latestInstant().getOrElse(
+      throw new IllegalStateException(s"nothing to checkpoint in ${cfg.path}"))
+    timeline.checkpoint(latest)
+    timeline.archive()
+    latest
   }
 
   /** Metadata-only bootstrap of an existing parquet file/directory into
@@ -1135,7 +1157,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * Hudi's CLI/metrics (DeltaStreamerExample.scala:57-58 hoodie.metrics). */
   def history(): DataFrame = {
     import spark.implicits._
-    timeline.instants()
+    (timeline.archivedInstants() ++ timeline.instants()).distinct.sorted
       .map { i =>
         val c = timeline.readCommit(i)
         (c.instant, c.op, c.adds.size.toLong, c.removes.size.toLong,

@@ -83,6 +83,9 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
         case n if n.endsWith(".commit.json") => n.stripSuffix(".commit.json")
         case n if n.endsWith(".inflight") => n.stripSuffix(".inflight")
         case n if n.endsWith(".rolledback") => n.stripSuffix(".rolledback")
+        // a checkpoint pins the high-water mark even after every commit at
+        // or before it has been archived — instant numbers are never reused
+        case n if n.endsWith(".checkpoint.json") => n.stripSuffix(".checkpoint.json")
       }
       .sortBy(_.toLong).toSeq
 
@@ -177,7 +180,9 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     commitCache.getOrElseUpdate(instant, readCommitUncached(instant))
 
   private def readCommitUncached(instant: String): Commit = {
-    val p = new Path(metaDir, s"$instant.commit.json")
+    val hot = new Path(metaDir, s"$instant.commit.json")
+    // archived commits still serve history/CDC/clean metadata
+    val p = if (fs.exists(hot)) hot else new Path(metaDir, s"archive/$instant.commit.json")
     val in = fs.open(p)
     val bytes =
       try org.apache.commons.io.IOUtils.toByteArray(in)
@@ -204,11 +209,31 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       adds.toSeq, removes.toSeq, meta.toMap)
   }
 
-  /** Live files visible in the snapshot AS OF `asOf` (inclusive). */
+  /** Live files visible in the snapshot AS OF `asOf` (inclusive).
+    *
+    * Replay starts from the newest checkpoint at or before the bound (when
+    * one exists), so the per-read metadata cost is O(1 checkpoint read +
+    * commits since checkpoint), not O(all commits) — the same reason Hudi
+    * keeps a files index in its metadata table. Without a checkpoint the
+    * full timeline is replayed (commit parses are cached per handle).
+    */
   def liveFiles(asOf: Option[String] = None): Seq[FileMeta] = {
-    val upTo = instants().filter(i => asOf.forall(i <= _))
+    val committed = instants()
+    val cps = checkpoints()
+    val bound = asOf.getOrElse {
+      val all = committed ++ cps
+      if (all.isEmpty) return Seq.empty
+      all.maxBy(_.toLong)
+    }
+    val cp = cps.filter(_ <= bound).lastOption
+    // any archived commit inside the replay range (cp, bound] would be
+    // silently skipped — refuse rather than return a wrong snapshot
+    if (archivedInstants().exists(i => i <= bound && cp.forall(i > _)))
+      throw new IllegalArgumentException(
+        s"snapshot AS OF $bound is not reconstructable — commits in its replay range are archived")
     val live = mutable.LinkedHashMap.empty[String, FileMeta]
-    upTo.foreach { i =>
+    cp.foreach(i => readCheckpoint(i).foreach(f => live.put(f.path, f)))
+    committed.filter(i => cp.forall(i > _) && i <= bound).foreach { i =>
       val c = readCommit(i)
       c.removes.foreach(live.remove)
       c.adds.foreach(f => live.put(f.path, f))
@@ -216,10 +241,111 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     live.values.toSeq
   }
 
+  // ----------------------------------------------------------- checkpoints
+
+  /** Write `_graft/<instant>.checkpoint.json`: the full live-file set AS OF
+    * `instant`, atomically (temp + rename). After a checkpoint, commits at
+    * or before it may be [[archive]]d out of the hot timeline. */
+  def checkpoint(instant: String): Unit = {
+    require(instants().contains(instant), s"cannot checkpoint unknown instant $instant")
+    val files = liveFiles(Some(instant))
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("instant", instant)
+    val arr: ArrayNode = root.putArray("files")
+    files.foreach { f =>
+      val n = arr.addObject()
+      n.put("path", f.path)
+      n.put("partition", f.partition)
+      n.put("bucket", f.bucket)
+      n.put("minKey", f.minKey)
+      n.put("maxKey", f.maxKey)
+      n.put("rows", f.rows)
+    }
+    val tmp = new Path(metaDir, s".tmp-cp-$instant-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    out.close()
+    if (!fs.rename(tmp, new Path(metaDir, s"$instant.checkpoint.json"))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"concurrent checkpoint at instant $instant")
+    }
+  }
+
+  def checkpoints(): Seq[String] =
+    if (!fs.exists(metaDir)) Seq.empty
+    else fs.listStatus(metaDir)
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json"))
+      .sortBy(_.toLong).toSeq
+
+  private val checkpointCache = mutable.HashMap.empty[String, Seq[FileMeta]]
+
+  private def readCheckpoint(instant: String): Seq[FileMeta] =
+    checkpointCache.getOrElseUpdate(instant, {
+      val p = new Path(metaDir, s"$instant.checkpoint.json")
+      val in = fs.open(p)
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      val root = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+      val files = mutable.ArrayBuffer.empty[FileMeta]
+      root.get("files").forEach { (n: JsonNode) =>
+        files += FileMeta(
+          n.get("path").asText(),
+          n.get("partition").asText(),
+          n.get("bucket").asInt(),
+          n.get("minKey").asText(),
+          n.get("maxKey").asText(),
+          n.get("rows").asLong())
+      }
+      files.toSeq
+    })
+
+  /** Move commits at or before the newest checkpoint into `_graft/archive/`
+    * (Hudi archived timeline): the hot directory stays O(recent commits) no
+    * matter how long the table lives. Archived instants still serve
+    * [[readCommit]] (history, CDC, clean) via the archive fallback, but
+    * snapshot reads strictly BEFORE the checkpoint are no longer possible —
+    * callers get a clear error instead of a wrong answer. Savepointed
+    * instants are never archived (restore needs their commits hot).
+    * Returns the number of commits archived. */
+  def archive(): Int = {
+    val cps = checkpoints()
+    val cp = cps.lastOption.getOrElse(return 0)
+    // a savepoint sp replays from the newest checkpoint <= sp plus the
+    // commits after it — those commits must stay hot (clean() and restore
+    // both replay savepointed snapshots)
+    val needed = savepoints().flatMap { sp =>
+      val cover = cps.filter(_ <= sp).lastOption
+      instants().filter(i => i <= sp && cover.forall(i > _))
+    }.toSet
+    val victims = instants().filter(i => i <= cp && !needed.contains(i))
+    val archDir = new Path(metaDir, "archive")
+    if (victims.nonEmpty) fs.mkdirs(archDir)
+    victims.count { i =>
+      fs.rename(new Path(metaDir, s"$i.commit.json"),
+        new Path(archDir, s"$i.commit.json"))
+    }
+  }
+
   /** Files removed by any commit at or before `asOf` — physical-delete
-    * candidates for `clean`. */
+    * candidates for `clean`. Consults archived commits too, so archiving
+    * before cleaning never strands replaced files on disk. */
   def removedFiles(asOf: String): Seq[String] =
-    instants().filter(_ <= asOf).flatMap(i => readCommit(i).removes)
+    (archivedInstants() ++ instants()).filter(_ <= asOf).distinct
+      .flatMap(i => readCommit(i).removes)
+
+  /** Instants whose commit files were moved to `_graft/archive/`. */
+  def archivedInstants(): Seq[String] = {
+    val archDir = new Path(metaDir, "archive")
+    if (!fs.exists(archDir)) Seq.empty
+    else fs.listStatus(archDir)
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".commit.json"))
+      .map(_.stripSuffix(".commit.json"))
+      .sortBy(_.toLong).toSeq
+  }
 
   // ------------------------------------------------------------ savepoints
 
@@ -241,6 +367,12 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
 
   def deleteSavepoint(instant: String): Unit = {
     fs.delete(new Path(metaDir, s"$instant.savepoint"), false)
+    ()
+  }
+
+  def deleteCheckpoint(instant: String): Unit = {
+    fs.delete(new Path(metaDir, s"$instant.checkpoint.json"), false)
+    checkpointCache.remove(instant)
     ()
   }
 }

@@ -527,4 +527,51 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dataDirs == tbl.timeline.instants().toSet) // no orphan instant dirs
     assert(tbl.read().count() == 100) // table state untouched
   }
+
+  test("timeline checkpoint + archive bound hot-timeline size, reads unchanged") {
+    val tbl = freshTable("timeline_cp")
+    tbl.insert(orders, numFiles = 4)
+    (1 to 5).foreach { m =>
+      tbl.upsert(orders.filter(col("o_orderkey") % 50 === m)
+        .withColumn("o_orderstatus", lit(s"S$m")))
+    }
+    val expect = tbl.read().orderBy("o_orderkey").collect()
+
+    val cp = tbl.checkpointTimeline()
+    // every commit at or before the checkpoint left the hot dir
+    assert(tbl.timeline.instants().isEmpty)
+    assert(tbl.timeline.archivedInstants().size == 6)
+    // a FRESH handle (cold caches) resolves the same snapshot from the
+    // checkpoint alone
+    val fresh = GraftTable(spark, tbl.cfg)
+    assert(fresh.read().orderBy("o_orderkey").collect().sameElements(expect))
+
+    // new commits replay on top of the checkpoint
+    val i7 = fresh.upsert(orders.filter(col("o_orderkey") % 50 === 7)
+      .withColumn("o_orderstatus", lit("S7")))
+    assert(fresh.timeline.instants() == Seq(i7))
+    assert(fresh.read().filter(col("o_orderstatus") === "S7").count() ==
+      orders.filter(col("o_orderkey") % 50 === 7).count())
+    // instant numbers are never reused after archive
+    assert(i7.toLong > cp.toLong)
+    // time travel into the archived replay range refuses (no wrong answers)
+    assertThrows[IllegalArgumentException](fresh.readAsOf(Timeline.pad(3)).count())
+    // history still sees the archived commits
+    assert(fresh.history().count() == 7)
+  }
+
+  test("archive keeps the commits a savepoint needs; clean honors it") {
+    val tbl = freshTable("cp_savepoint")
+    val i1 = tbl.insert(orders, numFiles = 4)
+    tbl.savepoint(i1)
+    tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U")))
+    tbl.checkpointTimeline()
+    // commits <= savepoint stay hot (no checkpoint covers the savepoint)
+    assert(tbl.timeline.instants().contains(i1))
+    // the savepointed snapshot is still reconstructable and clean-protected
+    assert(tbl.readAsOf(i1).count() == orders.count())
+    tbl.clean(Timeline.MaxInstant)
+    assert(tbl.readAsOf(i1).count() == orders.count())
+  }
 }
