@@ -67,7 +67,8 @@ final case class GraftTableConfig(
     keyGen: KeyGen = NoPartition,
     numBuckets: Int = 0,
     writeChangelog: Boolean = false,
-    tableType: String = TableType.Cow) {
+    tableType: String = TableType.Cow,
+    statsCols: Seq[String] = Nil) {
   require(tableType == TableType.Cow || tableType == TableType.Mor,
     s"unknown tableType $tableType")
   require(!(tableType == TableType.Mor && writeChangelog),
@@ -324,6 +325,28 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     else dropInternal(resolve(readFiles(files)))
   }
 
+  /** Live files that may contain rows with `column` in [lo, hi], pruned by
+    * the per-file column stats harvested at write time (data skipping — the
+    * Hudi col_stats index re-expressed as timeline metadata). Files written
+    * before `column` was a stats column, or with unsupported-type stats,
+    * are conservatively kept. */
+  def filesBetween(column: String, lo: Any, hi: Any): Seq[FileMeta] =
+    timeline.liveFiles(None).filter(f =>
+      f.colStats.get(column).forall(_.overlaps(lo, hi)))
+
+  /** Stats-pruned range read: scans only [[filesBetween]]'s files, then
+    * applies the residual BETWEEN filter. Pairs with [[clusterZOrder]] /
+    * [[cluster]]: once rows are co-located by the column, most files prune
+    * away entirely — the scan is O(matching files), not O(table). COW only:
+    * under MOR a value-pruned scan could miss a newer delta version of a
+    * row and resolve an older one. */
+  def readBetween(column: String, lo: Any, hi: Any): DataFrame = {
+    require(cfg.tableType == TableType.Cow, "readBetween requires a COW table")
+    val files = filesBetween(column, lo, hi)
+    if (files.isEmpty) read().filter(lit(false))
+    else dropInternal(readFiles(files)).filter(col(column).between(lo, hi))
+  }
+
   /** Which hash bucket a key routes to — the debugging helper the reference
     * ships as flink/helpers/FindBucketNumber.java. */
   def bucketFor(key: Any): Int = {
@@ -505,7 +528,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         case None => // empty part file (no row groups): drop it, not a data file
           fs.delete(p, false)
           None
-        case Some((mn, mx, rows)) =>
+        case Some((mn, mx, rows, cs)) =>
           // Path.toUri handles spaces etc. without a lossy string round-trip
           val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
           val segs = rel.split("/").filter(_.contains("="))
@@ -513,7 +536,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             .map(_.stripPrefix("_gp_")).mkString("/")
           val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
             .map(_.split("=")(1).toInt).getOrElse(0)
-          Some(FileMeta(rel, partition, bucket, mn, mx, rows))
+          Some(FileMeta(rel, partition, bucket, mn, mx, rows, cs))
       }
     }.toSeq
   }
@@ -536,10 +559,13 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
   }
 
-  /** (minKey, maxKey, rowCount) of one data file from its parquet footer —
-    * None for an empty file (no row groups); keys normalized to the
-    * padded-string form used for pruning. */
-  private def footerKeyStats(p: Path): Option[(String, String, Long)] = {
+  /** (minKey, maxKey, rowCount, colStats) of one data file from its parquet
+    * footer — None for an empty file (no row groups); keys normalized to the
+    * padded-string form used for pruning. `colStats` covers cfg.statsCols
+    * (data skipping): numeric columns as double bounds, strings lexically;
+    * unsupported types or all-null chunks record no stat (file is kept by
+    * every skip check). */
+  private def footerKeyStats(p: Path): Option[(String, String, Long, Map[String, ColStat])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(
@@ -549,10 +575,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       var rows = 0L
       var mn: String = null
       var mx: String = null
+      val wantStats = cfg.statsCols.toSet
+      // per stats col: (numeric, min, max) merged across row groups; a null
+      // marks a column poisoned by an unsupported type or statless chunk
+      val colAgg = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Any, Any)]
+      val poisoned = scala.collection.mutable.HashSet.empty[String]
       blocks.forEach { b =>
         rows += b.getRowCount
         b.getColumns.forEach { c =>
-          if (c.getPath.toDotString == cfg.keyField) {
+          val name = c.getPath.toDotString
+          if (name == cfg.keyField) {
             val st = c.getStatistics
             require(st != null && st.hasNonNullValue,
               s"no key statistics in footer of $p — unsupported key type?")
@@ -572,12 +604,39 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             if (mn == null || lo < mn) mn = lo
             if (mx == null || hi > mx) mx = hi
           }
+          if (wantStats(name) && !poisoned(name)) {
+            val st = c.getStatistics
+            val bounds: Option[(Boolean, Any, Any)] =
+              if (st == null || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (l: java.lang.Number, h: java.lang.Number) =>
+                  Some((true, l.doubleValue(), h.doubleValue()))
+                case (l: org.apache.parquet.io.api.Binary, h: org.apache.parquet.io.api.Binary) =>
+                  Some((false, l.toStringUsingUTF8, h.toStringUsingUTF8))
+                case _ => None
+              }
+            bounds match {
+              case None => poisoned += name; colAgg.remove(name)
+              case Some((isNum, lo, hi)) => colAgg.get(name) match {
+                case None => colAgg(name) = (isNum, lo, hi)
+                case Some((n0, l0, h0)) =>
+                  val lo2 = if (isNum) math.min(l0.asInstanceOf[Double], lo.asInstanceOf[Double])
+                    else Seq(l0.toString, lo.toString).min
+                  val hi2 = if (isNum) math.max(h0.asInstanceOf[Double], hi.asInstanceOf[Double])
+                    else Seq(h0.toString, hi.toString).max
+                  colAgg(name) = (n0, lo2, hi2)
+              }
+            }
+          }
         }
       }
       if (rows == 0) None
       else {
         require(mn != null, s"key column ${cfg.keyField} not found in footer of $p")
-        Some((mn, mx, rows))
+        val cs = colAgg.map { case (c, (isNum, lo, hi)) =>
+          c -> ColStat(isNum, lo.toString, hi.toString)
+        }.toMap
+        Some((mn, mx, rows, cs))
       }
     } finally reader.close()
   }
@@ -1095,8 +1154,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       }
       require(found.nonEmpty, s"no parquet files under $sourceDir")
       val adds = found.flatMap { p =>
-        footerKeyStats(p).map { case (mn, mx, rows) =>
-          FileMeta("ext:" + p.toUri.getPath, "", 0, mn, mx, rows)
+        footerKeyStats(p).map { case (mn, mx, rows, cs) =>
+          FileMeta("ext:" + p.toUri.getPath, "", 0, mn, mx, rows, cs)
         }
       }.toSeq
       // persist the user schema so streaming readers resolve without data

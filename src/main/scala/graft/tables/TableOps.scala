@@ -307,6 +307,21 @@ object TableOps extends QueryRegistry {
     tbl.read().orderBy("o_orderkey")
   }
 
+  // --- t_data_skipping: per-file column stats + clustering = stats-pruned
+  // range scan (Hudi col_stats data skipping). The value-clustered layout
+  // makes most files prune away before any read is scheduled.
+  def tDataSkipping(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_data_skipping", dir), "event_id", "event_id",
+      statsCols = Seq("value")))
+    tbl.dropIfExists()
+    tbl.insert(events, numFiles = 8)
+    tbl.cluster(Seq("value"), numFiles = 8)
+    tbl.readBetween("value", 50.0, 60.0).orderBy("event_id")
+  }
+
   // --- t_ctas: CREATE TABLE AS SELECT (quickstart.sql:92-99).
   def tCtas(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -403,6 +418,10 @@ object TableOps extends QueryRegistry {
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_data_skipping", tDataSkipping, Some(
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE value BETWEEN 50.0 AND 60.0
+        |ORDER BY event_id""".stripMargin)),
     QueryDef("t_ctas", tCtas, Some(
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -38,6 +38,8 @@ object TableProperties {
     root.put("numBuckets", cfg.numBuckets)
     root.put("writeChangelog", cfg.writeChangelog)
     root.put("tableType", cfg.tableType)
+    val sc = root.putArray("statsCols")
+    cfg.statsCols.foreach(sc.add)
     val out = fs.create(path(cfg.path), true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     out.close()
@@ -81,7 +83,12 @@ object TableProperties {
         keyGen = keyGenFromString(n.get("keyGen").asText()),
         numBuckets = n.get("numBuckets").asInt(),
         writeChangelog = n.get("writeChangelog").asBoolean(),
-        tableType = n.get("tableType").asText()))
+        tableType = n.get("tableType").asText(),
+        statsCols = Option(n.get("statsCols")).map { arr =>
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          arr.forEach(e => b += e.asText())
+          b.toSeq
+        }.getOrElse(Nil)))
     }
   }
 }

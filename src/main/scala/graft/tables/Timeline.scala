@@ -17,13 +17,31 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * bucket index; `partition` is the hive-style partition path fragment
   * (empty for unpartitioned tables).
   */
+/** Per-file min/max of one tracked non-key column (data skipping). Numeric
+  * stats compare as doubles; string stats compare lexically. */
+final case class ColStat(numeric: Boolean, min: String, max: String) {
+  def overlaps(lo: Any, hi: Any): Boolean =
+    if (numeric) {
+      val (l, h) = (ColStat.num(lo), ColStat.num(hi))
+      min.toDouble <= h && l <= max.toDouble
+    } else min <= hi.toString && lo.toString <= max
+}
+
+object ColStat {
+  private[tables] def num(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case other => other.toString.toDouble
+  }
+}
+
 final case class FileMeta(
     path: String, // relative to table root
     partition: String,
     bucket: Int,
     minKey: String,
     maxKey: String,
-    rows: Long)
+    rows: Long,
+    colStats: Map[String, ColStat] = Map.empty)
 
 /** One commit instant on the timeline. `meta` carries small app-level
   * key/values committed ATOMICALLY with the data (e.g. incremental-pipeline
@@ -48,6 +66,47 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
 
   private val metaDir = new Path(tableDir, "_graft")
   private val mapper = new ObjectMapper()
+
+  private def writeFileNode(arr: ArrayNode, f: FileMeta): Unit = {
+    val n = arr.addObject()
+    n.put("path", f.path)
+    n.put("partition", f.partition)
+    n.put("bucket", f.bucket)
+    n.put("minKey", f.minKey)
+    n.put("maxKey", f.maxKey)
+    n.put("rows", f.rows)
+    if (f.colStats.nonEmpty) {
+      val cs = n.putObject("colStats")
+      f.colStats.foreach { case (c, st) =>
+        val o = cs.putObject(c)
+        o.put("n", st.numeric)
+        o.put("mn", st.min)
+        o.put("mx", st.max)
+      }
+    }
+  }
+
+  private def readFileNode(n: JsonNode): FileMeta = {
+    val csNode = n.get("colStats")
+    val cs =
+      if (csNode == null) Map.empty[String, ColStat]
+      else {
+        val b = mutable.LinkedHashMap.empty[String, ColStat]
+        csNode.fields().forEachRemaining { e =>
+          b += e.getKey -> ColStat(e.getValue.get("n").asBoolean(),
+            e.getValue.get("mn").asText(), e.getValue.get("mx").asText())
+        }
+        b.toMap
+      }
+    FileMeta(
+      n.get("path").asText(),
+      n.get("partition").asText(),
+      n.get("bucket").asInt(),
+      n.get("minKey").asText(),
+      n.get("maxKey").asText(),
+      n.get("rows").asLong(),
+      cs)
+  }
 
   def init(): Unit = fs.mkdirs(metaDir)
 
@@ -135,15 +194,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     root.put("instant", c.instant)
     root.put("op", c.op)
     val adds: ArrayNode = root.putArray("adds")
-    c.adds.foreach { f =>
-      val n = adds.addObject()
-      n.put("path", f.path)
-      n.put("partition", f.partition)
-      n.put("bucket", f.bucket)
-      n.put("minKey", f.minKey)
-      n.put("maxKey", f.maxKey)
-      n.put("rows", f.rows)
-    }
+    c.adds.foreach(writeFileNode(adds, _))
     val removes: ArrayNode = root.putArray("removes")
     c.removes.foreach(removes.add)
     val metaNode = root.putObject("meta")
@@ -189,15 +240,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       finally in.close()
     val root = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
     val adds = mutable.ArrayBuffer.empty[FileMeta]
-    root.get("adds").forEach { (n: JsonNode) =>
-      adds += FileMeta(
-        n.get("path").asText(),
-        n.get("partition").asText(),
-        n.get("bucket").asInt(),
-        n.get("minKey").asText(),
-        n.get("maxKey").asText(),
-        n.get("rows").asLong())
-    }
+    root.get("adds").forEach((n: JsonNode) => adds += readFileNode(n))
     val removes = mutable.ArrayBuffer.empty[String]
     root.get("removes").forEach((n: JsonNode) => removes += n.asText())
     val meta = mutable.LinkedHashMap.empty[String, String]
@@ -252,15 +295,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("instant", instant)
     val arr: ArrayNode = root.putArray("files")
-    files.foreach { f =>
-      val n = arr.addObject()
-      n.put("path", f.path)
-      n.put("partition", f.partition)
-      n.put("bucket", f.bucket)
-      n.put("minKey", f.minKey)
-      n.put("maxKey", f.maxKey)
-      n.put("rows", f.rows)
-    }
+    files.foreach(writeFileNode(arr, _))
     val tmp = new Path(metaDir, s".tmp-cp-$instant-${System.nanoTime()}")
     val out = fs.create(tmp, true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
@@ -290,15 +325,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
         finally in.close()
       val root = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
       val files = mutable.ArrayBuffer.empty[FileMeta]
-      root.get("files").forEach { (n: JsonNode) =>
-        files += FileMeta(
-          n.get("path").asText(),
-          n.get("partition").asText(),
-          n.get("bucket").asInt(),
-          n.get("minKey").asText(),
-          n.get("maxKey").asText(),
-          n.get("rows").asLong())
-      }
+      root.get("files").forEach((n: JsonNode) => files += readFileNode(n))
       files.toSeq
     })
 

@@ -560,6 +560,32 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fresh.history().count() == 7)
   }
 
+  test("column stats skip files on a clustered range read") {
+    val events = GraftSession.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/col_stats", "event_id", "event_id",
+      statsCols = Seq("value", "event_type")))
+    tbl.dropIfExists()
+    tbl.insert(events, numFiles = 8)
+    tbl.cluster(Seq("value"), numFiles = 8)
+
+    val all = tbl.timeline.liveFiles(None)
+    assert(all.forall(_.colStats.contains("value"))) // harvested on rewrite too
+    val pruned = tbl.filesBetween("value", 50.0, 60.0)
+    assert(pruned.size < all.size, s"expected pruning: ${pruned.size} of ${all.size}")
+    // string stats work the same way
+    assert(tbl.filesBetween("event_type", "zzz1", "zzz2").isEmpty)
+
+    // pruned read == unpruned filter
+    val got = tbl.readBetween("value", 50.0, 60.0).orderBy("event_id").collect()
+    val want = tbl.read().filter(col("value").between(50.0, 60.0))
+      .orderBy("event_id").collect()
+    assert(got.sameElements(want))
+    // a column with no stats never prunes
+    assert(tbl.filesBetween("user_id", 0, 1).size == all.size)
+  }
+
   test("archive keeps the commits a savepoint needs; clean honors it") {
     val tbl = freshTable("cp_savepoint")
     val i1 = tbl.insert(orders, numFiles = 4)
