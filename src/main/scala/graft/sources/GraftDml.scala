@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** SQL UPDATE / MERGE INTO support for graft catalog tables.
   *
@@ -76,11 +76,13 @@ final case class GraftUpdateCommand(
 }
 
 /** MERGE INTO <graft table> t USING <source> s ON <cond>
-  * WHEN MATCHED [AND c] THEN UPDATE SET * | SET assignments
+  * WHEN MATCHED [AND c] THEN UPDATE SET * | SET assignments | DELETE
   * WHEN NOT MATCHED [AND c] THEN INSERT * | INSERT (cols) VALUES (...)
-  * → one upsert of (updated ∪ inserted) rows; unmatched target rows are
-  * untouched by keyed-upsert semantics. A matched row failing the action
-  * condition keeps its old version (it is simply absent from the batch). */
+  * → an upsert of (updated ∪ inserted) rows plus a keyed delete of the
+  * DELETE-claimed rows; unmatched target rows are untouched by keyed-upsert
+  * semantics. Multiple WHEN MATCHED clauses apply first-match-wins per row
+  * (SQL semantics). A matched row claimed by no clause keeps its old
+  * version (it is simply absent from the batch). */
 final case class GraftMergeCommand(
     path: String,
     target: Raw[LogicalPlan],
@@ -104,19 +106,35 @@ final case class GraftMergeCommand(
       }: _*)
     }
 
-    val updated = matchedActions.value match {
-      case Nil => None
-      case Seq(UpdateStarAction(actionCond)) =>
-        val joined = actionCond.map(e => t.join(s, cond).filter(GraftDml.column(e)))
-          .getOrElse(t.join(s, cond))
-        Some(joined.select(cols.map(c => s(s"`$c`").as(c)): _*))
-      case Seq(UpdateAction(actionCond, assigns, _)) =>
-        val joined = actionCond.map(e => t.join(s, cond).filter(GraftDml.column(e)))
-          .getOrElse(t.join(s, cond))
-        Some(assignSelect(joined, assigns, c => t(s"`$c`").as(c)))
-      case other => throw new UnsupportedOperationException(
-        s"unsupported WHEN MATCHED actions: ${other.mkString("; ")} " +
-          "(supported: a single UPDATE SET * or UPDATE SET assignments)")
+    // WHEN MATCHED clauses apply first-match-wins per row (SQL semantics):
+    // each action sees only matched rows no earlier clause claimed.
+    val joined = t.join(s, cond)
+    val keyField = TableProperties.load(spark, path).get.keyField
+    var remaining: Column = lit(true)
+    var updated: Option[DataFrame] = None
+    var deleteKeys: Option[DataFrame] = None
+    matchedActions.value.foreach { action =>
+      val (actionCond, apply) = action match {
+        case UpdateStarAction(c) =>
+          (c, Some((df: DataFrame) => df.select(cols.map(c0 => s(s"`$c0`").as(c0)): _*)))
+        case UpdateAction(c, assigns, _) =>
+          (c, Some((df: DataFrame) => assignSelect(df, assigns, c0 => t(s"`$c0`").as(c0))))
+        case DeleteAction(c) => (c, None)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN MATCHED action: $other " +
+            "(supported: UPDATE SET * / UPDATE SET assignments / DELETE)")
+      }
+      val condCol = actionCond.map(GraftDml.column).getOrElse(lit(true))
+      val rows = joined.filter(remaining && coalesce(condCol, lit(false)))
+      apply match {
+        case Some(f) =>
+          val u = f(rows)
+          updated = Some(updated.map(_.unionByName(u)).getOrElse(u))
+        case None =>
+          val k = rows.select(t(s"`$keyField`").as(keyField))
+          deleteKeys = Some(deleteKeys.map(_.unionByName(k)).getOrElse(k))
+      }
+      remaining = remaining && !coalesce(condCol, lit(false))
     }
 
     val inserted = notMatchedActions.value match {
@@ -136,14 +154,22 @@ final case class GraftMergeCommand(
           "(supported: a single INSERT * or INSERT (cols) VALUES (...))")
     }
 
-    val batch = (updated, inserted) match {
-      case (Some(u), Some(i)) => u.unionByName(i)
-      case (Some(u), None) => u
-      case (None, Some(i)) => i
-      case (None, None) => throw new UnsupportedOperationException(
+    if (updated.isEmpty && inserted.isEmpty && deleteKeys.isEmpty)
+      throw new UnsupportedOperationException(
         "MERGE needs at least one WHEN MATCHED or WHEN NOT MATCHED action")
+    val tbl = GraftTable(spark, TableProperties.load(spark, path).get)
+    // Every action set must be evaluated against the PRE-merge snapshot:
+    // committing the delete first would re-classify the deleted keys as
+    // "not matched" when the lazily-evaluated insert branch re-reads the
+    // table. So: pin the delete keys eagerly, run the upsert (its batch
+    // still evaluates against the unmutated table), then delete.
+    val pinnedDeletes = deleteKeys.map(_.localCheckpoint(true))
+    val batch = (updated, inserted) match {
+      case (Some(u), Some(i)) => Some(u.unionByName(i))
+      case (u, i) => u.orElse(i)
     }
-    GraftTable(spark, TableProperties.load(spark, path).get).upsert(batch)
+    batch.foreach(b => tbl.upsert(b))
+    pinnedDeletes.foreach(k => tbl.deleteByKeys(k))
     Seq.empty
   }
 }

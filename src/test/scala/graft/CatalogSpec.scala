@@ -67,6 +67,31 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT fare FROM graft.trips WHERE uuid = 't-9'").head().getDouble(0) == 50.0)
   }
 
+  test("MERGE INTO with WHEN MATCHED DELETE: first-match-wins across clauses") {
+    sql("""CREATE TABLE graft.md_trips (
+          |  uuid STRING, fare DOUBLE, city STRING
+          |) USING graft
+          |TBLPROPERTIES (primaryKey = 'uuid', preCombineField = 'fare')""".stripMargin)
+    sql("""INSERT INTO graft.md_trips VALUES
+          |  ('m-1', 10.0, 'sf'), ('m-2', 20.0, 'sp'), ('m-3', 30.0, 'ch')""".stripMargin)
+    spark.createDataFrame(Seq(
+      ("m-1", 0.0, "sf"),    // matched, refund<=15 → deleted
+      ("m-2", 25.0, "sp"),   // matched, fare>15 → updated
+      ("m-9", 99.0, "ny")))  // unmatched → inserted
+      .toDF("uuid", "fare", "city")
+      .createOrReplaceTempView("md_source")
+    sql("""MERGE INTO graft.md_trips AS t
+          |USING md_source AS s
+          |ON t.uuid = s.uuid
+          |WHEN MATCHED AND t.fare <= 15 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = sql("SELECT uuid, fare FROM graft.md_trips ORDER BY uuid").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("m-2", "m-3", "m-9"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(25.0, 30.0, 99.0))
+    sql("DROP TABLE graft.md_trips")
+  }
+
   test("DELETE by predicate via SupportsDelete (quickstart.sql:71-74)") {
     sql("DELETE FROM graft.trips WHERE uuid = 't-9'")
     assert(sql("SELECT * FROM graft.trips").count() == 4)
