@@ -71,7 +71,27 @@ object StreamingOps extends QueryRegistry {
        |  epoch_ms(max(ts)) AS end_ms, COUNT(*) AS n_events
        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Exactly-once dedup of an at-least-once stream: `dropDuplicates` on the
+    * event id — usable verbatim under `readStream` with a watermark bounding
+    * the dedup state (StreamingSpec runs it that way over a doubled
+    * stream). */
+  def dedupExact(ev: DataFrame): DataFrame =
+    ev.dropDuplicates("event_id")
+
+  // --- st_dedup: batch twin over an at-least-once (doubled) delivery of
+  // the events stream; dedup restores exactly-once. Duplicates are exact
+  // copies, so dropDuplicates' arbitrary-row choice is deterministic.
+  def stDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+    dedupExact(ev.unionAll(ev)).orderBy("event_id")
+  }
+
+  private val stDedupSql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
-    QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)))
+    QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
+    QueryDef("st_dedup", stDedup, Some(stDedupSql)))
 }

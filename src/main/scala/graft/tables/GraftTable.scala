@@ -476,15 +476,24 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // inference, so data files must be self-contained)
     cfg.keyGen.partitionCols.foreach(c => out = out.withColumn(s"_gp_$c", col(c)))
     if (cfg.numBuckets > 0) out = out.withColumn(GraftMeta.Bucket, bucketOf(keyCol))
+    val partCols = cfg.keyGen.partitionCols.map(c => s"_gp_$c") ++
+      (if (cfg.numBuckets > 0) Seq(GraftMeta.Bucket) else Nil)
     if (numFiles > 0) {
       out =
         if (sortCols.nonEmpty)
           out.repartitionByRange(numFiles, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.map(col): _*)
+        else if (partCols.nonEmpty)
+          // co-locate each hive partition in one task: a random repartition
+          // would have EVERY task write EVERY partition — numFiles × #parts
+          // small files and as many concurrent parquet writers per task
+          // (the small-file blowup the reference's glue bench measures).
+          // The sort gives each task one open writer at a time. Skewed
+          // partitions stay one-file; `compact` re-splits them if needed.
+          out.repartition(numFiles, partCols.map(col): _*)
+            .sortWithinPartitions(partCols.map(col): _*)
         else out.repartition(numFiles)
     }
-    val partCols = cfg.keyGen.partitionCols.map(c => s"_gp_$c") ++
-      (if (cfg.numBuckets > 0) Seq(GraftMeta.Bucket) else Nil)
     // persist the user-visible schema BEFORE the data write: even a crashed
     // first write leaves readStream a schema to resolve against
     val userSchema = org.apache.spark.sql.types.StructType(out.schema.filterNot(f =>

@@ -90,4 +90,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       s"closed sessions mismatch: got ${got.count()}, want ${want.count()}")
   }
+
+  test("streaming dedup with watermark restores exactly-once from doubled delivery") {
+    val dir = stage("dedup")
+    // at-least-once delivery: two sources over the same chunks, unioned
+    val doubled = readStreamOf(dir).unionAll(readStreamOf(dir))
+    val stream = StreamingOps.dedupExact(
+      doubled.withWatermark("ts", "2 hours")
+        .select("event_id", "user_id", "event_type", "value", "ts"))
+    val q = stream.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dedup_out").select("event_id", "user_id", "event_type", "value")
+    val want = GraftSession.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"dedup mismatch: got ${got.count()}, want ${want.count()}")
+  }
 }
