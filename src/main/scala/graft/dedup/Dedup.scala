@@ -296,11 +296,75 @@ object Dedup extends QueryRegistry {
       |    / (a.nrm * b.nrm), 6) >= 0.45
       |ORDER BY 1, 2""".stripMargin
 
+  // --- d_embed_lsh: random-hyperplane LSH near-dup detection — the
+  // SUB-QUADRATIC scale path for embedding dedup (SURVEY §5). Corpus =
+  // embeddings ∪ planted near-dup copies (deterministic perturbation,
+  // mirrored in the oracle). 64 signature bits from pseudo-random
+  // hyperplanes (hash-derived, no RNG state), banded 16×4 → bucket
+  // equi-join for candidates → exact cosine verify ≥ 0.95. At cos ≥ 0.95 a
+  // pair flips ≲5% of sign bits, so 16 bands give ~1-recall while random
+  // pairs collide in a band with p = 2^-4 — the join stays near-linear.
+  // Oracle: the exact quadratic pair scan in DuckDB (identical double
+  // math), which the LSH path must reproduce exactly.
+  def dEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(emb, (x, j) -> x + 0.01D * ((j % 7) - 3))").as("emb"))
+    val corpus = base.unionAll(planted)
+      .withColumn("nrm", norm2(col("emb"))).cache()
+
+    def hyperDot(b: Int): String =
+      s"aggregate(zip_with(emb, sequence(0, size(emb)-1), " +
+        s"(x, j) -> x * ((xxhash64($b, j) % 1000003) / 1000003.0D)), 0D, (a, v) -> a + v)"
+    val sigExpr = (0 until 64)
+      .map(b => s"IF(${hyperDot(b)} > 0, ${1L << b}L, 0L)")
+      .reduce((a, c) => s"($a | $c)")
+    val sigs = corpus.select(col("vec_id"), expr(sigExpr).as("sig"))
+    val bands = sigs.select(col("vec_id"),
+      explode(array((0 until 16).map(c =>
+        struct(lit(c).as("ci"), shiftright(col("sig"), c * 4).bitwiseAND(15L).as("cv"))): _*)).as("bd"))
+      .select(col("vec_id"), col("bd.ci"), col("bd.cv"))
+    val cand = bands.toDF("da", "ci", "cv")
+      .join(bands.toDF("db", "ci", "cv"), Seq("ci", "cv"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+
+    val a = corpus.select(col("vec_id").as("da"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = corpus.select(col("vec_id").as("db"), col("emb").as("eb"), col("nrm").as("nb"))
+    cand.join(a, "da").join(b, "db")
+      .withColumn("cos_r", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_r") >= 0.95)
+      .select(col("da").as("vec_a"), col("db").as("vec_b"), col("cos_r"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val dEmbedLshSql =
+    """WITH base AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |planted AS (SELECT vec_id + 100000 AS vec_id,
+      |    list_transform(range(1, len(emb) + 1),
+      |      i -> emb[i] + 0.01 * (((i - 1) % 7) - 3)) AS emb
+      |  FROM base WHERE vec_id % 10 = 0),
+      |corpus AS (SELECT vec_id, emb,
+      |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM planted))
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_sum(list_transform(range(1, len(a.emb) + 1),
+      |      i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS cos_r
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(range(1, len(a.emb) + 1),
+      |      i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) >= 0.95
+      |ORDER BY 1, 2""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_dup_groups", dDupGroups, Some(dDupGroupsSql)),
     QueryDef("d_minhash_lsh", dMinhashLsh, None),
     QueryDef("d_simhash", dSimhash, None),
-    QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)))
+    QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)),
+    QueryDef("d_embed_lsh", dEmbedLsh, Some(dEmbedLshSql)))
 }

@@ -37,6 +37,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.subsetOf(exact))
   }
 
+  test("embedding LSH finds every planted near-dup with a sub-quadratic candidate set") {
+    val out = Dedup.dEmbedLsh(spark, sfSmall).collect()
+    val nPlanted = GraftSession.table(spark, sfSmall, "embeddings")
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(out.length == nPlanted, s"expected $nPlanted planted pairs, got ${out.length}")
+    assert(out.forall(_.getDouble(2) >= 0.95))
+    // every pair is (original, its planted copy)
+    assert(out.forall(r => r.getLong(1) == r.getLong(0) + 100000L))
+  }
+
   test("simhash finds exact-dup documents at hamming distance 0") {
     val dups = Dedup.dExact(spark, sfDup).filter(col("n_copies") > 1)
     assert(dups.count() > 0)
