@@ -307,36 +307,84 @@ object Dedup extends QueryRegistry {
   // Oracle: the exact quadratic pair scan in DuckDB (identical double
   // math), which the LSH path must reproduce exactly.
   def dEmbedLsh(s: SparkSession, dir: String): DataFrame = {
-    val base = embs(s, dir).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val planted = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 100000L).as("vec_id"),
-        expr("transform(emb, (x, j) -> x + 0.01D * ((j % 7) - 3))").as("emb"))
-    val corpus = base.unionAll(planted)
-      .withColumn("nrm", norm2(col("emb"))).cache()
+    import s.implicits._
+    // corpus = originals ∪ planted near-dups, in double precision; the
+    // perturbation is mirrored exactly in the oracle SQL
+    val corpus = embs(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val d = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+        if (id % 10 != 0) Seq((id, d))
+        else {
+          val p = new Array[Double](v.length)
+          var j = 0
+          while (j < v.length) { p(j) = d(j) + 0.01 * ((j % 7) - 3); j += 1 }
+          Seq((id, d), (id + 100000L, p))
+        }
+      }.toDF("vec_id", "emb").as[(Long, Array[Double])].cache()
 
-    def hyperDot(b: Int): String =
-      s"aggregate(zip_with(emb, sequence(0, size(emb)-1), " +
-        s"(x, j) -> x * ((xxhash64($b, j) % 1000003) / 1000003.0D)), 0D, (a, v) -> a + v)"
-    val sigExpr = (0 until 64)
-      .map(b => s"IF(${hyperDot(b)} > 0, ${1L << b}L, 0L)")
-      .reduce((a, c) => s"($a | $c)")
-    val sigs = corpus.select(col("vec_id"), expr(sigExpr).as("sig"))
+    // 64 pseudo-random hyperplanes from a splitmix64 stream — deterministic,
+    // no RNG state, broadcast once (the hyperplanes are NOT part of the
+    // oracle contract; only the verified pairs are)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val dim = 64
+    val hyper = Array.tabulate(dim, dim)((b, j) => (mix(b.toLong * dim + j) % 1000003L).toDouble / 1000003.0)
+    val hyperBc = s.sparkContext.broadcast(hyper)
+
+    // signature: one tight 64x64 dot loop per row (a whole-corpus pass —
+    // no joins, no per-element interpreted lambdas)
+    val sigs = corpus.map { case (id, emb) =>
+      val h = hyperBc.value
+      var sig = 0L
+      var b = 0
+      while (b < dim) {
+        val hb = h(b)
+        var dotV = 0.0
+        var j = 0
+        val n = math.min(emb.length, dim)
+        while (j < n) { dotV += emb(j) * hb(j); j += 1 }
+        if (dotV > 0) sig |= (1L << b)
+        b += 1
+      }
+      (id, sig)
+    }.toDF("vec_id", "sig")
+
+    // 8 bands x 8 bits: at cos>=0.95 (~10% flipped bits) recall is ~0.99
+    // per band-set and ~1 - 8e-10 for true near-dups, while random pairs
+    // collide in a band with p = 2^-8 — the candidate join stays sparse
     val bands = sigs.select(col("vec_id"),
-      explode(array((0 until 16).map(c =>
-        struct(lit(c).as("ci"), shiftright(col("sig"), c * 4).bitwiseAND(15L).as("cv"))): _*)).as("bd"))
+      explode(array((0 until 8).map(c =>
+        struct(lit(c).as("ci"), shiftright(col("sig"), c * 8).bitwiseAND(255L).as("cv"))): _*)).as("bd"))
       .select(col("vec_id"), col("bd.ci"), col("bd.cv"))
     val cand = bands.toDF("da", "ci", "cv")
       .join(bands.toDF("db", "ci", "cv"), Seq("ci", "cv"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
 
-    val a = corpus.select(col("vec_id").as("da"), col("emb").as("ea"), col("nrm").as("na"))
-    val b = corpus.select(col("vec_id").as("db"), col("emb").as("eb"), col("nrm").as("nb"))
-    cand.join(a, "da").join(b, "db")
-      .withColumn("cos_r", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
-      .filter(col("cos_r") >= 0.95)
-      .select(col("da").as("vec_a"), col("db").as("vec_b"), col("cos_r"))
+    // verify candidates against the broadcast corpus with the same
+    // index-ordered double fold as the oracle (bit-identical cosines)
+    val byId = s.sparkContext.broadcast(corpus.collect().toMap)
+    val threshold = 0.95
+    cand.as[(Long, Long)].flatMap { case (ida, idb) =>
+      val va = byId.value(ida)
+      val vb = byId.value(idb)
+      var dotV = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < va.length) {
+        dotV += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1
+      }
+      val cos = round6(dotV / (math.sqrt(na) * math.sqrt(nb)))
+      if (cos >= threshold) Some((ida, idb, cos)) else None
+    }.toDF("vec_a", "vec_b", "cos_r")
       .orderBy("vec_a", "vec_b")
   }
 

@@ -442,15 +442,22 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   // ---------------------------------------------------------------- writes
 
   /** In-batch dedup: keep the record with the highest precombine value per
-    * key (ties broken deterministically by the full row hash) — the
-    * reference's `hoodie.datasource.write.precombine.field` contract. */
+    * key (ties broken deterministically by the full row hash — highest
+    * precombine, then lowest hash) — the reference's
+    * `hoodie.datasource.write.precombine.field` contract. A max_by hash
+    * aggregate, not a row_number window: partial aggregation combines
+    * map-side, so a mostly-unique batch costs one shuffle of already-reduced
+    * groups instead of a full sort. */
   private def precombine(batch: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy(cfg.keyField)
-      .orderBy(col(cfg.precombineField).desc, xxhash64(struct(batch.columns.map(col): _*)))
-    batch.withColumn("_graft_pc_rn", row_number().over(w))
-      .filter(col("_graft_pc_rn") === 1)
-      .drop("_graft_pc_rn")
+    val row = struct(batch.columns.map(col): _*)
+    // lexicographic max of (precombine, ~hash) == highest precombine with
+    // ties to the LOWEST hash (bitwise NOT reverses order without the
+    // overflow of negation)
+    val ord = struct(col(cfg.precombineField),
+      bitwise_not(xxhash64(batch.columns.map(col): _*)))
+    batch.groupBy(cfg.keyField)
+      .agg(max_by(row, ord).as("_graft_pc_row"))
+      .select(col("_graft_pc_row.*"))
   }
 
   private def relPath(absFileName: String): String = {
@@ -1218,6 +1225,18 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       !rel.startsWith("ext:") && !protectedFiles.contains(rel) &&
         fs.delete(new Path(s"${cfg.path}/$rel"), false)
     }
+  }
+
+  /** KEEP_LATEST_COMMITS cleaner policy (Hudi's default): keep every file
+    * any of the latest `retain` commits' snapshots still needs; files
+    * replaced at or before the oldest retained commit are physically
+    * deleted (savepointed snapshots stay protected via [[clean]]).
+    * Returns the number of files deleted. */
+  def cleanRetainCommits(retain: Int): Int = {
+    require(retain >= 1, "must retain at least the latest commit")
+    val all = (timeline.archivedInstants() ++ timeline.instants()).distinct.sorted
+    if (all.size <= retain) 0
+    else clean(all(all.size - retain))
   }
 
   /** Timeline history as a DataFrame: one row per commit with op and

@@ -528,6 +528,24 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == 100) // table state untouched
   }
 
+  test("cleanRetainCommits keeps the last N snapshots readable, drops older files") {
+    val tbl = freshTable("clean_retain")
+    tbl.insert(orders, numFiles = 2)
+    (1 to 3).foreach { m =>
+      tbl.upsert(orders.filter(col("o_orderkey") % 20 === m)
+        .withColumn("o_orderstatus", lit(s"R$m")))
+    }
+    val instants = tbl.timeline.instants()
+    assert(tbl.cleanRetainCommits(10) == 0) // nothing old enough
+    val removed = tbl.cleanRetainCommits(2)
+    assert(removed > 0)
+    // the latest 2 snapshots still read fully
+    assert(tbl.readAsOf(instants(2)).count() == orders.count())
+    assert(tbl.read().count() == orders.count())
+    // the first snapshot lost its replaced files
+    assertThrows[Exception](tbl.readAsOf(instants.head).count())
+  }
+
   test("timeline checkpoint + archive bound hot-timeline size, reads unchanged") {
     val tbl = freshTable("timeline_cp")
     tbl.insert(orders, numFiles = 4)
