@@ -237,6 +237,31 @@ object Queries extends QueryRegistry {
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""".stripMargin
 
+  // --- q_pivot: PIVOT — order counts and revenue spread across status
+  // columns per priority. Spark's pivot with explicit values plans a single
+  // partial-aggregable hash agg (no per-status scans); the oracle states the
+  // same thing as conditional aggregation.
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      // a pivot cell with no rows is null; the oracle's FILTER count is 0
+      .select(col("o_orderpriority") +:
+        Seq("F", "O", "P").flatMap(v => Seq(
+          coalesce(col(s"${v}_n"), lit(0L)).as(s"${v}_n"), col(s"${v}_total"))): _*)
+      .orderBy("o_orderpriority")
+
+  private val qPivotSql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS F_n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS F_total,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS O_n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS O_total,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS P_n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --- q_skew_join: fact-fact shuffle join; AQE splits skewed partitions at scale.
   def qSkewJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -329,6 +354,7 @@ object Queries extends QueryRegistry {
     QueryDef("q_batch_parity", qBatchParity, Some(qBatchParitySql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
