@@ -17,14 +17,27 @@ object StreamIngest {
   /** Upsert each micro-batch into the table. Exactly-once effect comes from
     * the combination of checkpointed source offsets + idempotent re-upsert
     * (re-running a batch upserts the same record keys to the same values).
-    */
-  def toGraftTable(stream: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+    *
+    * `compactTargetRows` > 0 enables inline compaction between micro-batches
+    * via the NUM_OR_TIME trigger (the reference's DeltaStreamer async
+    * compaction, DeltaStreamerExample.scala:49-56): every `compactEvery`
+    * delta commits the small files the stream produced are bin-packed —
+    * ingest latency stays flat instead of degrading as files accumulate. */
+  def toGraftTable(stream: DataFrame, table: GraftTable, checkpoint: String,
+      compactTargetRows: Long = 0L, compactEvery: Int = 5): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { table.upsert(batch); () }
+        if (!batch.isEmpty) {
+          table.upsert(batch)
+          if (compactTargetRows > 0) {
+            graft.tables.TableServices.maybeCompact(
+              table, compactTargetRows, deltaCommits = compactEvery)
+          }
+          ()
+        }
       }
       .start()
 

@@ -93,4 +93,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("Join"), s)
     assert(countShuffles(df) == 1)
   }
+
+  test("q_pivot: two-phase agg, no per-status scans or joins") {
+    val df = Queries.qPivot(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("Join"), s)
+    // Spark pivots as agg-to-(group,status)-cells then pivot-agg: the first
+    // shuffle moves already-reduced cells, the second only |groups| rows —
+    // never a per-status scan of the input
+    assert(countShuffles(df) <= 2)
+    assert(s.contains("partial_"), s)
+  }
+
+  test("d_embed_lsh: banded candidate join, never a cartesian product") {
+    val s = planString(graft.dedup.Dedup.dEmbedLsh(spark, sfDir))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("st_dedup: dedup is a partial-aggregable hash agg (map-side combine)") {
+    val df = graft.streaming.StreamingOps.stDedup(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("Join"), s)
+    assert(countShuffles(df) <= 1, s)
+  }
 }

@@ -91,6 +91,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"closed sessions mismatch: got ${got.count()}, want ${want.count()}")
   }
 
+  test("streaming ingest with inline compaction keeps the file count bounded") {
+    val dir = stage("ingest_compact")
+    val tbl = GraftTable(spark, GraftTableConfig(
+      s"/tmp/graft_spec/stream_ingest_compact", "event_id", "event_id"))
+    tbl.dropIfExists()
+    val cp = Files.createTempDirectory("graft_cp_c").toString
+    // rate-limited ingest (one file per micro-batch) so the stream produces
+    // a run of delta commits for the trigger to observe
+    val schema = spark.read.parquet(dir).schema
+    val throttled = spark.readStream.schema(schema)
+      .option("basePath", dir).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/chunk=*")
+    val q = StreamIngest.toGraftTable(throttled.drop("chunk"), tbl, cp,
+      compactTargetRows = 10000000L, compactEvery = 2)
+    q.awaitTermination()
+    val want = GraftSession.table(spark, sfDir, "events")
+    assert(tbl.read().count() == want.count())
+    // a compact commit fired and bin-packed the stream's delta files
+    val ops = tbl.history().select("op").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("compact"), s"expected a compact commit in $ops")
+    assert(tbl.timeline.liveFiles(None).size <= 2,
+      s"live files not bin-packed: ${tbl.timeline.liveFiles(None).size}")
+  }
+
   test("streaming dedup with watermark restores exactly-once from doubled delivery") {
     val dir = stage("dedup")
     // at-least-once delivery: two sources over the same chunks, unioned
