@@ -168,7 +168,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   private def dataPath(rel: String): String =
     if (rel.startsWith("ext:")) rel.stripPrefix("ext:") else s"${cfg.path}/$rel"
 
-  /** MOR read-path resolution: latest version per key wins (commit time,
+  /** MOR row-level resolution: latest version per key wins (commit time,
     * then precombine), tombstones filtered. COW snapshots are already
     * resolved physically, so this is the identity there. */
   private def resolve(df: DataFrame): DataFrame =
@@ -181,9 +181,40 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         .drop("_graft_rn")
     }
 
+  /** Live file paths added by `delta` commits (MOR un-merged updates and
+    * tombstones) as of the bound — consulted so snapshot resolution windows
+    * only the contested keys. Archived commits still answer (readCommit
+    * falls back to `_graft/archive/`). */
+  private def deltaPaths(asOf: Option[String]): Set[String] =
+    (timeline.archivedInstants() ++ timeline.instants()).distinct.sorted
+      .filter(i => asOf.forall(i <= _))
+      .flatMap { i =>
+        val c = timeline.readCommit(i)
+        if (c.op == "delta") c.adds.map(_.path) else Nil
+      }.toSet
+
+  /** Snapshot read with MOR resolution scoped to contested keys: base rows
+    * whose key has NO delta stream through with no shuffle (an anti-join
+    * that AQE broadcasts when the delta key set is small — the common case
+    * between compactions); only delta rows plus the base rows they contest
+    * enter the per-key resolution window. A full-snapshot window would
+    * shuffle the whole table on every MOR read. */
   private def snapshotWithMeta(asOf: Option[String]): DataFrame = {
     val files = timeline.liveFiles(asOf)
-    resolve(readFiles(files))
+    if (cfg.tableType == TableType.Cow) return readFiles(files)
+    val dp = deltaPaths(asOf)
+    val (delta, base) = files.partition(f => dp.contains(f.path))
+    if (delta.isEmpty || base.isEmpty) return resolve(readFiles(files))
+    val deltas = readFiles(delta)
+    val baseDf = readFiles(base)
+    val deltaKeys = deltas.select(keyCol).distinct()
+    val untouched = baseDf.join(deltaKeys, Seq(cfg.keyField), "leftanti")
+      // physically-resolved base rows can still carry tombstones from a
+      // pre-compaction delete that compact() folded in — filter like resolve
+      .filter(!col(GraftMeta.Deleted))
+    val contested = baseDf.join(deltaKeys, Seq(cfg.keyField), "leftsemi")
+      .unionByName(deltas, allowMissingColumns = true)
+    untouched.unionByName(resolve(contested), allowMissingColumns = true)
   }
 
   private def dropInternal(df: DataFrame): DataFrame =

@@ -110,6 +110,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("MOR snapshot read: base rows bypass the resolution window via broadcast anti-join") {
+    import graft.tables._
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/mor_plan", "o_orderkey", "o_orderkey", tableType = TableType.Mor))
+    tbl.dropIfExists()
+    val orders = GraftSession.table(spark, sfDir, "orders")
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(orders.limit(50).withColumn("o_orderstatus",
+      org.apache.spark.sql.functions.lit("Z")))
+    val df = tbl.read()
+    df.count() // finalize AQE so the small delta-key side becomes a broadcast
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s"expected broadcast anti-join for untouched base rows in:\n$s")
+  }
+
   test("st_dedup: dedup is a partial-aggregable hash agg (map-side combine)") {
     val df = graft.streaming.StreamingOps.stDedup(spark, sfDir)
     val s = planString(df)
