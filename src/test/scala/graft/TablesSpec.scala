@@ -578,6 +578,44 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fresh.history().count() == 7)
   }
 
+  test("concurrent writers on disjoint keys: both commit, no lost updates") {
+    val tbl = freshTable("concurrent_disjoint")
+    tbl.insert(orders, numFiles = 8)
+    val n = orders.count()
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(tag: String, m: Int): Runnable = () => {
+      try {
+        start.await()
+        // a separate handle per thread, like two independent jobs
+        val h = GraftTable(spark, tbl.cfg)
+        h.upsert(orders.filter(col("o_orderkey") % 2 === m)
+          .withColumn("o_orderstatus", lit(tag)))
+      } catch { case t: Throwable => errs.add(t) }
+    }
+    pool.submit(writer("E", 0))
+    pool.submit(writer("D", 1))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    // Disjoint key sets may still collide on FILES (even/odd keys share
+    // files) — then first-committer-wins aborts the loser. Accept either
+    // a conflict abort (state = winner applied) or both committing; what
+    // is NEVER acceptable is silent row loss or both tags half-applied.
+    val fresh = GraftTable(spark, tbl.cfg)
+    assert(fresh.read().count() == n, "rows lost or duplicated")
+    val tags = fresh.read().select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (errs.isEmpty) assert(Set("E", "D").subsetOf(tags), s"both committed but tags=$tags")
+    else {
+      assert(errs.size == 1, s"at most one writer may lose: $errs")
+      assert(errs.peek().getMessage.contains("write conflict"), errs.peek().getMessage)
+      assert(tags.contains("E") || tags.contains("D"), s"winner's update lost: $tags")
+    }
+  }
+
   test("commit file-lock: released after commit; stale lease is broken") {
     val tbl = freshTable("commit_lock")
     tbl.insert(orders.limit(100), numFiles = 1)
