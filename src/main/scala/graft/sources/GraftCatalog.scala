@@ -132,7 +132,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       tableType = prop("graft.type", "type").map {
         case "mor" | "MERGE_ON_READ" => TableType.Mor
         case _ => TableType.Cow
-      }.getOrElse(TableType.Cow))
+      }.getOrElse(TableType.Cow),
+      statsCols = prop("graft.statsCols", "statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     require(schema.fieldNames.contains(key), s"primaryKey $key is not a column of $ident")
     TableProperties.save(spark, cfg)
     TableProperties.saveSchema(spark, cfg.path, schema)

@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.StructType
   *   - `graft.partition.day.from`: timestamp field → yyyy-MM-dd partition
   *   - `graft.buckets`: hash-bucket count for the bucket index
   *   - `graft.changelog`: true to materialize CDC images
+  *   - `graft.statsCols`: comma-separated columns to track per-file min/max
+  *     for data skipping (readBetween)
   *   SaveMode.Overwrite recreates the table; Append applies the operation.
   *
   * Read options:
@@ -102,7 +104,10 @@ class GraftDataSource
       writeChangelog = parameters.get("graft.changelog").map(_.toBoolean)
         .orElse(stored.map(_.writeChangelog)).getOrElse(false),
       tableType = parameters.get("graft.type")
-        .orElse(stored.map(_.tableType)).getOrElse(graft.tables.TableType.Cow))
+        .orElse(stored.map(_.tableType)).getOrElse(graft.tables.TableType.Cow),
+      statsCols = parameters.get("graft.statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(stored.map(_.statsCols)).getOrElse(Nil))
   }
 
   override def createRelation(
