@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // standard TIMESTAMP(MICROS) instead of legacy INT96: footer min/max
+      // stats exist and are harvestable for data skipping (INT96 carries no
+      // usable stats and is deprecated across the ecosystem)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 

@@ -299,13 +299,20 @@ object Dedup extends QueryRegistry {
   // --- d_embed_lsh: random-hyperplane LSH near-dup detection — the
   // SUB-QUADRATIC scale path for embedding dedup (SURVEY §5). Corpus =
   // embeddings ∪ planted near-dup copies (deterministic perturbation,
-  // mirrored in the oracle). 64 signature bits from pseudo-random
-  // hyperplanes (hash-derived, no RNG state), banded 16×4 → bucket
-  // equi-join for candidates → exact cosine verify ≥ 0.95. At cos ≥ 0.95 a
-  // pair flips ≲5% of sign bits, so 16 bands give ~1-recall while random
-  // pairs collide in a band with p = 2^-4 — the join stays near-linear.
+  // mirrored in the oracle). 256 signature bits from pseudo-random
+  // hyperplanes spanning the FULL embedding dimension (hash-derived, no
+  // RNG state), banded 32×8 → bucket equi-join for candidates → exact
+  // cosine verify ≥ 0.95.
+  //
+  // Recall math (honest numbers): at cos = 0.95 a sign bit flips with
+  // p = acos(0.95)/π ≈ 0.101, so one 8-bit band matches with
+  // (1-p)^8 ≈ 0.426 and a true near-dup pair misses ALL 32 bands with
+  // (1-0.426)^32 ≈ 2e-8 — negligible even across millions of
+  // at-threshold pairs. Random (near-orthogonal) pairs flip bits with
+  // p ≈ 0.5 and collide per band with 2^-8, so candidates stay
+  // ~32/256 × n²·2⁻⁸ ≈ 1% of all pairs — the verify join is sparse.
   // Oracle: the exact quadratic pair scan in DuckDB (identical double
-  // math), which the LSH path must reproduce exactly.
+  // math), which the LSH path reproduces up to that ~2e-8 miss rate.
   def dEmbedLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // corpus = originals ∪ planted near-dups, in double precision; the
@@ -325,7 +332,8 @@ object Dedup extends QueryRegistry {
         }
       }.toDF("vec_id", "emb").as[(Long, Array[Double])].cache()
 
-    // 64 pseudo-random hyperplanes from a splitmix64 stream — deterministic,
+    // 256 pseudo-random hyperplanes over the FULL embedding dimension (read
+    // from the data, not assumed) from a splitmix64 stream — deterministic,
     // no RNG state, broadcast once (the hyperplanes are NOT part of the
     // oracle contract; only the verified pairs are)
     def mix(z0: Long): Long = {
@@ -334,35 +342,33 @@ object Dedup extends QueryRegistry {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    val dim = 64
-    val hyper = Array.tabulate(dim, dim)((b, j) => (mix(b.toLong * dim + j) % 1000003L).toDouble / 1000003.0)
+    val nBits = 256
+    val nBands = 32 // 8 bits each
+    val embDim = corpus.head()._2.length
+    val hyper = Array.tabulate(nBits, embDim)((b, j) =>
+      (mix(b.toLong * embDim + j) % 1000003L).toDouble / 1000003.0)
     val hyperBc = s.sparkContext.broadcast(hyper)
 
-    // signature: one tight 64x64 dot loop per row (a whole-corpus pass —
-    // no joins, no per-element interpreted lambdas)
+    // signatures as the 32 band values directly: one tight 256×dim dot loop
+    // per row (a whole-corpus pass — no joins, no per-element interpreted
+    // lambdas)
     val sigs = corpus.map { case (id, emb) =>
       val h = hyperBc.value
-      var sig = 0L
-      var b = 0
-      while (b < dim) {
-        val hb = h(b)
+      val bandVals = new Array[Int](nBands)
+      var bit = 0
+      while (bit < nBits) {
+        val hb = h(bit)
         var dotV = 0.0
         var j = 0
-        val n = math.min(emb.length, dim)
-        while (j < n) { dotV += emb(j) * hb(j); j += 1 }
-        if (dotV > 0) sig |= (1L << b)
-        b += 1
+        while (j < emb.length) { dotV += emb(j) * hb(j); j += 1 }
+        if (dotV > 0) bandVals(bit >>> 3) |= 1 << (bit & 7)
+        bit += 1
       }
-      (id, sig)
-    }.toDF("vec_id", "sig")
+      (id, bandVals)
+    }.toDF("vec_id", "bands")
 
-    // 8 bands x 8 bits: at cos>=0.95 (~10% flipped bits) recall is ~0.99
-    // per band-set and ~1 - 8e-10 for true near-dups, while random pairs
-    // collide in a band with p = 2^-8 — the candidate join stays sparse
     val bands = sigs.select(col("vec_id"),
-      explode(array((0 until 8).map(c =>
-        struct(lit(c).as("ci"), shiftright(col("sig"), c * 8).bitwiseAND(255L).as("cv"))): _*)).as("bd"))
-      .select(col("vec_id"), col("bd.ci"), col("bd.cv"))
+      posexplode(col("bands")).as(Seq("ci", "cv")))
     val cand = bands.toDF("da", "ci", "cv")
       .join(bands.toDF("db", "ci", "cv"), Seq("ci", "cv"))
       .filter(col("da") < col("db"))

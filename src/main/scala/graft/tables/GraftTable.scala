@@ -181,30 +181,39 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         .drop("_graft_rn")
     }
 
-  /** Live file paths added by `delta` commits (MOR un-merged updates and
-    * tombstones) as of the bound — consulted so snapshot resolution windows
-    * only the contested keys. Archived commits still answer (readCommit
-    * falls back to `_graft/archive/`). */
-  private def deltaPaths(asOf: Option[String]): Set[String] =
+  /** For every file added by a commit visible at the bound: its adding
+    * instant and whether that commit was a `delta` (MOR un-merged updates
+    * and tombstones). Archived commits still answer (readCommit falls back
+    * to `_graft/archive/`). */
+  private def addCommits(asOf: Option[String]): Map[String, (String, Boolean)] =
     (timeline.archivedInstants() ++ timeline.instants()).distinct.sorted
       .filter(i => asOf.forall(i <= _))
       .flatMap { i =>
         val c = timeline.readCommit(i)
-        if (c.op == "delta") c.adds.map(_.path) else Nil
-      }.toSet
+        c.adds.map(f => f.path -> (i, c.op == "delta"))
+      }.toMap
 
   /** Snapshot read with MOR resolution scoped to contested keys: base rows
     * whose key has NO delta stream through with no shuffle (an anti-join
     * that AQE broadcasts when the delta key set is small — the common case
     * between compactions); only delta rows plus the base rows they contest
     * enter the per-key resolution window. A full-snapshot window would
-    * shuffle the whole table on every MOR read. */
+    * shuffle the whole table on every MOR read.
+    *
+    * The scoped path is only sound when all live base files came from ONE
+    * commit: two insert() calls with overlapping keys collide entirely in
+    * base files — no delta involved, so the anti-join can't see them. With
+    * multiple live base commits the full resolve runs instead (compaction
+    * folds everything into one base commit and restores the fast path). */
   private def snapshotWithMeta(asOf: Option[String]): DataFrame = {
     val files = timeline.liveFiles(asOf)
     if (cfg.tableType == TableType.Cow) return readFiles(files)
-    val dp = deltaPaths(asOf)
+    val adders = addCommits(asOf)
+    val dp = adders.collect { case (p, (_, true)) => p }.toSet
     val (delta, base) = files.partition(f => dp.contains(f.path))
-    if (delta.isEmpty || base.isEmpty) return resolve(readFiles(files))
+    val baseCommits = base.flatMap(f => adders.get(f.path).map(_._1)).distinct
+    if (delta.isEmpty || base.isEmpty || baseCommits.size > 1)
+      return resolve(readFiles(files))
     val deltas = readFiles(delta)
     val baseDf = readFiles(base)
     val deltaKeys = deltas.select(keyCol).distinct()
@@ -623,9 +632,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       var mn: String = null
       var mx: String = null
       val wantStats = cfg.statsCols.toSet
-      // per stats col: (numeric, min, max) merged across row groups; a null
-      // marks a column poisoned by an unsupported type or statless chunk
-      val colAgg = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Any, Any)]
+      // per stats col: (kind, min, max) merged across row groups; `poisoned`
+      // marks a column whose parquet type can't be harvested soundly or that
+      // has a statless chunk — no stat is recorded, so the file is kept by
+      // every skip check
+      val colAgg = scala.collection.mutable.LinkedHashMap.empty[String, (String, Any, Any)]
       val poisoned = scala.collection.mutable.HashSet.empty[String]
       blocks.forEach { b =>
         rows += b.getRowCount
@@ -653,25 +664,40 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           }
           if (wantStats(name) && !poisoned(name)) {
             val st = c.getStatistics
-            val bounds: Option[(Boolean, Any, Any)] =
-              if (st == null || !st.hasNonNullValue) None
-              else (st.genericGetMin, st.genericGetMax) match {
-                case (l: java.lang.Number, h: java.lang.Number) =>
-                  Some((true, l.doubleValue(), h.doubleValue()))
-                case (l: org.apache.parquet.io.api.Binary, h: org.apache.parquet.io.api.Binary) =>
-                  Some((false, l.toStringUsingUTF8, h.toStringUsingUTF8))
-                case _ => None
+            // Gate on the column's parquet primitive+logical type: footer
+            // min/max only equal the user-facing value for plain signed
+            // ints/floats, UTF8 strings, DATE and TIMESTAMP. A DECIMAL
+            // backed by INT32/INT64 stores the UNSCALED value (12.34 →
+            // 1234); binary decimals/INT96 compare as raw bytes — harvesting
+            // those would silently prune files that DO contain matches.
+            val kindOpt = statKindOf(c.getPrimitiveType)
+            val bounds: Option[(String, Any, Any)] =
+              if (st == null || !st.hasNonNullValue || kindOpt.isEmpty) None
+              else {
+                val kind = kindOpt.get
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (l: java.lang.Number, h: java.lang.Number) if kind != ColStat.Lex =>
+                    val scale = tsScaleOf(c.getPrimitiveType) // 1.0 except TIMESTAMP
+                    Some((kind, l.doubleValue() * scale, h.doubleValue() * scale))
+                  case (l: org.apache.parquet.io.api.Binary,
+                        h: org.apache.parquet.io.api.Binary) if kind == ColStat.Lex =>
+                    Some((kind, l.toStringUsingUTF8, h.toStringUsingUTF8))
+                  case _ => None
+                }
               }
             bounds match {
               case None => poisoned += name; colAgg.remove(name)
-              case Some((isNum, lo, hi)) => colAgg.get(name) match {
-                case None => colAgg(name) = (isNum, lo, hi)
-                case Some((n0, l0, h0)) =>
+              case Some((kind, lo, hi)) => colAgg.get(name) match {
+                case None => colAgg(name) = (kind, lo, hi)
+                case Some((k0, l0, h0)) if k0 == kind =>
+                  val isNum = kind != ColStat.Lex
                   val lo2 = if (isNum) math.min(l0.asInstanceOf[Double], lo.asInstanceOf[Double])
                     else Seq(l0.toString, lo.toString).min
                   val hi2 = if (isNum) math.max(h0.asInstanceOf[Double], hi.asInstanceOf[Double])
                     else Seq(h0.toString, hi.toString).max
-                  colAgg(name) = (n0, lo2, hi2)
+                  colAgg(name) = (k0, lo2, hi2)
+                case Some(_) => // kind drifted across row groups: unanswerable
+                  poisoned += name; colAgg.remove(name)
               }
             }
           }
@@ -680,12 +706,52 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       if (rows == 0) None
       else {
         require(mn != null, s"key column ${cfg.keyField} not found in footer of $p")
-        val cs = colAgg.map { case (c, (isNum, lo, hi)) =>
-          c -> ColStat(isNum, lo.toString, hi.toString)
+        val cs = colAgg.map { case (c, (kind, lo, hi)) =>
+          c -> ColStat(kind, lo.toString, hi.toString)
         }.toMap
         Some((mn, mx, rows, cs))
       }
     } finally reader.close()
+  }
+
+  /** The ColStat kind a parquet column can be harvested as, or None when no
+    * sound interpretation of its footer min/max exists (DECIMAL, unsigned
+    * ints, INT96, FIXED, enums, …) — those columns are poisoned per-file. */
+  private def statKindOf(pt: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val logical = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case FLOAT | DOUBLE => Some(ColStat.Num)
+      case INT32 | INT64 => logical match {
+        case null => Some(ColStat.Num)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned =>
+          Some(ColStat.Num) // INT(8/16/32/64, signed): value == intValue
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some(ColStat.Date)
+        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(ColStat.Ts)
+        case _ => None // DECIMAL (unscaled!), unsigned, TIME, …
+      }
+      case BINARY => logical match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some(ColStat.Lex)
+        case _ => None // binary decimals, raw bytes: lexical order is wrong
+      }
+      case _ => None // INT96, FIXED_LEN_BYTE_ARRAY, BOOLEAN
+    }
+  }
+
+  /** Multiplier normalizing a TIMESTAMP column's footer values to epoch
+    * micros (MILLIS → ×1000, NANOS → ÷1000); 1.0 for everything else. */
+  private def tsScaleOf(pt: org.apache.parquet.schema.PrimitiveType): Double = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    pt.getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
+        case TimeUnit.MILLIS => 1000.0
+        case TimeUnit.MICROS => 1.0
+        case TimeUnit.NANOS => 0.001
+      }
+      case _ => 1.0
+    }
   }
 
   private def writeCdc(df: DataFrame, instant: String): Unit =
@@ -1170,12 +1236,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * every read replays O(commits since checkpoint) instead of the whole
     * history — the maintenance service a years-lived streaming table needs.
     * Returns the checkpointed instant. */
-  def checkpointTimeline(): String = {
-    val latest = timeline.latestInstant().getOrElse(
-      throw new IllegalStateException(s"nothing to checkpoint in ${cfg.path}"))
-    timeline.checkpoint(latest)
-    timeline.archive()
-    latest
+  def checkpointTimeline(): String = timeline.latestInstant() match {
+    case Some(latest) =>
+      // already checkpointed at this instant (e.g. savepointed commits kept
+      // hot by archive): don't rewrite, just retry the archive
+      if (!timeline.checkpoints().lastOption.contains(latest))
+        timeline.checkpoint(latest)
+      timeline.archive()
+      latest
+    case None =>
+      // idempotent no-op: a previous checkpoint archived every hot commit
+      // and nothing new arrived — a periodic maintenance job re-running
+      // this gets the existing checkpoint back, not an exception
+      timeline.checkpoints().lastOption.getOrElse(
+        throw new IllegalStateException(s"nothing to checkpoint in ${cfg.path}"))
   }
 
   /** Metadata-only bootstrap of an existing parquet file/directory into

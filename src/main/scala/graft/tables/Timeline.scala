@@ -17,20 +17,70 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * bucket index; `partition` is the hive-style partition path fragment
   * (empty for unpartitioned tables).
   */
-/** Per-file min/max of one tracked non-key column (data skipping). Numeric
-  * stats compare as doubles; string stats compare lexically. */
-final case class ColStat(numeric: Boolean, min: String, max: String) {
+/** Per-file min/max of one tracked non-key column (data skipping).
+  *
+  * `kind` records how the bounds compare — stats are only harvested from
+  * parquet types whose footer min/max equal the user-facing value:
+  *   - [[ColStat.Num]]: plain signed INT32/INT64/FLOAT/DOUBLE, compared as
+  *     doubles. (DECIMAL columns store UNSCALED ints in their footers and
+  *     are never harvested — comparing 12.34 against a stored 1234 would
+  *     silently prune files that DO match.)
+  *   - [[ColStat.Lex]]: UTF8-annotated BINARY, compared lexically.
+  *   - [[ColStat.Date]]: DATE-annotated INT32, bounds in epoch days.
+  *   - [[ColStat.Ts]]: TIMESTAMP-annotated INT64, bounds in epoch micros
+  *     (MILLIS/NANOS units normalized at harvest).
+  * Any other physical/logical combination poisons the column for the file,
+  * so every skip check conservatively keeps it. */
+final case class ColStat(kind: String, min: String, max: String) {
+  /** True unless this file's range provably misses [lo, hi]. Bounds whose
+    * runtime type doesn't match `kind` (e.g. a java.sql.Date against plain
+    * numeric stats) are unanswerable: the file is kept, never pruned. */
   def overlaps(lo: Any, hi: Any): Boolean =
-    if (numeric) {
-      val (l, h) = (ColStat.num(lo), ColStat.num(hi))
-      min.toDouble <= h && l <= max.toDouble
-    } else min <= hi.toString && lo.toString <= max
+    (ColStat.bound(kind, lo), ColStat.bound(kind, hi)) match {
+      case (Some(l: String), Some(h: String)) => min <= h && l <= max
+      case (Some(l: java.lang.Double), Some(h: java.lang.Double)) =>
+        min.toDouble <= h && l <= max.toDouble
+      case _ => true
+    }
 }
 
 object ColStat {
-  private[tables] def num(v: Any): Double = v match {
-    case n: Number => n.doubleValue()
-    case other => other.toString.toDouble
+  val Num = "num"
+  val Lex = "lex"
+  val Date = "date"
+  val Ts = "ts"
+
+  /** Normalize a user-supplied range bound to the stat kind's comparison
+    * domain; None when the types don't line up (caller must keep the file). */
+  private[tables] def bound(kind: String, v: Any): Option[Any] = kind match {
+    case Num => v match {
+      case n: Number => Some(Double.box(n.doubleValue()))
+      case s: String => s.toDoubleOption.map(Double.box)
+      case _ => None
+    }
+    case Lex => v match {
+      case s: String => Some(s)
+      case _ => None
+    }
+    case Date => v match {
+      case d: java.sql.Date => Some(Double.box(d.toLocalDate.toEpochDay.toDouble))
+      case d: java.time.LocalDate => Some(Double.box(d.toEpochDay.toDouble))
+      case s: String =>
+        scala.util.Try(java.time.LocalDate.parse(s).toEpochDay.toDouble)
+          .toOption.map(Double.box)
+      case _ => None
+    }
+    case Ts => v match {
+      case t: java.sql.Timestamp =>
+        Some(Double.box(t.getTime * 1000.0 + (t.getNanos / 1000) % 1000))
+      case i: java.time.Instant =>
+        Some(Double.box(i.getEpochSecond * 1e6 + i.getNano / 1000))
+      case s: String =>
+        scala.util.Try(java.sql.Timestamp.valueOf(s)).toOption
+          .map(t => Double.box(t.getTime * 1000.0 + (t.getNanos / 1000) % 1000))
+      case _ => None
+    }
+    case _ => None
   }
 }
 
@@ -79,7 +129,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       val cs = n.putObject("colStats")
       f.colStats.foreach { case (c, st) =>
         val o = cs.putObject(c)
-        o.put("n", st.numeric)
+        o.put("k", st.kind)
         o.put("mn", st.min)
         o.put("mx", st.max)
       }
@@ -93,7 +143,10 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       else {
         val b = mutable.LinkedHashMap.empty[String, ColStat]
         csNode.fields().forEachRemaining { e =>
-          b += e.getKey -> ColStat(e.getValue.get("n").asBoolean(),
+          // "k" is the v2 typed-kind field; v1 timelines wrote a boolean "n"
+          val kind = Option(e.getValue.get("k")).map(_.asText()).getOrElse(
+            if (e.getValue.get("n").asBoolean()) ColStat.Num else ColStat.Lex)
+          b += e.getKey -> ColStat(kind,
             e.getValue.get("mn").asText(), e.getValue.get("mx").asText())
         }
         b.toMap
@@ -177,37 +230,87 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
 
   /** Lease-based cross-process lock around commit validation + rename (the
     * analogue of Hudi's FileSystemBasedLockProvider). `create(overwrite =
-    * false)` is the acquire; a holder that dies is fenced by the lease —
-    * any waiter may break a lock older than `leaseMs`. On storage without
-    * atomic exclusive-create (S3 without conditional writes) this narrows
-    * but does not close the race, exactly like Hudi's FS lock provider —
-    * swap in an external lock service there. */
+    * false)` is the acquire; each lock file carries a unique owner token.
+    *
+    * Liveness + safety around the lease:
+    *   - The HOLDER renews the lock's mtime from a daemon thread every
+    *     leaseMs/3 while the commit body runs, so a long conflict check
+    *     (full timeline replay, cloud listing) is never fenced mid-commit.
+    *   - A WAITER breaks a lock only after observing it stale AND winning an
+    *     atomic rename to a waiter-unique path (one breaker wins; the losers
+    *     see FileNotFound). After the rename it re-reads the owner token: if
+    *     it differs from the one observed stale, a third process re-acquired
+    *     between the staleness check and the rename — the lock is renamed
+    *     back, not deleted. Check-then-delete races are gone.
+    *   - The wait budget (3× lease) comfortably exceeds the lease, so
+    *     waiters outlive a healthy long-running holder instead of throwing
+    *     before its lease could even expire.
+    * On storage without atomic exclusive-create/rename (S3 without
+    * conditional writes) this narrows but does not close the race, exactly
+    * like Hudi's FS lock provider — swap in an external lock service there. */
   private def withCommitFileLock[T](leaseMs: Long = 60000L)(body: => T): T = {
     val lockPath = new Path(metaDir, ".commit.lock")
-    var attempts = 0
-    while (attempts < 600) {
+    val deadline = System.currentTimeMillis() + 3 * leaseMs
+    var first = true
+    while (first || System.currentTimeMillis() < deadline) {
+      first = false
+      val token = java.util.UUID.randomUUID().toString
       val acquired =
         try {
           val out = fs.create(lockPath, false)
-          out.write(s"""{"ts":${System.currentTimeMillis()}}""".getBytes(StandardCharsets.UTF_8))
+          out.write(s"""{"ts":${System.currentTimeMillis()},"owner":"$token"}"""
+            .getBytes(StandardCharsets.UTF_8))
           out.close()
           true
         } catch { case _: java.io.IOException => false }
       if (acquired) {
+        val renewer = new Thread(() => {
+          try {
+            while (!Thread.currentThread().isInterrupted) {
+              Thread.sleep(math.max(1L, leaseMs / 3))
+              fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+            }
+          } catch {
+            case _: InterruptedException => ()
+            case _: java.io.IOException => () // renewal is best-effort
+          }
+        }, "graft-commit-lock-renew")
+        renewer.setDaemon(true)
+        renewer.start()
         try return body
-        finally fs.delete(lockPath, false)
+        finally {
+          renewer.interrupt()
+          fs.delete(lockPath, false)
+        }
       }
       try {
         val st = fs.getFileStatus(lockPath)
-        if (System.currentTimeMillis() - st.getModificationTime > leaseMs)
-          fs.delete(lockPath, false) // stale holder: break the lease
+        if (System.currentTimeMillis() - st.getModificationTime > leaseMs) {
+          val observed = lockIdentity(lockPath)
+          if (observed.isDefined) {
+            val breaking = new Path(metaDir, s".commit.lock.breaking-$token")
+            if (fs.rename(lockPath, breaking)) {
+              if (lockIdentity(breaking) == observed) fs.delete(breaking, false)
+              else fs.rename(breaking, lockPath) // live re-acquire raced us: restore
+            }
+          }
+        }
       } catch { case _: java.io.FileNotFoundException => () } // released; retry now
-      attempts += 1
       Thread.sleep(50)
     }
     throw new IllegalStateException(
-      s"could not acquire commit lock $lockPath after ${attempts} attempts")
+      s"could not acquire commit lock $lockPath within ${3 * leaseMs} ms")
   }
+
+  /** A lock file's identity = its raw content (each holder writes a unique
+    * owner token; an empty/corrupt file from a crashed writer is a valid —
+    * constant — identity too). None only when the file can't be read. */
+  private def lockIdentity(p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      Some(new String(bytes, StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => None }
 
   def commit(c: Commit): Unit = Timeline.commitLock(fs, tableDir).synchronized {
     withCommitFileLock() { commitLocked(c) }

@@ -656,6 +656,78 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.filesBetween("user_id", 0, 1).size == all.size)
   }
 
+  test("stats harvesting is type-gated: decimals poisoned, date/ts prune correctly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, BigDecimal("12.34"), java.sql.Date.valueOf("2024-01-05"),
+        java.sql.Timestamp.valueOf("2024-01-05 10:00:00")),
+      (2L, BigDecimal("56.78"), java.sql.Date.valueOf("2024-06-05"),
+        java.sql.Timestamp.valueOf("2024-06-05 10:00:00")),
+      (3L, BigDecimal("90.12"), java.sql.Date.valueOf("2024-12-05"),
+        java.sql.Timestamp.valueOf("2024-12-05 10:00:00")))
+      .toDF("id", "amount", "d", "ts")
+      .withColumn("amount", col("amount").cast("decimal(10,2)"))
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/typed_stats", "id", "id",
+      statsCols = Seq("amount", "d", "ts")))
+    tbl.dropIfExists()
+    tbl.insert(rows, numFiles = 3)
+    tbl.cluster(Seq("id"), numFiles = 3)
+    val all = tbl.timeline.liveFiles(None)
+
+    // DECIMAL footers store UNSCALED ints (12.34 → 1234): harvesting them
+    // would prune files that DO match — they must be poisoned (kept always)
+    assert(all.forall(f => !f.colStats.contains("amount")))
+    assert(tbl.filesBetween("amount", 12.0, 13.0).size == all.size)
+
+    // DATE and TIMESTAMP stats prune files that provably miss the range...
+    val dPruned = tbl.filesBetween("d",
+      java.sql.Date.valueOf("2024-05-01"), java.sql.Date.valueOf("2024-07-01"))
+    assert(dPruned.size < all.size && dPruned.nonEmpty)
+    val tsPruned = tbl.filesBetween("ts",
+      java.sql.Timestamp.valueOf("2024-05-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-07-01 00:00:00"))
+    assert(tsPruned.size < all.size && tsPruned.nonEmpty)
+    // ...and the pruned read matches the unpruned filter
+    val got = tbl.readBetween("d",
+      java.sql.Date.valueOf("2024-05-01"), java.sql.Date.valueOf("2024-07-01"))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+
+    // mismatched bound types never crash and never prune
+    assert(tbl.filesBetween("d", 1, 2).size == all.size)
+    assert(tbl.filesBetween("ts", "not-a-ts", "zzz").size == all.size)
+  }
+
+  test("MOR: insert-insert key collisions in base files resolve latest-wins") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/mor_base_dup", "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor))
+    tbl.dropIfExists()
+    val n = orders.count()
+    tbl.insert(orders.withColumn("o_orderstatus", lit("A")), numFiles = 2)
+    // second INSERT with fully overlapping keys: both copies live in base
+    // files (no delta commit involved)
+    tbl.insert(orders.withColumn("o_orderstatus", lit("B")), numFiles = 2)
+    val snap = tbl.read()
+    assert(snap.count() == n, "base-only duplicate keys must collapse")
+    assert(snap.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSeq == Seq("B"))
+    // a delta on top still resolves correctly (full-resolve path)
+    tbl.upsert(orders.limit(10).withColumn("o_orderstatus", lit("C")))
+    assert(tbl.read().count() == n)
+    assert(tbl.read().filter(col("o_orderstatus") === "C").count() == 10)
+  }
+
+  test("checkpointTimeline re-run after full archival is an idempotent no-op") {
+    val tbl = freshTable("cp_idempotent")
+    tbl.insert(orders, numFiles = 2)
+    val cp1 = tbl.checkpointTimeline()
+    assert(tbl.timeline.instants().isEmpty)
+    // periodic maintenance re-runs with no new commits: same checkpoint back
+    assert(tbl.checkpointTimeline() == cp1)
+    assert(tbl.read().count() == orders.count())
+  }
+
   test("archive keeps the commits a savepoint needs; clean honors it") {
     val tbl = freshTable("cp_savepoint")
     val i1 = tbl.insert(orders, numFiles = 4)
