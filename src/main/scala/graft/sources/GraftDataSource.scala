@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.tables.{FieldPartition, GraftTable, GraftTableConfig, KeyGen, NoPartition, TimestampDayPartition}
+import graft.tables.{ColBound, FieldPartition, GraftTable, GraftTableConfig, KeyGen, NoPartition, TimestampDayPartition}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.{col, lit}
@@ -115,16 +115,19 @@ class GraftDataSource
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") requires .load(path)"))
     val table = GraftTable(sqlContext.sparkSession, configOf(sqlContext.sparkSession, path, parameters))
-    val df = (parameters.get("asOf"), parameters.get("begin"),
+    (parameters.get("asOf"), parameters.get("begin"),
         parameters.getOrElse("cdc", "false").toBoolean) match {
-      case (Some(instant), _, _) => table.readAsOf(instant)
+      case (Some(instant), _, _) => GraftRelation(sqlContext, table.readAsOf(instant))
       case (_, Some(begin), false) =>
-        table.incremental(begin, parameters.getOrElse("end", graft.tables.Timeline.MaxInstant))
+        GraftRelation(sqlContext,
+          table.incremental(begin, parameters.getOrElse("end", graft.tables.Timeline.MaxInstant)))
       case (_, Some(begin), true) =>
-        table.cdc(begin, parameters.getOrElse("end", graft.tables.Timeline.MaxInstant))
-      case _ => table.read()
+        GraftRelation(sqlContext,
+          table.cdc(begin, parameters.getOrElse("end", graft.tables.Timeline.MaxInstant)))
+      // snapshot reads carry the table handle so pushed filters can prune
+      // the FILE SET from timeline metadata, not just parquet row groups
+      case _ => GraftRelation(sqlContext, table.read(), Some(table))
     }
-    GraftRelation(sqlContext, df)
   }
 
   override def createRelation(
@@ -160,18 +163,28 @@ class GraftDataSource
   }
 }
 
-/** Relation backed by the table's snapshot plan. Pushed filters are applied
-  * INSIDE the plan (so Catalyst drives them into the parquet scans and the
-  * partition-dir index); Spark re-applies them above as well, which is
-  * harmless. */
-final case class GraftRelation(sqlContext: SQLContext, df: DataFrame)
+/** Relation backed by the table's snapshot plan. Pushed filters engage at
+  * two levels: for snapshot reads (`table` present) they first prune the
+  * FILE SET via timeline metadata (partition paths, key ranges + bucket
+  * index + bloom filters, per-file column stats — the Hudi data-skipping
+  * index re-expressed); then they are applied INSIDE the plan so Catalyst
+  * drives them into the remaining parquet scans. Spark re-applies them
+  * above as well, which is harmless. */
+final case class GraftRelation(
+    sqlContext: SQLContext, df: DataFrame, table: Option[GraftTable] = None)
     extends BaseRelation with PrunedFilteredScan {
 
   override def schema: StructType = df.schema
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val base = table match {
+      case Some(t) =>
+        val bounds = FilterToColumn.bounds(filters)
+        if (bounds.isEmpty) df else t.readPruned(bounds)
+      case None => df
+    }
     val filtered = filters.flatMap(FilterToColumn.translate)
-      .foldLeft(df)((d, c) => d.filter(c))
+      .foldLeft(base)((d, c) => d.filter(c))
     val projected =
       if (requiredColumns.isEmpty) filtered
       else filtered.select(requiredColumns.map(col).toSeq: _*)
@@ -183,6 +196,37 @@ final case class GraftRelation(sqlContext: SQLContext, df: DataFrame)
   * the DSv1 boundary. Untranslatable filters are skipped (Spark re-applies
   * every filter above the scan anyway). */
 object FilterToColumn {
+
+  /** Per-column [lo, hi] / equality-set bounds implied by the pushed filter
+    * conjuncts, for metadata file pruning. Only shapes that imply a sound
+    * bound contribute (Or/Not/IsNull contribute nothing — pruning must
+    * never drop a file a disjunct could match). Strict comparisons prune
+    * with their inclusive bound, which is conservative. */
+  def bounds(filters: Array[Filter]): Seq[ColBound] = filters.toSeq.flatMap(boundsOf)
+
+  private def boundsOf(f: Filter): Seq[ColBound] = f match {
+    case EqualTo(a, v) if v != null => Seq(ColBound(a, Some(v), Some(v), Some(Seq(v))))
+    case EqualNullSafe(a, v) if v != null => Seq(ColBound(a, Some(v), Some(v), Some(Seq(v))))
+    case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+      val (lo, hi) = minMaxOf(vs.toSeq)
+      Seq(ColBound(a, lo, hi, Some(vs.toSeq)))
+    case GreaterThan(a, v) if v != null => Seq(ColBound(a, lo = Some(v)))
+    case GreaterThanOrEqual(a, v) if v != null => Seq(ColBound(a, lo = Some(v)))
+    case LessThan(a, v) if v != null => Seq(ColBound(a, hi = Some(v)))
+    case LessThanOrEqual(a, v) if v != null => Seq(ColBound(a, hi = Some(v)))
+    case And(l, r) => boundsOf(l) ++ boundsOf(r)
+    case _ => Nil
+  }
+
+  private def minMaxOf(vs: Seq[Any]): (Option[Any], Option[Any]) =
+    if (vs.forall(_.isInstanceOf[Number])) {
+      val d = vs.map(v => v -> v.asInstanceOf[Number].doubleValue())
+      (Some(d.minBy(_._2)._1), Some(d.maxBy(_._2)._1))
+    } else if (vs.forall(_.isInstanceOf[String])) {
+      val s = vs.map(_.asInstanceOf[String])
+      (Some(s.min), Some(s.max))
+    } else (None, None)
+
   def translate(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))

@@ -60,6 +60,17 @@ object TableType {
   val Mor = "mor"
 }
 
+/** One conjunctive predicate bound on a column, for metadata file pruning
+  * ([[GraftTable.prunedLiveFiles]]): value in [lo, hi] (None = unbounded),
+  * optionally restricted to an equality set (EqualTo/In). A file must be
+  * compatible with EVERY bound to survive — callers still re-apply the full
+  * predicate on the rows. */
+final case class ColBound(
+    col: String,
+    lo: Option[Any] = None,
+    hi: Option[Any] = None,
+    inSet: Option[Seq[Any]] = None)
+
 final case class GraftTableConfig(
     path: String,
     keyField: String,
@@ -387,6 +398,77 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     else dropInternal(readFiles(files)).filter(col(column).between(lo, hi))
   }
 
+  /** Live files that may satisfy every given [[ColBound]], pruned purely
+    * from timeline metadata (no directory listing, no file reads except
+    * bloom footers for key equality):
+    *   - bounds on a PARTITION column prune by the hive partition path;
+    *   - bounds on the RECORD KEY prune by per-file key ranges (and the
+    *     bucket index + parquet bloom filters for equality sets);
+    *   - bounds on a statsCol prune by per-file min/max — COW only (under
+    *     MOR a newer delta version of a row can have a different value, so
+    *     value pruning could resolve an older version).
+    * Everything unanswerable conservatively keeps the file. */
+  def prunedLiveFiles(bounds: Seq[ColBound]): Seq[FileMeta] = {
+    val keyEq = bounds.collectFirst {
+      case b if b.col == cfg.keyField && b.inSet.nonEmpty => b.inSet.get
+    }
+    val base = keyEq match {
+      case Some(keys) => lookupFiles(keys) // range + bucket + bloom
+      case None => timeline.liveFiles(None)
+    }
+    val partCols = cfg.keyGen.partitionCols.toSet
+    val statsOk = cfg.tableType == TableType.Cow
+    base.filter { f =>
+      bounds.forall { b =>
+        val partPass = !partCols(b.col) || partitionMayMatch(f.partition, b)
+        val statPass = !statsOk || f.colStats.get(b.col).forall(_.overlapsOpt(b.lo, b.hi))
+        val keyPass = b.col != cfg.keyField || keyRangeMayMatch(f, b)
+        partPass && statPass && keyPass
+      }
+    }
+  }
+
+  /** Snapshot read over [[prunedLiveFiles]] (MOR resolution included, like
+    * pointLookup). Callers re-apply their predicates as residual filters —
+    * pruning only shrinks the file set, never the row semantics. */
+  def readPruned(bounds: Seq[ColBound]): DataFrame = {
+    val files = prunedLiveFiles(bounds)
+    if (files.isEmpty) read().filter(lit(false))
+    else dropInternal(resolve(readFiles(files)))
+  }
+
+  /** Hive partition-path values round-trip verbatim only over a safe
+    * charset; anything else (escaped by the writer) is unanswerable. */
+  private def safePartValue(v: Any): Option[String] = {
+    val s = v.toString
+    if (s.nonEmpty && s.forall(c => c.isLetterOrDigit || "._-:".contains(c))) Some(s)
+    else None
+  }
+
+  /** Whether a file's partition path may satisfy the bound on a partition
+    * column. Equality compares the path segment's value; range bounds
+    * compare lexically and only for STRING bounds (lexical order is wrong
+    * for numerics — those keep the file). */
+  private def partitionMayMatch(partition: String, b: ColBound): Boolean = {
+    val value = partition.split("/").collectFirst {
+      case seg if seg.startsWith(b.col + "=") => seg.substring(b.col.length + 1)
+    }
+    value.forall { v =>
+      val eqOk = b.inSet.forall(vs => vs.exists(x => safePartValue(x).forall(_ == v)))
+      val loOk = b.lo.forall { case s: String => safePartValue(s).forall(_ <= v); case _ => true }
+      val hiOk = b.hi.forall { case s: String => safePartValue(s).forall(v <= _); case _ => true }
+      eqOk && loOk && hiOk
+    }
+  }
+
+  /** Whether a file's key range may satisfy the bound on the record key
+    * (padded-string order == numeric order for our non-negative keys). */
+  private def keyRangeMayMatch(f: FileMeta, b: ColBound): Boolean = {
+    val loOk = b.lo.forall(v => padKey(v) <= f.maxKey)
+    val hiOk = b.hi.forall(v => f.minKey <= padKey(v))
+    loOk && hiOk
+  }
+
   /** Which hash bucket a key routes to — the debugging helper the reference
     * ships as flink/helpers/FindBucketNumber.java. */
   def bucketFor(key: Any): Int = {
@@ -398,18 +480,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .head().getLong(0).toInt
   }
 
+  /** Pad an integral key to match keyStr/footerKeyStats normalization — an
+    * unpadded Short/Byte key would fail every padded min/max range check
+    * and silently prune all files. */
+  private def padKey(k: Any): String = k match {
+    case n: Long => f"$n%020d"
+    case n: Int => f"${n.toLong}%020d"
+    case n: Short => f"${n.toLong}%020d"
+    case n: Byte => f"${n.toLong}%020d"
+    case other => other.toString
+  }
+
   /** The pruned file set a point lookup touches (exposed for tests). */
   def lookupFiles(keys: Seq[Any]): Seq[FileMeta] = {
-    // pad ANY integral key to match keyStr/footerKeyStats normalization —
-    // an unpadded Short/Byte key would fail every padded min/max range
-    // check and silently prune all files
-    val padded = keys.map {
-      case n: Long => f"$n%020d"
-      case n: Int => f"${n.toLong}%020d"
-      case n: Short => f"${n.toLong}%020d"
-      case n: Byte => f"${n.toLong}%020d"
-      case other => other.toString
-    }
+    val padded = keys.map(padKey)
     val buckets: Set[Int] =
       if (cfg.numBuckets <= 0) Set.empty
       else {

@@ -42,6 +42,23 @@ final case class ColStat(kind: String, min: String, max: String) {
         min.toDouble <= h && l <= max.toDouble
       case _ => true
     }
+
+  /** [[overlaps]] with optional (half-open) bounds: a None side is
+    * unbounded, and a bound whose type doesn't convert is treated as
+    * unbounded too (keep the file). */
+  def overlapsOpt(lo: Option[Any], hi: Option[Any]): Boolean = {
+    val loOk = lo.flatMap(v => ColStat.bound(kind, v)).forall {
+      case l: String => l <= max
+      case l: java.lang.Double => l <= max.toDouble
+      case _ => true
+    }
+    val hiOk = hi.flatMap(v => ColStat.bound(kind, v)).forall {
+      case h: String => min <= h
+      case h: java.lang.Double => min.toDouble <= h
+      case _ => true
+    }
+    loOk && hiOk
+  }
 }
 
 object ColStat {

@@ -72,6 +72,35 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.columns.toSeq == Seq("o_orderkey", "o_orderpriority"))
   }
 
+  test("pushed filters file-prune snapshot reads without changing results") {
+    val p = "/tmp/graft_spec/ds_pruned"
+    val events = GraftSession.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    events.write.format("graft")
+      .option("graft.key", "event_id")
+      .option("graft.statsCols", "value")
+      .mode(SaveMode.Overwrite).save(p)
+    // cluster by value so stats pruning has an effect, through the table API
+    graft.tables.GraftTable(spark, graft.tables.TableProperties
+      .load(spark, p).get).cluster(Seq("value"), numFiles = 8)
+
+    val snap = spark.read.format("graft").load(p)
+    // range filter on the stats column: pruned read == plain filter
+    val got = snap.filter(col("value").between(50.0, 60.0))
+      .orderBy("event_id").collect()
+    val want = events.filter(col("value").between(50.0, 60.0))
+      .orderBy("event_id").collect()
+    assert(got.sameElements(want))
+    // key equality (range + bloom pruning) and IN-set
+    assert(snap.filter(col("event_id") === 42L).count() ==
+      events.filter(col("event_id") === 42L).count())
+    assert(snap.filter(col("event_id").isin(1L, 7L, 42L)).count() ==
+      events.filter(col("event_id").isin(1L, 7L, 42L)).count())
+    // a filter no metadata can answer still returns exact results
+    assert(snap.filter(col("event_type") === "click").count() ==
+      events.filter(col("event_type") === "click").count())
+  }
+
   test("readStream.format(graft) tails the commit timeline incrementally") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val p5 = "/tmp/graft_spec/ds_stream"

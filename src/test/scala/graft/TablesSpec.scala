@@ -728,6 +728,50 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == orders.count())
   }
 
+  test("prunedLiveFiles prunes by key range, partition path, and column stats") {
+    val events = GraftSession.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/pruned_files", "event_id", "event_id",
+      keyGen = TimestampDayPartition("ts", "p_day"),
+      statsCols = Seq("value")))
+    tbl.dropIfExists()
+    tbl.insert(events, numFiles = 4)
+    val all = tbl.timeline.liveFiles(None)
+
+    // partition equality bound prunes to one day's files
+    val oneDay = tbl.prunedLiveFiles(Seq(
+      ColBound("p_day", Some("2024-01-05"), Some("2024-01-05"), Some(Seq("2024-01-05")))))
+    assert(oneDay.nonEmpty && oneDay.size < all.size)
+    assert(oneDay.forall(_.partition == "p_day=2024-01-05"))
+    // partition range bound (string, lexical == chronological for ISO dates)
+    val week = tbl.prunedLiveFiles(Seq(
+      ColBound("p_day", Some("2024-01-05"), Some("2024-01-07"))))
+    assert(week.forall(f => f.partition >= "p_day=2024-01-05" && f.partition <= "p_day=2024-01-07"))
+
+    // key range bound prunes by per-file min/max key
+    val lowKeys = tbl.prunedLiveFiles(Seq(ColBound("event_id", hi = Some(10L))))
+    assert(lowKeys.size < all.size)
+    // a bound read must still see every matching row
+    val gotRows = tbl.readPruned(Seq(ColBound("event_id", hi = Some(10L))))
+      .filter(col("event_id") <= 10).count()
+    assert(gotRows == tbl.read().filter(col("event_id") <= 10).count())
+
+    // unanswerable bound types keep everything
+    assert(tbl.prunedLiveFiles(Seq(ColBound("p_day", Some(1), Some(2)))).size == all.size)
+
+    // MOR tables must NOT value-prune (a delta can supersede the stats):
+    val mor = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/pruned_files_mor", "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor, statsCols = Seq("o_totalprice")))
+    mor.dropIfExists()
+    mor.insert(orders, numFiles = 4)
+    mor.upsert(orders.limit(5).withColumn("o_totalprice", lit(9999999.0)))
+    val morAll = mor.timeline.liveFiles(None)
+    val morPruned = mor.prunedLiveFiles(Seq(ColBound("o_totalprice", Some(9999999.0))))
+    assert(morPruned.size == morAll.size, "MOR value pruning is unsound and must not engage")
+  }
+
   test("archive keeps the commits a savepoint needs; clean honors it") {
     val tbl = freshTable("cp_savepoint")
     val i1 = tbl.insert(orders, numFiles = 4)
