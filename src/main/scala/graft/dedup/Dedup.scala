@@ -413,6 +413,63 @@ object Dedup extends QueryRegistry {
       |      i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) >= 0.95
       |ORDER BY 1, 2""".stripMargin
 
+  // --- d_semdedup: SemDeDup-style semantic dedup — cluster the embedding
+  // space (deterministic sampled centroids, nearest-centroid assignment,
+  // same contract as s_topk_ivf), then WITHIN each cluster drop every
+  // vector that has a lower-id neighbor at cosine >= 0.45; the lowest-id
+  // member of each near-dup neighborhood survives. Scale: the centroid set
+  // is broadcast (one linear assignment pass), and the quadratic pair scan
+  // is confined to clusters — cost ~ n²/k per cluster, the whole point of
+  // clustering before pairwise comparison at 100 TB. Oracle: the identical
+  // assignment + in-cluster pair scan in DuckDB (same round6 double math).
+  def dSemdedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
+      .cache() // feeds both sides of the pair join plus the final output
+    val left = assigned.select(col("bucket"), col("vec_id").as("da"), col("embedding").as("ea"))
+    val right = assigned.select(col("bucket"), col("vec_id").as("db"), col("embedding").as("eb"))
+    val dropped = left.join(right, Seq("bucket"))
+      .filter(col("da") < col("db"))
+      .filter(round(expr("cosine_sim(ea, eb)"), 6) >= 0.45)
+      .select(col("db").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        col("is_dropped").isNull.cast("long").as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val dSemdedupSql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0),
+      |asg AS (SELECT vec_id, bucket FROM (
+      |    SELECT e.vec_id, c.c_id AS bucket,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+      |          / (e.nrm * c.cnrm), 6) DESC, c.c_id) AS rn
+      |    FROM e CROSS JOIN c) WHERE rn = 1),
+      |dropped AS (SELECT DISTINCT y.vec_id
+      |  FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      |  JOIN e a ON a.vec_id = x.vec_id JOIN e b ON b.vec_id = y.vec_id
+      |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (a.nrm * b.nrm), 6) >= 0.45)
+      |SELECT g.vec_id, g.bucket, CAST(d.vec_id IS NULL AS BIGINT) AS kept
+      |FROM asg g LEFT JOIN dropped d ON d.vec_id = g.vec_id
+      |ORDER BY g.vec_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
@@ -420,5 +477,6 @@ object Dedup extends QueryRegistry {
     QueryDef("d_minhash_lsh", dMinhashLsh, None),
     QueryDef("d_simhash", dSimhash, None),
     QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)),
-    QueryDef("d_embed_lsh", dEmbedLsh, Some(dEmbedLshSql)))
+    QueryDef("d_embed_lsh", dEmbedLsh, Some(dEmbedLshSql)),
+    QueryDef("d_semdedup", dSemdedup, Some(dSemdedupSql)))
 }

@@ -237,6 +237,28 @@ object Queries extends QueryRegistry {
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""".stripMargin
 
+  // --- q_grouping_sets: explicit GROUPING SETS — per-priority, per-status,
+  // and grand-total aggregates in ONE pass (the shapes ROLLUP can't express:
+  // two independent single-column sets). Spark expands the sets in a single
+  // partial-agg-friendly hash aggregate, exactly like rollup/cube.
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy("priority", "status")
+
+  private val qGroupingSetsSql =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY priority, status""".stripMargin
+
   // --- q_pivot: PIVOT — order counts and revenue spread across status
   // columns per priority. Spark's pivot with explicit values plans a single
   // partial-aggregable hash agg (no per-status scans); the oracle states the
@@ -354,6 +376,7 @@ object Queries extends QueryRegistry {
     QueryDef("q_batch_parity", qBatchParity, Some(qBatchParitySql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),

@@ -237,8 +237,44 @@ object TextOps extends QueryRegistry {
       |WHERE t.doc_id % 19 <> 0 AND e.doc_id % 19 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- x_repetition: intra-document repetition — the fraction of repeated
+  // word 3-grams per doc (1 - distinct/total), the standard boilerplate /
+  // degenerate-text quality signal (high repetition = low-quality training
+  // text). Pure per-row array expressions: no shuffle at all, scans at
+  // parquet speed at any corpus size.
+  def xRepetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = when(size(col("w")) >= 3,
+      expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+      .otherwise(array().cast("array<string>"))
+    docs(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") === 0, lit(null))
+          .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  private val xRepetitionSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS grams
+      |  FROM d)
+      |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+      |  CASE WHEN len(grams) = 0 THEN NULL
+      |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+      |  END AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("x_decontaminate", xDecontaminate, Some(xDecontaminateSql)),
+    QueryDef("x_repetition", xRepetition, Some(xRepetitionSql)),
     QueryDef("x_fingerprint", xFingerprint, Some(xFingerprintSql)),
     QueryDef("x_tokens", xTokens, Some(xTokensSql)),
     QueryDef("x_quality", xQuality, Some(xQualitySql)),
