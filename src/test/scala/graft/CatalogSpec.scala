@@ -132,4 +132,23 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT count(*) FROM graft.trips").head().getLong(0) == 4L)
     assert(sql("SELECT city FROM graft.trips").distinct().count() == 3)
   }
+
+  test("SQL filters file-prune through the catalog scan without changing results") {
+    // partition-path pruning (city is the partition column)
+    val sf = sql("SELECT uuid FROM graft.trips WHERE city = 'san_francisco' ORDER BY uuid")
+    assert(sf.collect().map(_.getString(0)).toSeq == Seq("t-1", "t-2"))
+    // record-key pruning (string key: range + bloom)
+    assert(sql("SELECT city FROM graft.trips WHERE uuid = 't-3'")
+      .head().getString(0) == "sao_paulo")
+    assert(sql("SELECT count(*) FROM graft.trips WHERE uuid IN ('t-1', 't-4')")
+      .head().getLong(0) == 2L)
+    // pruning metadata engages directly: one partition's files only
+    val tbl = graft.tables.GraftTable(spark,
+      graft.tables.TableProperties.load(spark, s"$wh/trips").get)
+    val all = tbl.timeline.liveFiles(None)
+    val pruned = tbl.prunedLiveFiles(Seq(graft.tables.ColBound(
+      "city", Some("san_francisco"), Some("san_francisco"), Some(Seq("san_francisco")))))
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(pruned.forall(_.partition == "city=san_francisco"))
+  }
 }
