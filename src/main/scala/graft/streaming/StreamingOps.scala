@@ -90,8 +90,40 @@ object StreamingOps extends QueryRegistry {
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // --- st_late_drop: watermark late-data semantics, batch-expressible.
+  // Events arrive in event_id order (the arrival proxy); the watermark is
+  // the max event time seen over all PRIOR arrivals minus 15 minutes, and
+  // an event older than the watermark at its arrival is dropped — exactly
+  // what `withWatermark("ts", "15 minutes")` does to a streaming agg. The
+  // hourly counts then cover only surviving events. In streaming the
+  // watermark is O(1) engine state; the global running-max window here
+  // exists only so the DuckDB oracle can state identical semantics.
+  private val LateUs = 15L * 60L * 1000000L
+
+  def stLateDrop(s: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("wm_us", max(unix_micros(col("ts"))).over(wPrev) - LateUs)
+      .filter(col("wm_us").isNull || unix_micros(col("ts")) >= col("wm_us"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("window.start").as("win_start"), col("n_kept"))
+      .orderBy("win_start")
+  }
+
+  private val stLateDropSql =
+    """WITH x AS (SELECT ts,
+      |    MAX(epoch_us(ts)) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 900000000 AS wm_us
+      |  FROM events)
+      |SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n_kept
+      |FROM x WHERE wm_us IS NULL OR epoch_us(ts) >= wm_us
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
-    QueryDef("st_dedup", stDedup, Some(stDedupSql)))
+    QueryDef("st_dedup", stDedup, Some(stDedupSql)),
+    QueryDef("st_late_drop", stLateDrop, Some(stLateDropSql)))
 }

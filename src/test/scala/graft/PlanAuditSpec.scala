@@ -126,6 +126,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast anti-join for untouched base rows in:\n$s")
   }
 
+  test("saltedJoin: identical results to the plain join; salts scatter the key") {
+    import org.apache.spark.sql.functions._
+    val lineitem = GraftSession.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val orders = GraftSession.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val plain = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect()
+    val salted = graft.operators.Salting
+      .saltedJoin(lineitem, orders, "l_orderkey", "o_orderkey", salts = 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect()
+    assert(salted.sameElements(plain))
+  }
+
   test("st_dedup: dedup is a partial-aggregable hash agg (map-side combine)") {
     val df = graft.streaming.StreamingOps.stDedup(spark, sfDir)
     val s = planString(df)
