@@ -134,7 +134,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case _ => TableType.Cow
       }.getOrElse(TableType.Cow),
       statsCols = prop("graft.statsCols", "statsCols")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      recordIndexBuckets =
+        prop("graft.recordIndexBuckets", "recordIndexBuckets").map(_.toInt).getOrElse(0))
     require(schema.fieldNames.contains(key), s"primaryKey $key is not a column of $ident")
     TableProperties.save(spark, cfg)
     TableProperties.saveSchema(spark, cfg.path, schema)

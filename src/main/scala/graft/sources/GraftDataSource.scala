@@ -107,7 +107,9 @@ class GraftDataSource
         .orElse(stored.map(_.tableType)).getOrElse(graft.tables.TableType.Cow),
       statsCols = parameters.get("graft.statsCols")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .orElse(stored.map(_.statsCols)).getOrElse(Nil))
+        .orElse(stored.map(_.statsCols)).getOrElse(Nil),
+      recordIndexBuckets = parameters.get("graft.recordIndexBuckets").map(_.toInt)
+        .orElse(stored.map(_.recordIndexBuckets)).getOrElse(0))
   }
 
   override def createRelation(

@@ -79,11 +79,13 @@ final case class GraftTableConfig(
     numBuckets: Int = 0,
     writeChangelog: Boolean = false,
     tableType: String = TableType.Cow,
-    statsCols: Seq[String] = Nil) {
+    statsCols: Seq[String] = Nil,
+    recordIndexBuckets: Int = 0) {
   require(tableType == TableType.Cow || tableType == TableType.Mor,
     s"unknown tableType $tableType")
   require(!(tableType == TableType.Mor && writeChangelog),
     "CDC changelog is supported on COW tables only")
+  require(recordIndexBuckets >= 0, "recordIndexBuckets must be >= 0")
 }
 
 /** A copy-on-write, record-keyed lakehouse table on plain parquet + a JSON
@@ -491,9 +493,17 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     case other => other.toString
   }
 
-  /** The pruned file set a point lookup touches (exposed for tests). */
+  /** The pruned file set a point lookup touches (exposed for tests). With a
+    * record index enabled, the exact file set comes from ONE index-bucket
+    * read; otherwise key-range stats + bucket index + bloom filters prune. */
   def lookupFiles(keys: Seq[Any]): Seq[FileMeta] = {
     val padded = keys.map(padKey)
+    if (cfg.recordIndexBuckets > 0) {
+      recordIndexLookup(padded) match {
+        case Some(paths) => return timeline.liveFiles(None).filter(f => paths.contains(f.path))
+        case None => () // no index data yet: fall back to pruning
+      }
+    }
     val buckets: Set[Int] =
       if (cfg.numBuckets <= 0) Set.empty
       else {
@@ -653,6 +663,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       // it from the footer metadata before scheduling any file read
       .option(s"parquet.bloom.filter.enabled#${cfg.keyField}", "true")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
+    if (cfg.recordIndexBuckets > 0) writeRecordIndex(instant, dir)
 
     // per-file key-range stats for upsert/lookup pruning, harvested from
     // the parquet FOOTERS the write just produced — no data is re-read.
@@ -684,9 +695,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** Reserve an instant and run `body` with it. On ANY failure after the
     * reservation — a data/CDC write error, an invalid batch detected in the
     * stats pass, or a commit-time conflict thrown by Timeline.commit — the
-    * instant's data and changelog output are deleted and the reservation
-    * tombstoned, so a failed mutation leaks neither orphan files nor an
-    * `.inflight` marker. */
+    * instant's data, changelog, and record-index output are deleted and the
+    * reservation tombstoned, so a failed mutation leaks neither orphan
+    * files nor an `.inflight` marker. */
   private def withReservedInstant[T](body: String => T): T = {
     val instant = timeline.reserveInstant()
     try body(instant)
@@ -694,9 +705,63 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       case scala.util.control.NonFatal(e) =>
         fs.delete(new Path(s"${cfg.path}/data/$instant"), true)
         fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
+        fs.delete(new Path(s"${cfg.path}/_graft/rli/$instant"), true)
         timeline.abort(instant)
         throw e
     }
+  }
+
+  /** Append this commit's (record key → data file) mappings to the
+    * record-level index: `_graft/rli/<instant>/b=<bucket>/` parquet keyed
+    * by the padded key string — the Hudi 1.0 record index re-expressed.
+    * Mappings whose data file was later replaced are filtered out at
+    * lookup time by LIVENESS, so rewrites need no index maintenance, and a
+    * commit's index dir lives and dies with the commit (rollback and abort
+    * delete it). One extra column-pruned read of the just-written files +
+    * one small write per commit; at 100 TB a point lookup then reads ONE
+    * hash bucket of the index (O(#commits) small files, bounded by
+    * timeline checkpointing) instead of bloom-probing every candidate
+    * footer. */
+  private def writeRecordIndex(instant: String, dataDir: String): Unit = {
+    val written = spark.read.option("recursiveFileLookup", "true").parquet(dataDir)
+    written
+      .select(keyStr(keyCol, written).as("k"), input_file_name().as("f"))
+      .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
+      // one task: a single batch's index is small, and this bin-packs the
+      // per-bucket output to <= one file per bucket per commit
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(s"${cfg.path}/_graft/rli/$instant")
+  }
+
+  /** Live data files mapped for the given padded keys by the record index;
+    * None when the index has no committed data yet (caller falls back to
+    * range/bucket/bloom pruning). Reads only the index buckets the keys
+    * hash to. */
+  private def recordIndexLookup(padded: Seq[String]): Option[Set[String]] = {
+    val rli = new Path(s"${cfg.path}/_graft/rli")
+    if (!fs.exists(rli)) return None
+    val instants = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath.getName)
+    if (instants.isEmpty) return None
+    // bucket of each key — the same engine hash as the write side
+    val kdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        padded.map(k => org.apache.spark.sql.Row(k)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
+    val bks = kdf.select(pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val dirs = for {
+      i <- instants.toSeq
+      b <- bks
+      d = s"${cfg.path}/_graft/rli/$i/b=$b"
+      if fs.exists(new Path(d))
+    } yield d
+    if (dirs.isEmpty) return Some(Set.empty)
+    val hits = spark.read.parquet(dirs: _*)
+      .filter(col("k").isin(padded: _*))
+      .select("f").distinct().collect().map(r => relPath(r.getString(0))).toSet
+    Some(hits)
   }
 
   /** (minKey, maxKey, rowCount, colStats) of one data file from its parquet
@@ -1288,6 +1353,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     c.adds.filterNot(_.path.startsWith("ext:"))
       .foreach(f => fs.delete(new Path(s"${cfg.path}/${f.path}"), false))
     fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
+    fs.delete(new Path(s"${cfg.path}/_graft/rli/$instant"), true)
     fs.delete(new Path(s"${cfg.path}/_graft/$instant.commit.json"), false)
     // tombstone: the instant number is never reused, so commits cached by
     // other table handles can never be re-bound to different data
@@ -1347,6 +1413,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     require(cfg.tableType == TableType.Cow && cfg.numBuckets == 0 &&
       cfg.keyGen == NoPartition,
       "bootstrap supports unpartitioned, unbucketed COW tables")
+    // external files get no index entries, so RLI lookups would silently
+    // miss their keys — indexing a bootstrapped lake is a separate backfill
+    require(cfg.recordIndexBuckets == 0,
+      "bootstrap is not supported with a record index")
     ensureConfig()
     withReservedInstant { instant =>
       val src = new Path(sourceDir)

@@ -149,6 +149,22 @@ object TableOps extends QueryRegistry {
     tbl.pointLookup(Seq(1L, 7L, 42L, 100L, 999L)).orderBy("o_orderkey")
   }
 
+  // --- t_record_index: Hudi-1.0-style record-level index — per-commit
+  // (key → file) mappings in hash-bucketed index parquet; a point lookup
+  // reads ONE index bucket for the exact file list instead of probing
+  // candidate footers. Exercised across an insert + an upsert rewrite so
+  // stale mappings (to replaced files) must be liveness-filtered out.
+  def tRecordIndex(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_record_index", dir), "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 16))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    tbl.pointLookup(Seq(1L, 7L, 42L, 100L, 999L)).orderBy("o_orderkey")
+  }
+
   // --- t_partition_prune: hive-style partition dirs; filter prunes partitions.
   def tPartitionPrune(s: SparkSession, dir: String): DataFrame = {
     val (tbl, orders) =
@@ -382,6 +398,12 @@ object TableOps extends QueryRegistry {
       Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
     QueryDef("t_bucket_index", tBucketIndex, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderkey IN (1, 7, 42, 100, 999) ORDER BY o_orderkey")),
+    // the upsert re-stamps key%10==0 rows before the lookup, so the oracle
+    // is the upserted view restricted to the looked-up keys
+    QueryDef("t_record_index", tRecordIndex, Some(
+      s"""$upsertedSql
+         |WHERE o_orderkey IN (1, 7, 42, 100, 999)
+         |ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_partition_prune", tPartitionPrune, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
     QueryDef("t_keygen_timestamp", tKeygenTimestamp, Some(

@@ -40,6 +40,7 @@ object TableProperties {
     root.put("tableType", cfg.tableType)
     val sc = root.putArray("statsCols")
     cfg.statsCols.foreach(sc.add)
+    root.put("recordIndexBuckets", cfg.recordIndexBuckets)
     val out = fs.create(path(cfg.path), true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     out.close()
@@ -88,7 +89,9 @@ object TableProperties {
           val b = scala.collection.mutable.ArrayBuffer.empty[String]
           arr.forEach(e => b += e.asText())
           b.toSeq
-        }.getOrElse(Nil)))
+        }.getOrElse(Nil),
+        recordIndexBuckets =
+          Option(n.get("recordIndexBuckets")).map(_.asInt()).getOrElse(0)))
     }
   }
 }

@@ -728,6 +728,40 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == orders.count())
   }
 
+  test("record index: exact file set per key, stale mappings liveness-filtered") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/record_index", "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 8))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 6)
+    // the index maps each key to exactly the files that contain it
+    val hit = tbl.lookupFiles(Seq(42L))
+    assert(hit.size == 1, s"expected exactly one mapped file, got ${hit.size}")
+    val live = tbl.timeline.liveFiles(None)
+    assert(hit.size < live.size)
+    assert(tbl.pointLookup(Seq(42L)).count() == 1)
+
+    // an upsert rewrites the file containing key 42; the OLD mapping now
+    // points at a dead file and must be filtered, the NEW one found
+    tbl.upsert(orders.filter(col("o_orderkey") === 42L)
+      .withColumn("o_orderstatus", lit("R")))
+    val hit2 = tbl.lookupFiles(Seq(42L))
+    assert(hit2.size == 1)
+    val livePaths = tbl.timeline.liveFiles(None).map(_.path).toSet
+    assert(hit2.forall(f => livePaths.contains(f.path)))
+    val row = tbl.pointLookup(Seq(42L)).collect()
+    assert(row.length == 1 && row(0).getAs[String]("o_orderstatus") == "R")
+
+    // a missing key maps to no files at all (no scan scheduled)
+    assert(tbl.lookupFiles(Seq(999999999L)).isEmpty)
+    // a rolled-back commit's index dies with it
+    val i3 = tbl.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderstatus", lit("X")))
+    tbl.rollback(i3)
+    assert(!new java.io.File(s"/tmp/graft_spec/record_index/_graft/rli/$i3").exists())
+    assert(tbl.pointLookup(Seq(7L)).collect()(0).getAs[String]("o_orderstatus") != "X")
+  }
+
   test("prunedLiveFiles prunes by key range, partition path, and column stats") {
     val events = GraftSession.table(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type", "value", "ts")
