@@ -338,6 +338,43 @@ object TableOps extends QueryRegistry {
     tbl.readBetween("value", 50.0, 60.0).orderBy("event_id")
   }
 
+  // --- t_insert_overwrite: INSERT OVERWRITE of whole partitions — the
+  // Hudi insert_overwrite op. One partition's content is replaced; every
+  // other partition is untouched; history stays time-travelable.
+  def tInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) =
+      ordersTable(s, dir, "t_insert_overwrite", keyGen = FieldPartition("o_orderpriority"))
+    tbl.insert(orders, numFiles = 2)
+    // replace the 1-URGENT partition with its re-priced content
+    tbl.insertOverwritePartitions(
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("o_orderstatus", lit("W")))
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_rollback: undo the latest commit — its files are removed and the
+  // replaced ones become live again purely through timeline resolution.
+  def tRollback(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_rollback")
+    tbl.insert(orders, numFiles = 4)
+    val bad = tbl.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * -1))
+    tbl.rollback(bad)
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_schema_add: add-column schema evolution — a later batch carries a
+  // NEW column; rows written before the evolution read it as NULL (the
+  // mergeSchema semantics, served from the accumulated union schema with no
+  // footer-scan inference job).
+  def tSchemaAdd(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_schema_add")
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders).withColumn("discount_pct", lit(5L)))
+    tbl.read().orderBy("o_orderkey")
+  }
+
   // --- t_ctas: CREATE TABLE AS SELECT (quickstart.sql:92-99).
   def tCtas(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -444,6 +481,21 @@ object TableOps extends QueryRegistry {
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE value BETWEEN 50.0 AND 60.0
         |ORDER BY event_id""".stripMargin)),
+    QueryDef("t_insert_overwrite", tInsertOverwrite, Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'W' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_rollback", tRollback,
+      Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
+    QueryDef("t_schema_add", tSchemaAdd, Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 5 ELSE NULL END AS discount_pct
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_ctas", tCtas, Some(
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
