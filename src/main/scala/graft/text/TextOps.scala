@@ -272,6 +272,73 @@ object TextOps extends QueryRegistry {
       |  END AS rep_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // --- x_source_stats: per-source corpus accounting — docs, tokens, and
+  // how much of each source is duplicated content (its share of docs whose
+  // normalized text also appears elsewhere in the corpus). The standard
+  // mixture-design dashboard before weighting sources. One hash agg for
+  // global dup counts (broadcast back — |distinct hashes| ≤ |docs|), one
+  // group-by source.
+  def xSourceStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(normText(col("text"))).as("h"),
+      when(trim(col("text")) === "", 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tok"))
+    val dupHashes = d.groupBy("h").agg(count(lit(1)).as("cnt"))
+    d.join(broadcast(dupHashes), Seq("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy("source")
+  }
+
+  private val xSourceStatsSql =
+    """WITH d AS (SELECT doc_id, source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tok
+      |  FROM documents),
+      |c AS (SELECT h, COUNT(*) AS cnt FROM d GROUP BY h)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+      |FROM d JOIN c USING (h)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // --- x_source_overlap: which sources copy from which — for each source
+  // pair, the number of distinct 5-word shingles present in BOTH (dedup
+  // attribution / provenance overlap for mixture design). The join is
+  // shingle-blocked (only shingles appearing in 2+ sources expand), never
+  // |docs|²; Spark works on 64-bit shingle hashes (never materializing
+  // shingle strings), the oracle on the strings — same counts.
+  def xSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("source"), split(normText(col("text")), " ").as("w"))
+      .select(col("source"),
+        explode(when(size(col("w")) >= 5,
+          array_distinct(expr(
+            "transform(sequence(0, size(w)-5), i -> xxhash64(w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+          .otherwise(array().cast("array<bigint>"))).as("sh"))
+      .distinct()
+    // (source, shingle) is distinct, so the pair count IS the distinct count
+    sh.toDF("sa", "sh").join(sh.toDF("sb", "sh"), Seq("sh"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
+      .orderBy("sa", "sb")
+  }
+
+  private val xSourceOverlapSql =
+    """WITH d AS (SELECT source,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT source, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+      |  FROM d WHERE len(w) >= 5)
+      |SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_shared
+      |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("x_decontaminate", xDecontaminate, Some(xDecontaminateSql)),
     QueryDef("x_repetition", xRepetition, Some(xRepetitionSql)),
@@ -282,5 +349,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_vocab", xVocab, Some(xVocabSql)),
     QueryDef("x_redact", xRedact, Some(xRedactSql)),
     QueryDef("x_sample_mix", xSampleMix, Some(xSampleMixSql)),
-    QueryDef("x_pack", xPack, Some(xPackSql)))
+    QueryDef("x_pack", xPack, Some(xPackSql)),
+    QueryDef("x_source_stats", xSourceStats, Some(xSourceStatsSql)),
+    QueryDef("x_source_overlap", xSourceOverlap, Some(xSourceOverlapSql)))
 }
