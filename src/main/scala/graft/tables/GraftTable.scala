@@ -594,16 +594,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .select(col("_graft_pc_row.*"))
   }
 
-  private def relPath(absFileName: String): String = {
-    // input_file_name() returns a URI-encoded string (spaces as %20 etc.);
-    // decode so stored paths match the literal file names on disk.
-    val p =
-      try new java.net.URI(absFileName).getPath
-      catch { case _: java.net.URISyntaxException => absFileName }
-    val decoded = if (p == null || p.isEmpty) absFileName else p
-    if (decoded.startsWith(rootStr + "/")) decoded.stripPrefix(rootStr).stripPrefix("/")
-    else "ext:" + decoded // bootstrapped external file
-  }
+  private def relPath(absFileName: String): String =
+    GraftTable.relativize(absFileName, rootStr)
 
   /** Write `df` (user columns + meta columns) as the data files of
     * `instant`; returns their FileMeta (stats collected with a cheap
@@ -723,9 +715,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * timeline checkpointing) instead of bloom-probing every candidate
     * footer. */
   private def writeRecordIndex(instant: String, dataDir: String): Unit = {
+    import spark.implicits._
     val written = spark.read.option("recursiveFileLookup", "true").parquet(dataDir)
+    val rootS = rootStr
     written
       .select(keyStr(keyCol, written).as("k"), input_file_name().as("f"))
+      .as[(String, String)]
+      // store TABLE-RELATIVE paths so liveness checks and index compaction
+      // compare directly against timeline FileMeta paths
+      .map { case (k, f) => (k, GraftTable.relativize(f, rootS)) }
+      .toDF("k", "f")
       .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
       // one task: a single batch's index is small, and this bin-packs the
       // per-bucket output to <= one file per bucket per commit
@@ -760,8 +759,43 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     if (dirs.isEmpty) return Some(Set.empty)
     val hits = spark.read.parquet(dirs: _*)
       .filter(col("k").isin(padded: _*))
-      .select("f").distinct().collect().map(r => relPath(r.getString(0))).toSet
+      .select("f").distinct().collect().map(_.getString(0)).toSet
     Some(hits)
+  }
+
+  /** Fold every per-commit record-index directory into ONE, dropping
+    * mappings whose data file is no longer live — the index-maintenance
+    * analogue of [[checkpointTimeline]] for years-lived tables (a lookup
+    * otherwise reads O(#commits) index dirs). Crash-safe without a lock:
+    * the merged dir is written FIRST (duplicate mappings across dirs are
+    * harmless — lookups take the distinct union), old dirs are deleted
+    * after. */
+  def compactRecordIndex(): Int = {
+    require(cfg.recordIndexBuckets > 0, s"table ${cfg.path} has no record index")
+    val rli = new Path(s"${cfg.path}/_graft/rli")
+    if (!fs.exists(rli)) return 0
+    val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
+    // fold EVERYTHING (including earlier merged-* dirs) except the target
+    // name itself — re-running with no new commits is a no-op
+    val old = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
+      .filterNot(_.getName == mergedName)
+    if (old.length <= 1) return 0
+    val live = timeline.liveFiles(None).map(_.path)
+    val liveDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType))))
+    // recursive lookup: skips partition inference across the per-commit
+    // roots (the bucket is recomputed from the key below anyway)
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(old.map(_.toString).toSeq: _*)
+      .join(liveDf, Seq("f"), "leftsemi")
+      .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(s"${cfg.path}/_graft/rli/$mergedName")
+    old.foreach(p => fs.delete(p, true))
+    old.length
   }
 
   /** (minKey, maxKey, rowCount, colStats) of one data file from its parquet
@@ -1531,4 +1565,18 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 object GraftTable {
   def apply(spark: SparkSession, cfg: GraftTableConfig): GraftTable =
     new GraftTable(spark, cfg)
+
+  /** Table-relative form of an `input_file_name()`-style absolute name.
+    * input_file_name() returns a URI-encoded string (spaces as %20 etc.);
+    * decode so stored paths match the literal file names on disk. Static so
+    * executor-side closures (record-index writes) use the identical logic
+    * as the driver. */
+  private[tables] def relativize(absFileName: String, rootStr: String): String = {
+    val p =
+      try new java.net.URI(absFileName).getPath
+      catch { case _: java.net.URISyntaxException => absFileName }
+    val decoded = if (p == null || p.isEmpty) absFileName else p
+    if (decoded.startsWith(rootStr + "/")) decoded.stripPrefix(rootStr).stripPrefix("/")
+    else "ext:" + decoded // bootstrapped external file
+  }
 }

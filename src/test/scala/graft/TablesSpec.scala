@@ -760,6 +760,20 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.rollback(i3)
     assert(!new java.io.File(s"/tmp/graft_spec/record_index/_graft/rli/$i3").exists())
     assert(tbl.pointLookup(Seq(7L)).collect()(0).getAs[String]("o_orderstatus") != "X")
+
+    // index compaction folds all per-commit dirs into one; lookups unchanged
+    val rliDir = new java.io.File("/tmp/graft_spec/record_index/_graft/rli")
+    assert(rliDir.listFiles().count(_.isDirectory) > 1)
+    assert(tbl.compactRecordIndex() > 1)
+    assert(rliDir.listFiles().count(_.isDirectory) == 1)
+    assert(tbl.lookupFiles(Seq(42L)).size == 1)
+    assert(tbl.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    // re-running with no new commits is a no-op
+    assert(tbl.compactRecordIndex() == 0)
+    // writes after compaction index normally
+    tbl.upsert(orders.filter(col("o_orderkey") === 100L)
+      .withColumn("o_orderstatus", lit("Z")))
+    assert(tbl.pointLookup(Seq(100L)).collect()(0).getAs[String]("o_orderstatus") == "Z")
   }
 
   test("prunedLiveFiles prunes by key range, partition path, and column stats") {
