@@ -292,6 +292,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** Latest-snapshot read (user columns only). */
   def read(): DataFrame = dropInternal(snapshotWithMeta(None))
 
+  /** MOR read-optimized view (Hudi's RO query type): BASE files only — no
+    * delta resolution, no per-key window — trading freshness (un-compacted
+    * updates/deletes are invisible) for pure columnar-scan speed. Equals
+    * the snapshot after every compaction. COW tables: same as [[read]]. */
+  def readOptimized(): DataFrame = {
+    if (cfg.tableType == TableType.Cow) return read()
+    val files = timeline.liveFiles(None)
+    val adders = addCommits(None)
+    val base = files.filterNot(f => adders.get(f.path).exists(_._2))
+    if (base.isEmpty) return read().filter(lit(false))
+    // physically-resolved base rows can still carry folded-in tombstones
+    dropInternal(readFiles(base).filter(!col(GraftMeta.Deleted)))
+  }
+
   /** Snapshot AS OF `instant` (inclusive) — quickstart.sql:77-81. */
   def readAsOf(instant: String): DataFrame = dropInternal(snapshotWithMeta(Some(instant)))
 

@@ -126,6 +126,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast anti-join for untouched base rows in:\n$s")
   }
 
+  test("q_grouping_sets: ONE expand+agg pass with map-side partials, no self-unions") {
+    val df = Queries.qGroupingSets(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("partial_count") || s.contains("partial_sum"), s)
+    // grouping sets expand in-plan — never as a union of per-set scans
+    assert(!s.contains("Union"), s)
+    assert(s.linesIterator.count(_.contains("Scan parquet")) == 1, s)
+  }
+
+  test("d_semdedup: centroid assignment broadcasts; pair scan is bucket-blocked") {
+    val s = planString(graft.dedup.Dedup.dSemdedup(spark, sfDir))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+    // the in-cluster pair join is an equi-join on the bucket, not cartesian
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x_source_overlap: shingle-blocked equi-join, no doc cross product") {
+    val s = planString(graft.text.TextOps.xSourceOverlap(spark, sfDir))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("saltedJoin: identical results to the plain join; salts scatter the key") {
     import org.apache.spark.sql.functions._
     val lineitem = GraftSession.table(spark, sfDir, "lineitem")

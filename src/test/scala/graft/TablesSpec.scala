@@ -699,6 +699,26 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.filesBetween("ts", "not-a-ts", "zzz").size == all.size)
   }
 
+  test("MOR read-optimized view: base files only, converges after compact") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/mor_ro", "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor))
+    tbl.dropIfExists()
+    val n = orders.count()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U")))
+    // RO sees the pre-upsert base: full count, no 'U' rows
+    assert(tbl.readOptimized().count() == n)
+    assert(tbl.readOptimized().filter(col("o_orderstatus") === "U").count() == 0)
+    // snapshot sees the deltas
+    assert(tbl.read().filter(col("o_orderstatus") === "U").count() > 0)
+    // after compaction RO == snapshot
+    tbl.compact(targetRows = 10000000L)
+    assert(tbl.readOptimized().orderBy("o_orderkey").collect()
+      .sameElements(tbl.read().orderBy("o_orderkey").collect()))
+  }
+
   test("MOR: insert-insert key collisions in base files resolve latest-wins") {
     val tbl = GraftTable(spark, GraftTableConfig(
       "/tmp/graft_spec/mor_base_dup", "o_orderkey", "o_orderkey",
