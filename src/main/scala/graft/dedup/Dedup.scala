@@ -183,9 +183,12 @@ object Dedup extends QueryRegistry {
       .cache() // used twice by the edges union — uncached it would mine pairs twice
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("u", "v").cache()
-    var labels = edges.select(col("u").as("doc_id"))
-      .distinct()
-      .withColumn("group_id", col("doc_id"))
+    // seed with min(self, direct neighbors) — one aggregation replaces what
+    // would otherwise be the whole first propagation round (join + union)
+    var labels = edges
+      .groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("doc_id"), least(col("mn"), col("doc_id")).as("group_id"))
       .localCheckpoint(true)
     // min-label propagation converges when the label multiset stops moving;
     // a single checksum aggregate detects that — no per-round compare join

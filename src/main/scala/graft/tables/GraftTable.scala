@@ -220,6 +220,15 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * folds everything into one base commit and restores the fast path). */
   private def snapshotWithMeta(asOf: Option[String]): DataFrame = {
     val files = timeline.liveFiles(asOf)
+    // zero live files is a VALID snapshot (a delete can empty the table, a
+    // crashed first write leaves config+schema only): an empty frame with
+    // the persisted schema, not an error
+    if (files.isEmpty) {
+      val sch = readSchema().getOrElse(throw new IllegalStateException(
+        s"table ${cfg.path} has no live files and no persisted schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    }
     if (cfg.tableType == TableType.Cow) return readFiles(files)
     val adders = addCommits(asOf)
     val dp = adders.collect { case (p, (_, true)) => p }.toSet

@@ -338,6 +338,20 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans.getDouble(2) < 0.7, s"day extent ${spans.getDouble(2)}")
   }
 
+  test("deleting every row leaves a readable empty snapshot, not an error") {
+    val tbl = freshTable("delete_all")
+    tbl.insert(orders.limit(100), numFiles = 2)
+    tbl.delete(lit(true))
+    val snap = tbl.read()
+    assert(snap.count() == 0)
+    assert(snap.columns.contains("o_orderkey")) // schema preserved
+    assert(tbl.pointLookup(Seq(1L)).count() == 0)
+    // history is intact and the table accepts new writes
+    assert(tbl.readAsOf(Timeline.pad(1)).count() == 100)
+    tbl.upsert(orders.limit(10))
+    assert(tbl.read().count() == 10)
+  }
+
   test("delete keeps rows whose predicate evaluates to NULL") {
     val tbl = freshTable("null_delete")
     // schema-evolve in a nullable column: old rows have o_channel = NULL
