@@ -338,6 +338,32 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans.getDouble(2) < 0.7, s"day extent ${spans.getDouble(2)}")
   }
 
+  test("wide-table upsert: 32-column TPC-DS-ish rows round-trip (glue Job.py shape)") {
+    // the reference's glue bench upserts a wide store_sales-like table;
+    // build one deterministically from orders (30 derived measure cols)
+    var wide = orders.select("o_orderkey", "o_custkey")
+    (1 to 30).foreach { i =>
+      wide = wide.withColumn(f"m_$i%02d", (col("o_orderkey") * i % 997).cast("long"))
+    }
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/wide_table", "o_orderkey", "o_orderkey"))
+    tbl.dropIfExists()
+    tbl.insert(wide, numFiles = 4)
+    val batch = wide.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("m_01", lit(-1L))
+    tbl.upsert(batch)
+    val got = tbl.read()
+    assert(got.columns.length == 32)
+    assert(got.count() == wide.count())
+    assert(got.filter(col("m_01") === -1L).count() == batch.count())
+    // untouched wide columns survive the rewrite bit-for-bit
+    val want = wide.withColumn("m_01",
+      when(col("o_orderkey") % 5 === 0, -1L).otherwise(col("m_01")))
+    assert(got.orderBy("o_orderkey").collect()
+      .sameElements(want.selectExpr(got.columns.map(c => s"`$c`"): _*)
+        .orderBy("o_orderkey").collect()))
+  }
+
   test("deleting every row leaves a readable empty snapshot, not an error") {
     val tbl = freshTable("delete_all")
     tbl.insert(orders.limit(100), numFiles = 2)
