@@ -54,11 +54,18 @@ class GraftDataSource
       val table = GraftTable(spark, configOf(spark, path, parameters))
       // a table can exist (config written) with no committed data yet —
       // fall back to the schema persisted at write time rather than crash
-      if (table.timeline.liveFiles(None).nonEmpty) table.read().schema
-      else graft.tables.TableProperties.loadSchema(spark, path).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft table at $path has no committed data and no persisted " +
-            "schema yet; pass .schema(...) to readStream"))
+      val base =
+        if (table.timeline.liveFiles(None).nonEmpty) table.read().schema
+        else graft.tables.TableProperties.loadSchema(spark, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft table at $path has no committed data and no persisted " +
+              "schema yet; pass .schema(...) to readStream"))
+      if (parameters.getOrElse("graft.cdc", "false").toBoolean)
+        StructType(base.filterNot(f =>
+          configOf(spark, path, parameters).keyGen.syntheticCols.contains(f.name)) :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
+      else base
     }
     (shortName(), s)
   }
@@ -73,7 +80,8 @@ class GraftDataSource
     new GraftStreamSource(
       sqlContext.sparkSession,
       configOf(sqlContext.sparkSession, path, parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      cdc = parameters.getOrElse("graft.cdc", "false").toBoolean)
   }
 
   private def keyGenOf(parameters: Map[String, String]): KeyGen =

@@ -12,11 +12,17 @@ import org.apache.spark.sql.types.StructType
   * (flink quickstart.sql:41 `read.start-commit`/`read.end-commit`,
   * HudiDataStreamReader.java). Offsets ARE commit instants, so recovery
   * from a checkpoint resumes exactly at the last committed instant, and the
-  * first batch (offset 0 → head) is the initial snapshot. */
+  * first batch (offset 0 → head) is the initial snapshot.
+  *
+  * With `cdc = true` (readStream option `graft.cdc`) each micro-batch is
+  * instead the CHANGE IMAGES of the commit range (`_change_type` in
+  * insert / update_preimage / update_postimage / delete) — the streaming
+  * CDC query. Table-service commits yield empty batches, not errors. */
 final class GraftStreamSource(
     spark: SparkSession,
     cfg: GraftTableConfig,
-    override val schema: StructType)
+    override val schema: StructType,
+    cdc: Boolean = false)
     extends Source {
 
   private val table = GraftTable(spark, cfg)
@@ -34,7 +40,9 @@ final class GraftStreamSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val begin = start.map(instantOf).getOrElse(graft.tables.Timeline.pad(0))
-    val df = table.incremental(begin, instantOf(end))
+    val df =
+      if (cdc) table.cdc(begin, instantOf(end))
+      else table.incremental(begin, instantOf(end))
     GraftSqlShim.internalCreateDataFrame(
       spark, df.queryExecution.toRdd, df.schema, isStreaming = true)
   }

@@ -370,11 +370,19 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         else Seq.empty
       changelog ++ derivedInserts
     }
-    require(parts.nonEmpty, s"no CDC data in ($beginExclusive, $endInclusive]")
+    // a change-free range (compaction/clustering commits only) is a valid
+    // empty changelog, not an error — streaming CDC readers hit this on
+    // every table-service commit
+    if (parts.isEmpty) return cdcEmptyFrame()
     // allowMissingColumns: ranges spanning a schema-evolution commit mix
     // changelog frames with different column sets
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Zero-row frame in the CDC result shape (user columns + _change_type). */
+  private def cdcEmptyFrame(): DataFrame =
+    read().drop(cfg.keyGen.syntheticCols: _*).limit(0)
+      .withColumn("_change_type", lit(null).cast("string"))
 
   /** Key-based point lookup reading only bucket- and range-pruned files.
     * Sound under MOR too: any delta/tombstone for key k contains k, so

@@ -147,6 +147,34 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 230) // only the 30 new arrived
   }
 
+  test("readStream with graft.cdc streams change images per commit") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.tables.{GraftTable, GraftTableConfig}
+    val p = "/tmp/graft_spec/ds_cdc_stream"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      p, "o_orderkey", "o_orderkey", writeChangelog = true))
+    tbl.dropIfExists()
+    tbl.insert(orders.limit(100), numFiles = 2)
+    tbl.upsert(orders.limit(20).withColumn("o_orderstatus", lit("U")))
+    tbl.delete(col("o_orderkey") === 1L)
+    tbl.compact(targetRows = 1000000L) // change-free commit: empty batch, no error
+
+    val q = spark.readStream.format("graft")
+      .option("graft.cdc", "true").load(p)
+      .writeStream.format("memory").queryName("graft_cdc_tail")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("graft_cdc_tail")
+    // same images the batch CDC read yields over the full range
+    val want = tbl.cdc(graft.tables.Timeline.pad(0), graft.tables.Timeline.MaxInstant)
+    assert(got.count() == want.count())
+    assert(got.filter(col("_change_type") === "insert").count() == 100)
+    assert(got.filter(col("_change_type") === "update_postimage").count() == 20)
+    assert(got.filter(col("_change_type") === "delete").count() == 1)
+  }
+
   test("persisted table config: MOR table appends and reads with zero options") {
     val p6 = "/tmp/graft_spec/ds_props"
     orders.limit(300).write.format("graft")
