@@ -1507,6 +1507,22 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
   }
 
+  /** DROP PARTITION (the Hudi delete_partition operation): a metadata-only
+    * commit removing every live file whose partition path matches — no data
+    * is read or rewritten, so retiring a day/tenant partition on a 100 TB
+    * table is one timeline write. The files stay on disk for time travel
+    * until `clean`. Returns the commit instant (a no-op commit when nothing
+    * matches). */
+  def dropPartitions(partitionPred: String => Boolean): String = {
+    ensureConfig()
+    require(cfg.keyGen.partitionCols.nonEmpty, "table is not partitioned")
+    withReservedInstant { instant =>
+      val removes = timeline.liveFiles(None).filter(f => partitionPred(f.partition))
+      timeline.commit(Commit(instant, "delete_partition", Nil, removes.map(_.path)))
+      instant
+    }
+  }
+
   /** INSERT OVERWRITE for whole partitions: replaces every live file whose
     * partition value matches the batch's partitions with the batch content
     * (the Hudi insert_overwrite operation). Requires a partitioned table. */

@@ -353,6 +353,16 @@ object TableOps extends QueryRegistry {
     tbl.read().orderBy("o_orderkey")
   }
 
+  // --- t_drop_partition: DROP PARTITION — a metadata-only commit retires
+  // the 1-URGENT partition; no data file is read or rewritten.
+  def tDropPartition(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) =
+      ordersTable(s, dir, "t_drop_partition", keyGen = FieldPartition("o_orderpriority"))
+    tbl.insert(orders, numFiles = 2)
+    tbl.dropPartitions(_ == "o_orderpriority=1-URGENT")
+    tbl.read().orderBy("o_orderkey")
+  }
+
   // --- t_rollback: undo the latest commit — its files are removed and the
   // replaced ones become live again purely through timeline resolution.
   def tRollback(s: SparkSession, dir: String): DataFrame = {
@@ -489,6 +499,9 @@ object TableOps extends QueryRegistry {
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_rollback", tRollback,
       Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
+    QueryDef("t_drop_partition", tDropPartition, Some(
+      s"""SELECT $ordersCols FROM orders
+         |WHERE o_orderpriority <> '1-URGENT' ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_schema_add", tSchemaAdd, Some(
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
