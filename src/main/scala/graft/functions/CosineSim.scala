@@ -77,13 +77,53 @@ object GraftFunctions {
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (children => CosineSim(children.head, children(1))))
 
+  /** `graft_table_changes(path, mode, beginExclusive[, endInclusive])` —
+    * the SQL table function mirroring the reference's `hudi_table_changes`
+    * (quickstart.sql:83-90): mode `latest_state` returns the latest state
+    * of rows changed in the commit range; mode `cdc` returns change images
+    * with `_change_type`. Instants may be given as bare numbers (padded
+    * automatically). Arguments must be literals — the plan is built at
+    * analysis time. */
+  private[functions] def tableChangesPlan(
+      children: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(children.size == 3 || children.size == 4,
+      "usage: graft_table_changes(path, 'latest_state'|'cdc', begin[, end])")
+    val args = children.map { e =>
+      val v = e.eval()
+      require(v != null, "graft_table_changes arguments must be non-null literals")
+      v.toString
+    }
+    def instant(s: String): String =
+      if (s.forall(_.isDigit)) graft.tables.Timeline.pad(s.toLong) else s
+    val spark = SparkSession.active
+    val cfg = graft.tables.TableProperties.load(spark, args(0)).getOrElse(
+      throw new IllegalArgumentException(s"no graft table at ${args(0)}"))
+    val table = graft.tables.GraftTable(spark, cfg)
+    val begin = instant(args(2))
+    val end = if (args.size == 4) instant(args(3)) else graft.tables.Timeline.MaxInstant
+    val df = args(1).toLowerCase match {
+      case "latest_state" => table.incremental(begin, end)
+      case "cdc" => table.cdc(begin, end)
+      case other => throw new IllegalArgumentException(
+        s"unknown graft_table_changes mode '$other' (latest_state | cdc)")
+    }
+    df.queryExecution.analyzed
+  }
+
+  private val tableChangesInfo =
+    new ExpressionInfo(GraftFunctions.getClass.getName, "graft_table_changes")
+
   /** Idempotently register graft functions on an existing session (the
     * runtime path — works on any session, e.g. the driver's). */
-  def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo(classOf[CosineSim].getName, name),
-      builder)
+  def register(spark: SparkSession): Unit = {
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSim].getName, name),
+        builder)
+    }
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_table_changes"), tableChangesInfo, tableChangesPlan _)
   }
 }
 
@@ -97,6 +137,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       children => CosineSim(children.head, children(1))))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(GraftFunctions.getClass.getName, "graft_table_changes"),
+      children => GraftFunctions.tableChangesPlan(children)))
     ext.injectResolutionRule(session => graft.sources.GraftDmlRule(session))
   }
 }

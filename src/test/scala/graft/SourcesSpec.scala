@@ -175,6 +175,28 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(col("_change_type") === "delete").count() == 1)
   }
 
+  test("graft_table_changes SQL TVF: latest_state and cdc modes (quickstart.sql:83-90)") {
+    import graft.tables.{GraftTable, GraftTableConfig}
+    graft.functions.GraftFunctions.register(spark)
+    val p = "/tmp/graft_spec/tvf_changes"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      p, "o_orderkey", "o_orderkey", writeChangelog = true))
+    tbl.dropIfExists()
+    val i1 = tbl.insert(orders.limit(100), numFiles = 2)
+    tbl.upsert(orders.limit(30).withColumn("o_orderstatus", lit("U")))
+
+    val latest = spark.sql(
+      s"SELECT * FROM graft_table_changes('$p', 'latest_state', '$i1')")
+    assert(latest.count() == 30)
+    assert(latest.filter(col("o_orderstatus") === "U").count() == 30)
+    // bare-number instants pad automatically; 0 = from the beginning
+    assert(spark.sql(
+      s"SELECT * FROM graft_table_changes('$p', 'latest_state', 0)").count() == 100)
+    val cdc = spark.sql(s"SELECT * FROM graft_table_changes('$p', 'cdc', '$i1')")
+    assert(cdc.filter(col("_change_type") === "update_postimage").count() == 30)
+    assert(cdc.filter(col("_change_type") === "update_preimage").count() == 30)
+  }
+
   test("persisted table config: MOR table appends and reads with zero options") {
     val p6 = "/tmp/graft_spec/ds_props"
     orders.limit(300).write.format("graft")
