@@ -55,8 +55,10 @@ object Ann extends QueryRegistry {
   // --- s_topk_ivf: IVF-style ANN. Centroids are deterministically sampled
   // corpus vectors (vec_id % 100 == 0); every vector is assigned to its
   // nearest centroid (the inverted file); queries probe the 2 nearest
-  // centroid buckets only. Approximate → rows-only oracle; PipelineSpec
-  // asserts recall vs the brute-force baseline.
+  // centroid buckets only. Approximate w.r.t. exact top-k, but every step
+  // (assignment, probing, in-bucket ranking) is deterministic round6
+  // double math — so the WHOLE pipeline is stated as a DuckDB oracle;
+  // PipelineSpec additionally asserts recall vs the brute-force baseline.
   def sTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 100 === 0)
@@ -127,6 +129,36 @@ object Ann extends QueryRegistry {
       .orderBy("cluster_id")
   }
 
+  private val sTopkIvfSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0),
+       |asg AS (SELECT vec_id, embedding, nrm, bucket FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+       |          / (e.nrm * c.cnrm), 6) DESC, c.c_id) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 5),
+       |probes AS (SELECT q_id, qe, qn, bucket FROM (
+       |    SELECT q.q_id, q.qe, q.qn, c.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(q.qe) + 1),
+       |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+       |          / (q.qn * c.cnrm), 6) DESC, c.c_id) AS prn
+       |    FROM q CROSS JOIN c) WHERE prn <= 2),
+       |cand AS (SELECT p.q_id, a.vec_id,
+       |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(p.qe[i] AS DOUBLE)))
+       |      / (a.nrm * p.qn), 6) AS cos_r
+       |  FROM asg a JOIN probes p ON a.bucket = p.bucket AND a.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, cos_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT q_id, rank, vec_id, cos_r FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   private val sKmeansSql =
     """WITH q AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
@@ -158,6 +190,6 @@ object Ann extends QueryRegistry {
 
   override val all: Seq[QueryDef] = Seq(
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
-    QueryDef("s_topk_ivf", sTopkIvf, None),
+    QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)))
 }
