@@ -656,6 +656,40 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concurrent MOR writers: delta appends never conflict, both commit") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/concurrent_mor", "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    val n = orders.count()
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(tag: String, m: Int): Runnable = () => {
+      try {
+        start.await()
+        val h = GraftTable(spark, tbl.cfg)
+        h.upsert(orders.filter(col("o_orderkey") % 2 === m)
+          .withColumn("o_orderstatus", lit(tag)))
+      } catch { case t: Throwable => errs.add(t) }
+    }
+    pool.submit(writer("E", 0))
+    pool.submit(writer("D", 1))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    // MOR appends remove nothing, so first-committer-wins never fires:
+    // BOTH writers must land, and resolution must see both tags
+    assert(errs.isEmpty, s"MOR appends must not conflict: $errs")
+    val fresh = GraftTable(spark, tbl.cfg)
+    assert(fresh.read().count() == n)
+    val tags = fresh.read().select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(Set("E", "D").subsetOf(tags), s"lost a writer's rows: $tags")
+  }
+
   test("commit file-lock: released after commit; stale lease is broken") {
     val tbl = freshTable("commit_lock")
     tbl.insert(orders.limit(100), numFiles = 1)
