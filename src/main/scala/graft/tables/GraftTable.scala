@@ -663,6 +663,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val userSchema = org.apache.spark.sql.types.StructType(out.schema.filterNot(f =>
       GraftMeta.cols.contains(f.name) || f.name == GraftMeta.Bucket ||
         f.name.startsWith("_gp_") || droppedCols.contains(f.name)))
+    // seed the handle's cache from disk so a FRESH handle writing an
+    // unchanged schema skips the rewrite entirely (concurrent writers with
+    // identical schemas then never touch schema.json at the same time)
+    if (savedSchemaJson == null)
+      savedSchemaJson = TableProperties.loadSchema(spark, cfg.path).map(_.json).orNull
     if (savedSchemaJson != userSchema.json) {
       // ACCUMULATE the union of every written schema (latest type wins) so
       // readFiles' explicit schema covers older files after add-column

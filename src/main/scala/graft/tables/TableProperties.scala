@@ -16,6 +16,26 @@ object TableProperties {
 
   private def path(tablePath: String) = new Path(s"$tablePath/_graft/config.json")
 
+  /** Replace `p` atomically via temp + rename: a concurrent reader sees the
+    * old content or the new, never a half-written file. (On local disk
+    * rename(2) overwrites the destination in one step; on stores whose
+    * rename refuses an existing destination we delete-then-rename, which
+    * narrows the window to a brief not-exists that readers treat as None —
+    * the same trade Hudi's hoodie.properties backup dance makes.) */
+  private def atomicWrite(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      bytes: Array[Byte]): Unit = {
+    val tmp = new Path(p.getParent, s".tmp-${p.getName}-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(s"could not atomically replace $p")
+      }
+    }
+  }
+
   private def keyGenToString(k: KeyGen): String = k match {
     case NoPartition => "none"
     case FieldPartition(f) => s"field:$f"
@@ -41,9 +61,8 @@ object TableProperties {
     val sc = root.putArray("statsCols")
     cfg.statsCols.foreach(sc.add)
     root.put("recordIndexBuckets", cfg.recordIndexBuckets)
-    val out = fs.create(path(cfg.path), true)
-    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    out.close()
+    atomicWrite(fs, path(cfg.path),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
   }
 
   private def schemaPath(tablePath: String) = new Path(s"$tablePath/_graft/schema.json")
@@ -53,9 +72,7 @@ object TableProperties {
     * schema even for a table with no committed data yet. */
   def saveSchema(spark: SparkSession, tablePath: String, schema: StructType): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(schemaPath(tablePath), true)
-    out.write(schema.json.getBytes("UTF-8"))
-    out.close()
+    atomicWrite(fs, schemaPath(tablePath), schema.json.getBytes("UTF-8"))
   }
 
   def loadSchema(spark: SparkSession, tablePath: String): Option[StructType] = {

@@ -227,20 +227,20 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
   }
 
   /** Atomically reserve the next instant (optimistic concurrency: the
-    * `.inflight` marker is created with overwrite=false, so two writers
-    * racing for the same instant serialize — the loser retries with the
-    * next number). */
-  def reserveInstant(): String = {
+    * `.inflight` marker is created exclusively — O_EXCL on local disk,
+    * create(overwrite=false) on stores where that is atomic — so two
+    * writers racing for the same instant serialize; the loser retries with
+    * the next number). Same-JVM threads additionally serialize on the
+    * per-table lock so the list+create never races in-process: a shared
+    * instant number would mean two jobs writing the same data directory. */
+  def reserveInstant(): String = Timeline.commitLock(fs, tableDir).synchronized {
     init()
     var attempts = 0
     while (attempts < 100) {
       val i = nextInstant()
-      try {
-        fs.create(new Path(metaDir, s"$i.inflight"), false).close()
-        return i
-      } catch {
-        case _: java.io.IOException => attempts += 1 // lost the race; re-derive
-      }
+      if (Timeline.createExclusive(fs, new Path(metaDir, s"$i.inflight"),
+          Array.emptyByteArray)) return i
+      attempts += 1 // lost a cross-process race; re-derive
     }
     throw new IllegalStateException(s"could not reserve an instant after $attempts attempts")
   }
@@ -272,14 +272,9 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     while (first || System.currentTimeMillis() < deadline) {
       first = false
       val token = java.util.UUID.randomUUID().toString
-      val acquired =
-        try {
-          val out = fs.create(lockPath, false)
-          out.write(s"""{"ts":${System.currentTimeMillis()},"owner":"$token"}"""
-            .getBytes(StandardCharsets.UTF_8))
-          out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      val acquired = Timeline.createExclusive(fs, lockPath,
+        s"""{"ts":${System.currentTimeMillis()},"owner":"$token"}"""
+          .getBytes(StandardCharsets.UTF_8))
       if (acquired) {
         val renewer = new Thread(() => {
           try {
@@ -570,6 +565,33 @@ object Timeline {
   private[tables] def commitLock(fs: FileSystem, tableDir: Path): Object =
     commitLocks.computeIfAbsent(
       fs.makeQualified(tableDir).toString, _ => new Object)
+
+  /** Create `p` exclusively (fail when it already exists) with `content`.
+    * Hadoop's RawLocalFileSystem implements create(overwrite=false) as
+    * check-then-create, so on file:// two racing processes can BOTH win —
+    * there we go through NIO's CREATE_NEW (O_CREAT|O_EXCL, kernel-atomic).
+    * HDFS / stores with conditional create keep the Hadoop path, where
+    * create(false) is atomic at the namenode. Returns false if `p` exists. */
+  private[tables] def createExclusive(
+      fs: FileSystem, p: Path, content: Array[Byte]): Boolean =
+    if ("file" == fs.getScheme) {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.write(nio, content,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
 
   /** 9-digit zero padding keeps lexical order == numeric order for up to
     * 1e9 commits (enforced in nextInstant) — a streaming table at one
