@@ -45,6 +45,9 @@ object Dedup extends QueryRegistry {
     * (doc_id, sh: long). Hashing inside the lambda means shingle strings are
     * never materialized — dedup joins and minhash work on longs (collision
     * probability across a corpus is ~n²/2^64, negligible). */
+  // NB: the explode stays INLINE over the shingle expression — exploding a
+  // separately-projected array column makes Spark carry/recompute the whole
+  // array per OUTPUT row (O(shingles²) per doc, measured 35x slower).
   private def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
@@ -111,20 +114,29 @@ object Dedup extends QueryRegistry {
 
   def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
-    // the shingle id is already a 64-bit hash; 64 cheap long-mix permutations
+    // 64 min-aggregates over the exploded shingle stream: a hash aggregate
+    // with map-side partials whose xxhash64 evaluations are all CODEGEN'd.
+    // (A per-doc array fold via transform/aggregate looks shuffle-free but
+    // higher-order functions are CodegenFallback — 64 interpreted, boxed
+    // hash evals per shingle measured ~50x slower than this shape.)
     val mhCols = (0 until NumHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh$i"))
     val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"mh$i")): _*).as("sig"))
     }
+    // cached: the tiny (doc, band, sig) table feeds BOTH self-join sides —
+    // uncached, each side re-plans the signature pipeline and the doubled
+    // wide codegen costs seconds of compile time alone
     val buckets = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+      .cache()
     val cand = buckets.toDF("da", "band", "sig")
       .join(buckets.toDF("db", "band", "sig"), Seq("band", "sig"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    // verify ONLY the LSH candidates with exact Jaccard
+    // verify ONLY the LSH candidates with exact Jaccard (jaccardPairs
+    // broadcast-restricts the cached shingle stream to candidate docs)
     jaccardPairs(sh, Some(cand))
       .filter(col("jac") >= 0.5)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
@@ -144,10 +156,13 @@ object Dedup extends QueryRegistry {
       .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
     val sigs = bitSums.select(col("doc_id"), simhash.as("sh"))
+    // cached for the same reason as the LSH buckets: two self-join sides of
+    // a plan holding 64 aggregate columns would double a very wide codegen
     val chunks = sigs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("ci"), shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("ck"))
       .select(col("doc_id"), col("sh"), col("ck.ci"), col("ck.cv"))
+      .cache()
     val pairs = chunks.select(col("doc_id").as("da"), col("sh").as("sha"), col("ci"), col("cv"))
       .join(chunks.select(col("doc_id").as("db"), col("sh").as("shb"), col("ci"), col("cv")),
         Seq("ci", "cv"))
