@@ -253,6 +253,44 @@ object Queries extends QueryRegistry {
         col("n"), col("total"))
       .orderBy("priority", "status")
 
+  // --- q6_forecast_revenue: TPC-H Q6 — the canonical pushdown benchmark:
+  // every filter (date range, discount band, quantity cap) must reach the
+  // parquet scan; the agg is a single partial-aggregable global sum.
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  private val q6Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // --- q18_large_orders: TPC-H Q18 — join + HAVING on an aggregate + topN.
+  // The quantity sum is grouped on the JOIN KEY, so the aggregate is partial
+  // before the shuffle; the topN carries a unique tiebreak.
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > 150)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("qty_dec").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  private val q18Sql =
+    """SELECT o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderdate, o_totalprice
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   private val qGroupingSetsSql =
     """SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'ALL') AS status,
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -376,6 +414,8 @@ object Queries extends QueryRegistry {
     QueryDef("q_batch_parity", qBatchParity, Some(qBatchParitySql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q6_forecast_revenue", q6ForecastRevenue, Some(q6Sql)),
+    QueryDef("q18_large_orders", q18LargeOrders, Some(q18Sql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),

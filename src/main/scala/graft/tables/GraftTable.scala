@@ -80,7 +80,8 @@ final case class GraftTableConfig(
     writeChangelog: Boolean = false,
     tableType: String = TableType.Cow,
     statsCols: Seq[String] = Nil,
-    recordIndexBuckets: Int = 0) {
+    recordIndexBuckets: Int = 0,
+    secondaryIndexCols: Seq[String] = Nil) {
   require(tableType == TableType.Cow || tableType == TableType.Mor,
     s"unknown tableType $tableType")
   require(!(tableType == TableType.Mor && writeChangelog),
@@ -548,7 +549,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           .distinct().collect().map(_.getLong(0).toInt).toSet
       }
     val ranged = timeline.liveFiles(None).filter { f =>
-      val bucketOk = cfg.numBuckets <= 0 || buckets.contains(f.bucket)
+      // bucket pruning is only sound for files assigned under THIS handle's
+      // modulus — after a rebucket, differently-bucketed files are kept
+      val bucketOk = cfg.numBuckets <= 0 || f.bucketMod != cfg.numBuckets ||
+        buckets.contains(f.bucket)
       val rangeOk = padded.exists(k => f.minKey <= k && k <= f.maxKey)
       bucketOk && rangeOk
     }
@@ -692,6 +696,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .option(s"parquet.bloom.filter.enabled#${cfg.keyField}", "true")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
     if (cfg.recordIndexBuckets > 0) writeRecordIndex(instant, dir)
+    if (cfg.secondaryIndexCols.nonEmpty) writeSecondaryIndex(instant, dir)
 
     // per-file key-range stats for upsert/lookup pruning, harvested from
     // the parquet FOOTERS the write just produced — no data is re-read.
@@ -715,7 +720,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             .map(_.stripPrefix("_gp_")).mkString("/")
           val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
             .map(_.split("=")(1).toInt).getOrElse(0)
-          Some(FileMeta(rel, partition, bucket, mn, mx, rows, cs))
+          Some(FileMeta(rel, partition, bucket, mn, mx, rows, cs,
+            bucketMod = cfg.numBuckets))
       }
     }.toSeq
   }
@@ -734,6 +740,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         fs.delete(new Path(s"${cfg.path}/data/$instant"), true)
         fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
         fs.delete(new Path(s"${cfg.path}/_graft/rli/$instant"), true)
+        deleteSecondaryIndexDirs(instant)
         timeline.abort(instant)
         throw e
     }
@@ -797,6 +804,65 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .filter(col("k").isin(padded: _*))
       .select("f").distinct().collect().map(_.getString(0)).toSet
     Some(hits)
+  }
+
+  /** Append this commit's (secondary-key value → data file) mappings — the
+    * Hudi 1.0 secondary index re-expressed. One `_graft/si/<col>/<instant>/`
+    * parquet of the DISTINCT (value, file) pairs per indexed column: an
+    * equality lookup on a non-key column then reads the small index instead
+    * of scanning every file's data. Like the record index, stale mappings
+    * (to files later replaced) are filtered by LIVENESS at lookup time, and
+    * a commit's index dir lives and dies with the commit's data dir. */
+  private def writeSecondaryIndex(instant: String, dataDir: String): Unit = {
+    val written = spark.read.option("recursiveFileLookup", "true").parquet(dataDir)
+    val rootS = rootStr
+    val rel = udf((f: String) => GraftTable.relativize(f, rootS))
+    cfg.secondaryIndexCols.filter(written.columns.contains).foreach { c =>
+      written
+        .select(col(s"`$c`").cast("string").as("v"), rel(input_file_name()).as("f"))
+        .distinct()
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(s"${cfg.path}/_graft/si/$c/$instant")
+    }
+  }
+
+  /** Remove one instant's secondary-index output under every indexed
+    * column (abort/rollback cleanup — listed from disk, not cfg, so a
+    * handle with a stale config still cleans fully). */
+  private def deleteSecondaryIndexDirs(instant: String): Unit = {
+    val si = new Path(s"${cfg.path}/_graft/si")
+    if (fs.exists(si))
+      fs.listStatus(si).filter(_.isDirectory)
+        .foreach(c => fs.delete(new Path(c.getPath, instant), true))
+  }
+
+  /** Live data files that may contain rows where `column` equals one of
+    * `values`, per the secondary index; None when the column isn't indexed
+    * or the index is empty (caller falls back to a full-file scan). */
+  def secondaryIndexFiles(
+      column: String, values: Seq[Any]): Option[Seq[FileMeta]] = {
+    if (!cfg.secondaryIndexCols.contains(column)) return None
+    val siDir = new Path(s"${cfg.path}/_graft/si/$column")
+    if (!fs.exists(siDir)) return None
+    val instants = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath.toString)
+    if (instants.isEmpty) return None
+    val wanted = values.map(v => String.valueOf(v))
+    val hits = spark.read.parquet(instants.toSeq: _*)
+      .filter(col("v").isin(wanted: _*))
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    Some(timeline.liveFiles(None).filter(f => hits.contains(f.path)))
+  }
+
+  /** Equality read through the secondary index: scans ONLY the files the
+    * index maps the values to (plus the residual filter). Falls back to a
+    * normal pruned read when the column has no index data. */
+  def readBySecondary(column: String, values: Seq[Any]): DataFrame = {
+    val pred = col(s"`$column`").isin(values: _*)
+    secondaryIndexFiles(column, values) match {
+      case Some(files) => dropInternal(resolve(readFiles(files))).filter(pred)
+      case None => read().filter(pred)
+    }
   }
 
   /** Fold every per-commit record-index directory into ONE, dropping
@@ -1074,7 +1140,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       bMin: String, bMax: String, batchRows: Long, batchBuckets: Set[Int]): Unit = {
     val cand = live.filter { f =>
       val rangeOk = f.minKey <= bMax && bMin <= f.maxKey
-      val bucketOk = cfg.numBuckets <= 0 || batchBuckets.contains(f.bucket)
+      val bucketOk = cfg.numBuckets <= 0 || f.bucketMod != cfg.numBuckets ||
+        batchBuckets.contains(f.bucket)
       rangeOk && bucketOk
     }
 
@@ -1346,6 +1413,19 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     else upsertResolved(batch, "merge", commitMeta)
   }
 
+  /** Partial-record upsert: a NULL field in the source record keeps the
+    * stored value, non-null fields overwrite — Hudi's
+    * OverwriteNonDefaultsWithLatestAvroPayload (the sparse-patch ingest
+    * pattern: producers emit only changed columns). New keys insert as-is.
+    * Expressed as a MERGE whose update set is column-wise
+    * coalesce(source, target), so the COW write still rewrites only
+    * colliding file groups. */
+  def partialUpsert(batch: DataFrame, commitMeta: Map[String, String] = Map.empty): String = {
+    val sets = userCols(batch).filterNot(_ == cfg.keyField)
+      .map(c => c -> coalesce(col(s"s.`$c`"), col(s"t.`$c`")))
+    merge(batch, whenMatchedUpdate = Some(sets), commitMeta = commitMeta)
+  }
+
   // ------------------------------------------------------------- services
 
   /** Bin-pack small files into ~`targetRows`-sized files (the analogue of
@@ -1410,6 +1490,34 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def clusterZOrder(colA: String, colB: String, numFiles: Int): String =
     clusterZOrder(Seq(colA, colB), numFiles)
 
+  /** Resize the hash-bucket index to `newNumBuckets` — the service behind
+    * Hudi's consistent-hashing bucket index (flink
+    * consistent_hashing.sql:65-99), which exists so a bucketed table can
+    * outgrow its initial bucket count. One rewrite commit, then the new
+    * count is persisted to the table config so every later handle/reader
+    * prunes with it. With a power-of-two resize, pmod moves each old
+    * bucket's rows only to {b, b+oldN, …} — rewrites stay file-group-local
+    * (split), never an all-to-all reshuffle. Returns the commit instant. */
+  def rebucket(newNumBuckets: Int): String = {
+    require(cfg.numBuckets > 0, s"table ${cfg.path} has no bucket index to resize")
+    require(newNumBuckets > 0, "newNumBuckets must be positive")
+    val newCfg = cfg.copy(numBuckets = newNumBuckets)
+    val h2 = new GraftTable(spark, newCfg)
+    val instant = h2.withReservedInstant { i =>
+      val live = timeline.liveFiles(None)
+      val snap = resolve(readFiles(live))
+      val cols = presentCols(snap)
+      // one shuffle partition per new bucket: writeFiles repartitions by the
+      // bucket column, so each bucket lands as one file written by one task
+      val adds = h2.writeFiles(
+        snap.selectExpr(cols.map(c => s"`$c`"): _*), i, numFiles = newNumBuckets)
+      h2.timeline.commit(Commit(i, "rebucket", adds, live.map(_.path)))
+      i
+    }
+    TableProperties.save(spark, newCfg)
+    instant
+  }
+
   /** Roll back the LATEST commit (Hudi rollback/restore): its commit file
     * and the data files it added are removed; files it replaced become live
     * again automatically (timeline resolution). Only the newest commit can
@@ -1424,6 +1532,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .foreach(f => fs.delete(new Path(s"${cfg.path}/${f.path}"), false))
     fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
     fs.delete(new Path(s"${cfg.path}/_graft/rli/$instant"), true)
+    deleteSecondaryIndexDirs(instant)
     fs.delete(new Path(s"${cfg.path}/_graft/$instant.commit.json"), false)
     // tombstone: the instant number is never reused, so commits cached by
     // other table handles can never be re-bound to different data

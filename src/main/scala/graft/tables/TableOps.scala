@@ -84,6 +84,24 @@ object TableOps extends QueryRegistry {
     tbl.read().orderBy("o_orderkey")
   }
 
+  // --- t_partial_update: sparse-patch upsert (Hudi's
+  // OverwriteNonDefaultsWithLatestAvroPayload) — NULL source fields keep the
+  // stored value, so a producer can ship only the columns that changed.
+  def tPartialUpdate(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_partial_update")
+    tbl.insert(orders, numFiles = 4)
+    // the patch carries ONLY key + new price; everything else is null
+    val patch = orders.filter(col("o_orderkey") % 10 === 0).select(
+      col("o_orderkey"),
+      lit(null).cast("bigint").as("o_custkey"),
+      lit(null).cast("string").as("o_orderstatus"),
+      (col("o_totalprice") + 100).as("o_totalprice"),
+      lit(null).cast("timestamp").as("o_orderdate"),
+      lit(null).cast("string").as("o_orderpriority"))
+    tbl.partialUpsert(patch)
+    tbl.read().orderBy("o_orderkey")
+  }
+
   // --- t_precombine_dedup: precombine keeps the highest `ver` per key.
   def tPrecombineDedup(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -163,6 +181,36 @@ object TableOps extends QueryRegistry {
     tbl.insert(orders, numFiles = 4)
     tbl.upsert(upsertBatch(orders))
     tbl.pointLookup(Seq(1L, 7L, 42L, 100L, 999L)).orderBy("o_orderkey")
+  }
+
+  // --- t_secondary_index: Hudi-1.0-style secondary index — per-commit
+  // (value → file) mappings for a non-key column; an equality lookup reads
+  // the small index, then scans only the mapped files. Clustering first
+  // localizes each priority into few files so the index actually prunes
+  // (exercising liveness filtering of the insert commit's stale mappings).
+  def tSecondaryIndex(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_secondary_index", dir), "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.cluster(Seq("o_orderpriority"), numFiles = 5)
+    tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).orderBy("o_orderkey")
+  }
+
+  // --- t_consistent_hash: bucket-count resize (the consistent-hashing
+  // bucket index from flink/sql/consistent_hashing.sql) — a 4-bucket table
+  // doubles to 8; point lookups keep pruning through the persisted new
+  // modulus, and content is unchanged.
+  def tConsistentHash(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_consistent_hash", numBuckets = 4)
+    tbl.insert(orders, numFiles = 1)
+    tbl.upsert(upsertBatch(orders))
+    tbl.rebucket(8)
+    // a FRESH handle sees the persisted bucket count, as any new job would
+    val fresh = GraftTable(s, TableProperties.load(s, tbl.cfg.path).get)
+    fresh.pointLookup(Seq(1L, 7L, 42L, 100L, 999L, 1000L)).orderBy("o_orderkey")
   }
 
   // --- t_partition_prune: hive-style partition dirs; filter prunes partitions.
@@ -439,6 +487,13 @@ object TableOps extends QueryRegistry {
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 <> 0
         |ORDER BY _change_type, o_orderkey""".stripMargin)),
+    // only the price changes: every other patch field is NULL and must keep
+    // its stored value
+    QueryDef("t_partial_update", tPartialUpdate, Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_compaction", tCompaction,
       Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
     QueryDef("t_clustering", tClustering,
@@ -450,6 +505,14 @@ object TableOps extends QueryRegistry {
     QueryDef("t_record_index", tRecordIndex, Some(
       s"""$upsertedSql
          |WHERE o_orderkey IN (1, 7, 42, 100, 999)
+         |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_secondary_index", tSecondaryIndex, Some(
+      s"""SELECT $ordersCols FROM orders
+         |WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin)),
+    // the upsert re-stamps key%10==0 rows before the rebucket+lookup
+    QueryDef("t_consistent_hash", tConsistentHash, Some(
+      s"""$upsertedSql
+         |WHERE o_orderkey IN (1, 7, 42, 100, 999, 1000)
          |ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_partition_prune", tPartitionPrune, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),

@@ -61,6 +61,8 @@ object TableProperties {
     val sc = root.putArray("statsCols")
     cfg.statsCols.foreach(sc.add)
     root.put("recordIndexBuckets", cfg.recordIndexBuckets)
+    val si = root.putArray("secondaryIndexCols")
+    cfg.secondaryIndexCols.foreach(si.add)
     atomicWrite(fs, path(cfg.path),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
   }
@@ -108,7 +110,12 @@ object TableProperties {
           b.toSeq
         }.getOrElse(Nil),
         recordIndexBuckets =
-          Option(n.get("recordIndexBuckets")).map(_.asInt()).getOrElse(0)))
+          Option(n.get("recordIndexBuckets")).map(_.asInt()).getOrElse(0),
+        secondaryIndexCols = Option(n.get("secondaryIndexCols")).map { arr =>
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          arr.forEach(e => b += e.asText())
+          b.toSeq
+        }.getOrElse(Nil)))
     }
   }
 }

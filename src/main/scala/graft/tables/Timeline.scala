@@ -108,7 +108,12 @@ final case class FileMeta(
     minKey: String,
     maxKey: String,
     rows: Long,
-    colStats: Map[String, ColStat] = Map.empty)
+    colStats: Map[String, ColStat] = Map.empty,
+    // the bucket-count modulus that assigned `bucket` — after a rebucket,
+    // files written under a different modulus must not be bucket-pruned by
+    // a handle configured with another count (0 = unknown/unbucketed:
+    // never pruned by bucket)
+    bucketMod: Int = 0)
 
 /** One commit instant on the timeline. `meta` carries small app-level
   * key/values committed ATOMICALLY with the data (e.g. incremental-pipeline
@@ -142,6 +147,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     n.put("minKey", f.minKey)
     n.put("maxKey", f.maxKey)
     n.put("rows", f.rows)
+    if (f.bucketMod != 0) n.put("bucketMod", f.bucketMod)
     if (f.colStats.nonEmpty) {
       val cs = n.putObject("colStats")
       f.colStats.foreach { case (c, st) =>
@@ -175,7 +181,8 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       n.get("minKey").asText(),
       n.get("maxKey").asText(),
       n.get("rows").asLong(),
-      cs)
+      cs,
+      Option(n.get("bucketMod")).map(_.asInt()).getOrElse(0))
   }
 
   def init(): Unit = fs.mkdirs(metaDir)

@@ -690,6 +690,74 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Set("E", "D").subsetOf(tags), s"lost a writer's rows: $tags")
   }
 
+  test("secondary index prunes the file set for a non-key equality lookup") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/secondary_index", "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.cluster(Seq("o_orderpriority"), numFiles = 5)
+    // range partitioning may merge a boundary: >= 4 of the 5 requested
+    val live = tbl.timeline.liveFiles(None)
+    assert(live.size >= 4)
+    val pruned = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
+    // clustering localizes each of the 5 priorities; the index must map
+    // 1-URGENT to a strict subset of the live files (liveness-filtering the
+    // insert commit's stale mappings on the way)
+    assert(pruned.nonEmpty && pruned.size < live.size,
+      s"index mapped ${pruned.size} of ${live.size} files")
+    val viaIndex = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect()
+    val viaScan = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").collect()
+    assert(viaIndex.sameElements(viaScan))
+    // unindexed column falls back, still correct
+    assert(tbl.secondaryIndexFiles("o_orderstatus", Seq("F")).isEmpty)
+  }
+
+  test("rebucket doubles the bucket layout; lookups prune under the new modulus") {
+    val tbl = freshTable("rebucket", numBuckets = 4)
+    tbl.insert(orders, numFiles = 1)
+    val n = orders.count()
+    tbl.rebucket(8)
+    // persisted config carries the new count; a fresh handle uses it
+    val fresh = GraftTable(spark, TableProperties.load(spark, tbl.cfg.path).get)
+    assert(fresh.cfg.numBuckets == 8)
+    val live = fresh.timeline.liveFiles(None)
+    assert(live.map(_.bucket).distinct.size == 8)
+    assert(live.forall(_.bucketMod == 8))
+    assert(fresh.read().count() == n)
+    // point lookup scans only the key's bucket (plus range check)
+    val files = fresh.lookupFiles(Seq(42L))
+    assert(files.size < live.size, s"lookup scanned ${files.size} of ${live.size}")
+    assert(fresh.pointLookup(Seq(42L)).count() == 1)
+    // a STALE handle (old modulus) must stay correct: bucket pruning is
+    // disabled for mismatched bucketMod, not wrong
+    assert(tbl.pointLookup(Seq(42L)).count() == 1)
+    assert(tbl.read().count() == n)
+  }
+
+  test("partial upsert patches only non-null fields and inserts new keys whole") {
+    val tbl = freshTable("partial_upsert")
+    tbl.insert(orders, numFiles = 2)
+    val patch = orders.filter(col("o_orderkey") === 1L).select(
+      col("o_orderkey"),
+      lit(null).cast("bigint").as("o_custkey"),
+      lit(null).cast("string").as("o_orderstatus"),
+      lit(9999.5).as("o_totalprice"),
+      lit(null).cast("timestamp").as("o_orderdate"),
+      lit(null).cast("string").as("o_orderpriority"))
+      .unionByName(orders.filter(col("o_orderkey") === 2L)
+        .withColumn("o_orderkey", lit(77777777L)))
+    tbl.partialUpsert(patch)
+    val r1 = tbl.read().filter(col("o_orderkey") === 1L).head()
+    val orig = orders.filter(col("o_orderkey") === 1L).head()
+    assert(r1.getAs[Double]("o_totalprice") == 9999.5)
+    assert(r1.getAs[Long]("o_custkey") == orig.getAs[Long]("o_custkey"))
+    assert(r1.getAs[String]("o_orderstatus") == orig.getAs[String]("o_orderstatus"))
+    assert(tbl.read().filter(col("o_orderkey") === 77777777L).count() == 1)
+  }
+
   test("commit file-lock: released after commit; stale lease is broken") {
     val tbl = freshTable("commit_lock")
     tbl.insert(orders.limit(100), numFiles = 1)
