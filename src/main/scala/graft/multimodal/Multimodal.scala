@@ -122,7 +122,41 @@ object Multimodal extends QueryRegistry {
       |  CAST(SUM(feature) AS BIGINT) AS feature_sum
       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- m_frame_dedup: cross-video duplicate-FRAME detection — the video
+  // analogue of document dedup: fingerprint every sampled frame (STUB
+  // perceptual hash: content-derived arithmetic standing in for a pHash
+  // kernel), group identical fingerprints corpus-wide, keep the lowest
+  // doc. At scale this is one map stage + one hash aggregation on the
+  // fingerprint — no pairwise comparison.
+  def mFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = GraftSession.table(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+      .select(col("doc_id"),
+        length(col("head").cast("binary")).cast("long").as("n"),
+        (length(col("head")) -
+          length(regexp_replace(col("head"), "[aeiou]", ""))).cast("long").as("v"))
+    base
+      .select(col("doc_id"), col("v"),
+        explode(sequence(lit(0L), col("n") % 7)).as("f"))
+      .select(col("doc_id"), ((col("v") * 13 + col("f") * 7) % 101).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+  }
+
+  private val mFrameDedupSql =
+    """WITH m AS (SELECT doc_id,
+      |    CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n,
+      |    CAST(length(substr(text, 1, 64)) -
+      |      length(regexp_replace(substr(text, 1, 64), '[aeiou]', '', 'g')) AS BIGINT) AS v
+      |  FROM documents),
+      |fr AS (SELECT doc_id, (v * 13 + f * 7) % 101 AS fp
+      |  FROM (SELECT doc_id, v, unnest(generate_series(0, n % 7)) AS f FROM m))
+      |SELECT fp, MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies
+      |FROM fr GROUP BY fp ORDER BY fp""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
-    QueryDef("m_media_pipeline", mMediaPipeline, Some(mMediaPipelineSql)))
+    QueryDef("m_media_pipeline", mMediaPipeline, Some(mMediaPipelineSql)),
+    QueryDef("m_frame_dedup", mFrameDedup, Some(mFrameDedupSql)))
 }

@@ -121,9 +121,32 @@ object StreamingOps extends QueryRegistry {
       |FROM x WHERE wm_us IS NULL OR epoch_us(ts) >= wm_us
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- st_enrich: stream-static enrichment — the DeltaStreamer transformer
+  // pattern (join each micro-batch against a slowly-changing dim before the
+  // sink). The dim is BROADCAST: a stream-static join must not shuffle the
+  // unbounded side per micro-batch. Batch twin of
+  // readStream.join(staticDim); users without a customer row pass through
+  // with a null segment (left join, the ingest-friendly choice).
+  def stEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = GraftSession.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("event_id")
+  }
+
+  private val stEnrichSql =
+    """SELECT event_id, user_id, event_type, c_mktsegment AS segment
+      |FROM events LEFT JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
-    QueryDef("st_late_drop", stLateDrop, Some(stLateDropSql)))
+    QueryDef("st_late_drop", stLateDrop, Some(stLateDropSql)),
+    QueryDef("st_enrich", stEnrich, Some(stEnrichSql)))
 }

@@ -163,6 +163,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.sameElements(plain))
   }
 
+  test("q6: every filter pushes to the scan; global agg is partial") {
+    val s = planString(Queries.q6ForecastRevenue(spark, sfDir))
+    // the plan string truncates the filter list — assert the pushdown of all
+    // three columns via the IsNotNull prefix plus the first range filter
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"), s)
+    assert(s.contains("partial_sum"), s)
+    // only the 4 referenced columns are read
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q18: quantity aggregate combines map-side before the join shuffle") {
+    val s = planString(Queries.q18LargeOrders(spark, sfDir))
+    assert(s.contains("partial_sum"), s)
+  }
+
+  test("st_enrich: the static dim is broadcast — no shuffle of the stream side") {
+    val df = graft.streaming.StreamingOps.stEnrich(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(countShuffles(df) == 0, s) // only the presentation ORDER BY remains
+  }
+
+  test("m_frame_dedup: one hash aggregation on the fingerprint, no pairwise join") {
+    val df = graft.multimodal.Multimodal.mFrameDedup(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("Join"), s)
+    assert(s.contains("partial_min") || s.contains("partial_count") || s.contains("HashAggregate"), s)
+  }
+
   test("st_dedup: dedup is a partial-aggregable hash agg (map-side combine)") {
     val df = graft.streaming.StreamingOps.stDedup(spark, sfDir)
     val s = planString(df)
