@@ -134,4 +134,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       s"dedup mismatch: got ${got.count()}, want ${want.count()}")
   }
+
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    val dir = stage("enrich")
+    val dim = GraftSession.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = readStreamOf(dir)
+      .select("event_id", "user_id", "event_type")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"))
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enrich_out").orderBy("event_id").collect()
+    val want = StreamingOps.stEnrich(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "segment")
+      .orderBy("event_id").collect()
+    assert(got.sameElements(want), s"got ${got.length} rows, want ${want.length}")
+  }
 }
