@@ -188,8 +188,35 @@ object Ann extends QueryRegistry {
       |SELECT c_id AS cluster_id, COUNT(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS id_sum
       |FROM a2 WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- s_range_search: cosine RANGE search — all corpus vectors within a
+  // similarity radius of each query (radius queries are the dedup-adjacent
+  // ANN primitive: "everything at least this similar"). Same broadcast
+  // linear-scan shape as brute-force top-k; at scale the IVF bucketing
+  // bounds the scanned set the same way.
+  def sRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(embedding, qe)"), 6))
+      .filter(col("cos_r") >= 0.2)
+      .select("q_id", "vec_id", "cos_r")
+      .orderBy("q_id", "vec_id")
+  }
+
+  private val sRangeSearchSql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |p AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+      |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      |      / (e.nrm * q.nrm), 6) AS cos_r
+      |  FROM e JOIN e q ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+      |SELECT q_id, vec_id, cos_r FROM p WHERE cos_r >= 0.2 ORDER BY q_id, vec_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
-    QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)))
+    QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
+    QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)))
 }

@@ -291,6 +291,40 @@ object Queries extends QueryRegistry {
       |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // --- q10_returned_items: TPC-H Q10 — fact-fact join between lineitem and
+  // date-filtered orders, customer + nation dims broadcast, topN by exact
+  // decimal revenue with a unique tiebreak.
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .as("rev_dec"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   private val qGroupingSetsSql =
     """SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'ALL') AS status,
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -416,6 +450,7 @@ object Queries extends QueryRegistry {
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
     QueryDef("q6_forecast_revenue", q6ForecastRevenue, Some(q6Sql)),
     QueryDef("q18_large_orders", q18LargeOrders, Some(q18Sql)),
+    QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Sql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),

@@ -838,11 +838,24 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   }
 
   /** Live data files that may contain rows where `column` equals one of
-    * `values`, per the secondary index; None when the column isn't indexed
-    * or the index is empty (caller falls back to a full-file scan). */
+    * `values`, per the secondary index; None when the column isn't indexed,
+    * the index is empty, or the column's type has no stable string form
+    * (caller falls back to a full-file scan — never a silent mis-prune). */
   def secondaryIndexFiles(
       column: String, values: Seq[Any]): Option[Seq[FileMeta]] = {
     if (!cfg.secondaryIndexCols.contains(column)) return None
+    // the index stores Spark's cast-to-string of the value; only types whose
+    // Java string form provably matches that cast are looked up (timestamps,
+    // doubles, decimals etc. format differently — a mismatch would return
+    // EMPTY results, not an error, so they scan instead)
+    val stable = readSchema().flatMap(_.find(_.name == column)).map(_.dataType).exists {
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    if (!stable) return None
     val siDir = new Path(s"${cfg.path}/_graft/si/$column")
     if (!fs.exists(siDir)) return None
     val instants = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath.toString)

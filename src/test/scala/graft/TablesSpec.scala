@@ -715,6 +715,22 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.secondaryIndexFiles("o_orderstatus", Seq("F")).isEmpty)
   }
 
+  test("secondary index refuses unstable-string types and falls back to a scan") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/secondary_index_ts", "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderdate", "o_totalprice")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 2)
+    // timestamp/double string forms differ between the indexed cast and
+    // String.valueOf — the lookup must DECLINE (None), not return empty
+    val someDate = orders.head().getAs[java.time.LocalDateTime]("o_orderdate")
+    assert(tbl.secondaryIndexFiles("o_orderdate", Seq(someDate)).isEmpty)
+    assert(tbl.secondaryIndexFiles("o_totalprice", Seq(1.5d)).isEmpty)
+    val viaApi = tbl.readBySecondary("o_orderdate", Seq(someDate)).count()
+    val viaScan = tbl.read().filter(col("o_orderdate") === someDate).count()
+    assert(viaApi == viaScan && viaScan > 0)
+  }
+
   test("rebucket doubles the bucket layout; lookups prune under the new modulus") {
     val tbl = freshTable("rebucket", numBuckets = 4)
     tbl.insert(orders, numFiles = 1)
