@@ -1531,6 +1531,48 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     instant
   }
 
+  /** Split ONE overloaded bucket under the doubled modulus — the
+    * incremental form of [[rebucket]] and the actual point of Hudi's
+    * consistent-hashing index: a hot bucket is rewritten locally (its rows
+    * can only move to {b, b+N}), every other file group is untouched.
+    * Mixed-modulus state is sound: lookups never bucket-prune a file whose
+    * recorded modulus differs from the handle's, so split and unsplit
+    * buckets coexist until [[finalizeBucketSplit]] flips the table config
+    * once every bucket has been split. */
+  def splitBucket(b: Int): String = {
+    require(cfg.numBuckets > 0, s"table ${cfg.path} has no bucket index")
+    require(b >= 0 && b < cfg.numBuckets, s"bucket $b out of range [0, ${cfg.numBuckets})")
+    val h2 = new GraftTable(spark, cfg.copy(numBuckets = 2 * cfg.numBuckets))
+    h2.withReservedInstant { i =>
+      val victims = timeline.liveFiles(None)
+        .filter(f => f.bucket == b && f.bucketMod == cfg.numBuckets)
+      require(victims.nonEmpty,
+        s"bucket $b has no files under modulus ${cfg.numBuckets} (already split?)")
+      // every version of a key lives in the key's bucket, so resolving just
+      // this bucket's files is a complete per-key view
+      val snap = resolve(readFiles(victims))
+      val cols = presentCols(snap)
+      val adds = h2.writeFiles(
+        snap.selectExpr(cols.map(c => s"`$c`"): _*), i, numFiles = 2)
+      h2.timeline.commit(Commit(i, "split_bucket", adds, victims.map(_.path)))
+      i
+    }
+  }
+
+  /** Flip the persisted bucket count to 2N once EVERY live bucketed file is
+    * already under the doubled modulus (i.e. each bucket has been
+    * [[splitBucket]]-ed). Returns true when flipped; false when unsplit
+    * files remain. Metadata-only — no data is touched. */
+  def finalizeBucketSplit(): Boolean = {
+    require(cfg.numBuckets > 0, s"table ${cfg.path} has no bucket index")
+    val unsplit = timeline.liveFiles(None).exists(_.bucketMod != 2 * cfg.numBuckets)
+    if (unsplit) false
+    else {
+      TableProperties.save(spark, cfg.copy(numBuckets = 2 * cfg.numBuckets))
+      true
+    }
+  }
+
   /** Roll back the LATEST commit (Hudi rollback/restore): its commit file
     * and the data files it added are removed; files it replaced become live
     * again automatically (timeline resolution). Only the newest commit can

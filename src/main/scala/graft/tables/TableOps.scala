@@ -199,15 +199,20 @@ object TableOps extends QueryRegistry {
     tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).orderBy("o_orderkey")
   }
 
-  // --- t_consistent_hash: bucket-count resize (the consistent-hashing
-  // bucket index from flink/sql/consistent_hashing.sql) — a 4-bucket table
-  // doubles to 8; point lookups keep pruning through the persisted new
-  // modulus, and content is unchanged.
+  // --- t_consistent_hash: consistent-hashing bucket resize (flink/sql/
+  // consistent_hashing.sql) — a 4-bucket table doubles to 8 via PER-BUCKET
+  // incremental splits (each hot bucket rewrites locally; lookups stay
+  // correct through the mixed-modulus state), then the finalized config
+  // flips and point lookups prune under the new modulus.
   def tConsistentHash(s: SparkSession, dir: String): DataFrame = {
     val (tbl, orders) = ordersTable(s, dir, "t_consistent_hash", numBuckets = 4)
     tbl.insert(orders, numFiles = 1)
     tbl.upsert(upsertBatch(orders))
-    tbl.rebucket(8)
+    tbl.splitBucket(0)
+    tbl.splitBucket(1) // mixed-modulus: buckets 0/1 split, 2/3 not
+    tbl.splitBucket(2)
+    tbl.splitBucket(3)
+    require(tbl.finalizeBucketSplit())
     // a FRESH handle sees the persisted bucket count, as any new job would
     val fresh = GraftTable(s, TableProperties.load(s, tbl.cfg.path).get)
     fresh.pointLookup(Seq(1L, 7L, 42L, 100L, 999L, 1000L)).orderBy("o_orderkey")

@@ -753,6 +753,37 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == n)
   }
 
+  test("incremental bucket split: hot bucket rewrites locally, rest untouched") {
+    val tbl = freshTable("bucket_split", numBuckets = 4)
+    tbl.insert(orders, numFiles = 1)
+    val n = orders.count()
+    val before = tbl.timeline.liveFiles(None)
+    assert(before.map(_.bucket).distinct.size == 4)
+    val untouchedPaths = before.filter(_.bucket != 2).map(_.path).toSet
+
+    tbl.splitBucket(2)
+    val mid = tbl.timeline.liveFiles(None)
+    // only bucket 2's files were replaced; the split halves carry mod 8
+    assert(untouchedPaths.subsetOf(mid.map(_.path).toSet))
+    assert(mid.filter(_.bucketMod == 8).map(_.bucket).toSet == Set(2, 6))
+    // mixed-modulus state reads correctly, point lookups stay correct
+    assert(tbl.read().count() == n)
+    assert(tbl.pointLookup(Seq(42L)).count() == 1)
+    // finalize refuses while unsplit buckets remain
+    assert(!tbl.finalizeBucketSplit())
+    // a second split of the same bucket under the old modulus refuses
+    assertThrows[IllegalArgumentException](tbl.splitBucket(2))
+
+    Seq(0, 1, 3).foreach(tbl.splitBucket)
+    assert(tbl.finalizeBucketSplit())
+    val fresh = GraftTable(spark, TableProperties.load(spark, tbl.cfg.path).get)
+    assert(fresh.cfg.numBuckets == 8)
+    assert(fresh.read().count() == n)
+    // fully-split table prunes lookups under the new modulus again
+    val live = fresh.timeline.liveFiles(None)
+    assert(fresh.lookupFiles(Seq(42L)).size < live.size)
+  }
+
   test("partial upsert patches only non-null fields and inserts new keys whole") {
     val tbl = freshTable("partial_upsert")
     tbl.insert(orders, numFiles = 2)
