@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftSession, QueryDef, QueryRegistry}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -325,6 +326,27 @@ object Queries extends QueryRegistry {
       |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // --- q17_small_quantity: TPC-H Q17 — correlated-aggregate filter
+  // (quantity below 20% of the part's average) restated decimal-exact with
+  // NO division: l_qty < 0.2·(s/c) ⟺ 5·l_qty·c < s, so both engines filter
+  // on exact integers-scaled decimals and the only double op is the final
+  // division by the constant 7.0.
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    t(s, dir, "lineitem")
+      .withColumn("s", sum(dec(col("l_quantity"))).over(w))
+      .withColumn("c", count(lit(1)).over(w))
+      .filter(dec(col("l_quantity")) * 5 * col("c") < col("s"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  private val q17Sql =
+    """WITH pa AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN pa USING (l_partkey)
+      |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * c < s""".stripMargin
+
   private val qGroupingSetsSql =
     """SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'ALL') AS status,
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -451,6 +473,7 @@ object Queries extends QueryRegistry {
     QueryDef("q6_forecast_revenue", q6ForecastRevenue, Some(q6Sql)),
     QueryDef("q18_large_orders", q18LargeOrders, Some(q18Sql)),
     QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Sql)),
+    QueryDef("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),

@@ -143,10 +143,38 @@ object StreamingOps extends QueryRegistry {
       |FROM events LEFT JOIN customer ON user_id = c_custkey
       |ORDER BY event_id""".stripMargin
 
+  // --- st_stream_join: stream-stream interval join — every view a user
+  // made in the hour before each purchase (attribution). In streaming this
+  // is two watermarked streams joined on key + time range (state bounded by
+  // the interval); the batch twin is the identical equi-join + range
+  // filter. Keyed on user_id, so state and shuffle are per-user, never a
+  // cross product.
+  def stStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    v.join(p, Seq("user_id"))
+      .filter(col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select("user_id", "view_id", "purchase_id")
+      .orderBy("view_id", "purchase_id")
+  }
+
+  private val stStreamJoinSql =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
     QueryDef("st_late_drop", stLateDrop, Some(stLateDropSql)),
-    QueryDef("st_enrich", stEnrich, Some(stEnrichSql)))
+    QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),
+    QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)))
 }

@@ -156,4 +156,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("event_id").collect()
     assert(got.sameElements(want), s"got ${got.length} rows, want ${want.length}")
   }
+
+  test("stream-stream interval join matches the batch twin") {
+    val dir = stage("ssjoin")
+    val v = readStreamOf(dir).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val p = readStreamOf(dir).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = v.join(p, expr(
+      """v_user = p_user AND
+        |view_ts <= purchase_ts AND
+        |view_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ssjoin_out").orderBy("view_id", "purchase_id").collect()
+    val want = StreamingOps.stStreamJoin(spark, sfDir).collect()
+    assert(got.sameElements(want), s"got ${got.length} rows, want ${want.length}")
+  }
 }
