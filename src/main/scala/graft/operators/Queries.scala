@@ -347,6 +347,53 @@ object Queries extends QueryRegistry {
       |FROM lineitem JOIN pa USING (l_partkey)
       |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * c < s""".stripMargin
 
+  // --- q14_promo_share: TPC-H Q14 — conditional aggregation over a join:
+  // share of revenue from PROMO parts in one month. Part is broadcast; both
+  // sums are exact decimals, the single double division is deterministic.
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-03-01") && col("l_shipdate") < ts("1997-04-01"))
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast("double") * 100.0 /
+          sum(rev).cast("double")).as("promo_share"))
+  }
+
+  private val q14Sql =
+    """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |  AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
+
+  // --- q19_disjunctive: TPC-H Q19-style OR-of-conjunctions filter across a
+  // join — the optimizer must extract the common join key and push the
+  // per-branch predicates; revenue over matching (brand, size, quantity)
+  // bands.
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    val bands =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#33" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40))
+    li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(bands)
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  private val q19Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   private val qGroupingSetsSql =
     """SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'ALL') AS status,
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -474,6 +521,8 @@ object Queries extends QueryRegistry {
     QueryDef("q18_large_orders", q18LargeOrders, Some(q18Sql)),
     QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Sql)),
     QueryDef("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
+    QueryDef("q14_promo_share", q14PromoShare, Some(q14Sql)),
+    QueryDef("q19_disjunctive", q19Disjunctive, Some(q19Sql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
