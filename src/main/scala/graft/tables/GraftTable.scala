@@ -873,7 +873,23 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def readBySecondary(column: String, values: Seq[Any]): DataFrame = {
     val pred = col(s"`$column`").isin(values: _*)
     secondaryIndexFiles(column, values) match {
-      case Some(files) => dropInternal(resolve(readFiles(files))).filter(pred)
+      case Some(files) =>
+        // MOR: a matched base row may be superseded by a delta that changed
+        // the value (whose file the index therefore does NOT map to this
+        // value) — value lookups are not version-closed the way key lookups
+        // are. Read ALL live delta files alongside the matches so per-key
+        // resolution always sees the newest version, then re-filter.
+        val readSet =
+          if (cfg.tableType != TableType.Mor) files
+          else {
+            val adders = addCommits(None)
+            val deltas = timeline.liveFiles(None)
+              .filter(f => adders.get(f.path).exists(_._2))
+            (files ++ deltas).distinctBy(_.path)
+          }
+        // values absent from the index: an EMPTY result, not a read error
+        if (readSet.isEmpty) read().filter(lit(false))
+        else dropInternal(resolve(readFiles(readSet))).filter(pred)
       case None => read().filter(pred)
     }
   }

@@ -713,6 +713,31 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex.sameElements(viaScan))
     // unindexed column falls back, still correct
     assert(tbl.secondaryIndexFiles("o_orderstatus", Seq("F")).isEmpty)
+    // a value the index has never seen: empty result, not a read error
+    assert(tbl.readBySecondary("o_orderpriority", Seq("9-NONE")).count() == 0)
+  }
+
+  test("secondary index on MOR never returns rows superseded by a delta") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/secondary_index_mor", "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor, secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 2)
+    // a delta moves one urgent key OUT of 1-URGENT; the index still maps
+    // the base file (containing the stale row) to 1-URGENT
+    val k = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey").head().getLong(0)
+    val moved = orders.filter(col("o_orderkey") === k)
+      .withColumn("o_orderpriority", lit("9-MOVED"))
+    tbl.upsert(moved)
+    val urgent = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+    assert(urgent.filter(col("o_orderkey") === k).count() == 0,
+      "stale base row leaked through the secondary index")
+    val viaScan = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+    assert(urgent.count() == viaScan.count())
+    // and the delta's new value IS findable
+    assert(tbl.readBySecondary("o_orderpriority", Seq("9-MOVED"))
+      .filter(col("o_orderkey") === k).count() == 1)
   }
 
   test("secondary index refuses unstable-string types and falls back to a scan") {
