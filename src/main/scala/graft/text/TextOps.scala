@@ -351,5 +351,43 @@ object TextOps extends QueryRegistry {
     QueryDef("x_sample_mix", xSampleMix, Some(xSampleMixSql)),
     QueryDef("x_pack", xPack, Some(xPackSql)),
     QueryDef("x_source_stats", xSourceStats, Some(xSourceStatsSql)),
-    QueryDef("x_source_overlap", xSourceOverlap, Some(xSourceOverlapSql)))
+    QueryDef("x_source_overlap", xSourceOverlap, Some(xSourceOverlapSql)),
+    QueryDef("x_dedup_impact", xDedupImpact, Some(xDedupImpactSql)))
+
+  // NB: keep below-`all` definitions as defs — a val here would still be
+  // null when `all` is constructed (object init order).
+  // --- x_dedup_impact: the dedup AUDIT every production pipeline reports —
+  // per source, docs/tokens before vs after corpus-wide exact dedup (keeper
+  // = lowest doc_id per normalized-content hash, so cross-source duplicate
+  // groups attribute their one survivor to the keeper's source). One hash
+  // aggregation + a broadcast join; no pairwise work.
+  def xDedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(normText(col("text"))).as("h"),
+      when(trim(col("text")) === "", 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tok"))
+    val keepers = d.groupBy("h").agg(min("doc_id").as("keeper"))
+    d.join(broadcast(keepers), Seq("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs_before"),
+        sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L)).as("docs_after"),
+        sum(col("n_tok")).as("tokens_before"),
+        sum(when(col("doc_id") === col("keeper"), col("n_tok")).otherwise(0L)).as("tokens_after"))
+      .orderBy("source")
+  }
+
+  private def xDedupImpactSql =
+    """WITH d AS (SELECT doc_id, source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tok
+      |  FROM documents),
+      |k AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
+      |SELECT source, COUNT(*) AS docs_before,
+      |  CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+      |  CAST(SUM(CASE WHEN doc_id = keeper THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_after
+      |FROM d JOIN k USING (h)
+      |GROUP BY source ORDER BY source""".stripMargin
 }
