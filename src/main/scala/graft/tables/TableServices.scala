@@ -35,6 +35,26 @@ object TableServices {
     if (numTrigger || timeTrigger) Some(table.compact(targetRows)) else None
   }
 
+  /** Consistent-hashing split planner (the analogue of the reference's
+    * flink helpers/FindBucketNumber.java: a clustering plan driven by
+    * `hoodie.bucket.index.split.threshold`): buckets whose live rows exceed
+    * `splitThreshold` x the average bucket size are split under the doubled
+    * modulus via [[GraftTable.splitBucket]]. Only files under the CURRENT
+    * modulus count — already-split buckets are skipped. Returns the buckets
+    * split, in order. */
+  def maybeSplitBuckets(table: GraftTable, splitThreshold: Double = 2.0): Seq[Int] = {
+    require(table.cfg.numBuckets > 0, s"table ${table.cfg.path} has no bucket index")
+    val live = table.timeline.liveFiles(None)
+      .filter(_.bucketMod == table.cfg.numBuckets)
+    if (live.isEmpty) return Nil
+    val rowsByBucket = live.groupBy(_.bucket).view.mapValues(_.map(_.rows).sum).toMap
+    // average over ALL buckets of the current modulus, not just loaded ones
+    val avg = rowsByBucket.values.sum.toDouble / table.cfg.numBuckets
+    val victims = rowsByBucket.filter(_._2 > splitThreshold * avg).keys.toSeq.sorted
+    victims.foreach(table.splitBucket)
+    victims
+  }
+
   private val CurrentVersion = 1
 
   /** Table format version stored in `_graft/table.properties.json` — the

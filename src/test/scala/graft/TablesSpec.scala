@@ -809,6 +809,29 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fresh.lookupFiles(Seq(42L)).size < live.size)
   }
 
+  test("split planner targets only overloaded buckets (FindBucketNumber analogue)") {
+    val tbl = freshTable("split_planner", numBuckets = 4)
+    tbl.insert(orders, numFiles = 1)
+    // overload ONE bucket with fresh keys that hash into it
+    val hot = spark.range(2000000L, 2200000L).toDF("o_orderkey")
+      .filter(pmod(xxhash64(col("o_orderkey")), lit(4)) === 2)
+      .limit(1200)
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderstatus", lit("H"))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderdate", lit("1997-01-01").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("3-MEDIUM"))
+    tbl.upsert(hot)
+    val n = tbl.read().count()
+    val split = TableServices.maybeSplitBuckets(tbl, splitThreshold = 1.5)
+    assert(split == Seq(2), s"expected only bucket 2 split, got $split")
+    val live = tbl.timeline.liveFiles(None)
+    assert(live.filter(_.bucketMod == 8).map(_.bucket).toSet == Set(2, 6))
+    assert(tbl.read().count() == n)
+    // a second planner pass is a no-op: bucket 2 is no longer under mod 4
+    assert(TableServices.maybeSplitBuckets(tbl, splitThreshold = 1.5).isEmpty)
+  }
+
   test("partial upsert patches only non-null fields and inserts new keys whole") {
     val tbl = freshTable("partial_upsert")
     tbl.insert(orders, numFiles = 2)
