@@ -180,6 +180,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("partial_sum"), s)
   }
 
+  test("q10/q14/q19: dimension sides broadcast, never shuffled") {
+    Seq(
+      Queries.q10ReturnedItems(spark, sfDir),
+      Queries.q14PromoShare(spark, sfDir),
+      Queries.q19Disjunctive(spark, sfDir)).foreach { df =>
+      val s = planString(df)
+      assert(s.contains("BroadcastHashJoin"), s)
+    }
+  }
+
+  test("q19: the disjunctive bands filter, not a post-join residue only") {
+    val s = planString(Queries.q19Disjunctive(spark, sfDir))
+    // the quantity disjunction prunes lineitem BEFORE the join: quantity
+    // bounds appear in the scan-side data filters
+    assert(s.contains("l_quantity"), s)
+    assert(s.contains("partial_sum"), s)
+  }
+
   test("st_enrich: the static dim is broadcast — no shuffle of the stream side") {
     val df = graft.streaming.StreamingOps.stEnrich(spark, sfDir)
     val s = planString(df)
