@@ -38,22 +38,30 @@ object IncrementalPipeline {
     val fs = new Path(target.cfg.path).getFileSystem(
       target.spark.sparkContext.hadoopConfiguration)
     val p = watermarkPath(target, sourceId)
+    // the hint is best-effort: a torn/partial file (crashed writer) must
+    // fall back to the authoritative commit-meta watermark, not crash
     val fromFile =
       if (!fs.exists(p)) None
-      else {
+      else try {
         val in = fs.open(p)
         val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
         Some(mapper.readTree(new String(bytes, "UTF-8")).get("instant").asText())
-      }
+      } catch { case scala.util.control.NonFatal(_) => None }
     (fromCommits.toSeq ++ fromFile.toSeq).maxOption
   }
 
   private def saveWatermark(target: GraftTable, sourceId: String, instant: String): Unit = {
     val fs = new Path(target.cfg.path).getFileSystem(
       target.spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(watermarkPath(target, sourceId), true)
-    out.write(s"""{"instant": "$instant"}""".getBytes("UTF-8"))
-    out.close()
+    val p = watermarkPath(target, sourceId)
+    // temp + rename: concurrent readers see old-or-new, never half-written
+    val tmp = new Path(p.getParent, s".tmp-${p.getName}-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"instant": "$instant"}""".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false) // hint only: give up quietly
+    }
   }
 
   /** Process everything upstream since the watermark. `transform` maps the
