@@ -1752,6 +1752,38 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
   }
 
+  /** Physically delete files under `data/` that NO commit (hot or
+    * archived) references — the residue of hard-killed writers whose
+    * instant never committed (a clean abort already removes its own files;
+    * a kill -9 mid-write cannot). Grace period: only files older than
+    * `olderThanMs` are reaped, so a LIVE in-flight write is never deleted.
+    * Replaced-but-still-on-disk files are NOT orphans (commits reference
+    * them as removes; reclaiming those is [[clean]]'s job). The analogue of
+    * Hudi's marker-based reconciliation / Delta VACUUM. Returns the number
+    * of files deleted. */
+  def cleanOrphans(olderThanMs: Long = 3600000L): Int = {
+    val dataDir = new Path(s"${cfg.path}/data")
+    if (!fs.exists(dataDir)) return 0
+    val referenced = (timeline.archivedInstants() ++ timeline.instants()).distinct
+      .flatMap(i => timeline.readCommit(i).adds.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val it = fs.listFiles(dataDir, true)
+    var deleted = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      // only visible parquet data files: committer sidecars (.crc,
+      // _SUCCESS) ride along with their data file's lifecycle
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith(".") && !name.startsWith("_")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+        if (!referenced.contains(rel) && f.getModificationTime < cutoff &&
+            fs.delete(f.getPath, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** KEEP_LATEST_COMMITS cleaner policy (Hudi's default): keep every file
     * any of the latest `retain` commits' snapshots still needs; files
     * replaced at or before the oldest retained commit are physically

@@ -218,6 +218,19 @@ object TableOps extends QueryRegistry {
     fresh.pointLookup(Seq(1L, 7L, 42L, 100L, 999L, 1000L)).orderBy("o_orderkey")
   }
 
+  // --- t_schema_widen: type-widening evolution — the table starts with an
+  // INT column; a later batch writes it as LONG (with values beyond int
+  // range). The accumulated schema takes the widest type and older INT32
+  // files read as LONG through the explicit-schema scan (no rewrite, no
+  // inference job).
+  def tSchemaWiden(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_schema_widen")
+    tbl.insert(orders.withColumn("o_custkey", col("o_custkey").cast("int")), numFiles = 4)
+    tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_custkey", col("o_custkey") + 10000000000L))
+    tbl.read().orderBy("o_orderkey")
+  }
+
   // --- t_partition_prune: hive-style partition dirs; filter prunes partitions.
   def tPartitionPrune(s: SparkSession, dir: String): DataFrame = {
     val (tbl, orders) =
@@ -519,6 +532,11 @@ object TableOps extends QueryRegistry {
       s"""$upsertedSql
          |WHERE o_orderkey IN (1, 7, 42, 100, 999, 1000)
          |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_schema_widen", tSchemaWiden, Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 10000000000 ELSE o_custkey END AS o_custkey,
+        |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_partition_prune", tPartitionPrune, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
     QueryDef("t_keygen_timestamp", tKeygenTimestamp, Some(

@@ -853,6 +853,29 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().filter(col("o_orderkey") === 77777777L).count() == 1)
   }
 
+  test("orphan reaper deletes only unreferenced, aged data files") {
+    val tbl = freshTable("orphans")
+    tbl.insert(orders, numFiles = 2)
+    val n = tbl.read().count()
+    // simulate a hard-killed writer: a data dir with no commit
+    val junkDir = new java.io.File("/tmp/graft_spec/orphans/data/000000099")
+    junkDir.mkdirs()
+    val junk = new java.io.File(junkDir, "part-junk.parquet")
+    assert(junk.createNewFile())
+    // too fresh: grace period protects a possibly-live write
+    assert(tbl.cleanOrphans(olderThanMs = 60000L) == 0)
+    assert(junk.exists())
+    assert(junk.setLastModified(System.currentTimeMillis() - 120000L))
+    assert(tbl.cleanOrphans(olderThanMs = 60000L) == 1)
+    assert(!junk.exists())
+    // committed files untouched, table intact
+    assert(tbl.read().count() == n)
+    // replaced files are NOT orphans (clean()'s job)
+    tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U")))
+    assert(tbl.cleanOrphans(olderThanMs = 0L) == 0)
+  }
+
   test("commit file-lock: released after commit; stale lease is broken") {
     val tbl = freshTable("commit_lock")
     tbl.insert(orders.limit(100), numFiles = 1)
