@@ -352,10 +352,55 @@ object TextOps extends QueryRegistry {
     QueryDef("x_pack", xPack, Some(xPackSql)),
     QueryDef("x_source_stats", xSourceStats, Some(xSourceStatsSql)),
     QueryDef("x_source_overlap", xSourceOverlap, Some(xSourceOverlapSql)),
-    QueryDef("x_dedup_impact", xDedupImpact, Some(xDedupImpactSql)))
+    QueryDef("x_dedup_impact", xDedupImpact, Some(xDedupImpactSql)),
+    QueryDef("x_gopher", xGopher, Some(xGopherSql)))
 
   // NB: keep below-`all` definitions as defs — a val here would still be
   // null when `all` is constructed (object init order).
+
+  // --- x_gopher: Gopher-style heuristic quality rules as per-doc 0/1
+  // flags — word-count bounds, mean word length in [3,10], symbol-to-word
+  // ratio, minimum stopword hits. Every rule is INTEGER arithmetic (mean
+  // word length restated as 3·words <= chars <= 10·words), so both engines
+  // decide each flag identically; pure per-row codegen, no shuffle.
+  def xGopher(s: SparkSession, dir: String): DataFrame = {
+    val t0 = trim(col("text"))
+    val nTok = when(t0 === "", 0L).otherwise(size(split(t0, "\\s+")).cast("long"))
+    val charsw = length(regexp_replace(t0, "\\s+", "")).cast("long")
+    val hashes = (length(t0) - length(regexp_replace(t0, "#", ""))).cast("long")
+    val stops = size(regexp_extract_all(lower(t0),
+      lit("\\b(the|and|of|to|in)\\b"), lit(0))).cast("long")
+    val okWords = nTok.between(50L, 100000L)
+    val okMwl = nTok > 0L && charsw >= nTok * 3L && charsw <= nTok * 10L
+    val okSym = hashes * 10L < nTok
+    val okStops = stops >= 2L
+    docs(s, dir).select(
+      col("doc_id"), nTok.as("n_words"),
+      okWords.cast("long").as("ok_words"),
+      okMwl.cast("long").as("ok_mean_wlen"),
+      okSym.cast("long").as("ok_symbols"),
+      okStops.cast("long").as("ok_stops"),
+      (okWords && okMwl && okSym && okStops).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def xGopherSql =
+    """WITH x AS (SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_words,
+      |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS charsw,
+      |    CAST(length(trim(text)) - length(replace(trim(text), '#', '')) AS BIGINT) AS hashes,
+      |    CAST(len(regexp_extract_all(lower(trim(text)), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stops
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS ok_words,
+      |  CAST(n_words > 0 AND charsw >= n_words * 3 AND charsw <= n_words * 10 AS BIGINT) AS ok_mean_wlen,
+      |  CAST(hashes * 10 < n_words AS BIGINT) AS ok_symbols,
+      |  CAST(stops >= 2 AS BIGINT) AS ok_stops,
+      |  CAST((n_words BETWEEN 50 AND 100000) AND (n_words > 0 AND charsw >= n_words * 3 AND charsw <= n_words * 10)
+      |    AND (hashes * 10 < n_words) AND (stops >= 2) AS BIGINT) AS keep
+      |FROM x ORDER BY doc_id""".stripMargin
+
   // --- x_dedup_impact: the dedup AUDIT every production pipeline reports —
   // per source, docs/tokens before vs after corpus-wide exact dedup (keeper
   // = lowest doc_id per normalized-content hash, so cross-source duplicate
