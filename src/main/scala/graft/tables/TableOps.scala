@@ -116,6 +116,17 @@ object TableOps extends QueryRegistry {
     tbl.read().orderBy("o_orderkey")
   }
 
+  // --- t_clean: KEEP_LATEST_COMMITS cleaner — after two mutations, retain
+  // only the latest snapshot's commits; replaced files are physically
+  // deleted and the current snapshot still reads exactly right.
+  def tClean(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_clean")
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    tbl.cleanRetainCommits(1)
+    tbl.read().orderBy("o_orderkey")
+  }
+
   // --- t_time_travel: snapshot AS OF the first commit.
   def tTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val (tbl, orders) = ordersTable(s, dir, "t_time_travel")
@@ -512,6 +523,7 @@ object TableOps extends QueryRegistry {
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_clean", tClean, Some(s"$upsertedSql ORDER BY o_orderkey")),
     QueryDef("t_compaction", tCompaction,
       Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
     QueryDef("t_clustering", tClustering,
