@@ -471,6 +471,131 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     else dropInternal(resolve(readFiles(files)))
   }
 
+  // ------------------------------------------------------- expression index
+
+  private def exprIndexPath(name: String) =
+    new Path(s"${cfg.path}/_graft/exprindex/$name.json")
+
+  /** Map an expression's Catalyst type to the [[ColStat]] comparison domain
+    * it can be indexed under. DECIMAL is safe here (unlike footer harvesting)
+    * because WE compute the values — there is no unscaled-int mismatch. */
+  private def exprKindOf(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case _: org.apache.spark.sql.types.NumericType => ColStat.Num
+    case org.apache.spark.sql.types.StringType => ColStat.Lex
+    case org.apache.spark.sql.types.DateType => ColStat.Date
+    case org.apache.spark.sql.types.TimestampType => ColStat.Ts
+    case other => throw new IllegalArgumentException(
+      s"expression index does not support result type $other")
+  }
+
+  /** Per-file min/max of the expression over `files` — ONE aggregation job
+    * (a map-side-combinable min/max per input file, no sort). Files whose
+    * expression is entirely NULL get no entry and are conservatively kept
+    * by every lookup. */
+  private def harvestExprStats(exprSql: String, kind: String,
+      files: Seq[FileMeta]): Map[String, ColStat] = {
+    if (files.isEmpty) return Map.empty
+    readFiles(files)
+      .select(input_file_name().as("_gf"), expr(exprSql).as("_gv"))
+      .groupBy("_gf").agg(min("_gv").as("mn"), max("_gv").as("mx"))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else for {
+          lo <- ColStat.bound(kind, r.get(1))
+          hi <- ColStat.bound(kind, r.get(2))
+        } yield relPath(r.getString(0)) -> ColStat(kind, lo.toString, hi.toString)
+      }.toMap
+  }
+
+  private def writeExprIndex(name: String, exprSql: String, kind: String,
+      entries: Map[String, ColStat]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("expr", exprSql)
+    root.put("kind", kind)
+    val es = root.putObject("entries")
+    entries.toSeq.sortBy(_._1).foreach { case (p, st) =>
+      val n = es.putObject(p); n.put("min", st.min); n.put("max", st.max)
+    }
+    fs.mkdirs(exprIndexPath(name).getParent)
+    TableProperties.atomicWrite(fs, exprIndexPath(name),
+      mapper.writeValueAsBytes(root))
+  }
+
+  private def readExprIndex(name: String): (String, String, Map[String, ColStat]) = {
+    val p = exprIndexPath(name)
+    require(fs.exists(p), s"no expression index '$name' on table ${cfg.path}")
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, "UTF-8"))
+    val kind = root.get("kind").asText()
+    val entries = scala.collection.mutable.Map.empty[String, ColStat]
+    val it = root.get("entries").fields()
+    while (it.hasNext) {
+      val e = it.next()
+      entries(e.getKey) =
+        ColStat(kind, e.getValue.get("min").asText(), e.getValue.get("max").asText())
+    }
+    (root.get("expr").asText(), kind, entries.toMap)
+  }
+
+  /** Hudi-1.0-style EXPRESSION INDEX (`CREATE INDEX ... ON (expr)` with
+    * column_stats): per-file min/max of an arbitrary deterministic SQL
+    * expression — month(ts), lower(code), … — values parquet footers can
+    * never answer. Built in one scan job over the current live files and
+    * stored as `_graft/exprindex/<name>.json`; range lookups then prune
+    * the FILE SET like [[readBetween]] does for plain columns. Files
+    * committed after the build are conservatively kept until
+    * [[refreshExpressionIndex]] extends the index to them. */
+  def createExpressionIndex(name: String, exprSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_\\-]+"), s"illegal index name '$name'")
+    val live = timeline.liveFiles(None)
+    require(live.nonEmpty, s"cannot build expression index on empty table ${cfg.path}")
+    val dt = readFiles(live).select(expr(exprSql).as("_gv")).schema.head.dataType
+    val kind = exprKindOf(dt)
+    writeExprIndex(name, exprSql, kind, harvestExprStats(exprSql, kind, live))
+  }
+
+  /** Incremental index maintenance: harvest stats for live files the index
+    * doesn't cover yet (commits since the build) and drop entries for dead
+    * files. O(new files), not O(table). Returns how many files were newly
+    * indexed. */
+  def refreshExpressionIndex(name: String): Int = {
+    val (exprSql, kind, entries) = readExprIndex(name)
+    val live = timeline.liveFiles(None)
+    val fresh = harvestExprStats(exprSql, kind, live.filterNot(f => entries.contains(f.path)))
+    val livePaths = live.map(_.path).toSet
+    writeExprIndex(name, exprSql, kind,
+      entries.filter { case (p, _) => livePaths(p) } ++ fresh)
+    fresh.size
+  }
+
+  def dropExpressionIndex(name: String): Unit = {
+    fs.delete(exprIndexPath(name), false); ()
+  }
+
+  /** Live files that may contain rows whose indexed expression falls in
+    * [lo, hi] (exposed for tests/plan audits). Unindexed files are kept. */
+  def exprIndexFiles(name: String, lo: Any, hi: Any): Seq[FileMeta] = {
+    val (_, _, entries) = readExprIndex(name)
+    timeline.liveFiles(None).filter(f => entries.get(f.path).forall(_.overlaps(lo, hi)))
+  }
+
+  /** Expression-pruned range read: scans only [[exprIndexFiles]]'s files,
+    * then applies the residual BETWEEN on the expression. COW only — under
+    * MOR a value-pruned scan could miss a newer delta version of a row and
+    * resolve an older one (same caveat as [[readBetween]]). */
+  def readExprBetween(name: String, lo: Any, hi: Any): DataFrame = {
+    require(cfg.tableType == TableType.Cow, "readExprBetween requires a COW table")
+    val (exprSql, _, entries) = readExprIndex(name)
+    val files = timeline.liveFiles(None)
+      .filter(f => entries.get(f.path).forall(_.overlaps(lo, hi)))
+    if (files.isEmpty) read().filter(lit(false))
+    else dropInternal(readFiles(files)).filter(expr(exprSql).between(lit(lo), lit(hi)))
+  }
+
   /** Hive partition-path values round-trip verbatim only over a safe
     * charset; anything else (escaped by the writer) is unanswerable. */
   private def safePartValue(v: Any): Option[String] = {

@@ -415,6 +415,23 @@ object TableOps extends QueryRegistry {
     tbl.readBetween("value", 50.0, 60.0).orderBy("event_id")
   }
 
+  // --- t_expr_index: Hudi-1.0 expression index — per-file min/max of
+  // date_trunc('MONTH', o_orderdate), a derived value no parquet footer
+  // stores. Date-clustering first localizes each calendar month into few
+  // files, so the March-1996 scan prunes most of the table before any task
+  // is scheduled; an upsert AFTER the build leaves uncovered files that are
+  // conservatively kept, and a refresh re-tightens the index incrementally.
+  def tExprIndex(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_expr_index")
+    tbl.insert(orders, numFiles = 4)
+    tbl.cluster(Seq("o_orderdate"), numFiles = 12)
+    tbl.createExpressionIndex("order_month", "date_trunc('MONTH', o_orderdate)")
+    tbl.upsert(upsertBatch(orders))
+    tbl.refreshExpressionIndex("order_month")
+    tbl.readExprBetween("order_month", "1996-03-01 00:00:00", "1996-03-01 00:00:00")
+      .orderBy("o_orderkey")
+  }
+
   // --- t_insert_overwrite: INSERT OVERWRITE of whole partitions — the
   // Hudi insert_overwrite op. One partition's content is replaced; every
   // other partition is untouched; history stays time-travelable.
@@ -585,6 +602,11 @@ object TableOps extends QueryRegistry {
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    // the upsert re-stamps key%10==0 rows before the indexed scan
+    QueryDef("t_expr_index", tExprIndex, Some(
+      s"""$upsertedSql
+         |WHERE date_trunc('month', o_orderdate) = TIMESTAMP '1996-03-01'
+         |ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_data_skipping", tDataSkipping, Some(
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE value BETWEEN 50.0 AND 60.0

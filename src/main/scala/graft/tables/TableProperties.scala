@@ -22,7 +22,7 @@ object TableProperties {
     * rename refuses an existing destination we delete-then-rename, which
     * narrows the window to a brief not-exists that readers treat as None —
     * the same trade Hudi's hoodie.properties backup dance makes.) */
-  private def atomicWrite(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+  private[tables] def atomicWrite(fs: org.apache.hadoop.fs.FileSystem, p: Path,
       bytes: Array[Byte]): Unit = {
     val tmp = new Path(p.getParent, s".tmp-${p.getName}-${System.nanoTime()}")
     val out = fs.create(tmp, true)

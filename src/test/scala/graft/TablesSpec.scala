@@ -916,6 +916,55 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.filesBetween("user_id", 0, 1).size == all.size)
   }
 
+  test("expression index prunes on derived values; new files kept until refresh") {
+    val tbl = freshTable("expr_index")
+    tbl.insert(orders, numFiles = 4)
+    tbl.cluster(Seq("o_orderdate"), numFiles = 12)
+    tbl.createExpressionIndex("m", "date_trunc('MONTH', o_orderdate)")
+
+    // date_trunc is monotonic in the clustering order: one calendar month
+    // must prune almost everything
+    val all = tbl.timeline.liveFiles(None)
+    val (mLo, mHi) = ("1996-03-01 00:00:00", "1996-03-01 00:00:00")
+    val pruned = tbl.exprIndexFiles("m", mLo, mHi)
+    assert(pruned.size <= 3,
+      s"expected expression pruning: ${pruned.size} of ${all.size}")
+
+    // pruned read == unpruned filter
+    def want = tbl.read()
+      .filter(date_trunc("MONTH", col("o_orderdate")) === lit("1996-03-01 00:00:00"))
+      .orderBy("o_orderkey").collect()
+    assert(tbl.readExprBetween("m", mLo, mHi).orderBy("o_orderkey").collect()
+      .sameElements(want))
+
+    // an upsert writes files the index doesn't cover: they are KEPT (never
+    // wrongly pruned) so the read stays correct...
+    val i2 = tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U")))
+    val added = tbl.timeline.readCommit(i2).adds.map(_.path).toSet
+    assert(tbl.exprIndexFiles("m", mLo, mHi).map(_.path).toSet.intersect(added) == added)
+    assert(tbl.readExprBetween("m", mLo, mHi).orderBy("o_orderkey").collect()
+      .sameElements(want))
+
+    // ...and an incremental refresh covers exactly the new files, after
+    // which dead entries are gone and pruning tightens again
+    assert(tbl.refreshExpressionIndex("m") == added.size)
+    assert(tbl.refreshExpressionIndex("m") == 0) // idempotent
+    assert(tbl.readExprBetween("m", mLo, mHi).orderBy("o_orderkey").collect()
+      .sameElements(want))
+
+    // a NON-monotonic expression (month wraps at year boundaries) still
+    // reads exactly right — wide per-file ranges keep files, never drop them
+    tbl.createExpressionIndex("mm", "month(o_orderdate)")
+    assert(tbl.readExprBetween("mm", 3, 3).count() ==
+      tbl.read().filter(month(col("o_orderdate")) === 3).count())
+
+    // a lex-kind expression index also answers string ranges
+    tbl.createExpressionIndex("pfx", "substring(o_orderpriority, 1, 1)")
+    assert(tbl.exprIndexFiles("pfx", "9", "9").isEmpty ||
+      tbl.readExprBetween("pfx", "9", "9").count() == 0)
+  }
+
   test("stats harvesting is type-gated: decimals poisoned, date/ts prune correctly") {
     import spark.implicits._
     val rows = Seq(
