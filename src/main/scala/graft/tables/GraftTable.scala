@@ -596,6 +596,81 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     else dropInternal(readFiles(files)).filter(expr(exprSql).between(lit(lo), lit(hi)))
   }
 
+  // ---------------------------------------------------- pre-commit validators
+
+  private def validatorsPath = new Path(s"${cfg.path}/_graft/validators.json")
+  private var validatorsCache: Option[Seq[(String, String)]] = None
+
+  /** The persisted pre-commit validators: (name, violation SQL). */
+  private def validators: Seq[(String, String)] = validatorsCache.getOrElse {
+    val vs =
+      if (!fs.exists(validatorsPath)) Seq.empty[(String, String)]
+      else {
+        val in = fs.open(validatorsPath)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(bytes, "UTF-8"))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        arr.forEach(n => buf += (n.get("name").asText() -> n.get("sql").asText()))
+        buf.toSeq
+      }
+    validatorsCache = Some(vs)
+    vs
+  }
+
+  private def saveValidators(vs: Seq[(String, String)]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    vs.foreach { case (n, q) =>
+      val o = arr.addObject(); o.put("name", n); o.put("sql", q)
+    }
+    TableProperties.atomicWrite(fs, validatorsPath, mapper.writeValueAsBytes(arr))
+    validatorsCache = Some(vs)
+  }
+
+  /** Register a PRE-COMMIT VALIDATOR (Hudi's SqlQueryPreCommitValidator
+    * family): `violationSql` runs against the temp view `graft_candidate` —
+    * the snapshot AS IF the pending commit were applied — and any returned
+    * row VETOES the commit. The writing instant is then aborted and its
+    * files deleted, so a bad batch never becomes visible — readers only
+    * ever see validated snapshots. Content-preserving table services
+    * (compact/cluster/rebucket) skip validation; they change layout, not
+    * data. */
+  def addPreCommitValidator(name: String, violationSql: String): Unit = {
+    require(name.nonEmpty && violationSql.nonEmpty)
+    saveValidators(validators.filterNot(_._1 == name) :+ (name -> violationSql))
+  }
+
+  def dropPreCommitValidator(name: String): Unit =
+    saveValidators(validators.filterNot(_._1 == name))
+
+  /** Ops whose commits change table CONTENT and must be validated; layout
+    * services are content-preserving by construction (asserted in specs). */
+  private val layoutOps = Set("compact", "cluster", "rebucket", "split_bucket")
+
+  /** Run the registered validators against the candidate snapshot, then
+    * commit. A violation throws BEFORE the timeline write — the caller's
+    * [[withReservedInstant]] deletes the instant's data/CDC/index output
+    * and tombstones the reservation, making the rejection atomic. */
+  private def commitValidated(c: Commit): Unit = {
+    val vs = validators
+    if (vs.nonEmpty && !layoutOps(c.op) && (c.adds.nonEmpty || c.removes.nonEmpty)) {
+      val removed = c.removes.toSet
+      val files = timeline.liveFiles(None).filterNot(f => removed(f.path)) ++ c.adds
+      val candidate =
+        if (files.isEmpty) read().filter(lit(false))
+        else dropInternal(resolve(readFiles(files)))
+      candidate.createOrReplaceTempView("graft_candidate")
+      vs.foreach { case (name, sql) =>
+        if (!spark.sql(sql).isEmpty)
+          throw new IllegalStateException(
+            s"pre-commit validator '$name' rejected ${c.op} @ ${c.instant}: " +
+              s"violation rows from [$sql]")
+      }
+    }
+    timeline.commit(c)
+  }
+
   /** Hive partition-path values round-trip verbatim only over a safe
     * charset; anything else (escaped by the writer) is unanswerable. */
   private def safePartValue(v: Any): Option[String] = {
@@ -1226,7 +1301,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     withReservedInstant { instant =>
       val adds = writeFiles(withMeta(deduped, instant), instant, numFiles)
       // no changelog for pure inserts — cdc() derives them from the data files
-      timeline.commit(Commit(instant, "insert", adds, Nil, commitMeta))
+      commitValidated(Commit(instant, "insert", adds, Nil, commitMeta))
       instant
     }
   }
@@ -1245,7 +1320,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     ensureConfig()
     withReservedInstant { instant =>
       val adds = writeFiles(withMeta(batch, instant, deleted), instant)
-      timeline.commit(Commit(instant, "delta", adds, Nil, commitMeta))
+      commitValidated(Commit(instant, "delta", adds, Nil, commitMeta))
       instant
     }
   }
@@ -1266,7 +1341,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           (if (cfg.numBuckets > 0) Seq(collect_set(bucketOf(keyCol)).as("bk")) else Nil)
         val rangeRow = batch.agg(aggCols.head, aggCols.tail: _*).head()
         if (rangeRow.isNullAt(0)) { // empty batch: record a no-op commit
-          timeline.commit(Commit(instant, op, Nil, Nil, commitMeta))
+          commitValidated(Commit(instant, op, Nil, Nil, commitMeta))
         } else {
           val batchBuckets: Set[Int] =
             if (cfg.numBuckets <= 0) Set.empty
@@ -1365,7 +1440,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             .withColumn("_change_type", lit("insert")), instant)
       }
     }
-    timeline.commit(Commit(instant, op, adds, hitFiles.map(_.path), commitMeta))
+    commitValidated(Commit(instant, op, adds, hitFiles.map(_.path), commitMeta))
     } finally affected.foreach(_.unpersist())
   }
 
@@ -1384,7 +1459,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         .collect().map(r => relPath(r.getString(0))).toSet
       val hitFiles = live.filter(f => hits.contains(f.path))
       if (hitFiles.isEmpty) {
-        timeline.commit(Commit(instant, "delete", Nil, Nil))
+        commitValidated(Commit(instant, "delete", Nil, Nil))
       } else {
         // cached: the kept-rows rewrite and the CDC delete images both scan
         // the same hit files
@@ -1403,7 +1478,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
               .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
               .withColumn("_change_type", lit("delete")),
             instant)
-          timeline.commit(Commit(instant, "delete", adds, hitFiles.map(_.path)))
+          commitValidated(Commit(instant, "delete", adds, hitFiles.map(_.path)))
         } finally affected.unpersist()
       }
       instant
@@ -1429,7 +1504,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         val rangeRow = kdf.agg(
           min(keyStr(keyCol, kdf)).as("mn"), max(keyStr(keyCol, kdf)).as("mx")).head()
         if (rangeRow.isNullAt(0) || live.isEmpty) {
-          timeline.commit(Commit(instant, "delete", Nil, Nil))
+          commitValidated(Commit(instant, "delete", Nil, Nil))
           instant
         } else {
           val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
@@ -1442,7 +1517,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
               .collect().map(r => relPath(r.getString(0))).toSet
           val hitFiles = cand.filter(f => hits.contains(f.path))
           if (hitFiles.isEmpty) {
-            timeline.commit(Commit(instant, "delete", Nil, Nil))
+            commitValidated(Commit(instant, "delete", Nil, Nil))
           } else {
             val affected = readFiles(hitFiles).cache()
             try {
@@ -1457,7 +1532,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
                   .selectExpr(userCols(affected).map(c => s"`$c`"): _*)
                   .withColumn("_change_type", lit("delete")),
                 instant)
-              timeline.commit(Commit(instant, "delete", adds, hitFiles.map(_.path)))
+              commitValidated(Commit(instant, "delete", adds, hitFiles.map(_.path)))
             } finally affected.unpersist()
           }
           instant
@@ -1501,7 +1576,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           min(keyStr(keyCol, last)).as("mn"), max(keyStr(keyCol, last)).as("mx"),
           count(lit(1)).as("cnt")).head()
         if (rangeRow.isNullAt(0)) {
-          timeline.commit(Commit(instant, "changelog", Nil, Nil))
+          commitValidated(Commit(instant, "changelog", Nil, Nil))
         } else {
           val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
           val cand = live.filter(f => f.minKey <= bMax && bMin <= f.maxKey)
@@ -1524,7 +1599,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
                 allowMissingColumns = true)
           val nOut = rewriteFileCount(live, hitFiles.map(_.rows).sum + rangeRow.getLong(2))
           val adds = writeFiles(out, instant, numFiles = nOut)
-          timeline.commit(Commit(instant, "changelog", adds, hitFiles.map(_.path)))
+          commitValidated(Commit(instant, "changelog", adds, hitFiles.map(_.path)))
         }
         instant
       }
@@ -1594,7 +1669,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val snap = resolve(readFiles(live))
     val cols = presentCols(snap)
     val adds = writeFiles(snap.selectExpr(cols.map(c => s"`$c`"): _*), instant, nFiles)
-    timeline.commit(Commit(instant, "compact", adds, live.map(_.path)))
+    commitValidated(Commit(instant, "compact", adds, live.map(_.path)))
     instant
   }
 
@@ -1607,7 +1682,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val cols = presentCols(snap)
     val adds = writeFiles(
       snap.selectExpr(cols.map(c => s"`$c`"): _*), instant, numFiles, sortCols)
-    timeline.commit(Commit(instant, "cluster", adds, live.map(_.path)))
+    commitValidated(Commit(instant, "cluster", adds, live.map(_.path)))
     instant
   }
 
@@ -1636,7 +1711,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
     val adds = writeFiles(out, instant)
-    timeline.commit(Commit(instant, "cluster", adds, live.map(_.path)))
+    commitValidated(Commit(instant, "cluster", adds, live.map(_.path)))
     instant
   }
 
@@ -1812,7 +1887,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       TableProperties.saveSchema(spark, cfg.path,
         spark.read.parquet(adds.map(f => dataPath(f.path)): _*).schema)
       invalidateReadSchema()
-      timeline.commit(Commit(instant, "bootstrap", adds, Nil))
+      commitValidated(Commit(instant, "bootstrap", adds, Nil))
       instant
     }
   }
@@ -1828,7 +1903,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     require(cfg.keyGen.partitionCols.nonEmpty, "table is not partitioned")
     withReservedInstant { instant =>
       val removes = timeline.liveFiles(None).filter(f => partitionPred(f.partition))
-      timeline.commit(Commit(instant, "delete_partition", Nil, removes.map(_.path)))
+      commitValidated(Commit(instant, "delete_partition", Nil, removes.map(_.path)))
       instant
     }
   }
@@ -1844,7 +1919,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val adds = writeFiles(withMeta(deduped, instant), instant)
       val replaced = adds.map(_.partition).toSet
       val removes = timeline.liveFiles(None).filter(f => replaced.contains(f.partition))
-      timeline.commit(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
+      commitValidated(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
       instant
     }
   }
@@ -1858,7 +1933,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     withReservedInstant { instant =>
       val removes = timeline.liveFiles(None)
       val adds = writeFiles(withMeta(deduped, instant), instant)
-      timeline.commit(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
+      commitValidated(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
       instant
     }
   }

@@ -432,6 +432,26 @@ object TableOps extends QueryRegistry {
       .orderBy("o_orderkey")
   }
 
+  // --- t_precommit: pre-commit validation (Hudi's SqlQueryPreCommitValidator)
+  // — a registered SQL rule vetoes any commit whose CANDIDATE snapshot
+  // violates it. The good upsert lands; the corrupting one (negative prices)
+  // is rejected ATOMICALLY — its instant aborted, its files deleted — so the
+  // table reads exactly as if the bad batch never arrived.
+  def tPrecommit(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_precommit")
+    tbl.insert(orders, numFiles = 4)
+    tbl.addPreCommitValidator("no_negative_price",
+      "SELECT 1 FROM graft_candidate WHERE o_totalprice < 0 LIMIT 1")
+    tbl.upsert(upsertBatch(orders)) // clean batch: passes
+    val corrupting = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * -1)
+    val rejected =
+      try { tbl.upsert(corrupting); false }
+      catch { case e: IllegalStateException => e.getMessage.contains("no_negative_price") }
+    require(rejected, "corrupting batch must be vetoed by the validator")
+    tbl.read().orderBy("o_orderkey")
+  }
+
   // --- t_insert_overwrite: INSERT OVERWRITE of whole partitions — the
   // Hudi insert_overwrite op. One partition's content is replaced; every
   // other partition is untouched; history stays time-travelable.
@@ -602,6 +622,9 @@ object TableOps extends QueryRegistry {
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    // the rejected batch leaves no trace: the oracle is just the clean
+    // upserted view
+    QueryDef("t_precommit", tPrecommit, Some(s"$upsertedSql ORDER BY o_orderkey")),
     // the upsert re-stamps key%10==0 rows before the indexed scan
     QueryDef("t_expr_index", tExprIndex, Some(
       s"""$upsertedSql

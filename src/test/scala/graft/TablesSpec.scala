@@ -916,6 +916,54 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.filesBetween("user_id", 0, 1).size == all.size)
   }
 
+  test("pre-commit validator vetoes bad commits atomically; services exempt") {
+    val tbl = freshTable("precommit")
+    tbl.insert(orders, numFiles = 4)
+    tbl.addPreCommitValidator("no_neg",
+      "SELECT 1 FROM graft_candidate WHERE o_totalprice < 0 LIMIT 1")
+
+    val want = tbl.read().orderBy("o_orderkey").collect()
+    val instantsBefore = tbl.timeline.instants()
+    val bad = orders.limit(50).withColumn("o_totalprice", col("o_totalprice") * -1)
+    intercept[IllegalStateException](tbl.upsert(bad))
+
+    // the veto is atomic: no new commit, no inflight marker, no orphan data
+    assert(tbl.timeline.instants() == instantsBefore)
+    val meta = new java.io.File("/tmp/graft_spec/precommit/_graft")
+    assert(!meta.listFiles().exists(_.getName.endsWith(".inflight")))
+    assert(tbl.read().orderBy("o_orderkey").collect().sameElements(want))
+
+    // a DELETE that would violate nothing still passes; compaction (layout
+    // service) is exempt even while the validator is registered
+    tbl.delete(col("o_orderkey") % 97 === 0)
+    tbl.compact(targetRows = 10000000L)
+    assert(tbl.read().filter(col("o_totalprice") < 0).isEmpty)
+
+    // dropping the validator re-admits the batch
+    tbl.dropPreCommitValidator("no_neg")
+    tbl.upsert(bad)
+    assert(tbl.read().filter(col("o_totalprice") < 0).count() == 50)
+  }
+
+  test("pre-commit validator sees the RESOLVED candidate on MOR tables") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/precommit_mor", "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 2)
+    // rule: a key must never appear twice in the candidate snapshot — only a
+    // RESOLVED view satisfies this once deltas exist
+    tbl.addPreCommitValidator("unique_keys",
+      """SELECT o_orderkey FROM graft_candidate
+        |GROUP BY o_orderkey HAVING count(*) > 1 LIMIT 1""".stripMargin)
+    // a delta over existing keys resolves to one row per key: passes
+    tbl.upsert(orders.limit(100).withColumn("o_orderstatus", lit("U")))
+    assert(tbl.read().filter(col("o_orderstatus") === "U").count() == 100)
+    // MOR tombstone delete also passes (deleted keys leave the candidate)
+    tbl.delete(col("o_orderkey") % 97 === 0)
+    assert(tbl.read().filter(col("o_orderkey") % 97 === 0).isEmpty)
+  }
+
   test("expression index prunes on derived values; new files kept until refresh") {
     val tbl = freshTable("expr_index")
     tbl.insert(orders, numFiles = 4)
