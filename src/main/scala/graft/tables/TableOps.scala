@@ -477,6 +477,23 @@ object TableOps extends QueryRegistry {
     tbl.read().orderBy("o_orderkey")
   }
 
+  // --- t_ttl: partition TTL — day-partitioned events older than the cutoff
+  // are retired in ONE metadata-only commit (Hudi's partition TTL
+  // management); no data file is read or rewritten.
+  def tTtl(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_ttl", dir), "event_id", "event_id",
+      keyGen = TimestampDayPartition("ts", "p_day")))
+    tbl.dropIfExists()
+    tbl.insert(events, numFiles = 2)
+    val dropped = TableServices.expirePartitionsByValue(tbl, "p_day", "2024-01-08")
+    require(dropped.nonEmpty, "TTL must retire the pre-cutoff partitions")
+    tbl.read()
+      .select("event_id", "p_day", "user_id", "value")
+      .orderBy("event_id")
+  }
+
   // --- t_rollback: undo the latest commit — its files are removed and the
   // replaced ones become live again purely through timeline resolution.
   def tRollback(s: SparkSession, dir: String): DataFrame = {
@@ -588,6 +605,11 @@ object TableOps extends QueryRegistry {
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_partition_prune", tPartitionPrune, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
+    QueryDef("t_ttl", tTtl, Some(
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS p_day, user_id, value
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+        |ORDER BY event_id""".stripMargin)),
     QueryDef("t_keygen_timestamp", tKeygenTimestamp, Some(
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS p_day, user_id, value
         |FROM events

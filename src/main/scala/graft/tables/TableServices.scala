@@ -55,6 +55,44 @@ object TableServices {
     victims
   }
 
+  /** Partition TTL, value-based (Hudi's partition TTL management,
+    * KEEP_BY_TIME on date-formatted partition paths): retire every live
+    * partition whose `col=value` path value sorts strictly below `cutoff` —
+    * sound for the ISO-date / zero-padded formats our key generators emit.
+    * One METADATA-ONLY delete_partition commit (no data file read, moved,
+    * or deleted — history stays time-travelable until `clean`). Returns the
+    * retired partition paths. */
+  def expirePartitionsByValue(
+      table: GraftTable, col: String, cutoff: String): Seq[String] = {
+    val prefix = col + "="
+    def doomed(p: String): Boolean = p.split("/").exists { seg =>
+      seg.startsWith(prefix) && seg.substring(prefix.length) < cutoff
+    }
+    val victims = table.partitionFiles(doomed).map(_.partition).distinct.sorted
+    if (victims.nonEmpty) table.dropPartitions(doomed)
+    victims
+  }
+
+  /** Partition TTL, freshness-based (Hudi's KEEP_BY_CREATION_TIME /
+    * last-modified strategy): retire live partitions whose LAST file-adding
+    * commit is older than `instantCutoff` — cold partitions no writer has
+    * touched in N commits/days. Scans only timeline metadata. */
+  def expirePartitionsLastModifiedBefore(
+      table: GraftTable, instantCutoff: String): Seq[String] = {
+    val tl = table.timeline
+    val lastTouched = scala.collection.mutable.Map.empty[String, String]
+    (tl.archivedInstants() ++ tl.instants()).distinct.sorted.foreach { i =>
+      tl.readCommit(i).adds.foreach { f =>
+        if (f.partition.nonEmpty) lastTouched(f.partition) = i
+      }
+    }
+    val victims = tl.liveFiles(None).map(_.partition).distinct
+      .filter(p => p.nonEmpty && lastTouched.get(p).exists(_ < instantCutoff))
+      .sorted
+    if (victims.nonEmpty) { val v = victims.toSet; table.dropPartitions(v.contains) }
+    victims
+  }
+
   private val CurrentVersion = 1
 
   /** Table format version stored in `_graft/table.properties.json` — the

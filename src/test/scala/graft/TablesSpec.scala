@@ -916,6 +916,29 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.filesBetween("user_id", 0, 1).size == all.size)
   }
 
+  test("partition TTL: freshness-based expiry retires only cold partitions") {
+    val tbl = freshTable("ttl_fresh", keyGen = FieldPartition("o_orderpriority"))
+    // commit 1: two cold partitions; commit 2 touches one of them + a new one
+    val cold = orders.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    val i1 = tbl.insert(cold, numFiles = 1)
+    tbl.upsert(orders.filter(col("o_orderpriority").isin("2-HIGH", "3-MEDIUM")))
+    val cutoff = tbl.timeline.instants().last // strictly-older-than-latest
+
+    val dropped = TableServices.expirePartitionsLastModifiedBefore(tbl, cutoff)
+    assert(dropped == Seq("o_orderpriority=1-URGENT")) // 2-HIGH was re-touched
+    assert(tbl.read().filter(col("o_orderpriority") === "1-URGENT").isEmpty)
+    assert(tbl.read().filter(col("o_orderpriority") === "2-HIGH").count() ==
+      orders.filter(col("o_orderpriority") === "2-HIGH").count())
+
+    // metadata-only: the retired partition's files still exist for time travel
+    val removedPaths = tbl.timeline.readCommit(tbl.timeline.instants().last).removes
+    assert(removedPaths.nonEmpty && removedPaths.forall(p =>
+      new java.io.File(s"/tmp/graft_spec/ttl_fresh/$p").exists()))
+    assert(tbl.readAsOf(i1).filter(col("o_orderpriority") === "1-URGENT").count() > 0)
+    // idempotent: nothing left to expire at the same cutoff
+    assert(TableServices.expirePartitionsLastModifiedBefore(tbl, cutoff).isEmpty)
+  }
+
   test("pre-commit validator vetoes bad commits atomically; services exempt") {
     val tbl = freshTable("precommit")
     tbl.insert(orders, numFiles = 4)
