@@ -155,8 +155,50 @@ object Multimodal extends QueryRegistry {
       |SELECT fp, MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies
       |FROM fr GROUP BY fp ORDER BY fp""".stripMargin
 
+  // --- m_pack_shards: WebDataset-style shard planning — assign media
+  // records (in stable doc_id order, per modality: shards never mix
+  // modalities) to ~4 KB tar shards by the byte offset each record starts
+  // at under continuous concatenation, and emit the shard MANIFEST a
+  // dataloader consumes (item count, byte size, doc range). At 100 TB this
+  // is one window cumsum + one hash aggregation per modality partition —
+  // the plan stays O(rows), and each shard's contents are then written by
+  // exactly one task.
+  def mPackShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val modality = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+    val m = GraftSession.table(s, dir, "documents").select(
+      col("doc_id"), modality.as("media_type"),
+      length(substring(col("text"), 1, 64).cast("binary")).cast("long").as("n_bytes"))
+    val w = Window.partitionBy("media_type").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("shard_id",
+        floor((sum(col("n_bytes")).over(w) - col("n_bytes")) / 4096L))
+      .groupBy("media_type", "shard_id")
+      .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("media_type", "shard_id")
+  }
+
+  private val mPackShardsSql =
+    """WITH m AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |r AS (SELECT media_type, doc_id, n_bytes,
+      |    (CAST(SUM(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |     - n_bytes) // 4096 AS shard_id
+      |  FROM m)
+      |SELECT media_type, shard_id, COUNT(*) AS n_items,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_media_pipeline", mMediaPipeline, Some(mMediaPipelineSql)),
-    QueryDef("m_frame_dedup", mFrameDedup, Some(mFrameDedupSql)))
+    QueryDef("m_frame_dedup", mFrameDedup, Some(mFrameDedupSql)),
+    QueryDef("m_pack_shards", mPackShards, Some(mPackShardsSql)))
 }
