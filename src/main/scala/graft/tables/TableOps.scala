@@ -452,6 +452,27 @@ object TableOps extends QueryRegistry {
     tbl.read().orderBy("o_orderkey")
   }
 
+  // --- t_zorder: multi-dimensional data skipping — z-order clustering
+  // interleaves (user_id, value) bits so ONE layout serves range predicates
+  // on EITHER or BOTH dimensions (hoodie.clustering...layout.optimize
+  // z-order); the 2-D box then prunes files via the same per-file stats as
+  // t_data_skipping, and the caller's residual filter restates the box.
+  def tZorder(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_zorder", dir), "event_id", "event_id",
+      statsCols = Seq("user_id", "value")))
+    tbl.dropIfExists()
+    tbl.insert(events, numFiles = 8)
+    tbl.clusterZOrder("user_id", "value", numFiles = 16)
+    tbl.readPruned(Seq(
+        ColBound("user_id", Some(3L), Some(9L)),
+        ColBound("value", Some(50.0), Some(150.0))))
+      .filter(col("user_id").between(3L, 9L) && col("value").between(50.0, 150.0))
+      .orderBy("event_id")
+  }
+
   // --- t_insert_overwrite: INSERT OVERWRITE of whole partitions — the
   // Hudi insert_overwrite op. One partition's content is replaced; every
   // other partition is untouched; history stays time-travelable.
@@ -652,6 +673,11 @@ object TableOps extends QueryRegistry {
       s"""$upsertedSql
          |WHERE date_trunc('month', o_orderdate) = TIMESTAMP '1996-03-01'
          |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_zorder", tZorder, Some(
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 150.0
+        |ORDER BY event_id""".stripMargin)),
     QueryDef("t_data_skipping", tDataSkipping, Some(
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE value BETWEEN 50.0 AND 60.0
