@@ -40,7 +40,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[GraftDmlRule]] (Spark's native row-level path requires a full DSv2
   * BatchWrite, which the V1 fallback does not cover).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -161,6 +161,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
+
+  // --------------------------------------------------------- procedures
+
+  /** Table services as SQL stored procedures (Hudi's `CALL` surface) under
+    * the `system` namespace: `CALL <catalog>.system.compact('ns.tbl', N)`.
+    * See [[GraftProcedures]]. */
+  private lazy val procedures =
+    GraftProcedures.all(ident =>
+      (warehouse +: ident.split("\\.").toSeq).mkString("/"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.keys.toArray.sorted.map(n => Identifier.of(Array("system"), n))
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace().sameElements(Array("system"))))
+      throw new IllegalArgumentException(s"no such procedure $ident")
+    procedures.getOrElse(ident.name(), throw new IllegalArgumentException(s"no such procedure $ident"))
+  }
 
   // --------------------------------------------------------- namespaces
 

@@ -151,4 +151,39 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.nonEmpty && pruned.size < all.size)
     assert(pruned.forall(_.partition == "city=san_francisco"))
   }
+
+  test("CALL procedures: the Hudi CALL surface through DSv2 stored procedures") {
+    sql("""CREATE TABLE graft.proc_t (id BIGINT, v DOUBLE) USING graft
+          |TBLPROPERTIES (primaryKey = 'id')""".stripMargin)
+    sql("INSERT INTO graft.proc_t SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    sql("INSERT INTO graft.proc_t SELECT id, CAST(id * 2 AS DOUBLE) FROM range(100, 200)")
+
+    // show_commits lists both upsert commits with their file counts
+    val commits = sql("CALL graft.system.show_commits('proc_t')").collect()
+    assert(commits.length == 2 && commits.forall(_.getInt(2) > 0))
+    assert(commits.map(_.getLong(4)).sum == 200L)
+
+    // compact bin-packs; the returned instant is the new head
+    val inst = sql("CALL graft.system.compact('proc_t', 1000000)").head().getString(0)
+    assert(sql("CALL graft.system.show_commits('proc_t')").collect()
+      .last.getString(0) == inst)
+    assert(sql("SELECT count(*) FROM graft.proc_t").head().getLong(0) == 200L)
+
+    // savepoint head, corrupt, rollback via CALL: content restored
+    sql(s"CALL graft.system.savepoint('proc_t', '$inst')")
+    sql("INSERT INTO graft.proc_t SELECT id, -1.0 FROM range(0, 50)")
+    val bad = sql("CALL graft.system.show_commits('proc_t')").collect().last.getString(0)
+    sql(s"CALL graft.system.rollback('proc_t', '$bad')")
+    assert(sql("SELECT count(*) FROM graft.proc_t WHERE v < 0").head().getLong(0) == 0L)
+
+    // clean retains the latest snapshot's files; table still reads right
+    val deleted = sql("CALL graft.system.clean('proc_t', 1)").head().getInt(0)
+    assert(deleted > 0)
+    assert(sql("SELECT count(*) FROM graft.proc_t").head().getLong(0) == 200L)
+
+    // procedures are discoverable
+    val procs = sql("SHOW PROCEDURES IN graft.system").collect()
+      .map(_.toSeq.map(String.valueOf).mkString(","))
+    assert(procs.length == 9 && procs.exists(_.contains("compact")))
+  }
 }
