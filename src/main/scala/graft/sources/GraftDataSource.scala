@@ -60,10 +60,14 @@ class GraftDataSource
           throw new IllegalArgumentException(
             s"graft table at $path has no committed data and no persisted " +
               "schema yet; pass .schema(...) to readStream"))
+      // streaming CDC batches also carry `_commit` so consumers can
+      // sequence same-key images across a multi-commit batch
       if (parameters.getOrElse("graft.cdc", "false").toBoolean)
         StructType(base.filterNot(f =>
           configOf(spark, path, parameters).keyGen.syntheticCols.contains(f.name)) :+
           org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("_commit",
             org.apache.spark.sql.types.StringType))
       else base
     }

@@ -41,7 +41,9 @@ final class GraftStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val begin = start.map(instantOf).getOrElse(graft.tables.Timeline.pad(0))
     val df =
-      if (cdc) table.cdc(begin, instantOf(end))
+      // CDC batches carry `_commit` so a consumer can sequence same-key
+      // images across the commits one micro-batch may span
+      if (cdc) table.cdcWithCommit(begin, instantOf(end))
       else table.incremental(begin, instantOf(end))
     GraftSqlShim.internalCreateDataFrame(
       spark, df.queryExecution.toRdd, df.schema, isStreaming = true)

@@ -348,42 +348,58 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * `_graft_commit_time` metadata column — pure-insert commits write no
     * changelog at all. (CDC history for a commit survives until its files
     * are physically removed by `clean`.) */
-  def cdc(beginExclusive: String, endInclusive: String): DataFrame = {
+  def cdc(beginExclusive: String, endInclusive: String): DataFrame =
+    cdcInternal(beginExclusive, endInclusive, withCommit = false)
+
+  /** [[cdc]] plus a `_commit` column tagging each image with the instant
+    * that produced it — what a CDC CONSUMER needs to sequence same-key
+    * changes across commits (the streaming source exposes this shape, so a
+    * downstream `applyChangelog(seqCol = "_commit")` replays a multi-commit
+    * batch in commit order instead of guessing). */
+  def cdcWithCommit(beginExclusive: String, endInclusive: String): DataFrame =
+    cdcInternal(beginExclusive, endInclusive, withCommit = true)
+
+  private def cdcInternal(beginExclusive: String, endInclusive: String,
+      withCommit: Boolean): DataFrame = {
     require(cfg.writeChangelog, s"table ${cfg.path} was not created with writeChangelog")
     // archived commits still serve CDC (changelog files + commit metadata
     // outlive timeline archival; only `clean` erases history)
     val range = (timeline.archivedInstants() ++ timeline.instants()).distinct.sorted
       .filter(i => i > beginExclusive && i <= endInclusive)
     require(range.nonEmpty, s"no commits in ($beginExclusive, $endInclusive]")
+    def tag(df: DataFrame, i: String): DataFrame =
+      if (withCommit) df.withColumn("_commit", lit(i)) else df
     val parts = range.flatMap { i =>
       val c = timeline.readCommit(i)
       val changelogDir = new Path(s"${cfg.path}/_graft/cdc/$i")
       val changelog =
-        if (fs.exists(changelogDir)) Seq(spark.read.parquet(changelogDir.toString))
+        if (fs.exists(changelogDir)) Seq(tag(spark.read.parquet(changelogDir.toString), i))
         else Seq.empty
       val derivedInserts =
         // insert_overwrite rows also derive as inserts (its implicit
         // partition-wide deletes are not imaged — documented limitation)
         if ((c.op == "insert" || c.op == "insert_overwrite") && c.adds.nonEmpty)
-          Seq(dropInternal(readFiles(c.adds))
+          Seq(tag(dropInternal(readFiles(c.adds))
             .drop(cfg.keyGen.syntheticCols: _*)
-            .withColumn("_change_type", lit("insert")))
+            .withColumn("_change_type", lit("insert")), i))
         else Seq.empty
       changelog ++ derivedInserts
     }
     // a change-free range (compaction/clustering commits only) is a valid
     // empty changelog, not an error — streaming CDC readers hit this on
     // every table-service commit
-    if (parts.isEmpty) return cdcEmptyFrame()
+    if (parts.isEmpty) return cdcEmptyFrame(withCommit)
     // allowMissingColumns: ranges spanning a schema-evolution commit mix
     // changelog frames with different column sets
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Zero-row frame in the CDC result shape (user columns + _change_type). */
-  private def cdcEmptyFrame(): DataFrame =
-    read().drop(cfg.keyGen.syntheticCols: _*).limit(0)
+  private def cdcEmptyFrame(withCommit: Boolean = false): DataFrame = {
+    val base = read().drop(cfg.keyGen.syntheticCols: _*).limit(0)
       .withColumn("_change_type", lit(null).cast("string"))
+    if (withCommit) base.withColumn("_commit", lit(null).cast("string")) else base
+  }
 
   /** Key-based point lookup reading only bucket- and range-pruned files.
     * Sound under MOR too: any delta/tombstone for key k contains k, so

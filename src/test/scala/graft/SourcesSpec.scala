@@ -175,6 +175,59 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(col("_change_type") === "delete").count() == 1)
   }
 
+  test("streaming CDC chain: a downstream replica follows upserts AND deletes") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.tables.{GraftTable, GraftTableConfig}
+    val p = "/tmp/graft_spec/cdc_chain_src"
+    val src = GraftTable(spark, GraftTableConfig(
+      p, "o_orderkey", "o_orderkey", writeChangelog = true))
+    src.dropIfExists()
+    val dst = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/cdc_chain_dst", "o_orderkey", "o_orderkey"))
+    dst.dropIfExists()
+    val cp = java.nio.file.Files.createTempDirectory("graft_cdc_chain_cp").toString
+
+    // CDC images → RowKind changelog apply: inserts land, postimages update,
+    // deletes erase; preimages are informational and dropped. `_commit`
+    // sequences same-key images across the commits one batch may span; the
+    // replica keeps it as provenance (the _hoodie_commit_seqno idea). This
+    // is the Hudi2Hudi CDC chaining flow (downstream incl. hard deletes).
+    def followOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("graft.cdc", "true").load(p)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val changes = batch.filter(col("_change_type") =!= "update_preimage")
+            .withColumn("row_kind",
+              when(col("_change_type") === "delete", "-D")
+                .when(col("_change_type") === "insert", "+I").otherwise("+U"))
+            .drop("_change_type")
+          dst.applyChangelog(changes, "row_kind", "_commit")
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def assertInSync(): Unit = {
+      val want = src.read().orderBy("o_orderkey").collect()
+      val got = dst.read().drop("_commit").orderBy("o_orderkey").collect()
+      assert(got.sameElements(want), s"replica drifted: ${got.length} vs ${want.length}")
+    }
+
+    // wave 1: seed + update; wave 2: hard delete OVERLAPPING wave-1 updates
+    // (checkpointed ordering must apply it after); wave 3: fresh updates
+    src.insert(orders.limit(100), numFiles = 2)
+    src.upsert(orders.limit(20).withColumn("o_orderstatus", lit("U")))
+    followOnce(); assertInSync()
+    src.delete(col("o_orderkey") % 7 === 0)
+    followOnce(); assertInSync()
+    src.upsert(orders.limit(40).filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_orderstatus", lit("V")))
+    followOnce(); assertInSync()
+  }
+
   test("graft_table_changes SQL TVF: latest_state and cdc modes (quickstart.sql:83-90)") {
     import graft.tables.{GraftTable, GraftTableConfig}
     graft.functions.GraftFunctions.register(spark)
