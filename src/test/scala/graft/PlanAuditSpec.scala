@@ -212,6 +212,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("partial_min") || s.contains("partial_count") || s.contains("HashAggregate"), s)
   }
 
+  test("m_pack_shards: one window pass + one partial agg — bounded shuffles") {
+    val df = graft.multimodal.Multimodal.mPackShards(spark, sfDir)
+    // window by media_type, then (media_type, shard_id) agg: <= 2 data
+    // shuffles, and the manifest agg combines map-side
+    assert(countShuffles(df) <= 2, planString(df))
+    assert(planString(df).contains("partial_"), "manifest agg must be partial")
+  }
+
   test("st_dedup: dedup is a partial-aggregable hash agg (map-side combine)") {
     val df = graft.streaming.StreamingOps.stDedup(spark, sfDir)
     val s = planString(df)
