@@ -493,6 +493,26 @@ object Queries extends QueryRegistry {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS last_signup_ms
       |  FROM events) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  // --- q_median: exact per-priority median order price. Both engines
+  // interpolate in the CENT-integer domain — (a+b)/2 over integer cents is
+  // an EXACT double (no ulp drift between libms), so the oracle can hash
+  // the result bit-for-bit. At scale this is Spark's single-pass exact
+  // percentile aggregate (one shuffle on the group key), not a full sort.
+  def qMedian(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_orderpriority")
+      .agg(percentile(col("cents"), lit(0.5)).as("median_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  private val qMedianSql =
+    """SELECT o_orderpriority,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- q_approx_distinct: exact twin for the oracle; the HLL variant is
   // asserted within 5% of this in OperatorsSpec (approx_count_distinct).
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -528,5 +548,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
-    QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)))
+    QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
+    QueryDef("q_median", qMedian, Some(qMedianSql)))
 }
