@@ -36,9 +36,53 @@ class GraftDataSource
     extends RelationProvider
     with CreatableRelationProvider
     with StreamSourceProvider
+    with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ------------------------------------------------ streaming write surface
+
+  /** `writeStream.format("graft").start(path)` — the full DeltaStreamer UX
+    * with no foreachBatch: each micro-batch upserts (Append/Update mode) or
+    * replaces the table (Complete mode). EXACTLY-ONCE: the micro-batch id
+    * lands in the commit metadata atomically with the data, so a batch
+    * replayed from the checkpoint after a crash is recognized and skipped —
+    * the same watermark idea IncrementalPipeline uses. */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("writeStream.format(\"graft\") requires .start(path)"))
+    val spark = sqlContext.sparkSession
+    val cfg = configOf(spark, path, parameters)
+    require(cfg.keyField.nonEmpty,
+      "writeStream.format(\"graft\") requires option graft.key (or an existing table)")
+    val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    new org.apache.spark.sql.execution.streaming.Sink {
+      private val BatchKey = "streaming.batchId"
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val table = GraftTable(spark, cfg)
+        // a replayed batch (crash between sink commit and checkpoint write)
+        // must not double-apply: the last applied id rides the timeline
+        val applied = table.timeline.instants().reverseIterator
+          .map(i => table.timeline.readCommit(i).meta.get(BatchKey))
+          .collectFirst { case Some(v) => v.toLong }
+        if (applied.exists(_ >= batchId)) return
+        // the incoming frame is a streaming plan: rebind its physical rows
+        // as a batch DataFrame (the standard V1 sink rebind)
+        val batch = org.apache.spark.sql.GraftSqlShim.internalCreateDataFrame(
+          spark, data.queryExecution.toRdd, data.schema, isStreaming = false)
+        val meta = Map(BatchKey -> batchId.toString)
+        if (complete) table.insertOverwriteTable(batch, commitMeta = meta)
+        else table.upsert(batch, commitMeta = meta)
+        ()
+      }
+    }
+  }
 
   // ------------------------------------------------- streaming read surface
 

