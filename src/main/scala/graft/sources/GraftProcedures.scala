@@ -143,7 +143,48 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("expired_partition", StringType))),
         (s, in) => TableServices.expirePartitionsByValue(
           table(s, in), in.getUTF8String(1).toString, in.getUTF8String(2).toString)
-          .map(v => new GenericInternalRow(Array[Any](str(v))))))
+          .map(v => new GenericInternalRow(Array[Any](str(v))))),
+      // Hudi 1.0 `CREATE INDEX ... ON (expr)` / `DROP INDEX` parity
+      new Proc("create_expr_index",
+        "build an expression index: per-file min/max of a SQL expression",
+        Seq(p("table", StringType), p("name", StringType), p("expr", StringType)),
+        StructType(Seq(StructField("index", StringType))),
+        (s, in) => {
+          val n = in.getUTF8String(1).toString
+          table(s, in).createExpressionIndex(n, in.getUTF8String(2).toString)
+          oneString(n)
+        }),
+      new Proc("refresh_expr_index",
+        "extend an expression index to commits since its build (O(new files))",
+        Seq(p("table", StringType), p("name", StringType)),
+        StructType(Seq(StructField("files_indexed", IntegerType))),
+        (s, in) => oneInt(
+          table(s, in).refreshExpressionIndex(in.getUTF8String(1).toString))),
+      new Proc("drop_expr_index",
+        "drop an expression index",
+        Seq(p("table", StringType), p("name", StringType)),
+        StructType(Seq(StructField("index", StringType))),
+        (s, in) => {
+          val n = in.getUTF8String(1).toString
+          table(s, in).dropExpressionIndex(n); oneString(n)
+        }),
+      new Proc("add_validator",
+        "register a pre-commit validator: violation SQL over graft_candidate",
+        Seq(p("table", StringType), p("name", StringType), p("violation_sql", StringType)),
+        StructType(Seq(StructField("validator", StringType))),
+        (s, in) => {
+          val n = in.getUTF8String(1).toString
+          table(s, in).addPreCommitValidator(n, in.getUTF8String(2).toString)
+          oneString(n)
+        }),
+      new Proc("drop_validator",
+        "unregister a pre-commit validator",
+        Seq(p("table", StringType), p("name", StringType)),
+        StructType(Seq(StructField("validator", StringType))),
+        (s, in) => {
+          val n = in.getUTF8String(1).toString
+          table(s, in).dropPreCommitValidator(n); oneString(n)
+        }))
 
     procs.map(pr => pr.name() -> pr).toMap
   }

@@ -181,9 +181,22 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deleted > 0)
     assert(sql("SELECT count(*) FROM graft.proc_t").head().getLong(0) == 200L)
 
+    // index + validator management through CALL (CREATE INDEX parity)
+    sql("CALL graft.system.create_expr_index('proc_t', 'vband', 'floor(v / 100)')")
+    assert(sql("CALL graft.system.refresh_expr_index('proc_t', 'vband')")
+      .head().getInt(0) == 0) // fresh index already covers every live file
+    sql("CALL graft.system.add_validator('proc_t', 'nonneg', " +
+      "'SELECT 1 FROM graft_candidate WHERE v < -1000 LIMIT 1')")
+    sql("INSERT INTO graft.proc_t SELECT id, 5.0 FROM range(0, 5)") // passes
+    intercept[Exception](
+      sql("INSERT INTO graft.proc_t SELECT id, -99999.0 FROM range(0, 5)"))
+    assert(sql("SELECT count(*) FROM graft.proc_t WHERE v < -1000").head().getLong(0) == 0L)
+    sql("CALL graft.system.drop_validator('proc_t', 'nonneg')")
+    sql("CALL graft.system.drop_expr_index('proc_t', 'vband')")
+
     // procedures are discoverable
     val procs = sql("SHOW PROCEDURES IN graft.system").collect()
       .map(_.toSeq.map(String.valueOf).mkString(","))
-    assert(procs.length == 9 && procs.exists(_.contains("compact")))
+    assert(procs.length == 14 && procs.exists(_.contains("compact")))
   }
 }
