@@ -188,6 +188,98 @@ object Ann extends QueryRegistry {
       |SELECT c_id AS cluster_id, COUNT(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS id_sum
       |FROM a2 WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- s_topk_pq: product-quantization ANN with exact re-ranking (the
+  // FAISS IVFPQ+refine shape) — completes the ANN trio (brute force / IVF /
+  // PQ). The 64-dim space splits into M=4 subspaces of 16; each subspace
+  // gets a codebook of deterministically sampled codewords (vec_id % 10);
+  // every vector is ENCODED as its 4 nearest codeword ids (4 small ints
+  // instead of 64 floats — the compression that lets a 100 TB corpus scan
+  // from memory). A query builds a (subspace × codeword) distance table and
+  // ADC-scores every vector as the sum of 4 table lookups — no full-vector
+  // math in the scan — keeping a SHORTLIST of 50, which exact L2 then
+  // re-ranks to the final top-k (full vectors touched for 50 rows, not the
+  // corpus). Distances are quantized to 1e-6 BIGINTs, so encode argmins and
+  // ADC sums are order-independent integer math: the whole pipeline is
+  // stated as a DuckDB oracle (PipelineSpec asserts recall vs exact L2).
+  def sTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val M = 4; val SUB = 16; val SHORTLIST = 50
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // per-subspace views (vec_id, m, sv); slice() is 1-based
+    val subs = e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(v, m * $SUB + 1, $SUB) AS sv))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      .cache()
+    val code = subs.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("c_id"), col("m").as("cm"), col("sv").as("cv"))
+    // index-ordered squared-distance fold, quantized to 1e-6 integers
+    def d2i(a: String, b: String) =
+      s"""cast(round(aggregate(zip_with($a, $b, (x, c) -> (x - c) * (x - c)),
+         |  cast(0.0 as double), (acc, w) -> acc + w) * 1000000) as bigint)""".stripMargin
+    // encode: nearest codeword per (vector, subspace) — min_by over an
+    // integer (dist, id) pair is a partial-aggregable hash agg, no window
+    val encoded = subs.join(broadcast(code), col("m") === col("cm"))
+      .withColumn("dist_i", expr(d2i("sv", "cv")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("c_id"), struct(col("dist_i"), col("c_id"))).as("code"))
+    // ADC: per-query distance TABLE over (subspace, codeword)…
+    val dtable = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sv").as("qv"))
+      .join(broadcast(code), col("qm") === col("cm"))
+      .select(col("q_id"), col("qm").as("m"), col("c_id").as("code"),
+        expr(d2i("qv", "cv")).as("qd_i"))
+    // …every encoded vector scores as M integer lookups → ADC shortlist
+    val wAdc = Window.partitionBy("q_id").orderBy(asc("adc_i"), asc("vec_id"))
+    val shortlist = encoded.join(broadcast(dtable), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("qd_i").as("adc_i"))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= SHORTLIST)
+      .select("q_id", "vec_id")
+    // exact L2 re-rank of the shortlist only
+    val qv = e.filter(col("vec_id") < 5).toDF("q_id", "qfull")
+    val w = Window.partitionBy("q_id").orderBy(asc("l2_i"), asc("vec_id"))
+    shortlist.join(e, "vec_id").join(broadcast(qv), "q_id")
+      .withColumn("l2_i", expr(d2i("v", "qfull")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .withColumn("l2_r", col("l2_i").cast("double") / lit(1000000.0))
+      .select("q_id", "rank", "vec_id", "l2_r")
+      .orderBy("q_id", "rank")
+  }
+
+  private val sTopkPqSql =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, m, v[m * 16 + 1 : m * 16 + 16] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+       |code AS (SELECT vec_id AS c_id, m AS cm, sv AS cv FROM subs WHERE vec_id % 10 = 0),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.c_id AS code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        CAST(round(list_sum(list_transform(range(1, 17),
+       |          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) * 1000000) AS BIGINT),
+       |        c.c_id) AS rn
+       |    FROM subs s JOIN code c ON s.m = c.cm) WHERE rn = 1),
+       |dt AS (SELECT q.vec_id AS q_id, q.m, c.c_id AS code,
+       |    CAST(round(list_sum(list_transform(range(1, 17),
+       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1000000) AS BIGINT) AS qd_i
+       |  FROM subs q JOIN code c ON q.m = c.cm WHERE q.vec_id < 5),
+       |sl AS (SELECT q_id, vec_id FROM (
+       |    SELECT d.q_id, a.vec_id, SUM(d.qd_i) AS adc_i,
+       |      ROW_NUMBER() OVER (PARTITION BY d.q_id ORDER BY SUM(d.qd_i), a.vec_id) AS srn
+       |    FROM enc a JOIN dt d ON a.m = d.m AND a.code = d.code AND a.vec_id <> d.q_id
+       |    GROUP BY 1, 2) WHERE srn <= 50),
+       |rr AS (SELECT sl.q_id, sl.vec_id,
+       |    CAST(round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> (e.v[i] - q.v[i]) * (e.v[i] - q.v[i]))) * 1000000) AS BIGINT) AS l2_i
+       |  FROM sl JOIN e ON e.vec_id = sl.vec_id JOIN e q ON q.vec_id = sl.q_id),
+       |r AS (SELECT q_id, vec_id, CAST(l2_i AS DOUBLE) / 1000000.0 AS l2_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2_i, vec_id) AS BIGINT) AS rank
+       |  FROM rr)
+       |SELECT q_id, rank, vec_id, l2_r FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // --- s_range_search: cosine RANGE search — all corpus vectors within a
   // similarity radius of each query (radius queries are the dedup-adjacent
   // ANN primitive: "everything at least this similar"). Same broadcast
@@ -218,5 +310,6 @@ object Ann extends QueryRegistry {
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
+    QueryDef("s_topk_pq", sTopkPq, Some(sTopkPqSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)))
 }

@@ -66,6 +66,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"IVF recall $recall vs brute force")
   }
 
+  test("PQ top-k achieves reasonable recall vs the exact-L2 baseline") {
+    // PQ/ADC approximates SQUARED L2 — recall is measured against the exact
+    // L2 top-k (the cosine brute force ranks a different metric);
+    // determinism is already pinned by the DuckDB oracle
+    import org.apache.spark.sql.expressions.Window
+    val e = GraftSession.table(spark, sfSmall, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qv")
+    val w = Window.partitionBy("q_id").orderBy(asc("d2"), asc("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),
+          |  cast(0.0 as double), (acc, w) -> acc + w)""".stripMargin))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.sTopkPq(spark, sfSmall)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall $recall vs exact L2")
+    // re-ranked L2 distances are non-negative and finite
+    assert(Ann.sTopkPq(spark, sfSmall).select("l2_r").collect()
+      .forall(r => r.getDouble(0) >= 0.0 && !r.getDouble(0).isNaN))
+  }
+
   test("multimodal decode runs per-partition and yields the typed schema") {
     val media = Multimodal.mediaTable(spark, sfSmall).repartition(3)
     val decoded = Multimodal.decodeMeta(spark, media)
