@@ -212,10 +212,10 @@ object Ann extends QueryRegistry {
       .cache()
     val code = subs.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("c_id"), col("m").as("cm"), col("sv").as("cv"))
-    // index-ordered squared-distance fold, quantized to 1e-6 integers
-    def d2i(a: String, b: String) =
-      s"""cast(round(aggregate(zip_with($a, $b, (x, c) -> (x - c) * (x - c)),
-         |  cast(0.0 as double), (acc, w) -> acc + w) * 1000000) as bigint)""".stripMargin
+    // index-ordered squared-distance fold, quantized to 1e-6 integers —
+    // the native codegen expression (an interpreted HOF fold here costs the
+    // whole encode cross-join dearly; see [[graft.functions.L2SqQ6]])
+    def d2i(a: String, b: String) = s"l2sq_q6($a, $b)"
     // encode: nearest codeword per (vector, subspace) — min_by over an
     // integer (dist, id) pair is a partial-aggregable hash agg, no window
     val encoded = subs.join(broadcast(code), col("m") === col("cm"))

@@ -72,10 +72,72 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: squared L2 distance of two double vectors,
+  * QUANTIZED to 1e-6 as a BIGINT — `cast(round(sum((x-y)^2) * 1e6) as
+  * bigint)` with the sum accumulated in index order, bit-identical to the
+  * `aggregate(zip_with(...))` + `round` composition it replaces (same
+  * HALF_UP decimal rounding as Spark's Round) and to the DuckDB oracle
+  * folds. The codegen'd primitive loop replaces an interpreted
+  * per-element lambda dispatch on the PQ encode hot path. */
+case class L2SqQ6(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2sq_q6"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    L2SqQ6.quantize(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = graft.functions.L2SqQ6.quantize($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqQ6 =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2SqQ6 {
+  /** Same arithmetic as `cast(round(s * 1e6) as bigint)`: multiply in
+    * double, HALF_UP on the canonical decimal form (what Spark's Round
+    * does), truncate to long. */
+  def quantize(s: Double): Long =
+    java.math.BigDecimal.valueOf(s * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+}
+
 object GraftFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (children => CosineSim(children.head, children(1))))
+    "cosine_sim" -> (children => CosineSim(children.head, children(1))),
+    "l2sq_q6" -> (children => L2SqQ6(children.head, children(1))))
 
   /** `graft_table_changes(path, mode, beginExclusive[, endInclusive])` —
     * the SQL table function mirroring the reference's `hudi_table_changes`
@@ -137,6 +199,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       children => CosineSim(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2sq_q6"),
+      new ExpressionInfo(classOf[L2SqQ6].getName, "l2sq_q6"),
+      children => L2SqQ6(children.head, children(1))))
     ext.injectTableFunction((
       FunctionIdentifier("graft_table_changes"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_table_changes"),

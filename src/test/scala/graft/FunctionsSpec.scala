@@ -31,6 +31,24 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatches == 0)
   }
 
+  test("l2sq_q6 is bit-identical to the round(aggregate(zip_with)) composition") {
+    GraftFunctions.register(spark)
+    val e = GraftSession.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val a = e.select(col("vec_id").as("va"), col("v").as("ea")).filter(col("va") < 50)
+    val b = e.select(col("vec_id").as("vb"), col("v").as("eb")).filter(col("vb") < 50)
+    val mismatches = a.join(b, col("va") < col("vb"))
+      .withColumn("n1", expr("l2sq_q6(ea, eb)"))
+      .withColumn("n2", expr(
+        """cast(round(aggregate(zip_with(ea, eb, (x, c) -> (x - c) * (x - c)),
+          |  cast(0.0 as double), (acc, w) -> acc + w) * 1000000) as bigint)""".stripMargin))
+      .filter(col("n1") =!= col("n2"))
+      .count()
+    assert(mismatches == 0)
+    // null-intolerant like the composition
+    assert(spark.sql("SELECT l2sq_q6(NULL, array(1.0d))").head().isNullAt(0))
+  }
+
   test("cosine_sim null and SQL-registration behavior") {
     GraftFunctions.register(spark)
     val row = spark.sql(
