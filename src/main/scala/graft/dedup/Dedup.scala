@@ -106,6 +106,46 @@ object Dedup extends QueryRegistry {
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin
 
+  // --- d_substring: exact SUBSTRING-level dedup (Lee et al. 2022's
+  // "Deduplicating Training Data Makes Language Models Better") — flag every
+  // doc sharing a >= 40-char normalized span with an earlier doc. Spans are
+  // 40-char shingles at stride 20 (any >=59-char common substring is
+  // guaranteed to produce a shared shingle), so detection is one shingle
+  // hash-join — O(total chars / stride) rows, never a doc cross product.
+  // Word-level Jaccard (d_ngram_jaccard) misses verbatim spans embedded in
+  // otherwise-different docs; this is the boilerplate/quote detector.
+  def dSubstring(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), normText(col("text")).as("tn"))
+    val sh = base.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, greatest(length(tn) - 40, 0), 20),
+          |  p -> substring(tn, p + 1, 40))""".stripMargin)).as("sh"))
+      .filter(length(col("sh")) === 40)
+      .distinct()
+      .cache()
+    val dup = sh.groupBy("sh")
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    sh.join(dup.select("sh", "keep"), "sh")
+      .filter(col("doc_id") =!= col("keep"))
+      .groupBy("doc_id")
+      .agg(countDistinct("sh").as("n_shared_spans"))
+      .orderBy("doc_id")
+  }
+
+  private val dSubstringSql =
+    """WITH d AS (SELECT doc_id,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tn
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(0, greatest(length(tn) - 40, 0) + 1, 20),
+      |      p -> substr(tn, p + 1, 40))) AS sh
+      |    FROM d) WHERE length(sh) = 40),
+      |g AS (SELECT sh, MIN(doc_id) AS keep FROM sh GROUP BY sh HAVING COUNT(*) >= 2)
+      |SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_shared_spans
+      |FROM sh s JOIN g ON g.sh = s.sh AND s.doc_id <> g.keep
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- d_minhash_lsh: MinHash signatures + LSH banding; verified candidates.
   // Deterministic but not SQL-expressible → rows-only oracle; DedupSpec
   // asserts it recovers every exact-dup pair.
@@ -492,6 +532,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_dup_groups", dDupGroups, Some(dDupGroupsSql)),
+    QueryDef("d_substring", dSubstring, Some(dSubstringSql)),
     QueryDef("d_minhash_lsh", dMinhashLsh, None),
     QueryDef("d_simhash", dSimhash, None),
     QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)),
