@@ -26,6 +26,14 @@ object Bench {
       GraftSession.table(spark, sfDir, t).limit(1000).count()
     }
     spark.range(1000000L).selectExpr("id % 7 AS k").groupBy("k").count().count()
+    // vector-expression warmup: the ANN ops' first run otherwise pays the
+    // one-time codegen/registration of the native expressions
+    graft.functions.GraftFunctions.register(spark)
+    GraftSession.table(spark, sfDir, "embeddings").limit(200)
+      .selectExpr("cosine_sim(embedding, embedding) AS c",
+        "l2sq_q6(transform(embedding, x -> cast(x as double)), " +
+          "transform(embedding, x -> cast(x as double))) AS l")
+      .agg(org.apache.spark.sql.functions.sum("l")).count()
     // write-path warmup: the table ops' first parquet write/upsert otherwise
     // pays one-time codegen + committer init that is not part of steady-state
     // throughput (a tiny table, untimed, dropped afterwards)
