@@ -173,7 +173,14 @@ class GraftDataSource
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") requires .load(path)"))
     val table = GraftTable(sqlContext.sparkSession, configOf(sqlContext.sparkSession, path, parameters))
-    (parameters.get("asOf"), parameters.get("begin"),
+    // wall-clock time travel (the reference's `as.of.instant`): resolve the
+    // epoch-ms option to the latest commit at or before that time
+    val asOf = parameters.get("asOf").orElse(
+      parameters.get("asOfTimestamp").map(ms =>
+        table.timeline.instantAsOfTime(ms.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"no commit at or before epoch ms $ms at $path"))))
+    (asOf, parameters.get("begin"),
         parameters.getOrElse("cdc", "false").toBoolean) match {
       case (Some(instant), _, _) => GraftRelation(sqlContext, table.readAsOf(instant))
       case (_, Some(begin), false) =>

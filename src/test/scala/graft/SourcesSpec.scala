@@ -37,6 +37,10 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("read options: asOf time travel and incremental") {
     val asOf1 = spark.read.format("graft").option("asOf", "000000001").load(path)
     assert(asOf1.filter(col("o_orderstatus") === "U").count() == 0)
+    // wall-clock time travel: NOW resolves to the latest commit
+    val asOfNow = spark.read.format("graft")
+      .option("asOfTimestamp", System.currentTimeMillis().toString).load(path)
+    assert(asOfNow.filter(col("o_orderstatus") === "U").count() > 0)
     val inc = spark.read.format("graft").option("begin", "000000001").load(path)
     assert(inc.count() == orders.filter(col("o_orderkey") % 10 === 0).count())
     assert(inc.filter(col("o_orderstatus") =!= "U").count() == 0)
