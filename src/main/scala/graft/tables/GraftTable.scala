@@ -615,24 +615,23 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   // ---------------------------------------------------- pre-commit validators
 
   private def validatorsPath = new Path(s"${cfg.path}/_graft/validators.json")
-  private var validatorsCache: Option[Seq[(String, String)]] = None
 
-  /** The persisted pre-commit validators: (name, violation SQL). */
-  private def validators: Seq[(String, String)] = validatorsCache.getOrElse {
-    val vs =
-      if (!fs.exists(validatorsPath)) Seq.empty[(String, String)]
-      else {
-        val in = fs.open(validatorsPath)
-        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-        val arr = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new String(bytes, "UTF-8"))
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        arr.forEach(n => buf += (n.get("name").asText() -> n.get("sql").asText()))
-        buf.toSeq
-      }
-    validatorsCache = Some(vs)
-    vs
-  }
+  /** The persisted pre-commit validators: (name, violation SQL). Read fresh
+    * on every use — a stale in-handle cache could let a handle created
+    * BEFORE a validator was registered (possibly by another process) skip
+    * validation; one small JSON read per commit is noise next to the
+    * commit itself. */
+  private def validators: Seq[(String, String)] =
+    if (!fs.exists(validatorsPath)) Seq.empty[(String, String)]
+    else {
+      val in = fs.open(validatorsPath)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, "UTF-8"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      arr.forEach(n => buf += (n.get("name").asText() -> n.get("sql").asText()))
+      buf.toSeq
+    }
 
   private def saveValidators(vs: Seq[(String, String)]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -641,7 +640,6 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val o = arr.addObject(); o.put("name", n); o.put("sql", q)
     }
     TableProperties.atomicWrite(fs, validatorsPath, mapper.writeValueAsBytes(arr))
-    validatorsCache = Some(vs)
   }
 
   /** Register a PRE-COMMIT VALIDATOR (Hudi's SqlQueryPreCommitValidator

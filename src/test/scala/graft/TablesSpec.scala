@@ -962,6 +962,11 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.compact(targetRows = 10000000L)
     assert(tbl.read().filter(col("o_totalprice") < 0).isEmpty)
 
+    // a handle created BEFORE the validator was registered still enforces
+    // it (validators are re-read per commit, never cached stale)
+    val early = GraftTable(spark, tbl.cfg)
+    intercept[IllegalStateException](early.upsert(bad))
+
     // dropping the validator re-admits the batch
     tbl.dropPreCommitValidator("no_neg")
     tbl.upsert(bad)
