@@ -33,7 +33,10 @@ object Bench {
       .selectExpr("cosine_sim(embedding, embedding) AS c",
         "l2sq_q6(transform(embedding, x -> cast(x as double)), " +
           "transform(embedding, x -> cast(x as double))) AS l")
-      .agg(org.apache.spark.sql.functions.sum("l")).count()
+      // aggregate BOTH columns and materialize — aggregating only one lets
+      // Catalyst prune the other expression out of the warmed plan
+      .agg(org.apache.spark.sql.functions.sum("c"),
+        org.apache.spark.sql.functions.sum("l")).collect()
     // write-path warmup: the table ops' first parquet write/upsert otherwise
     // pays one-time codegen + committer init that is not part of steady-state
     // throughput (a tiny table, untimed, dropped afterwards)

@@ -108,27 +108,36 @@ object Dedup extends QueryRegistry {
 
   // --- d_substring: exact SUBSTRING-level dedup (Lee et al. 2022's
   // "Deduplicating Training Data Makes Language Models Better") — flag every
-  // doc sharing a >= 40-char normalized span with an earlier doc. Spans are
-  // 40-char shingles at stride 20 (any >=59-char common substring is
-  // guaranteed to produce a shared shingle), so detection is one shingle
-  // hash-join — O(total chars / stride) rows, never a doc cross product.
+  // doc whose normalized text shares a long verbatim span with an earlier
+  // doc. The COUNTED side takes 40-char shingles on a stride-20 grid; the
+  // PROBE side takes stride-1 shingles, so a shared span is detected at ANY
+  // relative alignment: a >=59-char common substring always contains a full
+  // grid shingle of one doc, and the other doc's stride-1 set contains
+  // every 40-char substring it has. (Grid-vs-grid would only match spans
+  // whose offsets are congruent mod 20 — misaligned copies, the common case
+  // for quoted boilerplate, would be missed entirely.) Shingles travel as
+  // xxhash64 — 8-byte join keys, never 40-char strings. The probe side is
+  // O(total chars) rows, the price of exact substring dedup (Lee et al. pay
+  // the same via suffix arrays); MinHash is the cheaper approximate path.
   // Word-level Jaccard (d_ngram_jaccard) misses verbatim spans embedded in
   // otherwise-different docs; this is the boilerplate/quote detector.
   def dSubstring(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), normText(col("text")).as("tn"))
-    val sh = base.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, greatest(length(tn) - 40, 0), 20),
-          |  p -> substring(tn, p + 1, 40))""".stripMargin)).as("sh"))
-      .filter(length(col("sh")) === 40)
-      .distinct()
-      .cache()
-    val dup = sh.groupBy("sh")
-      .agg(min("doc_id").as("keep"), count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-    sh.join(dup.select("sh", "keep"), "sh")
-      .filter(col("doc_id") =!= col("keep"))
+    def shingleHashes(stride: Int): DataFrame =
+      base.select(col("doc_id"), col("tn"),
+          explode(expr(s"sequence(0, greatest(length(tn) - 40, 0), $stride)")).as("p"))
+        .filter(length(col("tn")) - col("p") >= 40)
+        .select(col("doc_id"), xxhash64(expr("substring(tn, p + 1, 40)")).as("h"))
+        .distinct()
+    val grid = shingleHashes(20)
+    val probe = shingleHashes(1).select(col("h"), col("doc_id").as("other"))
+    grid.join(probe, "h")
+      .filter(col("other") =!= col("doc_id"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min("other").as("min_other"))
+      .filter(col("min_other") < col("doc_id"))
       .groupBy("doc_id")
-      .agg(countDistinct("sh").as("n_shared_spans"))
+      .agg(count(lit(1)).as("n_shared_spans")) // (doc_id, h) already distinct
       .orderBy("doc_id")
   }
 
@@ -136,15 +145,21 @@ object Dedup extends QueryRegistry {
     """WITH d AS (SELECT doc_id,
       |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tn
       |  FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |s20 AS (SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_transform(
       |      range(0, greatest(length(tn) - 40, 0) + 1, 20),
       |      p -> substr(tn, p + 1, 40))) AS sh
       |    FROM d) WHERE length(sh) = 40),
-      |g AS (SELECT sh, MIN(doc_id) AS keep FROM sh GROUP BY sh HAVING COUNT(*) >= 2)
-      |SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_shared_spans
-      |FROM sh s JOIN g ON g.sh = s.sh AND s.doc_id <> g.keep
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+      |s1 AS (SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(0, greatest(length(tn) - 40, 0) + 1, 1),
+      |      p -> substr(tn, p + 1, 40))) AS sh
+      |    FROM d) WHERE length(sh) = 40),
+      |m AS (SELECT g.doc_id, g.sh, MIN(o.doc_id) AS min_other
+      |  FROM s20 g JOIN s1 o ON o.sh = g.sh AND o.doc_id <> g.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, COUNT(*) AS n_shared_spans
+      |FROM m WHERE min_other < doc_id GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- d_minhash_lsh: MinHash signatures + LSH banding; verified candidates.
   // Deterministic but not SQL-expressible → rows-only oracle; DedupSpec

@@ -165,7 +165,10 @@ class GraftDataSource
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .orElse(stored.map(_.statsCols)).getOrElse(Nil),
       recordIndexBuckets = parameters.get("graft.recordIndexBuckets").map(_.toInt)
-        .orElse(stored.map(_.recordIndexBuckets)).getOrElse(0))
+        .orElse(stored.map(_.recordIndexBuckets)).getOrElse(0),
+      secondaryIndexCols = parameters.get("graft.secondaryIndexCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(stored.map(_.secondaryIndexCols)).getOrElse(Nil))
   }
 
   override def createRelation(

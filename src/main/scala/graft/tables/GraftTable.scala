@@ -674,13 +674,22 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val candidate =
         if (files.isEmpty) read().filter(lit(false))
         else dropInternal(resolve(readFiles(files)))
-      candidate.createOrReplaceTempView("graft_candidate")
-      vs.foreach { case (name, sql) =>
-        if (!spark.sql(sql).isEmpty)
-          throw new IllegalStateException(
-            s"pre-commit validator '$name' rejected ${c.op} @ ${c.instant}: " +
-              s"violation rows from [$sql]")
-      }
+      // Validators are written against the documented view name
+      // `graft_candidate`, but the view registered is PER-COMMIT unique:
+      // only same-table commits serialize on the table lock, so two tables
+      // committing in one SparkSession would otherwise swap candidates
+      // mid-validation (and clobber any user view of that name).
+      val view = s"graft_candidate_${c.instant}"
+      candidate.createOrReplaceTempView(view)
+      try {
+        vs.foreach { case (name, sql) =>
+          val bound = sql.replaceAll("\\bgraft_candidate\\b", view)
+          if (!spark.sql(bound).isEmpty)
+            throw new IllegalStateException(
+              s"pre-commit validator '$name' rejected ${c.op} @ ${c.instant}: " +
+                s"violation rows from [$sql]")
+        }
+      } finally spark.catalog.dropTempView(view)
     }
     timeline.commit(c)
   }
@@ -1032,10 +1041,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val rootS = rootStr
     val rel = udf((f: String) => GraftTable.relativize(f, rootS))
     cfg.secondaryIndexCols.filter(written.columns.contains).foreach { c =>
+      // distinct FIRST on the raw absolute name so the codegen'd scan feeds
+      // the shuffle directly; the relativize UDF then runs only on the tiny
+      // distinct'd set. No repartition(1): AQE coalesces the small shuffle,
+      // while a large commit's index write stays parallel.
       written
-        .select(col(s"`$c`").cast("string").as("v"), rel(input_file_name()).as("f"))
+        .select(col(s"`$c`").cast("string").as("v"), input_file_name().as("af"))
         .distinct()
-        .repartition(1)
+        .select(col("v"), rel(col("af")).as("f"))
         .write.mode("overwrite")
         .parquet(s"${cfg.path}/_graft/si/$c/$instant")
     }
@@ -1078,7 +1091,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val hits = spark.read.parquet(instants.toSeq: _*)
       .filter(col("v").isin(wanted: _*))
       .select("f").distinct().collect().map(_.getString(0)).toSet
-    Some(timeline.liveFiles(None).filter(f => hits.contains(f.path)))
+    // Live files from commits that produced NO index dir for this column are
+    // kept conservatively ("unknown", never "no match"): a write path whose
+    // config lacked the index cols, a commit whose schema lacked the column,
+    // or bootstrapped external files would otherwise be silently dropped.
+    val indexedInstants = instants.map(p => new Path(p).getName).toSet
+    def mapped(f: FileMeta): Boolean = f.path.split("/") match {
+      case Array("data", instant, _*) => indexedInstants.contains(instant)
+      case _ => false // ext:/unrecognized layout — always scan
+    }
+    Some(timeline.liveFiles(None).filter(f => hits.contains(f.path) || !mapped(f)))
   }
 
   /** Equality read through the secondary index: scans ONLY the files the
@@ -1970,8 +1992,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** Physically delete files under `data/` that NO commit (hot or
     * archived) references — the residue of hard-killed writers whose
     * instant never committed (a clean abort already removes its own files;
-    * a kill -9 mid-write cannot). Grace period: only files older than
-    * `olderThanMs` are reaped, so a LIVE in-flight write is never deleted.
+    * a kill -9 mid-write cannot). Grace period: an instant still holding a
+    * fresh `.inflight` reservation is never touched; a stale reservation is
+    * first FENCED (tombstoned under the commit lock, so its writer can no
+    * longer commit) and only then reaped — files are deleted only when
+    * older than `olderThanMs`.
     * Replaced-but-still-on-disk files are NOT orphans (commits reference
     * them as removes; reclaiming those is [[clean]]'s job). The analogue of
     * Hudi's marker-based reconciliation / Delta VACUUM. Returns the number
@@ -1979,9 +2004,22 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def cleanOrphans(olderThanMs: Long = 3600000L): Int = {
     val dataDir = new Path(s"${cfg.path}/data")
     if (!fs.exists(dataDir)) return 0
+    // A LIVE `.inflight` reservation means its writer may still be running
+    // — a legitimate write outlasting the grace period must not lose its
+    // files an instant before its commit lands, so the grace period is
+    // keyed off the RESERVATION, not per-file mtime. A reservation older
+    // than the grace period is presumed dead, but is reaped only after
+    // [[Timeline.abortIfStale]] tombstones it under the commit lock —
+    // commit refuses tombstoned instants, so a writer that was in fact
+    // alive fails its commit instead of publishing dangling adds.
+    val now = System.currentTimeMillis()
+    val protectedInstants = timeline.inflightReservations().filter {
+      case (instant, reservedAt) =>
+        reservedAt >= now - olderThanMs || !timeline.abortIfStale(instant, olderThanMs)
+    }.keySet
     val referenced = (timeline.archivedInstants() ++ timeline.instants()).distinct
       .flatMap(i => timeline.readCommit(i).adds.map(_.path)).toSet
-    val cutoff = System.currentTimeMillis() - olderThanMs
+    val cutoff = now - olderThanMs
     val it = fs.listFiles(dataDir, true)
     var deleted = 0
     while (it.hasNext) {
@@ -1992,7 +2030,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       if (f.isFile && name.endsWith(".parquet") &&
           !name.startsWith(".") && !name.startsWith("_")) {
         val rel = f.getPath.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
-        if (!referenced.contains(rel) && f.getModificationTime < cutoff &&
+        val reserved = rel.split("/") match {
+          case Array("data", instant, _*) => protectedInstants.contains(instant)
+          case _ => false
+        }
+        if (!reserved && !referenced.contains(rel) && f.getModificationTime < cutoff &&
             fs.delete(f.getPath, false)) deleted += 1
       }
     }

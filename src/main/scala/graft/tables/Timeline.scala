@@ -225,6 +225,37 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       }
       .sortBy(_.toLong).toSeq
 
+  /** Instants reserved but not yet committed or rolled back, with each
+    * `.inflight` marker's mtime (= reservation time) — their data dirs
+    * belong to a writer that may still be running. */
+  def inflightReservations(): Map[String, Long] =
+    if (!fs.exists(metaDir)) Map.empty
+    else fs.listStatus(metaDir)
+      .collect {
+        case s if s.getPath.getName.endsWith(".inflight") =>
+          s.getPath.getName.stripSuffix(".inflight") -> s.getModificationTime
+      }
+      .toMap
+
+  /** Fence off a PRESUMED-DEAD writer: under the commit lock, tombstone the
+    * instant iff its reservation is still in-flight and older than
+    * `staleMs`. After a true return the writer — if it was in fact alive —
+    * can no longer commit (commit refuses tombstoned instants), so its
+    * files may be safely reaped. False: it committed, aborted, or is
+    * younger than the staleness bound. */
+  def abortIfStale(instant: String, staleMs: Long): Boolean =
+    Timeline.commitLock(fs, tableDir).synchronized {
+      withCommitFileLock() {
+        val marker = new Path(metaDir, s"$instant.inflight")
+        val stale =
+          try fs.exists(marker) &&
+            fs.getFileStatus(marker).getModificationTime < System.currentTimeMillis() - staleMs &&
+            !fs.exists(new Path(metaDir, s"$instant.commit.json"))
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stale) { abort(instant); true } else false
+      }
+    }
+
   /** Release a reserved instant whose write failed or was rolled back:
     * the `.rolledback` tombstone keeps the number from being reused. */
   def abort(instant: String): Unit = {
@@ -336,6 +367,12 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
   }
 
   private def commitLocked(c: Commit): Unit = {
+    // A tombstoned instant must never commit: the orphan reaper (or an
+    // explicit abort) may have fenced this writer off as presumed-dead and
+    // already deleted its files — committing would publish dangling adds.
+    if (fs.exists(new Path(metaDir, s"${c.instant}.rolledback")))
+      throw new IllegalStateException(
+        s"instant ${c.instant} was aborted (fenced as stale?); cannot commit")
     // First-committer-wins conflict check: every file this commit replaces
     // must still be live (a concurrent writer may have replaced it first).
     // The JVM-wide per-table lock serializes writer THREADS in this driver;

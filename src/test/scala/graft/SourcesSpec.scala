@@ -320,6 +320,38 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(col("ver") === 2).count() == 40)
   }
 
+  test("DataSource writes keep the secondary index complete (config from stored props)") {
+    import graft.tables.{GraftTable, GraftTableConfig}
+    val p = "/tmp/graft_spec/ds_secondary"
+    val tbl = GraftTable(spark, GraftTableConfig(p, "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    // append through format("graft") WITHOUT re-stating the index cols: the
+    // stored table properties must round-trip them into the write config,
+    // so this commit writes its own index entries
+    orders.filter(col("o_orderkey") % 2 === 1).write.format("graft")
+      .mode(SaveMode.Append).save(p)
+    val dsInstant = tbl.timeline.instants().max
+    assert(new java.io.File(s"$p/_graft/si/o_orderpriority/$dsInstant").exists(),
+      "DataSource-path write skipped the secondary index")
+    val viaIndex = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect()
+    val viaScan = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").collect()
+    assert(viaIndex.sameElements(viaScan))
+
+    // and if a commit's index entries are MISSING anyway (older writer,
+    // schema without the column), its live files are scanned conservatively
+    // — unmapped means unknown, never "no match"
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$p/_graft/si/o_orderpriority/$dsInstant"))
+    val conservative = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect()
+    assert(conservative.sameElements(viaScan),
+      "rows from an unmapped commit were silently dropped")
+  }
+
   test("readStream resolves a schema for a table with no committed data") {
     import graft.tables.{GraftTable, GraftTableConfig}
     val p5 = "/tmp/graft_spec/ds_empty_stream"

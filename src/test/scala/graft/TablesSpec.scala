@@ -1225,6 +1225,48 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(morPruned.size == morAll.size, "MOR value pruning is unsound and must not engage")
   }
 
+  test("orphan reaper never touches a live in-flight write; stale writers are fenced") {
+    val tbl = freshTable("orphans_inflight")
+    tbl.insert(orders, numFiles = 2)
+    // a slow-but-alive writer: reserved instant, old files, FRESH marker
+    val i = tbl.timeline.reserveInstant()
+    val dir = new java.io.File(s"/tmp/graft_spec/orphans_inflight/data/$i")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "part-slow.parquet")
+    assert(f.createNewFile())
+    assert(f.setLastModified(System.currentTimeMillis() - 7200000L))
+    // files far older than the grace period, yet protected: the grace is
+    // keyed off the RESERVATION, which is fresh
+    assert(tbl.cleanOrphans(olderThanMs = 60000L) == 0)
+    assert(f.exists())
+    // now the reservation itself goes stale → the writer is presumed dead:
+    // the reaper fences it (tombstone) and reaps its files
+    val marker = new java.io.File(s"/tmp/graft_spec/orphans_inflight/_graft/$i.inflight")
+    assert(marker.exists())
+    assert(marker.setLastModified(System.currentTimeMillis() - 7200000L))
+    assert(tbl.cleanOrphans(olderThanMs = 60000L) == 1)
+    assert(!f.exists())
+    // the fenced writer cannot commit over its deleted files
+    val boom = intercept[IllegalStateException] {
+      tbl.timeline.commit(Commit(i, "insert", Nil, Nil, Map.empty))
+    }
+    assert(boom.getMessage.contains("aborted"))
+  }
+
+  test("pre-commit validation does not clobber a user view named graft_candidate") {
+    val tbl = freshTable("precommit_view")
+    spark.range(3).createOrReplaceTempView("graft_candidate")
+    tbl.addPreCommitValidator("no_neg",
+      "SELECT 1 FROM graft_candidate WHERE o_totalprice < 0 LIMIT 1")
+    tbl.insert(orders, numFiles = 2) // validates against the CANDIDATE, passes
+    // the user's view survived and still means what it meant
+    assert(spark.table("graft_candidate").count() == 3)
+    // and no per-commit view lingers after validation
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_candidate_")))
+    spark.catalog.dropTempView("graft_candidate")
+  }
+
   test("archive keeps the commits a savepoint needs; clean honors it") {
     val tbl = freshTable("cp_savepoint")
     val i1 = tbl.insert(orders, numFiles = 4)
