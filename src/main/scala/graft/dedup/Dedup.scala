@@ -320,14 +320,16 @@ object Dedup extends QueryRegistry {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   // --- d_embed_cosine: embedding near-dup pairs above cosine 0.45 (exact).
-  // Executed as a broadcast block scan: the corpus (id, double-vector, norm)
-  // is broadcast once and every partition streams its rows against it with a
-  // tight primitive loop — no n²-row join is ever materialized, only
-  // matching pairs are emitted. Same index-ordered double fold as the DuckDB
-  // oracle, so results are bit-identical. At corpus sizes beyond broadcast
-  // range the B side is processed in blocks (outer loop over broadcast
-  // chunks); candidate pruning via LSH (d_minhash_lsh / s_topk_ivf banding)
-  // is the sub-quadratic path.
+  // Executed as a DISTRIBUTED block nested-loop: vectors are grouped into
+  // blocks of ~4096 by key, the tiny (block_a <= block_b) pair table is
+  // broadcast, and each task streams ONE block pair with a tight primitive
+  // loop — no n²-row join is ever materialized, no embedding ever touches
+  // the driver, and per-task memory is bounded by two blocks (~4 MB at
+  // dim 64) regardless of corpus size. Shuffle cost is each block
+  // replicated to its √pairs — the classic all-pairs trade; candidate
+  // pruning via LSH (d_embed_lsh) is the sub-quadratic path. Same
+  // index-ordered double fold as the DuckDB oracle, so results are
+  // bit-identical.
   def dEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val prepped = embs(s, dir).select(col("vec_id"), col("embedding"))
@@ -339,19 +341,48 @@ object Dedup extends QueryRegistry {
         while (i < v.length) { d(i) = v(i).toDouble; n += d(i) * d(i); i += 1 }
         (id, d, math.sqrt(n))
       }
-    val bc = s.sparkContext.broadcast(prepped.collect().sortBy(_._1))
+    val n = prepped.count()
+    val nBlocks = math.max(1L, (n + 4095L) / 4096L).toInt
+    val blocks = prepped.groupByKey(r => (r._1 % nBlocks).toInt)
+      .mapGroups((g, it) => (g, it.toArray.sortBy(_._1)))
+    val blockPairs = s.createDataFrame(
+      for { a <- 0 until nBlocks; b <- a until nBlocks } yield (a, b))
+      .toDF("ga", "gb")
     val threshold = 0.45
-    prepped.flatMap { case (ida, va, na) =>
-      bc.value.iterator
-        .filter(_._1 > ida)
-        .flatMap { case (idb, vb, nb) =>
+    broadcast(blockPairs) // the PAIR TABLE is broadcast — never the vectors
+      .join(blocks.toDF("ga", "ra"), "ga")
+      .join(blocks.toDF("gb", "rb"), "gb")
+      .select("ga", "gb", "ra", "rb")
+      .as[(Int, Int, Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
+      .flatMap { case (ga, gb, ra, rb) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Unit = {
+          val (ida, va, na) = a
+          val (idb, vb, nb) = b
           var dot = 0.0
           var i = 0
           while (i < va.length) { dot += va(i) * vb(i); i += 1 }
           val cos = round6(dot / (na * nb))
-          if (cos >= threshold) Some((ida, idb, cos)) else None
+          if (cos >= threshold)
+            out += (if (ida < idb) (ida, idb, cos) else (idb, ida, cos))
         }
-    }.toDF("vec_a", "vec_b", "cos_r")
+        if (ga == gb) {
+          var i = 0
+          while (i < ra.length) {
+            var j = i + 1
+            while (j < ra.length) { emit(ra(i), ra(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < ra.length) {
+            var j = 0
+            while (j < rb.length) { emit(ra(i), rb(j)); j += 1 }
+            i += 1
+          }
+        }
+        out
+      }.toDF("vec_a", "vec_b", "cos_r")
       .orderBy("vec_a", "vec_b")
   }
 
@@ -447,23 +478,22 @@ object Dedup extends QueryRegistry {
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
 
-    // verify candidates against the broadcast corpus with the same
-    // index-ordered double fold as the oracle (bit-identical cosines)
-    val byId = s.sparkContext.broadcast(corpus.collect().toMap)
+    // verify candidates DISTRIBUTED: join the (sparse) candidate pair set
+    // back to the corpus twice — once per side — and compute the cosine in
+    // a codegen'd native expression with the same index-ordered double fold
+    // as the oracle (bit-identical). No driver-side corpus copy anywhere:
+    // this is the flagship 100 TB path, and embeddings stay on executors
+    // end to end. Spark round(_, 6) is the same HALF_UP-on-canonical-
+    // decimal as the oracle's round.
+    graft.functions.GraftFunctions.register(s)
     val threshold = 0.95
-    cand.as[(Long, Long)].flatMap { case (ida, idb) =>
-      val va = byId.value(ida)
-      val vb = byId.value(idb)
-      var dotV = 0.0
-      var na = 0.0
-      var nb = 0.0
-      var i = 0
-      while (i < va.length) {
-        dotV += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1
-      }
-      val cos = round6(dotV / (math.sqrt(na) * math.sqrt(nb)))
-      if (cos >= threshold) Some((ida, idb, cos)) else None
-    }.toDF("vec_a", "vec_b", "cos_r")
+    val c = corpus.toDF("vec_id", "emb")
+    cand
+      .join(c.select(col("vec_id").as("da"), col("emb").as("ea")), "da")
+      .join(c.select(col("vec_id").as("db"), col("emb").as("eb")), "db")
+      .select(col("da").as("vec_a"), col("db").as("vec_b"),
+        round(expr("cosine_sim_d(ea, eb)"), 6).as("cos_r"))
+      .filter(col("cos_r") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
 

@@ -72,6 +72,67 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[CosineSim]] over DOUBLE vectors — same index-ordered double fold, for
+  * columns that carry full-precision embeddings (e.g. the dedup corpus with
+  * planted double-precision perturbations, Dedup.scala). Kept as a separate
+  * expression instead of accepting both types so each loop reads its array
+  * with the primitive accessor and codegen stays branch-free. */
+case class CosineSimD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv;
+         |  $nx += $xv * $xv;
+         |  $ny += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimD =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native Catalyst expression: squared L2 distance of two double vectors,
   * QUANTIZED to 1e-6 as a BIGINT — `cast(round(sum((x-y)^2) * 1e6) as
   * bigint)` with the sum accumulated in index order, bit-identical to the
@@ -137,6 +198,7 @@ object GraftFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (children => CosineSim(children.head, children(1))),
+    "cosine_sim_d" -> (children => CosineSimD(children.head, children(1))),
     "l2sq_q6" -> (children => L2SqQ6(children.head, children(1))))
 
   /** `graft_table_changes(path, mode, beginExclusive[, endInclusive])` —
@@ -199,6 +261,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       children => CosineSim(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim_d"),
+      new ExpressionInfo(classOf[CosineSimD].getName, "cosine_sim_d"),
+      children => CosineSimD(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("l2sq_q6"),
       new ExpressionInfo(classOf[L2SqQ6].getName, "l2sq_q6"),

@@ -110,6 +110,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("d_embed_lsh: verify step joins candidates to the corpus — no driver collect") {
+    val s = planString(graft.dedup.Dedup.dEmbedLsh(spark, sfDir))
+    // the native cosine runs IN the plan over two corpus equi-joins; a
+    // driver-broadcast verify would show neither the expression nor the
+    // second pair of joins
+    assert(s.contains("cosine_sim_d"), s)
+    assert(s.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) >= 3,
+      s"expected band join + two corpus joins in:\n$s")
+  }
+
+  test("d_embed_cosine: block-pair scan broadcasts only the pair table") {
+    val df = graft.dedup.Dedup.dEmbedCosine(spark, sfDir)
+    val s = planString(df)
+    // vectors travel via hash-partitioned equi-joins on the block id; the
+    // only broadcast is the (ga, gb) pair table (ints, O(blocks²))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    val bcasts = s.linesIterator.filter(_.contains("BroadcastExchange")).toSeq
+    assert(bcasts.nonEmpty, s"pair table should broadcast in:\n$s")
+    assert(!s.contains("collect_list"), s) // no whole-corpus aggregation to one row
+  }
+
   test("MOR snapshot read: base rows bypass the resolution window via broadcast anti-join") {
     import graft.tables._
     val tbl = GraftTable(spark, GraftTableConfig(
