@@ -159,10 +159,14 @@ object Multimodal extends QueryRegistry {
   // records (in stable doc_id order, per modality: shards never mix
   // modalities) to ~4 KB tar shards by the byte offset each record starts
   // at under continuous concatenation, and emit the shard MANIFEST a
-  // dataloader consumes (item count, byte size, doc range). At 100 TB this
-  // is one window cumsum + one hash aggregation per modality partition —
-  // the plan stays O(rows), and each shard's contents are then written by
-  // exactly one task.
+  // dataloader consumes (item count, byte size, doc range). The byte
+  // cumsum is a TWO-PASS distributed prefix sum (same shape as
+  // TextOps.xPack): window within (media_type, bucket) sub-shards — bucket
+  // is a monotone doc_id range — then broadcast-join each bucket's
+  // starting offset from the tiny per-bucket totals. Parallelism scales
+  // with data volume, not the 3 modalities: a `partitionBy(media_type)`
+  // window would push ALL of one modality's bytes through one task's sort
+  // at 100 TB. Each shard's contents are then written by exactly one task.
   def mPackShards(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val modality = when(col("doc_id") % 3 === 0, "image")
@@ -170,10 +174,19 @@ object Multimodal extends QueryRegistry {
     val m = GraftSession.table(s, dir, "documents").select(
       col("doc_id"), modality.as("media_type"),
       length(substring(col("text"), 1, 64).cast("binary")).cast("long").as("n_bytes"))
-    val w = Window.partitionBy("media_type").orderBy("doc_id")
+      .withColumn("bkt", floor(col("doc_id") / 1024L))
+    val wLocal = Window.partitionBy("media_type", "bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    m.withColumn("shard_id",
-        floor((sum(col("n_bytes")).over(w) - col("n_bytes")) / 4096L))
+    val wOffset = Window.partitionBy("media_type").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = m.groupBy("media_type", "bkt")
+      .agg(sum("n_bytes").as("bkt_bytes"))
+      .withColumn("off", coalesce(sum(col("bkt_bytes")).over(wOffset), lit(0L)))
+      .select("media_type", "bkt", "off")
+    m.withColumn("run_local", sum(col("n_bytes")).over(wLocal))
+      .join(broadcast(offsets), Seq("media_type", "bkt"))
+      .withColumn("shard_id",
+        floor((col("run_local") + col("off") - col("n_bytes")) / 4096L))
       .groupBy("media_type", "shard_id")
       .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("shard_bytes"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))

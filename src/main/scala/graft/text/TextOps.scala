@@ -175,15 +175,31 @@ object TextOps extends QueryRegistry {
   // --- x_pack: greedy context-window packing — assign docs (in stable
   // doc_id order, per language) to ~2048-token training sequences via a
   // running token-count window; the standard pretraining batch-prep step.
+  // The running sum is a TWO-PASS distributed prefix sum: pass 1 windows
+  // within (lang, bucket) sub-shards — bucket is a monotone doc_id range,
+  // so order is preserved — pass 2 aggregates per-bucket totals (tiny) and
+  // broadcast-joins each bucket's starting offset back. Parallelism scales
+  // with data volume instead of #langs: a single `partitionBy(lang)` window
+  // would push the dominant language of a 100 TB corpus through ONE task.
   def xPack(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = when(trim(col("text")) === "", 0L)
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, dir)
+    val bucketed = docs(s, dir)
       .withColumn("n_tok", toks)
-      .withColumn("seq_id", floor((sum(col("n_tok")).over(w) - 1) / 2048L))
+      .withColumn("bkt", floor(col("doc_id") / 1024L))
+    val wLocal = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOffset = Window.partitionBy("lang").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("lang", "bkt")
+      .agg(sum("n_tok").as("bkt_tok"))
+      .withColumn("off", coalesce(sum(col("bkt_tok")).over(wOffset), lit(0L)))
+      .select("lang", "bkt", "off")
+    bucketed
+      .withColumn("run_local", sum(col("n_tok")).over(wLocal))
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("seq_id", floor((col("run_local") + col("off") - 1) / 2048L))
       .groupBy("lang", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       .orderBy("lang", "seq_id")

@@ -122,6 +122,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected band join + two corpus joins in:\n$s")
   }
 
+  test("x_pack / m_pack_shards: prefix sums window by (key, bucket), never key alone") {
+    for (df <- Seq(graft.text.TextOps.xPack(spark, sfDir),
+        graft.multimodal.Multimodal.mPackShards(spark, sfDir))) {
+      val s = planString(df)
+      // the bulk window must partition by the doc_id-range bucket too —
+      // window partition count then scales with data volume, not with the
+      // handful of langs/modalities
+      val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty, s)
+      assert(windows.exists(_.matches(""".*windowspecdefinition\((lang|media_type)#\d+[L]?, bkt#\d+.*""")),
+        s"bulk cumsum not bucketed in:\n${windows.mkString("\n")}")
+      // the offsets join is a broadcast of the tiny per-bucket totals
+      assert(s.contains("BroadcastHashJoin"), s)
+    }
+  }
+
   test("d_embed_cosine: block-pair scan broadcasts only the pair table") {
     val df = graft.dedup.Dedup.dEmbedCosine(spark, sfDir)
     val s = planString(df)
@@ -235,11 +251,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("partial_min") || s.contains("partial_count") || s.contains("HashAggregate"), s)
   }
 
-  test("m_pack_shards: one window pass + one partial agg — bounded shuffles") {
+  test("m_pack_shards: bounded shuffles — 2 bulk + 2 bucket-sized") {
     val df = graft.multimodal.Multimodal.mPackShards(spark, sfDir)
-    // window by media_type, then (media_type, shard_id) agg: <= 2 data
-    // shuffles, and the manifest agg combines map-side
-    assert(countShuffles(df) <= 2, planString(df))
+    // BULK rows move twice: into the (media_type, bkt) window and into the
+    // (media_type, shard_id) manifest agg. The other two shuffles carry
+    // only per-bucket totals (rows/1024) for the offset pass.
+    assert(countShuffles(df) <= 4, planString(df))
     assert(planString(df).contains("partial_"), "manifest agg must be partial")
   }
 
