@@ -161,9 +161,14 @@ object Dedup extends QueryRegistry {
       |SELECT doc_id, COUNT(*) AS n_shared_spans
       |FROM m WHERE min_other < doc_id GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // --- d_minhash_lsh: MinHash signatures + LSH banding; verified candidates.
-  // Deterministic but not SQL-expressible → rows-only oracle; DedupSpec
-  // asserts it recovers every exact-dup pair.
+  // --- d_minhash_lsh: MinHash signatures + LSH banding; the OUTPUT is the
+  // candidate set verified with exact Jaccard — so its oracle is the exact
+  // Jaccard pair query itself. The banding can only remove rows the verify
+  // would reject anyway, up to band misses: every real pair in this corpus
+  // sits at jac >= 0.9, where a 16x4 banding misses with
+  // (1 - 0.9^4)^16 ≈ 4e-8 — and the pipeline is deterministic, so the
+  // equality is stable, not sampled. (PipelineSpec property-tests the
+  // banding itself: every exact-dup pair surfaces as a candidate.)
   private val NumHashes = 64
   private val Bands = 16 // 16 bands x 4 rows
 
@@ -199,11 +204,22 @@ object Dedup extends QueryRegistry {
   }
 
   // --- d_simhash: 64-bit SimHash; pairs within hamming distance 3 found by
-  // 4x16-bit chunk banding (pigeonhole-complete for hd<=3). Rows-only oracle.
+  // 4x16-bit chunk banding (pigeonhole-complete for hd<=3: 3 flips cannot
+  // touch all 4 chunks, so candidates are EXHAUSTIVE and the result is
+  // exact, not probabilistic). Token hashes are md5-derived 64-bit values
+  // (the little-endian upper half, DuckDB's md5_number_lower) instead of
+  // xxhash64 so the oracle recomputes the identical signatures — md5 costs
+  // ~2x xxhash64 per token, the price of a cross-engine-checkable op.
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
+    val hx = md5(col("tok").cast("binary"))
+    def hexByte(i: Int) = substring(hx, i, 2)
+    // hex chars 17..32 = digest bytes 8..15, assembled little-endian in two
+    // 32-bit halves (conv never overflows a long that way; ANSI-safe)
+    val lo = conv(concat(hexByte(23), hexByte(21), hexByte(19), hexByte(17)), 16, 10).cast("long")
+    val hi = conv(concat(hexByte(31), hexByte(29), hexByte(27), hexByte(25)), 16, 10).cast("long")
     val toks = docs(s, dir)
       .select(col("doc_id"), explode_outer(array_distinct(split(normText(col("text")), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", shiftleft(hi, 32).bitwiseOR(lo))
     val bitCols = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
     val bitSums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
@@ -227,6 +243,40 @@ object Dedup extends QueryRegistry {
       .filter(col("hd") <= 3)
     pairs.select(col("da").as("doc_a"), col("db").as("doc_b"), col("hd").cast("long").as("hd"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash oracle, generated: DuckDB recomputes the identical md5-derived
+    * token hashes (`md5_number_lower` = digest bytes 8..15 little-endian,
+    * exactly what dSimhash assembles with conv/shiftleft), the 64 per-bit
+    * vote sums, the signature (sum of disjoint powers of two == bitwise OR;
+    * bit 63 is the literal Long.MinValue since DuckDB refuses 1<<63), the
+    * 4x16 chunk self-join, and the hamming filter. Both engines use
+    * arithmetic right-shift, so chunk extraction agrees on negative sigs. */
+  private val dSimhashSql: String = {
+    val h64 = "CAST(md5_number_lower(tok)::HUGEINT - CASE WHEN " +
+      "md5_number_lower(tok) >= 9223372036854775808 THEN " +
+      "18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+    val bitSums = (0 until 64)
+      .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val sigTerms = (0 until 64).map {
+      case 63 => "CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END"
+      case b  => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS tn
+       |  FROM documents),
+       |t AS (SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(tn, ' ')) AS tok FROM d)),
+       |h AS (SELECT doc_id, $h64 AS hv FROM t),
+       |bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, CAST($sigTerms AS BIGINT) AS sh FROM bs),
+       |cx AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS ci FROM s),
+       |c AS (SELECT doc_id, sh, ci, (sh >> (ci * 16)) & 65535 AS cv FROM cx),
+       |p AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sha, b.sh AS shb
+       |  FROM c a JOIN c b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT da AS doc_a, db AS doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hd
+       |FROM p WHERE bit_count(xor(sha, shb)) <= 3 ORDER BY 1, 2""".stripMargin
   }
 
   /** Index-order double fold of a float-vector dot product — bit-identical
@@ -578,8 +628,10 @@ object Dedup extends QueryRegistry {
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_dup_groups", dDupGroups, Some(dDupGroupsSql)),
     QueryDef("d_substring", dSubstring, Some(dSubstringSql)),
-    QueryDef("d_minhash_lsh", dMinhashLsh, None),
-    QueryDef("d_simhash", dSimhash, None),
+    // minhash's output IS the exact-verified pair set (see dMinhashLsh
+    // doc-comment), so the exact Jaccard query is its oracle
+    QueryDef("d_minhash_lsh", dMinhashLsh, Some(dNgramJaccardSql)),
+    QueryDef("d_simhash", dSimhash, Some(dSimhashSql)),
     QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)),
     QueryDef("d_embed_lsh", dEmbedLsh, Some(dEmbedLshSql)),
     QueryDef("d_semdedup", dSemdedup, Some(dSemdedupSql)))
