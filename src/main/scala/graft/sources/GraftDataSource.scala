@@ -132,44 +132,11 @@ class GraftDataSource
       cdc = parameters.getOrElse("graft.cdc", "false").toBoolean)
   }
 
-  private def keyGenOf(parameters: Map[String, String]): KeyGen =
-    parameters.get("graft.partition").map(FieldPartition.apply)
-      .orElse(parameters.get("graft.partition.day.from").map(f => TimestampDayPartition(f)))
-      .getOrElse(NoPartition)
-
-  /** Effective config: the persisted table config (written on first write,
-    * like hoodie.properties) serves as the base; explicit options override
-    * it. A brand-new table needs at least graft.key. */
   private def configOf(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      parameters: Map[String, String]): GraftTableConfig = {
-    val stored = graft.tables.TableProperties.load(spark, path)
-    val key = parameters.get("graft.key")
-      .orElse(stored.map(_.keyField)).getOrElse("")
-    GraftTableConfig(
-      path = path,
-      keyField = key,
-      precombineField = parameters.get("graft.precombine")
-        .orElse(stored.map(_.precombineField)).getOrElse(key),
-      keyGen = if (parameters.contains("graft.partition") ||
-          parameters.contains("graft.partition.day.from")) keyGenOf(parameters)
-        else stored.map(_.keyGen).getOrElse(NoPartition),
-      numBuckets = parameters.get("graft.buckets").map(_.toInt)
-        .orElse(stored.map(_.numBuckets)).getOrElse(0),
-      writeChangelog = parameters.get("graft.changelog").map(_.toBoolean)
-        .orElse(stored.map(_.writeChangelog)).getOrElse(false),
-      tableType = parameters.get("graft.type")
-        .orElse(stored.map(_.tableType)).getOrElse(graft.tables.TableType.Cow),
-      statsCols = parameters.get("graft.statsCols")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .orElse(stored.map(_.statsCols)).getOrElse(Nil),
-      recordIndexBuckets = parameters.get("graft.recordIndexBuckets").map(_.toInt)
-        .orElse(stored.map(_.recordIndexBuckets)).getOrElse(0),
-      secondaryIndexCols = parameters.get("graft.secondaryIndexCols")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .orElse(stored.map(_.secondaryIndexCols)).getOrElse(Nil))
-  }
+      parameters: Map[String, String]): GraftTableConfig =
+    GraftDataSource.effectiveConfig(spark, path, parameters)
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
@@ -238,6 +205,49 @@ class GraftDataSource
   * index re-expressed); then they are applied INSIDE the plan so Catalyst
   * drives them into the remaining parquet scans. Spark re-applies them
   * above as well, which is harmless. */
+object GraftDataSource {
+
+  private def keyGenOf(parameters: Map[String, String]): KeyGen =
+    parameters.get("graft.partition").map(FieldPartition.apply)
+      .orElse(parameters.get("graft.partition.day.from").map(f => TimestampDayPartition(f)))
+      .getOrElse(NoPartition)
+
+  /** Effective config: the persisted table config (written on first write,
+    * like hoodie.properties) serves as the base; explicit options override
+    * it. A brand-new table needs at least graft.key. Public so config-driven
+    * entry points (DeltaStream) resolve options identically to the source. */
+  def effectiveConfig(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      parameters: Map[String, String]): GraftTableConfig = {
+    val stored = graft.tables.TableProperties.load(spark, path)
+    val key = parameters.get("graft.key")
+      .orElse(stored.map(_.keyField)).getOrElse("")
+    GraftTableConfig(
+      path = path,
+      keyField = key,
+      precombineField = parameters.get("graft.precombine")
+        .orElse(stored.map(_.precombineField)).getOrElse(key),
+      keyGen = if (parameters.contains("graft.partition") ||
+          parameters.contains("graft.partition.day.from")) keyGenOf(parameters)
+        else stored.map(_.keyGen).getOrElse(NoPartition),
+      numBuckets = parameters.get("graft.buckets").map(_.toInt)
+        .orElse(stored.map(_.numBuckets)).getOrElse(0),
+      writeChangelog = parameters.get("graft.changelog").map(_.toBoolean)
+        .orElse(stored.map(_.writeChangelog)).getOrElse(false),
+      tableType = parameters.get("graft.type")
+        .orElse(stored.map(_.tableType)).getOrElse(graft.tables.TableType.Cow),
+      statsCols = parameters.get("graft.statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(stored.map(_.statsCols)).getOrElse(Nil),
+      recordIndexBuckets = parameters.get("graft.recordIndexBuckets").map(_.toInt)
+        .orElse(stored.map(_.recordIndexBuckets)).getOrElse(0),
+      secondaryIndexCols = parameters.get("graft.secondaryIndexCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(stored.map(_.secondaryIndexCols)).getOrElse(Nil))
+  }
+}
+
 final case class GraftRelation(
     sqlContext: SQLContext, df: DataFrame, table: Option[GraftTable] = None)
     extends BaseRelation with PrunedFilteredScan {

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import graft.tables.{GraftTable, TableServices}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Config-driven continuous ingestion — the Spark-native analogue of the
+  * reference's HoodieDeltaStreamer job (DeltaStreamerExample.scala:14-62:
+  * `--source-class JsonKafkaSource`, kafka consumer configs, record key /
+  * precombine fields, `--continuous`, async NUM_OR_TIME compaction).
+  *
+  * One config object replaces the `--hoodie-conf` array:
+  *   - `sourceFormat` + `sourceOptions` go VERBATIM to
+  *     `spark.readStream.format(...).options(...)` — for `kafka` that is
+  *     the standard connector surface (`kafka.bootstrap.servers`,
+  *     `subscribe`, `startingOffsets`, `maxOffsetsPerTrigger`, security
+  *     configs...), exactly the passthrough the reference relies on.
+  *   - `payloadSchema` decodes a JSON `value` column (the JsonKafkaSource
+  *     analogue) when the source speaks the Kafka wire schema; any other
+  *     source streams its own columns through untouched.
+  *   - the write side rides the native exactly-once graft sink: the
+  *     micro-batch id is committed atomically with the data, so replayed
+  *     batches after a crash are recognized and skipped (offsets are
+  *     checkpointed by Structured Streaming; the batch id is the fence).
+  *   - `continuous` maps `--continuous` to a ProcessingTime trigger;
+  *     otherwise the job drains available input and stops (backfill runs).
+  */
+object DeltaStream {
+
+  final case class Config(
+      sourceFormat: String,
+      sourceOptions: Map[String, String],
+      targetPath: String,
+      checkpoint: String,
+      tableOptions: Map[String, String] = Map.empty,
+      // JSON payload decode for Kafka-wire sources (value: binary). None →
+      // the source's own columns stream through as the record.
+      payloadSchema: Option[StructType] = None,
+      // schema for file-backed sources that need one up front
+      sourceSchema: Option[StructType] = None,
+      continuous: Boolean = false,
+      triggerMs: Long = 10000L,
+      // async table services (the reference's compaction.async.enabled):
+      // 0 disables; > 0 compacts to this target in the background
+      asyncCompactTargetRows: Long = 0L,
+      compactDeltaCommits: Int = 5,
+      compactDeltaSeconds: Long = 600L)
+
+  /** The started ingest plus its background services handle (None when
+    * async compaction is off). Stop the query first, then the services. */
+  final case class Running(query: StreamingQuery, services: Option[AsyncServices])
+      extends AutoCloseable {
+    override def close(): Unit = {
+      if (query.isActive) query.stop()
+      services.foreach(_.close())
+    }
+  }
+
+  /** Kafka wire columns every Kafka-compatible source carries; everything
+    * else is payload. */
+  private val KafkaWireCols = Set(
+    "key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+
+  /** Decode the record stream: a Kafka-wire frame with a JSON payload
+    * becomes the payload columns (JsonKafkaSource); anything else passes
+    * through. Exposed for tests. */
+  private[streaming] def decode(raw: DataFrame, cfg: Config): DataFrame =
+    cfg.payloadSchema match {
+      case Some(schema) if raw.columns.toSet.subsetOf(KafkaWireCols) =>
+        raw.select(from_json(col("value").cast("string"), schema).as("payload"))
+          .select("payload.*")
+      case _ => raw
+    }
+
+  def start(spark: SparkSession, cfg: Config): Running = {
+    val reader = spark.readStream.format(cfg.sourceFormat).options(cfg.sourceOptions)
+    cfg.sourceSchema.foreach(reader.schema)
+    val records = decode(reader.load(), cfg)
+    val writer = records.writeStream
+      .format("graft")
+      .outputMode(OutputMode.Update())
+      .options(cfg.tableOptions)
+      .option("checkpointLocation", cfg.checkpoint)
+      .trigger(
+        if (cfg.continuous) Trigger.ProcessingTime(cfg.triggerMs)
+        else Trigger.AvailableNow())
+    val query = writer.start(cfg.targetPath)
+    val services =
+      if (cfg.asyncCompactTargetRows > 0L) {
+        val table = GraftTable(spark,
+          graft.sources.GraftDataSource.effectiveConfig(
+            spark, cfg.targetPath, cfg.tableOptions))
+        Some(new AsyncServices(table, cfg.asyncCompactTargetRows,
+          cfg.compactDeltaCommits, cfg.compactDeltaSeconds).start())
+      } else None
+    Running(query, services)
+  }
+}
+
+/** Background table services under the SAME commit protocol as every other
+  * writer — the analogue of the reference's async compaction
+  * (DeltaStreamerExample.scala: `compaction.async.enabled=true`,
+  * `compaction.trigger.strategy=NUM_OR_TIME`). A daemon thread polls the
+  * NUM_OR_TIME trigger and compacts concurrently with ingest; the commit
+  * lease serializes the actual commits, and first-committer-wins conflict
+  * detection resolves overlapping file rewrites.
+  *
+  * Like Hudi's, async compaction is a MERGE-ON-READ pattern: MOR ingest
+  * appends delta files (no removes), so it NEVER conflicts with a
+  * concurrent compaction commit — the loser-retries path below exists for
+  * the rarer services-vs-services races. On COW, a compaction and an
+  * upsert can both rewrite a base file and the upsert may lose; use inline
+  * compaction between batches there (StreamIngest.toGraftTable).
+  */
+final class AsyncServices(
+    table: GraftTable,
+    targetRows: Long,
+    deltaCommits: Int = 5,
+    deltaSeconds: Long = 600L,
+    pollMs: Long = 500L) extends AutoCloseable {
+
+  @volatile private var stopped = false
+  @volatile private[this] var failureOpt: Option[Throwable] = None
+  private val nCompactions = new java.util.concurrent.atomic.AtomicInteger
+
+  private val thread = new Thread(() => {
+    while (!stopped) {
+      try {
+        if (TableServices.maybeCompact(table, targetRows, deltaCommits, deltaSeconds).nonEmpty)
+          nCompactions.incrementAndGet()
+      } catch {
+        case _: InterruptedException => ()
+        // lost a first-committer-wins race to a concurrent writer: the
+        // trigger re-fires on the next poll against the new timeline
+        case _: IllegalStateException => ()
+        case e: Throwable => failureOpt = Some(e); stopped = true
+      }
+      try Thread.sleep(pollMs) catch { case _: InterruptedException => () }
+    }
+  }, s"graft-async-services-${table.cfg.path}")
+  thread.setDaemon(true)
+
+  def start(): this.type = { thread.start(); this }
+
+  def compactionsRun: Int = nCompactions.get
+  def failure: Option[Throwable] = failureOpt
+
+  override def close(): Unit = {
+    stopped = true
+    thread.interrupt()
+    thread.join(30000)
+    failureOpt.foreach(e => throw new IllegalStateException(
+      s"async table services failed for ${table.cfg.path}", e))
+  }
+}

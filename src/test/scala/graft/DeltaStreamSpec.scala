@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.{AsyncServices, DeltaStream}
+import graft.tables.{GraftTable, GraftTableConfig, TableType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The config-driven DeltaStream ingest surface (the reference's
+  * HoodieDeltaStreamer analogue) and the async table services it can
+  * schedule. Kafka itself cannot run here, so the `kafka` short name
+  * resolves to a test stub speaking the exact wire schema — the contract
+  * under test is graft's: option passthrough, JSON payload decode,
+  * checkpointed-offset + batch-id exactly-once, async compaction under
+  * concurrent ingest. */
+class DeltaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = GraftSession.builder("graft-test", "4").getOrCreate()
+    // sequential AvailableNow runs share each checkpoint here; the previous
+    // query's ASYNC log purge must not race the next run's metadata log
+    s.conf.set("spark.sql.streaming.asyncLogPurge.enabled", "false")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val payloadSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", LongType),
+    StructField("ts", LongType)))
+
+  private def writeRecords(dir: String, file: String, recs: Seq[(Long, Long, Long)]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val lines = recs.map { case (id, v, ts) => s"""{"id": $id, "v": $v, "ts": $ts}""" }
+    Files.write(Paths.get(dir, file),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("kafka-source config: options pass through, JSON payload decodes, batches fence") {
+    val src = Files.createTempDirectory("graft_ds_kafka").toString
+    val cp = Files.createTempDirectory("graft_ds_cp").toString
+    val out = "/tmp/graft_spec/delta_stream"
+    val tbl = GraftTable(spark, GraftTableConfig(out, "id", "ts"))
+    tbl.dropIfExists()
+
+    val cfg = DeltaStream.Config(
+      sourceFormat = "kafka",
+      sourceOptions = Map(
+        "kafka.bootstrap.servers" -> "broker-1:9092,broker-2:9092",
+        "subscribe" -> "orders",
+        "startingOffsets" -> "earliest",
+        "kafka.security.protocol" -> "PLAINTEXT",
+        "stub.dir" -> src),
+      targetPath = out,
+      checkpoint = cp,
+      tableOptions = Map("graft.key" -> "id", "graft.precombine" -> "ts"),
+      payloadSchema = Some(payloadSchema))
+
+    writeRecords(src, "w1.jsonl", (1L to 100L).map(i => (i, i * 10, 1L)))
+    DeltaStream.start(spark, cfg).query.awaitTermination()
+
+    // consumer configs reached the source VERBATIM (the reference's whole
+    // kafka surface is option passthrough — this is the contract)
+    assert(KafkaStubSource.lastOptions("kafka.bootstrap.servers") ==
+      "broker-1:9092,broker-2:9092")
+    assert(KafkaStubSource.lastOptions("subscribe") == "orders")
+    assert(KafkaStubSource.lastOptions("startingOffsets") == "earliest")
+    assert(KafkaStubSource.lastOptions("kafka.security.protocol") == "PLAINTEXT")
+
+    // the JSON payload became table rows
+    assert(tbl.read().count() == 100)
+    assert(tbl.read().filter(col("id") === 7L).head().getAs[Long]("v") == 70L)
+
+    // wave 2 upserts through the same checkpoint: only the NEW offsets run
+    writeRecords(src, "w2.jsonl", (90L to 120L).map(i => (i, i * 10 + 1, 2L)))
+    DeltaStream.start(spark, cfg).query.awaitTermination()
+    assert(tbl.read().count() == 120)
+    assert(tbl.read().filter(col("id") === 95L).head().getAs[Long]("v") == 951L)
+
+    // crash replay: drop the checkpoint's last batch-commit marker, so the
+    // engine re-runs that batch from its checkpointed offsets. The sink's
+    // batch-id fence must skip it — the TIMELINE stays unchanged (an
+    // un-fenced sink would append a duplicate commit).
+    val commits = tbl.timeline.instants()
+    val commitMarkers = Files.list(Paths.get(cp, "commits")).iterator()
+    val latest = {
+      var m: java.nio.file.Path = null
+      while (commitMarkers.hasNext) {
+        val p = commitMarkers.next()
+        if (!p.getFileName.toString.startsWith(".") &&
+            (m == null || p.getFileName.toString > m.getFileName.toString)) m = p
+      }
+      m
+    }
+    Files.delete(latest)
+    // the local checksum FS keeps a .crc sidecar; a real HDFS crash loses
+    // both — drop it so the replayed write can land
+    val crc = latest.resolveSibling("." + latest.getFileName + ".crc")
+    Files.deleteIfExists(crc)
+    DeltaStream.start(spark, cfg).query.awaitTermination()
+    assert(tbl.timeline.instants() == commits,
+      "a replayed micro-batch must be fenced by its batch id, not re-applied")
+    assert(tbl.read().count() == 120)
+  }
+
+  test("async table services: compaction runs under concurrent MOR ingest, no lost commits") {
+    val out = "/tmp/graft_spec/async_services"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      out, "o_orderkey", "o_orderkey", tableType = TableType.Mor))
+    tbl.dropIfExists()
+    val orders = GraftSession.table(spark, "/root/testdata/sf0.001", "orders")
+    tbl.insert(orders, numFiles = 2)
+
+    val services = new AsyncServices(
+      tbl, targetRows = 1000000L, deltaCommits = 2, deltaSeconds = 3600L,
+      pollMs = 25L).start()
+    try {
+      // 8 ingest waves land WHILE the service thread compacts between them;
+      // MOR deltas add files only, so neither side can conflict the other
+      (1 to 8).foreach { i =>
+        tbl.upsert(orders.limit(40).withColumn("o_orderstatus", lit(s"S$i")))
+        Thread.sleep(40L)
+      }
+      // wait until the trigger has fired at least once against the waves
+      val deadline = System.currentTimeMillis() + 30000L
+      while (services.compactionsRun == 0 && services.failure.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25L)
+    } finally services.close() // throws if the service thread failed
+
+    assert(services.compactionsRun >= 1, "NUM_OR_TIME trigger never fired")
+    // no lost commits: all 9 ingest commits AND the compactions are on the
+    // timeline, and the final state reflects the last wave
+    val ops = tbl.timeline.instants().map(i => tbl.timeline.readCommit(i).op)
+    assert(ops.count(_ != "compact") == 9, s"ingest commits lost: $ops")
+    assert(ops.contains("compact"), s"compaction commit lost: $ops")
+    assert(tbl.read().count() == orders.count())
+    assert(tbl.read().filter(col("o_orderstatus") === "S8").count() == 40)
+  }
+}
