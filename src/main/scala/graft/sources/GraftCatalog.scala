@@ -325,7 +325,11 @@ final class GraftV1TableScan(context: SQLContext, df: DataFrame)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = df.schema
-  override def buildScan(): RDD[Row] = df.rdd
+  /** Pruned/filtered inner plan feeds the outer plan as InternalRows —
+    * no per-row `Row` conversion at the relation boundary. */
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 /** V1 write fallback: INSERT INTO appends as an upsert (keyed semantics,

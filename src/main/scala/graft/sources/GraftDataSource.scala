@@ -254,6 +254,11 @@ final case class GraftRelation(
 
   override def schema: StructType = df.schema
 
+  /** The inner plan already produces InternalRows (codegen'd parquet scan
+    * with pushed filters); declaring no-conversion hands them to the outer
+    * plan as-is instead of copying every row out to `Row` and back. */
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val base = table match {
       case Some(t) =>
@@ -266,7 +271,8 @@ final case class GraftRelation(
     val projected =
       if (requiredColumns.isEmpty) filtered
       else filtered.select(requiredColumns.map(col).toSeq: _*)
-    projected.rdd
+    // RDD[InternalRow] disguised per the needConversion=false contract
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 

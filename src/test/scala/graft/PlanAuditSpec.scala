@@ -122,6 +122,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected band join + two corpus joins in:\n$s")
   }
 
+  test("graft relations hand InternalRows straight through (no V1 row conversion)") {
+    val df = spark.range(3).toDF("id")
+    // needConversion=false is the contract that removes the per-row
+    // InternalRow→Row→InternalRow copy at the relation boundary
+    assert(!graft.sources.GraftRelation(spark.sqlContext, df).needConversion)
+    assert(!new graft.sources.GraftV1TableScan(spark.sqlContext, df).needConversion)
+  }
+
   test("x_pack / m_pack_shards: prefix sums window by (key, bucket), never key alone") {
     for (df <- Seq(graft.text.TextOps.xPack(spark, sfDir),
         graft.multimodal.Multimodal.mPackShards(spark, sfDir))) {
