@@ -128,8 +128,11 @@ object Dedup extends QueryRegistry {
           explode(expr(s"sequence(0, greatest(length(tn) - 40, 0), $stride)")).as("p"))
         .filter(length(col("tn")) - col("p") >= 40)
         .select(col("doc_id"), xxhash64(expr("substring(tn, p + 1, 40)")).as("h"))
-        .distinct()
-    val grid = shingleHashes(20)
+    val grid = shingleHashes(20).distinct()
+    // probe side is NOT distinct'd: that would shuffle the whole O(chars)
+    // stream once more, and duplicate (doc, h) probes cannot change the
+    // min(other) aggregate below — only inflate the (pre-agg, map-side
+    // combined) join output
     val probe = shingleHashes(1).select(col("h"), col("doc_id").as("other"))
     grid.join(probe, "h")
       .filter(col("other") =!= col("doc_id"))

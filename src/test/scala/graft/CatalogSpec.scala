@@ -152,6 +152,34 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.forall(_.partition == "city=san_francisco"))
   }
 
+  test("catalog sync publishes a graft table into the session catalog by name") {
+    import graft.tables.{GraftTable, GraftTableConfig}
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = "/tmp/graft_spec/catalog_sync"
+    val tbl = GraftTable(spark, GraftTableConfig(p, "o_orderkey", "o_orderkey"))
+    tbl.dropIfExists()
+    val orders = GraftSession.table(spark, "/root/testdata/sf0.001", "orders")
+    tbl.insert(orders, numFiles = 2)
+
+    assert(graft.sources.CatalogSync.sync(tbl, "gsync", "orders_pub"))
+    // SQL clients resolve it by NAME; reads flow through the DataSource
+    assert(sql("SELECT count(*) FROM gsync.orders_pub").head().getLong(0) == orders.count())
+    assert(sql("SELECT count(*) FROM gsync.orders_pub WHERE o_orderkey = 42")
+      .head().getLong(0) == 1L)
+    // a second sync with nothing changed is a no-op...
+    assert(!graft.sources.CatalogSync.sync(tbl, "gsync", "orders_pub"))
+    // ...and upserts are visible WITHOUT re-sync (pointer, not a copy)
+    tbl.upsert(orders.limit(10).withColumn("o_orderstatus", lit("Y")))
+    assert(sql("SELECT count(*) FROM gsync.orders_pub WHERE o_orderstatus = 'Y'")
+      .head().getLong(0) == 10L)
+    // schema evolution re-publishes on the next sync
+    tbl.upsert(tbl.read().limit(5).withColumn("extra_col", lit(7L)))
+    assert(graft.sources.CatalogSync.sync(tbl, "gsync", "orders_pub"))
+    assert(sql("SELECT max(extra_col) FROM gsync.orders_pub").head().getLong(0) == 7L)
+    graft.sources.CatalogSync.unsync(spark, "gsync", "orders_pub")
+    assert(tbl.read().count() == orders.count()) // data untouched by unsync
+  }
+
   test("CALL procedures: the Hudi CALL surface through DSv2 stored procedures") {
     sql("""CREATE TABLE graft.proc_t (id BIGINT, v DOUBLE) USING graft
           |TBLPROPERTIES (primaryKey = 'id')""".stripMargin)
