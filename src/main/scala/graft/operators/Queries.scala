@@ -525,6 +525,45 @@ object Queries extends QueryRegistry {
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_funnel: ordered conversion funnel over the event stream —
+  // view → click → purchase, each stage's timestamp strictly after the
+  // previous stage's, per user. Three chained per-user min-aggregations +
+  // equi-joins on user_id: every step shuffles ONLY per-user aggregates
+  // (never the raw event stream twice), so the plan is a narrow chain of
+  // hash joins that scales with #users — the standard product-analytics
+  // funnel on 100 TB of events. Counts are exact integers (no float path).
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.select(lit("1_view").as("stage"), col("user_id"))
+      .union(t2.select(lit("2_click"), col("user_id")))
+      .union(t3.select(lit("3_purchase"), col("user_id")))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  private val qFunnelSql =
+    """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN t1 ON t1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN t2 ON t2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+      |SELECT stage, COUNT(*) AS n_users FROM (
+      |  SELECT '1_view' AS stage, user_id FROM t1
+      |  UNION ALL SELECT '2_click', user_id FROM t2
+      |  UNION ALL SELECT '3_purchase', user_id FROM t3)
+      |GROUP BY stage ORDER BY stage""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -549,5 +588,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
+    QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("q_median", qMedian, Some(qMedianSql)))
 }

@@ -58,17 +58,19 @@ object DeltaStream {
     }
   }
 
-  /** Kafka wire columns every Kafka-compatible source carries; everything
-    * else is payload. */
+  /** Kafka wire columns every Kafka-compatible source carries (plus
+    * `headers` when includeHeaders=true); everything else is payload. */
   private val KafkaWireCols = Set(
-    "key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    "key", "value", "topic", "partition", "offset", "timestamp",
+    "timestampType", "headers")
 
   /** Decode the record stream: a Kafka-wire frame with a JSON payload
     * becomes the payload columns (JsonKafkaSource); anything else passes
     * through. Exposed for tests. */
   private[streaming] def decode(raw: DataFrame, cfg: Config): DataFrame =
     cfg.payloadSchema match {
-      case Some(schema) if raw.columns.toSet.subsetOf(KafkaWireCols) =>
+      case Some(schema) if raw.columns.contains("value") &&
+          raw.columns.toSet.subsetOf(KafkaWireCols) =>
         raw.select(from_json(col("value").cast("string"), schema).as("payload"))
           .select("payload.*")
       case _ => raw

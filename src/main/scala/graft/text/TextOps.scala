@@ -355,7 +355,55 @@ object TextOps extends QueryRegistry {
       |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- x_lm_score: corpus-trained bigram-LM coherence score — the
+  // model-free stand-in for perplexity filtering (CCNet/Gopher use a
+  // KenLM; here the corpus IS the model): train bigram conditional
+  // frequencies over the whole corpus, then score each doc by the mean
+  // conditional probability of its bigrams. Degenerate/boilerplate text
+  // scores high, shuffled-word salad scores low. Per-bigram probabilities
+  // are integer-quantized (round(1e6·c12/c1)) BEFORE the per-doc mean so
+  // the aggregation is an order-free integer sum — cross-engine
+  // deterministic; the final mean is one exact int/int double division.
+  // Scale: two count aggregations + two equi-joins keyed by words —
+  // O(tokens) shuffle; hot stopword keys ride AQE's skew handling, and
+  // the count tables are Zipf-bounded far below O(vocab²).
+  def xLmScore(s: SparkSession, dir: String): DataFrame = {
+    val big = docs(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        round(lit(1000000.0) * col("c12") / col("c1")).cast("bigint").as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum("q") / count(lit(1))).as("lm_q6"))
+      .orderBy("doc_id")
+  }
+
+  private val xLmScoreSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+      |  FROM d WHERE len(w) >= 2),
+      |bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bb GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bb GROUP BY 1),
+      |q AS (SELECT doc_id,
+      |    CAST(round(1000000.0 * c12.c12 / c1.c1) AS BIGINT) AS q
+      |  FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  SUM(q) / COUNT(*) AS lm_q6
+      |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("x_lm_score", xLmScore, Some(xLmScoreSql)),
     QueryDef("x_decontaminate", xDecontaminate, Some(xDecontaminateSql)),
     QueryDef("x_repetition", xRepetition, Some(xRepetitionSql)),
     QueryDef("x_fingerprint", xFingerprint, Some(xFingerprintSql)),
