@@ -123,6 +123,12 @@ final class AsyncServices(
     deltaSeconds: Long = 600L,
     pollMs: Long = 500L) extends AutoCloseable {
 
+  require(table.cfg.tableType == graft.tables.TableType.Mor,
+    "async compaction is a merge-on-read pattern (delta appends never " +
+      "conflict with the compactor); a COW table's upserts can lose a " +
+      "first-committer race against it — compact COW inline between " +
+      "batches (StreamIngest.toGraftTable) instead")
+
   @volatile private var stopped = false
   @volatile private[this] var failureOpt: Option[Throwable] = None
   private val nCompactions = new java.util.concurrent.atomic.AtomicInteger
