@@ -564,6 +564,38 @@ object Queries extends QueryRegistry {
       |  UNION ALL SELECT '3_purchase', user_id FROM t3)
       |GROUP BY stage ORDER BY stage""".stripMargin
 
+  // --- q_retention: weekly cohort retention — users cohorted by their
+  // first signup week, counted in each later week they were active. The
+  // cohort side reduces to one row per user (map-side combined min) before
+  // the join; the activity side is distinct (user, week) pairs — both
+  // shuffles carry per-user/week aggregates, never the raw event stream
+  // twice. Offsets are exact integers (week-truncated days / 7).
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(date_trunc("week", min("ts")).as("cohort_week"))
+    val activity = e.select(col("user_id"),
+      date_trunc("week", col("ts")).as("act_week")).distinct()
+    cohort.join(activity, "user_id")
+      .filter(col("act_week") >= col("cohort_week"))
+      .withColumn("week_offset",
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users")) // (user, week) already distinct
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val qRetentionSql =
+    """WITH c AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+      |SELECT cohort_week,
+      |  CAST(datediff('day', cohort_week, act_week) / 7 AS BIGINT) AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM c JOIN a USING (user_id)
+      |WHERE act_week >= cohort_week
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -589,5 +621,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
+    QueryDef("q_retention", qRetention, Some(qRetentionSql)),
     QueryDef("q_median", qMedian, Some(qMedianSql)))
 }
