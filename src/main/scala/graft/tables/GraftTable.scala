@@ -957,6 +957,24 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * files nor an `.inflight` marker. */
   private def withReservedInstant[T](body: String => T): T = {
     val instant = timeline.reserveInstant()
+    // Renew the reservation while the write runs, so the orphan reaper's
+    // staleness clock measures writer SILENCE, not write duration — a
+    // legitimate multi-hour write is never fenced as presumed-dead (the
+    // same holder-renewal pattern as the commit lease). A hard-killed
+    // writer stops renewing and ages into the reaper normally.
+    val marker = new Path(s"${cfg.path}/_graft/$instant.inflight")
+    val renewer = new Thread(() => {
+      var live = true
+      try {
+        while (live && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(60000L)
+          try fs.setTimes(marker, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => live = false } // committed/aborted
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-inflight-renew-$instant")
+    renewer.setDaemon(true)
+    renewer.start()
     try body(instant)
     catch {
       case scala.util.control.NonFatal(e) =>
@@ -966,7 +984,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         deleteSecondaryIndexDirs(instant)
         timeline.abort(instant)
         throw e
-    }
+    } finally renewer.interrupt()
   }
 
   /** Append this commit's (record key → data file) mappings to the
