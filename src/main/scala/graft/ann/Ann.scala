@@ -306,10 +306,61 @@ object Ann extends QueryRegistry {
       |  FROM e JOIN e q ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
       |SELECT q_id, vec_id, cos_r FROM p WHERE cos_r >= 0.2 ORDER BY q_id, vec_id""".stripMargin
 
+  // --- s_ivf_incremental: the IVF assignment index maintained as a keyed
+  // graft TABLE with incremental upserts — what a growing 100 TB vector
+  // corpus actually needs: arriving embeddings update the index in
+  // O(batch) (assign the batch against broadcast centroids, keyed upsert
+  // touching only the files holding those keys), never a full rebuild.
+  // Build: bulk-assign all vectors EXCEPT a holdout batch; the holdout
+  // then "arrives" and upserts. The final index state must equal a
+  // from-scratch assignment of the whole corpus — which IS the oracle, so
+  // the incremental path is verified equivalent to the batch path.
+  def sIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{GraftTable, GraftTableConfig}
+    GraftFunctions.register(s)
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    def assign(batch: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+      batch.join(broadcast(cents), lit(true))
+        .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
+        .withColumn("arn", row_number().over(w))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("c_id").as("bucket"), col("c_cos").as("cos_c"))
+    }
+    val tbl = GraftTable(s, GraftTableConfig(
+      "/tmp/graft_tables/ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
+      "vec_id", "vec_id"))
+    tbl.dropIfExists()
+    tbl.insert(assign(e.filter(col("vec_id") % 17 =!= 0)), numFiles = 4)
+    // the late batch: O(batch) assignment + keyed upsert, no rebuild
+    tbl.upsert(assign(e.filter(col("vec_id") % 17 === 0)))
+    tbl.read().select("vec_id", "bucket", "cos_c").orderBy("vec_id")
+  }
+
+  private val sIvfIncrementalSql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0)
+      |SELECT vec_id, bucket, cos_c FROM (
+      |    SELECT e.vec_id, c.c_id AS bucket,
+      |      round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+      |        / (e.nrm * c.cnrm), 6) AS cos_c,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+      |          / (e.nrm * c.cnrm), 6) DESC, c.c_id) AS rn
+      |    FROM e CROSS JOIN c) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
     QueryDef("s_topk_pq", sTopkPq, Some(sTopkPqSql)),
-    QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)))
+    QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
+    QueryDef("s_ivf_incremental", sIvfIncremental, Some(sIvfIncrementalSql)))
 }
