@@ -209,7 +209,61 @@ object Multimodal extends QueryRegistry {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- m_scene_split: scene segmentation over frame sequences — the video
+  // curation step that cuts a clip where consecutive frame fingerprints
+  // jump (hamming > threshold), then emits per-scene manifests. Frames are
+  // documents role-played as video frames (video = doc_id % 50, frame
+  // order = doc_id; fingerprint = md5-derived 64-bit of the frame head,
+  // the same cross-engine hash recipe as d_simhash). One window pass per
+  // video — lag + running sum of cut flags IS the segmentation — and video
+  // count grows with the corpus, so window parallelism scales. The real
+  // pHash would slot into the fingerprint expression unchanged.
+  def mSceneSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hx = md5(substring(col("text"), 1, 32).cast("binary"))
+    def hexByte(i: Int) = substring(hx, i, 2)
+    val lo = conv(concat(hexByte(23), hexByte(21), hexByte(19), hexByte(17)), 16, 10).cast("long")
+    val hi = conv(concat(hexByte(31), hexByte(29), hexByte(27), hexByte(25)), 16, 10).cast("long")
+    val frames = GraftSession.table(s, dir, "documents")
+      .select((col("doc_id") % 50).as("video_id"), col("doc_id").as("frame_no"),
+        shiftleft(hi, 32).bitwiseOR(lo).as("fp"))
+    val w = Window.partitionBy("video_id").orderBy("frame_no")
+    frames
+      .withColumn("prev_fp", lag("fp", 1).over(w))
+      .withColumn("cut", when(col("prev_fp").isNull ||
+        bit_count(col("fp").bitwiseXOR(col("prev_fp"))) > 40, 1L).otherwise(0L))
+      .withColumn("scene_id", sum("cut").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("video_id", "scene_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min("frame_no").as("first_frame"), max("frame_no").as("last_frame"))
+      .orderBy("video_id", "scene_id")
+  }
+
+  private val mSceneSplitSql = {
+    val h64 = "CAST(md5_number_lower(substr(text, 1, 32))::HUGEINT - CASE WHEN " +
+      "md5_number_lower(substr(text, 1, 32)) >= 9223372036854775808 THEN " +
+      "18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+    s"""WITH f AS (SELECT doc_id % 50 AS video_id, doc_id AS frame_no, $h64 AS fp
+       |  FROM documents),
+       |l AS (SELECT video_id, frame_no, fp,
+       |    lag(fp) OVER (PARTITION BY video_id ORDER BY frame_no) AS prev_fp
+       |  FROM f),
+       |c AS (SELECT video_id, frame_no,
+       |    CASE WHEN prev_fp IS NULL OR bit_count(xor(fp, prev_fp)) > 40
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM l),
+       |sc AS (SELECT video_id, frame_no,
+       |    CAST(SUM(cut) OVER (PARTITION BY video_id ORDER BY frame_no
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id
+       |  FROM c)
+       |SELECT video_id, scene_id, COUNT(*) AS n_frames,
+       |  MIN(frame_no) AS first_frame, MAX(frame_no) AS last_frame
+       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("m_scene_split", mSceneSplit, Some(mSceneSplitSql)),
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_media_pipeline", mMediaPipeline, Some(mMediaPipelineSql)),
     QueryDef("m_frame_dedup", mFrameDedup, Some(mFrameDedupSql)),
