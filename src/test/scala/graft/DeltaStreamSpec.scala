@@ -109,6 +109,42 @@ class DeltaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == 120)
   }
 
+  test("continuous mode keeps consuming new offsets until stopped") {
+    val src = Files.createTempDirectory("graft_ds_cont").toString
+    val cp = Files.createTempDirectory("graft_ds_cont_cp").toString
+    val out = "/tmp/graft_spec/delta_stream_cont"
+    val tbl = GraftTable(spark, GraftTableConfig(out, "id", "ts"))
+    tbl.dropIfExists()
+    val cfg = DeltaStream.Config(
+      sourceFormat = "kafka",
+      sourceOptions = Map("subscribe" -> "orders", "stub.dir" -> src),
+      targetPath = out,
+      checkpoint = cp,
+      tableOptions = Map("graft.key" -> "id", "graft.precombine" -> "ts"),
+      payloadSchema = Some(payloadSchema),
+      continuous = true,
+      triggerMs = 100L)
+    writeRecords(src, "w1.jsonl", (1L to 20L).map(i => (i, i, 1L)))
+    val running = DeltaStream.start(spark, cfg)
+    try {
+      def waitFor(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 30000L
+        while (tbl.timeline.latestInstant().isEmpty ||
+          tbl.read().count() < n) {
+          assert(System.currentTimeMillis() < deadline, s"timed out waiting for $n rows")
+          Thread.sleep(100L)
+        }
+      }
+      waitFor(20L)
+      // the job is NOT drained-and-stopped: a later wave flows through the
+      // same running query (the --continuous contract)
+      writeRecords(src, "w2.jsonl", (21L to 35L).map(i => (i, i, 2L)))
+      waitFor(35L)
+      assert(running.query.isActive)
+    } finally running.close()
+    assert(tbl.read().count() == 35)
+  }
+
   test("async table services: compaction runs under concurrent MOR ingest, no lost commits") {
     val out = "/tmp/graft_spec/async_services"
     val tbl = GraftTable(spark, GraftTableConfig(
