@@ -143,9 +143,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new GraftV2Table(cfg, ident, asOf = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution happens through writes")
+  /** ALTER TABLE ADD/DROP COLUMNS — both metadata-only: adds widen the
+    * persisted union schema (existing rows read NULL), drops hide the
+    * column immediately and purge it on the next rewrite (the existing
+    * dropColumns machinery). Renames/type-changes would need parquet
+    * column-id mapping the format does not carry — refused, not faked. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePathOf(ident.namespace(), ident.name())
+    val cfg = TableProperties.load(spark, path)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val table = GraftTable(spark, cfg)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "nested column changes are not supported")
+        table.addColumns(Seq(org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "nested column changes are not supported")
+        table.dropColumns(Seq(d.fieldNames()(0)))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tablePathOf(ident.namespace(), ident.name()))

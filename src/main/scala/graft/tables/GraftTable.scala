@@ -280,6 +280,25 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * compact/cluster) physically purges them from the rewritten files.
     * (CDC changelog files written before the drop keep their historical
     * schema.) */
+  /** Pre-declare new NULLABLE columns (the ALTER TABLE ADD COLUMNS path):
+    * widens the persisted union schema, so reads immediately surface the
+    * columns as NULL for every existing row — the same semantics a later
+    * add-column write would install, just ahead of any data. Metadata-only:
+    * no file is read or rewritten at any table size. */
+  def addColumns(newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val existing = TableProperties.loadSchema(spark, cfg.path).getOrElse(
+      throw new IllegalStateException(
+        s"table ${cfg.path} has no persisted schema yet; write data first"))
+    val dup = newCols.filter(f =>
+      existing.exists(_.name == f.name) || droppedCols.contains(f.name))
+    require(dup.isEmpty,
+      s"columns already exist (or were dropped): ${dup.map(_.name).mkString(", ")}")
+    TableProperties.saveSchema(spark, cfg.path,
+      org.apache.spark.sql.types.StructType(
+        existing.fields.toSeq ++ newCols.map(_.copy(nullable = true))))
+    invalidateReadSchema()
+  }
+
   def dropColumns(colsToDrop: Seq[String]): Unit = {
     require(!colsToDrop.contains(cfg.keyField), "cannot drop the record key column")
     require(!colsToDrop.contains(cfg.precombineField), "cannot drop the precombine column")

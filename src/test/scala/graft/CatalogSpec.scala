@@ -152,6 +152,25 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.forall(_.partition == "city=san_francisco"))
   }
 
+  test("ALTER TABLE ADD/DROP COLUMNS: metadata-only schema evolution via SQL") {
+    sql("""CREATE TABLE graft.alter_t (id BIGINT, v DOUBLE) USING graft
+          |TBLPROPERTIES (primaryKey = 'id', preCombineField = 'id')""".stripMargin)
+    sql("INSERT INTO graft.alter_t SELECT id, CAST(id AS DOUBLE) FROM range(0, 5)")
+    sql("ALTER TABLE graft.alter_t ADD COLUMNS (note STRING)")
+    // existing rows read NULL for the new column, immediately
+    val notes = sql("SELECT note FROM graft.alter_t").collect()
+    assert(notes.length == 5 && notes.forall(_.isNullAt(0)))
+    // and the next write can populate it
+    sql("INSERT INTO graft.alter_t VALUES (99, 1.5, 'hello')")
+    assert(sql("SELECT note FROM graft.alter_t WHERE id = 99").head().getString(0) == "hello")
+    sql("ALTER TABLE graft.alter_t DROP COLUMN v")
+    assert(!sql("SELECT * FROM graft.alter_t").columns.contains("v"))
+    assert(sql("SELECT * FROM graft.alter_t").count() == 6)
+    // renames would need column-id mapping the format doesn't carry: refused
+    intercept[Exception](sql("ALTER TABLE graft.alter_t RENAME COLUMN note TO memo"))
+    sql("DROP TABLE graft.alter_t")
+  }
+
   test("catalog sync publishes a graft table into the session catalog by name") {
     import graft.tables.{GraftTable, GraftTableConfig}
     import org.apache.spark.sql.functions.{col, lit}
