@@ -1021,17 +1021,18 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     import spark.implicits._
     val written = spark.read.option("recursiveFileLookup", "true").parquet(dataDir)
     val rootS = rootStr
+    // store TABLE-RELATIVE paths so liveness checks and index compaction
+    // compare directly against timeline FileMeta paths (single-column UDF,
+    // not a Dataset map — no whole-row encode/decode per record)
+    val rel = udf((f: String) => GraftTable.relativize(f, rootS))
     written
-      .select(keyStr(keyCol, written).as("k"), input_file_name().as("f"))
-      .as[(String, String)]
-      // store TABLE-RELATIVE paths so liveness checks and index compaction
-      // compare directly against timeline FileMeta paths
-      .map { case (k, f) => (k, GraftTable.relativize(f, rootS)) }
-      .toDF("k", "f")
+      .select(keyStr(keyCol, written).as("k"), rel(input_file_name()).as("f"))
       .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
-      // one task: a single batch's index is small, and this bin-packs the
-      // per-bucket output to <= one file per bucket per commit
-      .repartition(1)
+      // shuffle BY BUCKET: a bulk commit's index write parallelizes across
+      // buckets (repartition(1) would push every key of a 100 TB import
+      // through one task), while partitionBy still sees whole buckets per
+      // task — <= 1 file per bucket per commit, AQE-coalesced when small
+      .repartition(col("b"))
       .write.mode("overwrite").partitionBy("b")
       .parquet(s"${cfg.path}/_graft/rli/$instant")
   }
