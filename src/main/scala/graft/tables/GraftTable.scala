@@ -1196,7 +1196,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .parquet(old.map(_.toString).toSeq: _*)
       .join(liveDf, Seq("f"), "leftsemi")
       .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
-      .repartition(1)
+      // by-bucket shuffle, not repartition(1): the fold covers the LIVE
+      // KEY SET of the whole table — the one index job that must scale
+      .repartition(col("b"))
       .write.mode("overwrite").partitionBy("b")
       .parquet(s"${cfg.path}/_graft/rli/$mergedName")
     old.foreach(p => fs.delete(p, true))
