@@ -2,7 +2,7 @@ package graft.ann
 
 import graft.{GraftSession, QueryDef, QueryRegistry}
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,15 +25,34 @@ object Ann extends QueryRegistry {
 
   private val K = 10
 
+  /** Exact top-k per query WITHOUT funneling a query's whole candidate set
+    * through one task's sort: rank within (q_id, candidate-hash salt)
+    * shards first — 32-way parallel, keeping k per shard, a guaranteed
+    * superset of the global top k — then rank the <= 32·k survivors. The
+    * total order includes the candidate id, so the output is bit-identical
+    * to a direct `partitionBy(q_id)` window while per-task work stays
+    * bounded when one query's candidates are the whole corpus. */
+  private def rankTopK(df: DataFrame, k: Int,
+      order: Seq[Column], rankName: String): DataFrame = {
+    val wLocal = Window
+      .partitionBy(col("q_id"), pmod(xxhash64(col("vec_id")), lit(32)))
+      .orderBy(order: _*)
+    val wGlobal = Window.partitionBy("q_id").orderBy(order: _*)
+    df.withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= k)
+      .withColumn(rankName, row_number().over(wGlobal))
+      .filter(col(rankName) <= k)
+      .drop("_lr")
+  }
+
   // --- s_topk_bruteforce: exact cosine top-k for query vectors vec_id < 5.
   def sTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
-    val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos_r", round(expr("cosine_sim(embedding, qe)"), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
+    rankTopK(scored, K, Seq(desc("cos_r"), asc("vec_id")), "rank")
+      .withColumn("rank", col("rank").cast("long"))
       .select("q_id", "rank", "vec_id", "cos_r")
       .orderBy("q_id", "rank")
   }
@@ -78,13 +97,12 @@ object Ann extends QueryRegistry {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= 2)
       .select(col("q_id"), col("qe"), col("c_id").as("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), asc("vec_id"))
-    assigned.join(broadcast(probes.withColumnRenamed("bucket", "bucket_p")),
+    val scored = assigned.join(broadcast(probes.withColumnRenamed("bucket", "bucket_p")),
         col("bucket") === col("bucket_p"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_r", round(expr("cosine_sim(embedding, qe)"), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
+    rankTopK(scored, K, Seq(desc("cos_r"), asc("vec_id")), "rank")
+      .withColumn("rank", col("rank").cast("long"))
       .select("q_id", "rank", "vec_id", "cos_r")
       .orderBy("q_id", "rank")
   }
@@ -229,13 +247,13 @@ object Ann extends QueryRegistry {
       .select(col("q_id"), col("qm").as("m"), col("c_id").as("code"),
         expr(d2i("qv", "cv")).as("qd_i"))
     // …every encoded vector scores as M integer lookups → ADC shortlist
-    val wAdc = Window.partitionBy("q_id").orderBy(asc("adc_i"), asc("vec_id"))
-    val shortlist = encoded.join(broadcast(dtable), Seq("m", "code"))
+    // (two-phase ranked: the ADC scan covers the whole corpus per query)
+    val adc = encoded.join(broadcast(dtable), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum("qd_i").as("adc_i"))
-      .withColumn("srn", row_number().over(wAdc))
-      .filter(col("srn") <= SHORTLIST)
+    val shortlist = rankTopK(adc, SHORTLIST,
+        Seq(asc("adc_i"), asc("vec_id")), "srn")
       .select("q_id", "vec_id")
     // exact L2 re-rank of the shortlist only
     val qv = e.filter(col("vec_id") < 5).toDF("q_id", "qfull")
