@@ -292,15 +292,17 @@ object TextOps extends QueryRegistry {
   // how much of each source is duplicated content (its share of docs whose
   // normalized text also appears elsewhere in the corpus). The standard
   // mixture-design dashboard before weighting sources. One hash agg for
-  // global dup counts (broadcast back — |distinct hashes| ≤ |docs|), one
-  // group-by source.
+  // global dup counts rejoined on the hash (an equi-join on the agg's own
+  // partitioning — NOT a forced broadcast: |distinct hashes| ≈ |docs|, far
+  // beyond broadcast range at corpus scale; AQE may still broadcast small
+  // runs), one group-by source.
   def xSourceStats(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"),
       md5(normText(col("text"))).as("h"),
       when(trim(col("text")) === "", 0L)
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tok"))
     val dupHashes = d.groupBy("h").agg(count(lit(1)).as("cnt"))
-    d.join(broadcast(dupHashes), Seq("h"))
+    d.join(dupHashes, Seq("h"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -469,14 +471,15 @@ object TextOps extends QueryRegistry {
   // per source, docs/tokens before vs after corpus-wide exact dedup (keeper
   // = lowest doc_id per normalized-content hash, so cross-source duplicate
   // groups attribute their one survivor to the keeper's source). One hash
-  // aggregation + a broadcast join; no pairwise work.
+  // aggregation + an equi-join on the hash (|keepers| ≈ |docs| — never a
+  // forced broadcast; AQE may still broadcast small runs); no pairwise work.
   def xDedupImpact(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"),
       md5(normText(col("text"))).as("h"),
       when(trim(col("text")) === "", 0L)
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tok"))
     val keepers = d.groupBy("h").agg(min("doc_id").as("keeper"))
-    d.join(broadcast(keepers), Seq("h"))
+    d.join(keepers, Seq("h"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("docs_before"),
