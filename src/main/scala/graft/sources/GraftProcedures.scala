@@ -108,6 +108,12 @@ private[sources] object GraftProcedures {
         Seq(p("table", StringType), p("retain_commits", IntegerType)),
         StructType(Seq(StructField("deleted_files", IntegerType))),
         (s, in) => oneInt(table(s, in).cleanRetainCommits(in.getInt(1)))),
+      new Proc("clean_orphans",
+        "reap data files no commit references, fencing stale writers; " +
+          "grace period in minutes",
+        Seq(p("table", StringType), p("older_than_minutes", LongType)),
+        StructType(Seq(StructField("deleted_files", IntegerType))),
+        (s, in) => oneInt(table(s, in).cleanOrphans(in.getLong(1) * 60000L))),
       new Proc("rollback",
         "undo the given commit; replaced files revive via the timeline",
         Seq(p("table", StringType), p("instant", StringType)),

@@ -241,9 +241,12 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     sql("CALL graft.system.drop_validator('proc_t', 'nonneg')")
     sql("CALL graft.system.drop_expr_index('proc_t', 'vband')")
 
+    // orphan reaping rides the same surface (nothing to reap here)
+    assert(sql("CALL graft.system.clean_orphans('proc_t', 60)").head().getInt(0) == 0)
+
     // procedures are discoverable
     val procs = sql("SHOW PROCEDURES IN graft.system").collect()
       .map(_.toSeq.map(String.valueOf).mkString(","))
-    assert(procs.length == 14 && procs.exists(_.contains("compact")))
+    assert(procs.length == 15 && procs.exists(_.contains("compact")))
   }
 }
