@@ -86,4 +86,69 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the watermark is recorded atomically in the agg table's commits
     assert(IncrementalPipeline.lastApplied(agg, "events").nonEmpty)
   }
+
+  test("the migration story: kafka config -> continuous MOR ingest + async compaction " +
+      "-> catalog sync -> SQL, time travel, incremental") {
+    import graft.streaming.DeltaStream
+    import org.apache.spark.sql.types._
+    val topic = Files.createTempDirectory("graft_e2e_kafka").toString
+    val cp = Files.createTempDirectory("graft_e2e_kcp").toString
+    val out = "/tmp/graft_spec/e2e_trips"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      out, "uuid", "ts", tableType = TableType.Mor))
+    tbl.dropIfExists()
+
+    def wave(file: String, ids: Range, ts: Long, fare: Long => Double): Unit = {
+      val lines = ids.map(i =>
+        s"""{"uuid": "t-$i", "ts": $ts, "fare": ${fare(i.toLong)}}""")
+      Files.write(java.nio.file.Paths.get(topic, file),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(StructField("uuid", StringType),
+      StructField("ts", LongType), StructField("fare", DoubleType)))
+
+    // the reference's DeltaStreamer job, as one config object
+    val running = DeltaStream.start(spark, DeltaStream.Config(
+      sourceFormat = "kafka",
+      sourceOptions = Map("subscribe" -> "trips", "stub.dir" -> topic),
+      targetPath = out,
+      checkpoint = cp,
+      tableOptions = Map("graft.key" -> "uuid", "graft.precombine" -> "ts",
+        "graft.type" -> "mor"),
+      payloadSchema = Some(schema),
+      continuous = true, triggerMs = 100L,
+      asyncCompactTargetRows = 1000000L, compactDeltaCommits = 2))
+    try {
+      wave("w1.jsonl", 1 to 300, 1L, _.toDouble)
+      val deadline = System.currentTimeMillis() + 30000L
+      def waitFor(cond: => Boolean): Unit =
+        while (!cond) {
+          assert(System.currentTimeMillis() < deadline, "e2e ingest timed out")
+          Thread.sleep(100L)
+        }
+      waitFor(tbl.timeline.latestInstant().nonEmpty && tbl.read().count() == 300)
+      val firstCommit = tbl.timeline.instants().head
+      wave("w2.jsonl", 200 to 400, 2L, _ * 10.0) // 101 updates + 100 inserts
+      waitFor(tbl.read().count() == 400)
+      waitFor(running.services.exists(_.compactionsRun >= 1))
+    } finally running.close()
+
+    // publish by name and query like any warehouse table
+    graft.sources.CatalogSync.sync(tbl, "e2e", "trips")
+    assert(spark.sql("SELECT count(*) FROM e2e.trips").head().getLong(0) == 400)
+    assert(spark.sql("SELECT fare FROM e2e.trips WHERE uuid = 't-250'")
+      .head().getDouble(0) == 2500.0) // the wave-2 update won (precombine ts)
+    // time travel to the first commit: only wave 1 visible, original fares
+    val asOf = tbl.readAsOf(tbl.timeline.instants().head)
+    assert(asOf.count() == 300)
+    assert(asOf.filter(col("uuid") === "t-250").head().getAs[Double]("fare") == 250.0)
+    // incremental read since the first commit = exactly wave 2's rows
+    val inc = tbl.incremental(tbl.timeline.instants().head, graft.tables.Timeline.MaxInstant)
+    assert(inc.count() == 201)
+    assert(inc.filter(col("ts") =!= 2L).count() == 0)
+    // compaction folded the deltas: the read-optimized view converges
+    tbl.compact(targetRows = 1000000L)
+    assert(tbl.readOptimized().count() == 400)
+    graft.sources.CatalogSync.unsync(spark, "e2e", "trips")
+  }
 }
