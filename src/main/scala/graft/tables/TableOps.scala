@@ -144,6 +144,30 @@ object TableOps extends QueryRegistry {
   }
 
   // --- t_cdc: changelog read across an upsert and a delete commit.
+  // --- t_cdc_view: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from CDC
+  // images — the thing CDC exists for. A per-priority revenue aggregate is
+  // maintained purely from the change stream (+insert/+postimage,
+  // -preimage/-delete), never recomputed from table state; the oracle IS
+  // the recompute over the final state, so the telescoping-delta identity
+  // is verified exactly (decimal-cast per image → order-free exact sums).
+  // At 100 TB the view maintenance cost is O(changes), not O(table).
+  def tCdcView(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_cdc_view", changelog = true)
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    tbl.delete(col("o_orderstatus") === "F")
+    val images = tbl.cdc(Timeline.pad(0), Timeline.MaxInstant)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1)
+      .otherwise(-1)
+    images
+      .withColumn("p_d", sign * col("o_totalprice").cast(DecimalType(18, 2)))
+      .withColumn("c_d", sign.cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(sum("p_d").cast("double").as("total_price"), sum("c_d").as("n_orders"))
+      .filter(col("n_orders") > 0) // a fully-deleted group has no recompute row
+      .orderBy("o_orderpriority")
+  }
+
   def tCdc(s: SparkSession, dir: String): DataFrame = {
     val (tbl, orders) = ordersTable(s, dir, "t_cdc", changelog = true)
     val i1 = tbl.insert(orders, numFiles = 4)
@@ -578,6 +602,18 @@ object TableOps extends QueryRegistry {
       """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
         |  o_totalprice + 100 AS o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_cdc_view", tCdcView, Some(
+      """WITH cur AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+        |         ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+        |         ELSE o_orderstatus END AS st
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_orders
+        |FROM cur WHERE st <> 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("t_cdc", tCdc, Some(
       """SELECT 'update_preimage' AS _change_type, o_orderkey, o_custkey, o_orderstatus,
         |  o_totalprice, o_orderdate, o_orderpriority
