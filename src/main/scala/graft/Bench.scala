@@ -77,10 +77,20 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision (sub-ms is noise) keeps the line small, and
+    // the headline metric/value go LAST: the harness records the TAIL of
+    // the line, so whatever is clipped, the total and the sf survive
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}"""
+    println(line)
+    // full copy on disk, immune to any log-capture truncation
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"), line + "\n")
+    catch { case _: Exception => () } // repo may be elsewhere; the line printed
     spark.stop()
   }
 }
