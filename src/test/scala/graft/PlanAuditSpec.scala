@@ -146,6 +146,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s_topk_bruteforce: two-phase ranking — no single-task sort of a query's candidates") {
+    val s = planString(graft.ann.Ann.sTopkBruteforce(spark, sfDir))
+    val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // the bulk window partitions by (q_id, salt) — the salt is projected
+    // out as a _w0 attribute — and only the <= 32k survivors pass through
+    // the per-query window
+    assert(windows.size >= 2 &&
+      windows.exists(_.matches(""".*windowspecdefinition\(q_id#\d+L, _w0#\d+.*""")),
+      s"salted local ranking missing in:\n${windows.mkString("\n")}")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("d_embed_cosine: block-pair scan broadcasts only the pair table") {
     val df = graft.dedup.Dedup.dEmbedCosine(spark, sfDir)
     val s = planString(df)
