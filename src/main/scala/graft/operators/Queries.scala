@@ -513,6 +513,31 @@ object Queries extends QueryRegistry {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_percentiles: exact quartile profile per priority — the
+  // distribution summary dashboards actually plot. Same cent-integer
+  // contract as q_median, restricted to BINARY fractions (.25/.5/.75):
+  // (b-a)·2⁻² products over integer cents are EXACT doubles, so any
+  // interpolation formula either engine uses lands on the same bits.
+  // One single-pass percentile aggregate, one shuffle on the group key.
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_orderpriority")
+      .agg(percentile(col("cents"), lit(0.25)).as("p25_cents"),
+        percentile(col("cents"), lit(0.5)).as("p50_cents"),
+        percentile(col("cents"), lit(0.75)).as("p75_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  private val qPercentilesSql =
+    """SELECT o_orderpriority,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS p25_cents,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) AS p75_cents,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- q_approx_distinct: exact twin for the oracle; the HLL variant is
   // asserted within 5% of this in OperatorsSpec (approx_count_distinct).
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -622,5 +647,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),
+    QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     QueryDef("q_median", qMedian, Some(qMedianSql)))
 }
