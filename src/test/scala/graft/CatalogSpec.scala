@@ -152,6 +152,14 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.forall(_.partition == "city=san_francisco"))
   }
 
+  test("SELECT from a created-but-never-written table is an empty result, not an error") {
+    sql("""CREATE TABLE graft.never_written (id BIGINT, v DOUBLE) USING graft
+          |TBLPROPERTIES (primaryKey = 'id')""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft.never_written").head().getLong(0) == 0L)
+    assert(sql("SELECT * FROM graft.never_written WHERE v > 0").count() == 0L)
+    sql("DROP TABLE graft.never_written")
+  }
+
   test("ALTER TABLE ADD/DROP COLUMNS: metadata-only schema evolution via SQL") {
     sql("""CREATE TABLE graft.alter_t (id BIGINT, v DOUBLE) USING graft
           |TBLPROPERTIES (primaryKey = 'id', preCombineField = 'id')""".stripMargin)
