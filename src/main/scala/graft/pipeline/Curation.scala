@@ -62,6 +62,44 @@ object Curation extends QueryRegistry {
       |    CASE WHEN lang = 'en' THEN 80 WHEN lang = 'zh' THEN 50 ELSE 25 END
       |ORDER BY doc_id""".stripMargin
 
+  // --- c_mixture_plan: token-budget mixture planning — the step BEFORE
+  // sampling: given a total token budget (half the corpus) split uniformly
+  // across sources, derive each source's keep RATE and the tokens that
+  // survive it. All arithmetic is exact-integer aggregation followed by
+  // deterministic IEEE double division (and a round(…,6) both engines
+  // share), so the plan is bit-stable. One hash aggregation + a broadcast
+  // of the 1-row totals — O(sources) output at any corpus size; the rates
+  // feed a residue sampler like x_sample_mix / the funnel's stage 3.
+  def cMixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val toks = when(trim(col("text")) === "", 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val perSrc = GraftSession.table(s, dir, "documents")
+      .select(col("source"), toks.as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val totals = perSrc.agg(
+      sum("n_tokens").cast("double").as("total"), count(lit(1)).as("ns"))
+    val rate = round(least(lit(1.0),
+      col("total") / (lit(2) * col("ns")) / col("n_tokens")), 6)
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"), rate.as("keep_rate"),
+        floor(rate * col("n_tokens")).cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val cMixturePlanSql =
+    """WITH d AS (SELECT source,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tok
+      |  FROM documents),
+      |p AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total, COUNT(*) AS ns FROM p)
+      |SELECT source, n_tokens,
+      |  round(least(1.0, total / (2 * ns) / n_tokens), 6) AS keep_rate,
+      |  CAST(floor(round(least(1.0, total / (2 * ns) / n_tokens), 6) * n_tokens) AS BIGINT)
+      |    AS kept_tokens
+      |FROM p, t ORDER BY source""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
-    QueryDef("c_curation_funnel", cCurationFunnel, Some(cCurationFunnelSql)))
+    QueryDef("c_curation_funnel", cCurationFunnel, Some(cCurationFunnelSql)),
+    QueryDef("c_mixture_plan", cMixturePlan, Some(cMixturePlanSql)))
 }
