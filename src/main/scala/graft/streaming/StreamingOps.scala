@@ -170,7 +170,34 @@ object StreamingOps extends QueryRegistry {
       | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  // --- st_window_topk: per-window top event types — the live-dashboard
+  // leaderboard query. The rank window partitions by hour (cardinality
+  // grows with the stream; each partition holds only the |event_type|
+  // pre-aggregated counts, so per-task work is O(types), never O(events)).
+  // Streaming form: the same agg under a watermark with the rank applied
+  // per output mode batch.
+  def stWindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("hour_ts").orderBy(desc("n"), asc("event_type"))
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .orderBy("hour_ts", "rank")
+  }
+
+  private val stWindowTopkSql =
+    """WITH c AS (SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT hour_ts, event_type, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY hour_ts
+      |      ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      |  FROM c)
+      |SELECT hour_ts, event_type, n, rank FROM r WHERE rank <= 2
+      |ORDER BY hour_ts, rank""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("st_window_topk", stWindowTopk, Some(stWindowTopkSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
