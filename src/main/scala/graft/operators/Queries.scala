@@ -538,6 +538,59 @@ object Queries extends QueryRegistry {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q8_market_share: TPC-H Q8 re-expressed on this schema — one
+  // nation's supplier share of a region's PROMO-part revenue by year.
+  // Star shape: part/supplier/nation/region prune-then-broadcast; the
+  // lineitem⨝orders fact join shuffles once; numerator and denominator are
+  // exact decimal sums cast to double, so the final share division is one
+  // deterministic IEEE op in both engines.
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_type") === "PROMO").select("p_partkey")
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val custNation = t(s, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "CHINA", vol)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+        sum(vol).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(SUM(CASE WHEN n2.n_name = 'CHINA'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS mkt_share,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- q_approx_distinct: exact twin for the oracle; the HLL variant is
   // asserted within 5% of this in OperatorsSpec (approx_count_distinct).
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -648,5 +701,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    QueryDef("q8_market_share", q8MarketShare, Some(q8Sql)),
     QueryDef("q_median", qMedian, Some(qMedianSql)))
 }
