@@ -591,6 +591,30 @@ object Queries extends QueryRegistry {
       |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q16_parts_suppliers: TPC-H Q16 on this schema — how many distinct
+  // suppliers serve each surviving (brand, type, size) part segment.
+  // Anti-join the excluded brand (broadcast), then a distinct-aggregate on
+  // the pruned fact join: COUNT(DISTINCT) runs as Spark's two-phase
+  // expand+partial path — no per-group candidate sets on the driver.
+  def q16PartsSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 30)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+      .limit(20)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size <= 30
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin
+
   // --- q_approx_distinct: exact twin for the oracle; the HLL variant is
   // asserted within 5% of this in OperatorsSpec (approx_count_distinct).
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -702,5 +726,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     QueryDef("q8_market_share", q8MarketShare, Some(q8Sql)),
+    QueryDef("q16_parts_suppliers", q16PartsSuppliers, Some(q16Sql)),
     QueryDef("q_median", qMedian, Some(qMedianSql)))
 }
