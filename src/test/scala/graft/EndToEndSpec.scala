@@ -120,7 +120,7 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       asyncCompactTargetRows = 1000000L, compactDeltaCommits = 2))
     try {
       wave("w1.jsonl", 1 to 300, 1L, _.toDouble)
-      val deadline = System.currentTimeMillis() + 30000L
+      val deadline = System.currentTimeMillis() + 120000L
       def waitFor(cond: => Boolean): Unit =
         while (!cond) {
           assert(System.currentTimeMillis() < deadline, "e2e ingest timed out")
