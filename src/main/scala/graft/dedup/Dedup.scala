@@ -115,27 +115,41 @@ object Dedup extends QueryRegistry {
   // grid shingle of one doc, and the other doc's stride-1 set contains
   // every 40-char substring it has. (Grid-vs-grid would only match spans
   // whose offsets are congruent mod 20 — misaligned copies, the common case
-  // for quoted boilerplate, would be missed entirely.) Shingles travel as
-  // xxhash64 — 8-byte join keys, never 40-char strings. The probe side is
-  // O(total chars) rows, the price of exact substring dedup (Lee et al. pay
-  // the same via suffix arrays); MinHash is the cheaper approximate path.
-  // Word-level Jaccard (d_ngram_jaccard) misses verbatim spans embedded in
-  // otherwise-different docs; this is the boilerplate/quote detector.
+  // for quoted boilerplate, would be missed entirely.) On the O(total
+  // chars) PROBE side shingles travel as xxhash64 — 8-byte join keys,
+  // never 40-char strings; the sparse grid side carries the string, and
+  // every hash match is then VERIFIED by an `instr` containment check
+  // against the probing doc's text, so a 64-bit collision (statistically
+  // certain at ~1e14 probe shingles / 100 TB) can never surface a false
+  // shared span — the result stays string-exact at any corpus size, like
+  // the suffix arrays Lee et al. use. MinHash is the cheaper approximate
+  // path. Word-level Jaccard (d_ngram_jaccard) misses verbatim spans
+  // embedded in otherwise-different docs; this is the boilerplate/quote
+  // detector.
   def dSubstring(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), normText(col("text")).as("tn"))
     def shingleHashes(stride: Int): DataFrame =
       base.select(col("doc_id"), col("tn"),
           explode(expr(s"sequence(0, greatest(length(tn) - 40, 0), $stride)")).as("p"))
         .filter(length(col("tn")) - col("p") >= 40)
-        .select(col("doc_id"), xxhash64(expr("substring(tn, p + 1, 40)")).as("h"))
-    val grid = shingleHashes(20).distinct()
+        .select(col("doc_id"), xxhash64(expr("substring(tn, p + 1, 40)")).as("h"),
+          expr("substring(tn, p + 1, 40)").as("sh"))
+    val grid = shingleHashes(20).select("doc_id", "h", "sh").distinct()
     // probe side is NOT distinct'd: that would shuffle the whole O(chars)
     // stream once more, and duplicate (doc, h) probes cannot change the
     // min(other) aggregate below — only inflate the (pre-agg, map-side
     // combined) join output
     val probe = shingleHashes(1).select(col("h"), col("doc_id").as("other"))
-    grid.join(probe, "h")
+    val candidates = grid.join(probe, "h")
       .filter(col("other") =!= col("doc_id"))
+      .select("doc_id", "h", "sh", "other").distinct()
+    // collision fence: a hash match only counts if `other` really contains
+    // the grid shingle (probe stride 1 == "appears at any offset", which is
+    // exactly what `instr > 0` tests). Only the sparse candidate set pays
+    // this join + scan, never the O(chars) probe stream.
+    candidates
+      .join(base.select(col("doc_id").as("other"), col("tn").as("tn_other")), "other")
+      .filter(instr(col("tn_other"), col("sh")) > 0)
       .groupBy(col("doc_id"), col("h"))
       .agg(min("other").as("min_other"))
       .filter(col("min_other") < col("doc_id"))

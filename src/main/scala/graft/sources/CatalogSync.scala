@@ -18,25 +18,44 @@ import graft.tables.GraftTable
   * refreshes the published schema; sync is idempotent. */
 object CatalogSync {
 
+  /** Backtick-quote one identifier part (doubling embedded backticks) —
+    * used for EVERY name this object emits, SQL text and catalog API
+    * alike, so a name that needs quoting behaves identically on both
+    * paths instead of failing only on one. */
+  private def q(part: String): String = "`" + part.replace("`", "``") + "`"
+
+  /** Whether the published entry already points at `path`. A Spark-native
+    * catalog round-trips the DataSource option as storage.properties
+    * ("path"); a real Hive metastore may instead surface only the table
+    * location URI — accept either, comparing scheme-stripped paths, so
+    * sync stays a no-op when current rather than degrading to a perpetual
+    * drop+recreate (which opens a reader-visible gap every run). */
+  private def pointsAt(storage: org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat,
+      path: String): Boolean = {
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    storage.properties.get("path").map(norm).contains(norm(path)) ||
+      storage.locationUri.map(u => norm(u.toString)).contains(norm(path))
+  }
+
   /** Create or refresh `database.tableName` → the graft table at
     * `table.cfg.path`. Returns true if the entry was (re)created, false if
     * it was already current. */
   def sync(table: GraftTable, database: String, tableName: String): Boolean = {
     val spark = table.spark
     val schema = table.read().schema
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
-    val full = s"`$database`.`$tableName`"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${q(database)}")
+    val full = s"${q(database)}.${q(tableName)}"
     val current =
       try {
         val t = spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(tableName, Some(database)))
         t.provider.contains("graft") &&
-          t.storage.properties.get("path").contains(table.cfg.path) &&
+          pointsAt(t.storage, table.cfg.path) &&
           t.schema == schema
       } catch { case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => false }
     if (current) return false
     spark.sql(s"DROP TABLE IF EXISTS $full")
-    spark.catalog.createTable(s"$database.$tableName", "graft", schema,
+    spark.catalog.createTable(full, "graft", schema,
       Map("path" -> table.cfg.path))
     true
   }
@@ -44,5 +63,5 @@ object CatalogSync {
   /** Drop the catalog pointer (the table's data is untouched). */
   def unsync(spark: org.apache.spark.sql.SparkSession,
       database: String, tableName: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$tableName`")
+    spark.sql(s"DROP TABLE IF EXISTS ${q(database)}.${q(tableName)}")
 }

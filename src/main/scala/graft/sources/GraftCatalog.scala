@@ -157,6 +157,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "nested column changes are not supported")
+        // metadata-only adds can only append a nullable trailing column:
+        // FIRST/AFTER would reorder existing parquet, and NOT NULL cannot
+        // hold for already-written rows (which read NULL) — refused, not
+        // silently downgraded, same policy as renames/type changes
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN FIRST/AFTER is not supported: a metadata-only add " +
+            "always appends at the end")
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          "ADD COLUMN ... NOT NULL is not supported: existing rows read " +
+            "NULL for a metadata-only add")
         table.addColumns(Seq(org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)))
       case d: TableChange.DeleteColumn =>

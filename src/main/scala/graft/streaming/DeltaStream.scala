@@ -121,7 +121,7 @@ final class AsyncServices(
     targetRows: Long,
     deltaCommits: Int = 5,
     deltaSeconds: Long = 600L,
-    pollMs: Long = 500L) extends AutoCloseable {
+    pollMs: Long = 500L) extends AutoCloseable with org.apache.spark.internal.Logging {
 
   require(table.cfg.tableType == graft.tables.TableType.Mor,
     "async compaction is a merge-on-read pattern (delta appends never " +
@@ -132,6 +132,7 @@ final class AsyncServices(
   @volatile private var stopped = false
   @volatile private[this] var failureOpt: Option[Throwable] = None
   private val nCompactions = new java.util.concurrent.atomic.AtomicInteger
+  private val nConflicts = new java.util.concurrent.atomic.AtomicInteger
 
   private val thread = new Thread(() => {
     while (!stopped) {
@@ -140,9 +141,15 @@ final class AsyncServices(
           nCompactions.incrementAndGet()
       } catch {
         case _: InterruptedException => ()
-        // lost a first-committer-wins race to a concurrent writer: the
-        // trigger re-fires on the next poll against the new timeline
-        case _: IllegalStateException => ()
+        // lost a first-committer-wins race to a concurrent writer: benign,
+        // the trigger re-fires on the next poll against the new timeline.
+        // ONLY the dedicated conflict type retries — any other
+        // IllegalStateException (tombstoned instant, validator veto,
+        // lock-acquire timeout) is a persistent failure and must surface.
+        case e: graft.tables.CommitConflictException =>
+          nConflicts.incrementAndGet()
+          logWarning(s"async compaction lost a commit race (retry " +
+            s"#${nConflicts.get}) on ${table.cfg.path}: ${e.getMessage}")
         case e: Throwable => failureOpt = Some(e); stopped = true
       }
       try Thread.sleep(pollMs) catch { case _: InterruptedException => () }
@@ -153,6 +160,8 @@ final class AsyncServices(
   def start(): this.type = { thread.start(); this }
 
   def compactionsRun: Int = nCompactions.get
+  /** Commit races lost (and retried) so far — observable, never silent. */
+  def conflictsRetried: Int = nConflicts.get
   def failure: Option[Throwable] = failureOpt
 
   override def close(): Unit = {

@@ -694,11 +694,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         if (files.isEmpty) read().filter(lit(false))
         else dropInternal(resolve(readFiles(files)))
       // Validators are written against the documented view name
-      // `graft_candidate`, but the view registered is PER-COMMIT unique:
-      // only same-table commits serialize on the table lock, so two tables
-      // committing in one SparkSession would otherwise swap candidates
-      // mid-validation (and clobber any user view of that name).
-      val view = s"graft_candidate_${c.instant}"
+      // `graft_candidate`, but the view registered is PER-COMMIT unique.
+      // The instant alone is NOT unique across tables (instants are
+      // per-table sequence numbers), so two tables committing their Nth
+      // commit concurrently in one SparkSession would swap candidates
+      // mid-validation — the name also carries a digest of the table path.
+      val tableTag = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(cfg.path))
+      val view = s"graft_candidate_${tableTag}_${c.instant}"
       candidate.createOrReplaceTempView(view)
       try {
         vs.foreach { case (name, sql) =>

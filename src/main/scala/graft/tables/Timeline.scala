@@ -61,6 +61,15 @@ final case class ColStat(kind: String, min: String, max: String) {
   }
 }
 
+/** A commit lost a first-committer-wins race to a concurrent writer — a
+  * benign, retryable outcome (the trigger re-fires against the new
+  * timeline). Subclasses IllegalStateException so existing handlers keep
+  * working; retry loops must match on THIS type, so persistent failures
+  * that also surface as IllegalStateException (tombstoned instants,
+  * validator vetoes, lock-acquire timeouts) stay observable instead of
+  * being swallowed as races. */
+final class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
 object ColStat {
   val Num = "num"
   val Lex = "lex"
@@ -382,7 +391,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     val gone = c.removes.filterNot(live.contains)
     if (gone.nonEmpty) {
       fs.delete(new Path(metaDir, s"${c.instant}.inflight"), false)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"write conflict at instant ${c.instant}: files already replaced: ${gone.take(3).mkString(", ")}")
     }
     val root: ObjectNode = mapper.createObjectNode()
@@ -402,7 +411,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     val dest = new Path(metaDir, s"${c.instant}.commit.json")
     if (!fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(s"concurrent commit detected at instant ${c.instant}")
+      throw new CommitConflictException(s"concurrent commit detected at instant ${c.instant}")
     }
     fs.delete(new Path(metaDir, s"${c.instant}.inflight"), false)
   }

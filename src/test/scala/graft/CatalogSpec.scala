@@ -176,6 +176,11 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT * FROM graft.alter_t").count() == 6)
     // renames would need column-id mapping the format doesn't carry: refused
     intercept[Exception](sql("ALTER TABLE graft.alter_t RENAME COLUMN note TO memo"))
+    // positioned adds and NOT NULL adds can't hold metadata-only: refused
+    // (not silently appended-nullable), same policy as renames
+    intercept[Exception](sql("ALTER TABLE graft.alter_t ADD COLUMNS (early STRING FIRST)"))
+    intercept[Exception](sql("ALTER TABLE graft.alter_t ADD COLUMNS (req STRING NOT NULL)"))
+    assert(!sql("SELECT * FROM graft.alter_t").columns.exists(Set("early", "req")))
     sql("DROP TABLE graft.alter_t")
   }
 
