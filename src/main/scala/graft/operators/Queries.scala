@@ -698,6 +698,241 @@ object Queries extends QueryRegistry {
       |WHERE act_week >= cohort_week
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- q4_order_priority: TPC-H Q4 on this schema (no l_commitdate /
+  // l_receiptdate): orders in one quarter with at least one LATE line
+  // (shipped >30 days after the order date), counted per priority. The
+  // EXISTS becomes a LEFT SEMI join — Catalyst keeps it semi all the way
+  // down, so no order row is ever duplicated by its matching lines and the
+  // aggregate sees each order once.
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "leftsemi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- q7_nation_volume: TPC-H Q7 — shipping volume between two nations,
+  // both directions, per ship year. The supplier and customer sides each
+  // reduce to a broadcastable (key, nation) map BEFORE touching the facts;
+  // the only shuffle is lineitem⨝orders. The nation-pair filter runs on
+  // the broadcast outputs, so non-qualifying rows die in the map stage.
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_3", "NATION_7")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+      |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // --- q12_priority_class: TPC-H Q12 on this schema (no l_shipmode /
+  // l_receiptdate): per return flag, how many 1997-shipped lines belong to
+  // critical (URGENT/HIGH) vs other orders. One fact-fact equi-join, then
+  // conditional counts in a single hash aggregate — the Q12 shape.
+  def q12PriorityClass(s: SparkSession, dir: String): DataFrame = {
+    val critical = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q13_customer_distribution: TPC-H Q13 — the distribution of orders
+  // per customer, INCLUDING zero-order customers (the left outer join is
+  // the point of the query). Group-on-group: per-customer counts first
+  // (map-side combinable), then the tiny histogram aggregate. The priority
+  // filter stands in for Q13's o_comment NOT LIKE.
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    val perCust = t(s, dir, "customer").select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // COUNT(col): NULLs (no orders) -> 0
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- q15_top_supplier: TPC-H Q15 — the supplier(s) with the maximum
+  // quarterly revenue. The revenue comparison happens in EXACT decimal on
+  // both engines (ties included), and only the output casts to double; the
+  // max is a one-row broadcast back onto the per-supplier aggregate, never
+  // a second scan of the facts.
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .as("rev_exact"))
+    val top = rev.join(broadcast(rev.agg(max("rev_exact").as("rev_max"))),
+      col("rev_exact") === col("rev_max"))
+    top.join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("supplier_no"), col("s_name"),
+        col("rev_exact").cast("double").as("total_revenue"))
+      .orderBy("supplier_no")
+  }
+
+  private val q15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_exact
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT supplier_no, s_name, CAST(rev_exact AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON supplier_no = s_suppkey
+      |WHERE rev_exact = (SELECT MAX(rev_exact) FROM rev)
+      |ORDER BY supplier_no""".stripMargin
+
+  // --- q21_waiting_supplier: TPC-H Q21 on this schema — suppliers who
+  // were the ONLY late shipper (>60 days after the order date) in a
+  // finished multi-supplier order. Q21's EXISTS/NOT-EXISTS pair collapses
+  // into ONE hash aggregate per order (distinct-supplier and late-supplier
+  // counts side by side), so the facts are scanned once instead of three
+  // times; `max(when(late))` recovers the culprit key without a re-join.
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val perOrder = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder.groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """WITH per_order AS (
+      |  SELECT o_orderkey,
+      |    COUNT(DISTINCT l_suppkey) AS n_supp,
+      |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |      THEN l_suppkey END) AS n_late_supp,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |      THEN l_suppkey END) AS late_supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY o_orderkey)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM per_order JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp >= 2 AND n_late_supp = 1
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  // --- q22_global_sales: TPC-H Q22 on this schema (nation key stands in
+  // for the phone country code) — well-funded customers with no RECENT
+  // orders (none since 2000, Q22's "no orders for 7 years"), per nation.
+  // The positive-balance mean is computed on integer cents (order-free
+  // sum, bit-identical across engines) and broadcast as one row; the
+  // inactivity test is a LEFT ANTI join against the date-pruned orders.
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_nationkey").isin(1, 3, 5, 7))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val thresh = cust.filter(col("cents") > 0)
+      .agg((sum(col("cents")).cast("double") / count(lit(1))).as("avg_cents"))
+    cust.join(broadcast(thresh))
+      .filter(col("cents").cast("double") > col("avg_cents"))
+      .join(t(s, dir, "orders").filter(col("o_orderdate") >= ts("2000-01-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "leftanti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("cents")).cast("double") / 100.0).as("totacctbal"))
+      .orderBy("cntry")
+  }
+
+  private val q22Sql =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7)),
+      |t AS (SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg_cents
+      |  FROM cust WHERE cents > 0)
+      |SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+      |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS totacctbal
+      |FROM cust, t
+      |WHERE CAST(cents AS DOUBLE) > avg_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -727,5 +962,12 @@ object Queries extends QueryRegistry {
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     QueryDef("q8_market_share", q8MarketShare, Some(q8Sql)),
     QueryDef("q16_parts_suppliers", q16PartsSuppliers, Some(q16Sql)),
+    QueryDef("q4_order_priority", q4OrderPriority, Some(q4Sql)),
+    QueryDef("q7_nation_volume", q7NationVolume, Some(q7Sql)),
+    QueryDef("q12_priority_class", q12PriorityClass, Some(q12Sql)),
+    QueryDef("q13_customer_distribution", q13CustomerDistribution, Some(q13Sql)),
+    QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
+    QueryDef("q21_waiting_supplier", q21WaitingSupplier, Some(q21Sql)),
+    QueryDef("q22_global_sales", q22GlobalSales, Some(q22Sql)),
     QueryDef("q_median", qMedian, Some(qMedianSql)))
 }
