@@ -933,6 +933,30 @@ object Queries extends QueryRegistry {
       |    AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_json_extract: semi-structured extraction — pull a typed field
+  // out of the JSON `props` payload and aggregate it per event type (the
+  // ubiquitous telemetry-pipeline pattern). One JSON parse per row feeding
+  // a map-side-combinable integer aggregate; no shuffle beyond the tiny
+  // per-type groups. Integer sums keep the oracle bit-exact.
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val qJsonExtractSql =
+    """SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |WHERE k IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -969,5 +993,6 @@ object Queries extends QueryRegistry {
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
     QueryDef("q21_waiting_supplier", q21WaitingSupplier, Some(q21Sql)),
     QueryDef("q22_global_sales", q22GlobalSales, Some(q22Sql)),
+    QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
     QueryDef("q_median", qMedian, Some(qMedianSql)))
 }

@@ -404,7 +404,61 @@ object TextOps extends QueryRegistry {
       |  SUM(q) / COUNT(*) AS lm_q6
       |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- x_chunk: context-window chunking (RAG / long-context training
+  // prep): fixed 512-char windows on a 384-char stride (128 overlap), each
+  // chunk fingerprinted for downstream dedup. Pure per-row explode +
+  // substring — no shuffle, O(total chars) rows, embarrassingly parallel
+  // at any corpus size. The overlap means a span crossing a boundary is
+  // fully inside SOME chunk (up to 128 chars), the standard retrieval
+  // chunking contract.
+  def xChunk(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, greatest(length(text) - 1, 0), 384)")).as("p"))
+      .select(col("doc_id"), (col("p") / 384).cast("long").as("chunk_idx"),
+        length(expr("substring(text, p + 1, 512)")).cast("long").as("chunk_chars"),
+        md5(expr("substring(text, p + 1, 512)")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val xChunkSql =
+    """SELECT doc_id, CAST(p / 384 AS BIGINT) AS chunk_idx,
+      |  CAST(length(substr(text, p + 1, 512)) AS BIGINT) AS chunk_chars,
+      |  md5(substr(text, p + 1, 512)) AS chunk_md5
+      |FROM (SELECT doc_id, text,
+      |    unnest(range(0, greatest(length(text) - 1, 0) + 1, 384)) AS p
+      |  FROM documents)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --- x_bpe_pairs: one BPE merge step over the corpus — the most
+  // frequent ADJACENT token pairs (what a tokenizer trainer would merge
+  // next). Pairs come from one explode over per-doc token arrays (posexplode
+  // keeps adjacency without a self-join); the count is a map-side-combinable
+  // hash agg, so the shuffle carries (pair, partial count), never tokens.
+  def xBpePairs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(split(normText(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as w1, w[i] as w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w1"), asc("w2"))
+      .limit(50)
+
+  private val xBpePairsSql =
+    """SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+      |  FROM (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |    FROM documents)
+      |  WHERE len(w) >= 2)
+      |WHERE bg.w1 <> '' AND bg.w2 <> ''
+      |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("x_chunk", xChunk, Some(xChunkSql)),
+    QueryDef("x_bpe_pairs", xBpePairs, Some(xBpePairsSql)),
     QueryDef("x_lm_score", xLmScore, Some(xLmScoreSql)),
     QueryDef("x_decontaminate", xDecontaminate, Some(xDecontaminateSql)),
     QueryDef("x_repetition", xRepetition, Some(xRepetitionSql)),
