@@ -77,20 +77,39 @@ object Bench {
       System.gc()
       name -> dt
     }
-    // millisecond precision (sub-ms is noise) keeps the line small, and
-    // the headline metric/value go LAST: the harness records the TAIL of
-    // the line, so whatever is clipped, the total and the sf survive
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
+    // The harness records only the LAST ~2000 chars of stdout and parses a
+    // JSON line out of that window. With 100+ ops the full per-op line is
+    // ~2.7 KB and can never sit complete inside the window (round 4's
+    // parsed=null). So: print the full line FIRST (for humans reading raw
+    // logs), persist it to BENCH_SELF.json, and print LAST a slim summary
+    // line — per-family rollups + per-op mean + grand total, ~400 chars —
+    // that is guaranteed to fit complete inside the tail window.
+    val fullLine =
       s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}"""
-    println(line)
-    // full copy on disk, immune to any log-capture truncation
+    println(fullLine)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"), line + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"), fullLine + "\n")
     catch { case _: Exception => () } // repo may be elsewhere; the line printed
+    val families = Seq(
+      "tables" -> "t_", "query" -> "q", "dedup" -> "d_", "text" -> "x_",
+      "ann" -> "s_", "stream" -> "st_", "media" -> "m_", "curation" -> "c_")
+    // longest-prefix wins so q* doesn't swallow nothing and st_/s_ resolve
+    def family(name: String): String =
+      families.filter { case (_, p) => name.startsWith(p) }
+        .sortBy(-_._2.length).headOption.map(_._1).getOrElse("other")
+    val byFam = results.groupBy { case (k, _) => family(k) }
+    val famJson = families.map(_._1).filter(byFam.contains).map { f =>
+      val vs = byFam(f).map(_._2)
+      "\"" + f + "_" + vs.size + "ops\":" + f3(vs.sum)
+    }.mkString("{", ",", "}")
+    val slim =
+      s"""{"queries":$famJson,"ops":${results.size},"mean_sec_per_op":${f3(
+        if (results.isEmpty) 0.0 else total / results.size)},"detail":"BENCH_SELF.json","sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}"""
+    println(slim)
     spark.stop()
   }
 }
