@@ -957,6 +957,178 @@ object Queries extends QueryRegistry {
       |WHERE k IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // EUROPE suppliers with their nation name — the shared dim block for
+  // the Q2/Q20 adaptations. Supplier × nation × region is dim-sized at
+  // any scale factor (TPC-H suppliers are 0.01% of lineitems), so the
+  // whole block broadcasts.
+  private def europeSuppliers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
+  // --- q2_min_cost_supplier: TPC-H Q2 re-expressed without a partsupp
+  // table: the supply catalog is DERIVED from observed lineitems — per
+  // (part, supplier) the minimum quantized unit price — and Q2's
+  // correlated min-cost subquery becomes a per-part min + equi-join back
+  // on (part, cost). Dims broadcast; the one wide shuffle carries the
+  // (part, supplier) aggregate (map-side combined), never raw lineitems
+  // twice. Unit prices are quantized to 1e-4 BEFORE the min so the join
+  // key is an exact integer in both engines.
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(lit(10000.0) * col("l_extendedprice") / col("l_quantity"))
+        .cast("long")).as("supply_cost"))
+    val part = t(s, dir, "part")
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
+      .select("p_partkey")
+    val eligible = ps
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(europeSuppliers(s, dir)), col("l_suppkey") === col("s_suppkey"))
+    val minCost = eligible.groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min("supply_cost").as("min_cost"))
+    eligible.join(broadcast(minCost),
+        col("p_partkey") === col("mc_partkey") &&
+          col("supply_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("supply_cost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .limit(100)
+  }
+
+  private val q2Sql =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(CAST(round(10000 * l_extendedprice / l_quantity) AS BIGINT)) AS supply_cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+      |eligible AS (
+      |  SELECT p_partkey, supply_cost, s_acctbal, s_name, n_name
+      |  FROM ps JOIN part ON l_partkey = p_partkey JOIN eu ON l_suppkey = s_suppkey
+      |  WHERE p_type = 'LARGE' AND p_size <= 15)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+      |FROM eligible e
+      |WHERE supply_cost = (SELECT MIN(supply_cost) FROM eligible e2
+      |  WHERE e2.p_partkey = e.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // --- q9_product_profit: TPC-H Q9 with supply cost proxied by the
+  // part's retail price (this schema has no partsupp): profit per
+  // supplier nation per order year over 'widget' parts. Revenue and cost
+  // stay two SEPARATE exact decimal sums (two-factor decimal products
+  // only — a three-factor chain would overflow Spark's 38-digit cap and
+  // silently rescale), differenced once post-aggregate. Part and
+  // supplier dims broadcast; lineitem⋈orders is the one fact shuffle.
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val one = lit(1).cast(DecimalType(18, 2))
+    val revenue = sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+    val cost = sum(dec(col("p_retailprice")) * dec(col("l_quantity")))
+    t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(revenue.cast("double").as("revenue"),
+        cost.cast("double").as("supply_cost"),
+        (revenue - cost).cast("double").as("profit"))
+      .orderBy(asc("n_name"), desc("o_year"))
+  }
+
+  private val q9Sql =
+    """SELECT n_name, year(o_orderdate) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supply_cost,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))
+      |     - SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin
+
+  // --- q11_important_parts: TPC-H Q11 with the inventory ledger derived
+  // from one nation's suppliers' lineitems: per-part total value, kept
+  // when above a fixed fraction of the grand total. The grand total is a
+  // 1-row aggregate broadcast back over the per-part values (Q11's scalar
+  // subquery), decimals exact until the final double emit; the threshold
+  // compare runs in double on BOTH engines so the cast point is shared.
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val vals = t(s, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(dec(col("l_extendedprice"))).as("value0"))
+    val total = vals.agg(sum(col("value0")).cast("double").as("total0"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("value0").cast("double") > col("total0") * lit(0.001))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value0").cast("double").as("part_value"))
+      .orderBy(desc("part_value"), asc("p_partkey"))
+  }
+
+  private val q11Sql =
+    """WITH supp AS (SELECT s_suppkey FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3'),
+      |vals AS (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value0
+      |  FROM lineitem JOIN supp ON l_suppkey = s_suppkey GROUP BY 1)
+      |SELECT l_partkey AS p_partkey, CAST(value0 AS DOUBLE) AS part_value
+      |FROM vals
+      |WHERE CAST(value0 AS DOUBLE) >
+      |  (SELECT CAST(SUM(value0) AS DOUBLE) FROM vals) * CAST(0.001 AS DOUBLE)
+      |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  // --- q20_excess_shipments: TPC-H Q20's nested semi-join reduction on
+  // this schema: EUROPE suppliers whose 1997 shipments of widget parts
+  // exceeded a fixed volume. Part filter broadcasts into the date-pruned
+  // lineitem scan, the per-supplier quantity aggregate map-side combines
+  // before its (tiny, #suppliers-sized) shuffle, and the supplier dim
+  // broadcasts onto the result — no fact-fact shuffle anywhere.
+  def q20ExcessShipments(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_name").contains("widget"))
+      .select("p_partkey")
+    val shipped = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty0"))
+    shipped
+      .join(broadcast(europeSuppliers(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("qty0") > lit(300).cast(DecimalType(18, 2)))
+      .select(col("s_name"), col("n_name"), col("qty0").cast("double").as("ship_qty"))
+      .orderBy("s_name")
+  }
+
+  private val q20Sql =
+    """SELECT s_name, n_name, CAST(qty0 AS DOUBLE) AS ship_qty
+      |FROM (SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty0
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%widget%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE' AND qty0 > 300
+      |ORDER BY s_name""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -994,5 +1166,9 @@ object Queries extends QueryRegistry {
     QueryDef("q21_waiting_supplier", q21WaitingSupplier, Some(q21Sql)),
     QueryDef("q22_global_sales", q22GlobalSales, Some(q22Sql)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
+    QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
+    QueryDef("q9_product_profit", q9ProductProfit, Some(q9Sql)),
+    QueryDef("q11_important_parts", q11ImportantParts, Some(q11Sql)),
+    QueryDef("q20_excess_shipments", q20ExcessShipments, Some(q20Sql)),
     QueryDef("q_median", qMedian, Some(qMedianSql)))
 }
