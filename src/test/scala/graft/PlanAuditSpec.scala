@@ -286,4 +286,47 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("Join"), s)
     assert(countShuffles(df) <= 1, s)
   }
+
+  test("q2: derived supply catalog shuffles once; part/supplier/min-cost all broadcast") {
+    val df = Queries.q2MinCostSupplier(spark, sfDir)
+    val s = planString(df)
+    val broadcasts = s.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the only hash shuffles: the (part, supplier) partial-combined aggregate
+    // (lineitem appears once per branch of the min-cost self-reference)
+    assert(s.contains("partial_min"), s)
+  }
+
+  test("q9: all dims broadcast — lineitem joins orders as the only fact shuffle") {
+    val s = planString(Queries.q9ProductProfit(spark, sfDir))
+    val broadcasts = s.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts in:\n$s")
+    // part filter pushes into the part scan, date columns prune
+    assert(s.contains("StringContains(p_name,widget)"), s)
+    assert(s.contains("partial_sum"), s)
+  }
+
+  test("q11: grand total is a 1-row broadcast back over per-part values") {
+    val df = Queries.q11ImportantParts(spark, sfDir)
+    val s = planString(df)
+    // the 1-row total side may plan as BroadcastNestedLoopJoin (no key) —
+    // that is the correct shape for a scalar subquery; what must NOT appear
+    // is a shuffled cartesian of the values side
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("Broadcast"), s)
+    assert(s.contains("partial_sum"), s)
+  }
+
+  test("q20: no fact-fact shuffle — per-supplier aggregate combines map-side") {
+    val df = Queries.q20ExcessShipments(spark, sfDir)
+    val s = planString(df)
+    val broadcasts = s.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts in:\n$s")
+    assert(s.contains("partial_sum"), s)
+    // ship-date window pushes to the lineitem scan
+    assert(s.contains("PushedFilters") && s.contains("l_shipdate"), s)
+    // one hash shuffle total: the per-supplier aggregate
+    assert(countShuffles(df) <= 1, s)
+  }
 }
