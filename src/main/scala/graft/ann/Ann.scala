@@ -374,11 +374,94 @@ object Ann extends QueryRegistry {
       |    FROM e CROSS JOIN c) WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  // --- s_mips: max-inner-product top-k — two-tower/recommender retrieval,
+  // where vector magnitude IS signal and cosine's normalization would erase
+  // it. Same broadcast linear-scan + two-phase ranking shape as
+  // s_topk_bruteforce, scored by the native codegen dot_f kernel. (The
+  // classic MIPS-to-cosine norm-augmentation reduction makes this servable
+  // by the IVF/PQ paths too; the exact scan is the oracle-able baseline.)
+  def sMips(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("ip_r", round(expr("dot_f(embedding, qe)"), 6))
+    rankTopK(scored, K, Seq(desc("ip_r"), asc("vec_id")), "rank")
+      .withColumn("rank", col("rank").cast("long"))
+      .select("q_id", "rank", "vec_id", "ip_r")
+      .orderBy("q_id", "rank")
+  }
+
+  private val sMipsSql =
+    s"""WITH p AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), 6) AS ip_r
+       |  FROM embeddings e JOIN embeddings q ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, vec_id, ip_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip_r DESC, vec_id) AS BIGINT) AS rank
+       |  FROM p)
+       |SELECT q_id, rank, vec_id, ip_r FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  // --- s_knn_graph: k-NN GRAPH construction — every vector's 5 nearest
+  // neighbors, the primitive under SemDeDup clustering, HNSW building, and
+  // graph-based label propagation. All-pairs is quadratic, so candidates
+  // are blocked by IVF multi-assignment: each vector joins its 2 nearest
+  // centroid buckets, and only same-bucket pairs are scored — per-bucket
+  // work is (n/#buckets)², the standard blocked-kNN bound, and #buckets
+  // grows with the corpus (vec_id % 100 sampling). The pair dedupe
+  // shuffles only (id, id, score) triples, never embeddings; ranking uses
+  // the salted two-phase top-k so no task sorts a whole vector's
+  // candidate set.
+  def sKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
+    val pairs = assigned.toDF("q_id", "qe", "bucket")
+      .join(assigned.toDF("n_id", "ne", "bucket"), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(qe, ne)"), 6))
+      .select(col("q_id"), col("n_id").as("vec_id"), col("cos_r"))
+      .distinct()
+    rankTopK(pairs, 5, Seq(desc("cos_r"), asc("vec_id")), "rank")
+      .withColumn("rank", col("rank").cast("long"))
+      .select("q_id", "rank", "vec_id", "cos_r")
+      .orderBy("q_id", "rank")
+  }
+
+  private val sKnnGraphSql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0),
+      |a AS (SELECT vec_id, embedding, nrm, bucket FROM (
+      |    SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS bucket,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+      |          / (e.nrm * c.cnrm), 6) DESC, c.c_id) AS rn
+      |    FROM e CROSS JOIN c) WHERE rn <= 2),
+      |p AS (SELECT DISTINCT a1.vec_id AS q_id, a2.vec_id AS vec_id,
+      |    round(list_sum(list_transform(range(1, len(a1.embedding) + 1),
+      |      i -> CAST(a1.embedding[i] AS DOUBLE) * CAST(a2.embedding[i] AS DOUBLE)))
+      |      / (a1.nrm * a2.nrm), 6) AS cos_r
+      |  FROM a a1 JOIN a a2 ON a1.bucket = a2.bucket AND a1.vec_id <> a2.vec_id),
+      |r AS (SELECT q_id, vec_id, cos_r,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
+      |  FROM p)
+      |SELECT q_id, rank, vec_id, cos_r FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
     QueryDef("s_topk_pq", sTopkPq, Some(sTopkPqSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
-    QueryDef("s_ivf_incremental", sIvfIncremental, Some(sIvfIncrementalSql)))
+    QueryDef("s_ivf_incremental", sIvfIncremental, Some(sIvfIncrementalSql)),
+    QueryDef("s_mips", sMips, Some(sMipsSql)),
+    QueryDef("s_knn_graph", sKnnGraph, Some(sKnnGraphSql)))
 }

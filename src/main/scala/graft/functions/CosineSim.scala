@@ -194,12 +194,59 @@ object L2SqQ6 {
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 }
 
+/** Native Catalyst expression: inner product of two float vectors, the
+  * [[CosineSim]] fold without normalization — the scoring kernel for
+  * max-inner-product retrieval (recommender/two-tower scoring), where
+  * magnitude IS signal and cosine's normalization would erase it. Same
+  * index-ordered double accumulation as the DuckDB oracle fold. */
+case class DotF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_f"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (children => CosineSim(children.head, children(1))),
     "cosine_sim_d" -> (children => CosineSimD(children.head, children(1))),
-    "l2sq_q6" -> (children => L2SqQ6(children.head, children(1))))
+    "l2sq_q6" -> (children => L2SqQ6(children.head, children(1))),
+    "dot_f" -> (children => DotF(children.head, children(1))))
 
   /** `graft_table_changes(path, mode, beginExclusive[, endInclusive])` —
     * the SQL table function mirroring the reference's `hudi_table_changes`
@@ -269,6 +316,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("l2sq_q6"),
       new ExpressionInfo(classOf[L2SqQ6].getName, "l2sq_q6"),
       children => L2SqQ6(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotF].getName, "dot_f"),
+      children => DotF(children.head, children(1))))
     ext.injectTableFunction((
       FunctionIdentifier("graft_table_changes"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_table_changes"),
