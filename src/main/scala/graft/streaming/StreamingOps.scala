@@ -196,7 +196,48 @@ object StreamingOps extends QueryRegistry {
       |SELECT hour_ts, event_type, n, rank FROM r WHERE rank <= 2
       |ORDER BY hour_ts, rank""".stripMargin
 
+  // --- st_anomaly: windowed anomaly detection — hours whose event count
+  // sits more than 2 standard deviations from that event type's hourly
+  // mean (the streaming-monitor alert primitive; batch twin of a windowed
+  // agg + per-key baseline join). Two narrow shuffles: hourly counts
+  // (map-side combined), then a #types-row baseline broadcast back. The
+  // 2σ test is evaluated in PURE INTEGER arithmetic —
+  // (cnt·n − sum)² > 4·(n·sumsq − sum²) ⟺ |z| > 2 — so the flag is
+  // bit-exact across engines; the reported z-score is one deterministic
+  // double expression from those exact integers.
+  def stAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val baseline = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+        sum(col("cnt") * col("cnt")).as("sq"))
+    val dev = col("cnt") * col("n") - col("s")           // n·(cnt − mean)
+    val varN2 = col("n") * col("sq") - col("s") * col("s") // n²·var
+    hourly.join(broadcast(baseline), "event_type")
+      .filter(dev * dev > lit(4) * varN2 && varN2 > 0)
+      .select(col("event_type"), col("hour"), col("cnt"),
+        round(dev.cast("double") / sqrt(varN2.cast("double")), 6).as("z"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val stAnomalySql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |base AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt * cnt) AS sq
+      |  FROM hourly GROUP BY 1)
+      |SELECT h.event_type, h.hour, h.cnt,
+      |  round(CAST(h.cnt * b.n - b.s AS DOUBLE)
+      |    / sqrt(CAST(b.n * b.sq - b.s * b.s AS DOUBLE)), 6) AS z
+      |FROM hourly h JOIN base b ON h.event_type = b.event_type
+      |WHERE (h.cnt * b.n - b.s) * (h.cnt * b.n - b.s) > 4 * (b.n * b.sq - b.s * b.s)
+      |  AND b.n * b.sq - b.s * b.s > 0
+      |ORDER BY h.event_type, h.hour""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("st_anomaly", stAnomaly, Some(stAnomalySql)),
     QueryDef("st_window_topk", stWindowTopk, Some(stWindowTopkSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),

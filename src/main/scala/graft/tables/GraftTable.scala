@@ -321,6 +321,18 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   /** Latest-snapshot read (user columns only). */
   def read(): DataFrame = dropInternal(snapshotWithMeta(None))
 
+  /** File-level metadata of the snapshot as a queryable DataFrame — the
+    * FILES view of the table metadata (the reference's Hudi metadata-table
+    * listing, `hudi_metadata(...)` files partition). Served entirely from
+    * the timeline: no data file is opened. O(#files) driver rows — this IS
+    * the metadata, the same listing every read already materializes. */
+  def filesMeta(asOf: Option[String] = None): DataFrame = {
+    val rows = timeline.liveFiles(asOf).map(f =>
+      (f.path, f.partition, f.bucket, f.minKey, f.maxKey, f.rows))
+    spark.createDataFrame(rows)
+      .toDF("file_path", "partition", "bucket", "min_key", "max_key", "n_rows")
+  }
+
   /** MOR read-optimized view (Hudi's RO query type): BASE files only — no
     * delta resolution, no per-key window — trading freshness (un-compacted
     * updates/deletes are invisible) for pure columnar-scan speed. Equals

@@ -276,6 +276,26 @@ object TableOps extends QueryRegistry {
       .filter(col("o_orderpriority") === "1-URGENT").orderBy("o_orderkey")
   }
 
+  // --- t_metadata_files: the queryable FILES metadata view (the
+  // reference's hudi_metadata() files partition / metadata-table listing):
+  // per-partition row counts and key bounds aggregated from TIMELINE
+  // metadata only — no data file is opened, which is the whole point of a
+  // metadata table at 100 TB (listing + stats without S3 scans). The
+  // oracle corroborates the metadata against the data itself: per-file
+  // footer stats must roll up to the true per-partition counts/bounds.
+  def tMetadataFiles(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_metadata_files",
+      keyGen = FieldPartition("o_orderpriority"))
+    tbl.insert(orders, numFiles = 4)
+    tbl.filesMeta()
+      .groupBy(regexp_replace(col("partition"), "^o_orderpriority=", "")
+        .as("o_orderpriority"))
+      .agg(sum("n_rows").as("n_rows"),
+        min(col("min_key").cast("long")).as("min_key"),
+        max(col("max_key").cast("long")).as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
   // --- t_keygen_timestamp: timestamp-based partition paths (yyyy-MM-dd).
   def tKeygenTimestamp(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events")
@@ -662,6 +682,10 @@ object TableOps extends QueryRegistry {
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_partition_prune", tPartitionPrune, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
+    QueryDef("t_metadata_files", tMetadataFiles, Some(
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("t_ttl", tTtl, Some(
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS p_day, user_id, value
         |FROM events
