@@ -262,7 +262,42 @@ object Multimodal extends QueryRegistry {
        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // --- m_caption_pairs: image-text pair construction (CLIP/LLaVA-style
+  // training prep): every media payload joined to its caption document,
+  // gated by caption quality (length band + language allowlist), with a
+  // deterministic hash-based train/val split — the split must be a pure
+  // function of the pair key so re-runs and late-arriving media land in
+  // the same split at any scale. The join is keyed 1:1 on doc_id (at
+  // scale: co-partitioned or broadcast per the smaller side); everything
+  // else is per-row projection, no extra shuffle.
+  def mCaptionPairs(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir)
+    val captions = GraftSession.table(s, dir, "documents")
+      .filter(col("lang").isin("en", "de", "fr", "es") &&
+        col("n_chars").between(100, 20000))
+      .select(col("doc_id"), col("lang"), col("text"))
+    media.join(captions, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("caption_chars"),
+        length(col("payload")).cast("long").as("payload_bytes"),
+        md5(concat(col("payload").cast("string"), lit("|"), col("text")))
+          .as("pair_md5"),
+        when(pmod(col("doc_id") * 2654435761L, lit(100)) < 95, "train")
+          .otherwise("val").as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val mCaptionPairsSql =
+    """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS caption_chars,
+      |  CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS payload_bytes,
+      |  md5(substr(text, 1, 64) || '|' || text) AS pair_md5,
+      |  CASE WHEN (doc_id * 2654435761) % 100 < 95 THEN 'train' ELSE 'val' END AS split
+      |FROM documents
+      |WHERE lang IN ('en', 'de', 'fr', 'es') AND n_chars BETWEEN 100 AND 20000
+      |ORDER BY doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("m_caption_pairs", mCaptionPairs, Some(mCaptionPairsSql)),
     QueryDef("m_scene_split", mSceneSplit, Some(mSceneSplitSql)),
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_media_pipeline", mMediaPipeline, Some(mMediaPipelineSql)),
