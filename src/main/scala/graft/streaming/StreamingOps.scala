@@ -206,9 +206,14 @@ object StreamingOps extends QueryRegistry {
   // bit-exact across engines; the reported z-score is one deterministic
   // double expression from those exact integers.
   def stAnomaly(s: SparkSession, dir: String): DataFrame = {
+    // cached: hourly feeds BOTH the probe side and the baseline aggregate —
+    // uncached, Spark re-scans and re-shuffles the raw event stream once
+    // per branch. The cache is #types × #hours rows, metadata-sized next
+    // to the events it summarizes.
     val hourly = events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+      .cache()
     val baseline = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
         sum(col("cnt") * col("cnt")).as("sq"))

@@ -318,6 +318,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("partial_sum"), s)
   }
 
+  test("s_knn_graph: bucket-blocked equi pair join; dedupe ships no embeddings") {
+    val df = graft.ann.Ann.sKnnGraph(spark, sfDir)
+    val s = planString(df)
+    // the only nested-loop join allowed is the broadcast centroid
+    // cross-join (O(#centroids) rows); the corpus-vs-corpus pair join must
+    // be hash-equi on (bucket), never cartesian
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"), s)
+    // the pair-dedupe exchange carries only (q_id, vec_id, cos_r) — no
+    // array column crosses that shuffle
+    val exchanges = s.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("qe") && !exchanges.contains("ne"), exchanges)
+  }
+
+  test("st_anomaly: two narrow shuffles — hourly counts then a broadcast baseline") {
+    val df = graft.streaming.StreamingOps.stAnomaly(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("partial_count") || s.contains("partial_sum"), s)
+    assert(countShuffles(df) <= 2, s)
+  }
+
+  test("m_caption_pairs: one keyed join, no extra shuffle") {
+    val df = graft.multimodal.Multimodal.mCaptionPairs(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(countShuffles(df) <= 2, s) // join co-partitioning only
+  }
+
   test("q20: no fact-fact shuffle — per-supplier aggregate combines map-side") {
     val df = Queries.q20ExcessShipments(spark, sfDir)
     val s = planString(df)
