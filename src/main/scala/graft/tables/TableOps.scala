@@ -1,7 +1,7 @@
 package graft.tables
 
 import graft.{GraftSession, QueryDef, QueryRegistry}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -295,6 +295,56 @@ object TableOps extends QueryRegistry {
         max(col("max_key").cast("long")).as("max_key"))
       .orderBy("o_orderpriority")
   }
+
+  // --- t_analyze: ANALYZE TABLE — the column-statistics table service
+  // (Spark's ANALYZE ... COMPUTE STATISTICS FOR COLUMNS / Hudi's column
+  // stats index build): one aggregation pass over the snapshot computes
+  // per-column row/null/distinct counts and min/max, emitted as one row
+  // per column. All counts are exact integers; min/max are rendered as
+  // strings on both engines so the report schema is column-type-agnostic.
+  // The single wide agg runs with map-side partials; COUNT(DISTINCT x, y,
+  // z) in one agg becomes Spark's expand + two-phase distinct — no
+  // per-column rescans.
+  def tAnalyze(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_analyze")
+    tbl.insert(orders, numFiles = 4)
+    val snap = tbl.read()
+    def statRow(c: String): Column = struct(
+      lit(c).as("column_name"),
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("string").as("min_value"),
+      max(col(c)).cast("string").as("max_value"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    snap.agg(statRow(cols.head).as("s0"),
+        cols.tail.zipWithIndex.map { case (c, i) => statRow(c).as(s"s${i + 1}") }: _*)
+      .select(explode(array(cols.indices.map(i => col(s"s$i")): _*)).as("st"))
+      .select("st.*")
+      .orderBy("column_name")
+  }
+
+  private val tAnalyzeSql =
+    """SELECT column_name, n_rows, n_nulls, n_distinct, min_value, max_value
+      |FROM (
+      |  SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+      |    COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+      |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+      |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+      |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+      |    COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR),
+      |    CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+      |    COUNT(DISTINCT o_orderstatus), CAST(MIN(o_orderstatus) AS VARCHAR),
+      |    CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+      |    COUNT(DISTINCT o_orderpriority), CAST(MIN(o_orderpriority) AS VARCHAR),
+      |    CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders)
+      |ORDER BY column_name""".stripMargin
 
   // --- t_keygen_timestamp: timestamp-based partition paths (yyyy-MM-dd).
   def tKeygenTimestamp(s: SparkSession, dir: String): DataFrame = {
@@ -682,6 +732,7 @@ object TableOps extends QueryRegistry {
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_partition_prune", tPartitionPrune, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
+    QueryDef("t_analyze", tAnalyze, Some(tAnalyzeSql)),
     QueryDef("t_metadata_files", tMetadataFiles, Some(
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
