@@ -296,6 +296,48 @@ object TableOps extends QueryRegistry {
       .orderBy("o_orderpriority")
   }
 
+  // --- t_concurrent_upsert: optimistic multi-writer concurrency as an
+  // ORACLED operator: two writers upsert DISJOINT key ranges through
+  // separate table handles at the same time. The commit path is
+  // first-committer-wins — a loser whose replaced files were superseded
+  // gets CommitConflictException and RETRIES against the fresh snapshot
+  // (re-resolving its rewrite set) — so the final state is deterministic
+  // under every interleaving: exactly the multi-writer contract of many
+  // concurrent ETL jobs sharing one 100 TB table.
+  def tConcurrentUpsert(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_concurrent_upsert")
+    tbl.insert(orders, numFiles = 4)
+    def retryingUpsert(batch: DataFrame): Unit = {
+      // a separate handle per writer: no shared in-process state beyond
+      // the on-disk timeline, as two independent jobs would have
+      val writer = GraftTable(s, GraftTableConfig(
+        scratch("t_concurrent_upsert", dir), "o_orderkey", "o_orderkey"))
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { writer.upsert(batch); done = true }
+        catch {
+          case _: CommitConflictException if attempts < 10 => attempts += 1
+        }
+      }
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = Seq(
+      orders.filter(col("o_orderkey") % 2 === 0).withColumn("o_orderstatus", lit("E")),
+      orders.filter(col("o_orderkey") % 2 === 1).withColumn("o_orderstatus", lit("D")))
+      .map(b => Future(retryingUpsert(b)))
+    Await.result(Future.sequence(writers), 600.seconds)
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  private val tConcurrentUpsertSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 'E' ELSE 'D' END AS o_orderstatus,
+      |  o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // --- t_analyze: ANALYZE TABLE — the column-statistics table service
   // (Spark's ANALYZE ... COMPUTE STATISTICS FOR COLUMNS / Hudi's column
   // stats index build): one aggregation pass over the snapshot computes
@@ -733,6 +775,7 @@ object TableOps extends QueryRegistry {
     QueryDef("t_partition_prune", tPartitionPrune, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
     QueryDef("t_analyze", tAnalyze, Some(tAnalyzeSql)),
+    QueryDef("t_concurrent_upsert", tConcurrentUpsert, Some(tConcurrentUpsertSql)),
     QueryDef("t_metadata_files", tMetadataFiles, Some(
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
