@@ -99,7 +99,49 @@ object Curation extends QueryRegistry {
       |    AS kept_tokens
       |FROM p, t ORDER BY source""".stripMargin
 
+  // --- c_epoch_plan: repetition planning under a token budget (the
+  // data-constrained-scaling allocation of Muennighoff et al. 2023,
+  // arXiv:2305.16264): each source may be repeated up to 4 epochs; the
+  // budget (2× the corpus) is split equally per source, each source
+  // contributes min(cap, share/n_tokens) epochs, and the leftover from
+  // small sources that hit the cap is reported per source so a second
+  // allocation round can redistribute it. Integer sums → one shared
+  // double division + round(…,6): bit-stable, O(sources) output.
+  def cEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val toks = when(trim(col("text")) === "", 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val perSrc = GraftSession.table(s, dir, "documents")
+      .select(col("source"), toks.as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val totals = perSrc.agg(
+      sum("n_tokens").cast("double").as("total"), count(lit(1)).as("ns"))
+    val share = lit(2.0) * col("total") / col("ns")
+    val epochs = round(least(lit(4.0), share / col("n_tokens")), 6)
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"), epochs.as("epochs"),
+        floor(epochs * col("n_tokens")).cast("long").as("planned_tokens"),
+        round(greatest(lit(0.0), share - epochs * col("n_tokens")), 6)
+          .as("leftover_budget"))
+      .orderBy("source")
+  }
+
+  private val cEpochPlanSql =
+    """WITH d AS (SELECT source,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tok
+      |  FROM documents),
+      |p AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total, COUNT(*) AS ns FROM p),
+      |e AS (SELECT source, n_tokens, 2.0 * total / ns AS share,
+      |    round(least(4.0, (2.0 * total / ns) / n_tokens), 6) AS epochs
+      |  FROM p, t)
+      |SELECT source, n_tokens, epochs,
+      |  CAST(floor(epochs * n_tokens) AS BIGINT) AS planned_tokens,
+      |  round(greatest(0.0, share - epochs * n_tokens), 6) AS leftover_budget
+      |FROM e ORDER BY source""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("c_curation_funnel", cCurationFunnel, Some(cCurationFunnelSql)),
-    QueryDef("c_mixture_plan", cMixturePlan, Some(cMixturePlanSql)))
+    QueryDef("c_mixture_plan", cMixturePlan, Some(cMixturePlanSql)),
+    QueryDef("c_epoch_plan", cEpochPlan, Some(cEpochPlanSql)))
 }
