@@ -296,6 +296,48 @@ object TableOps extends QueryRegistry {
       .orderBy("o_orderpriority")
   }
 
+  // --- t_sql_pipeline: the reference's PRIMARY interface end-to-end —
+  // the spark-sql quickstart flow (reference spark/sql/quickstart.sql:
+  // CREATE/CTAS, UPDATE by predicate, DELETE by predicate, MERGE INTO
+  // with not-matched INSERT, final SELECT) driven ENTIRELY through
+  // `spark.sql` against the graft DSv2 catalog — no Scala table API in
+  // sight. The catalog is registered at runtime on the session (Spark
+  // resolves catalog names lazily); UPDATE/MERGE resolve through the
+  // GraftDmlRule injected by GraftExtensions.
+  def tSqlPipeline(s: SparkSession, dir: String): DataFrame = {
+    val cat = "graft_sqlop"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch("t_sql_pipeline_wh", dir))
+    s.sql(s"DROP TABLE IF EXISTS $cat.orders_sql")
+    t(s, dir, "orders").createOrReplaceTempView("orders_src_sql")
+    s.sql(
+      s"""CREATE TABLE $cat.orders_sql USING graft
+         |TBLPROPERTIES (primaryKey = 'o_orderkey', preCombineField = 'o_orderkey')
+         |AS SELECT * FROM orders_src_sql""".stripMargin)
+    s.sql(s"UPDATE $cat.orders_sql SET o_totalprice = o_totalprice + 100 " +
+      "WHERE o_orderkey % 10 = 0")
+    s.sql(s"DELETE FROM $cat.orders_sql WHERE o_orderstatus = 'F'")
+    s.sql(
+      s"""MERGE INTO $cat.orders_sql AS tgt
+         |USING (SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey,
+         |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         |       FROM orders_src_sql WHERE o_orderkey % 13 = 0) AS src
+         |ON tgt.o_orderkey = src.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"SELECT * FROM $cat.orders_sql ORDER BY o_orderkey")
+  }
+
+  private val tSqlPipelineSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderstatus <> 'F'
+      |UNION ALL
+      |SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey % 13 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- t_concurrent_upsert: optimistic multi-writer concurrency as an
   // ORACLED operator: two writers upsert DISJOINT key ranges through
   // separate table handles at the same time. The commit path is
@@ -776,6 +818,7 @@ object TableOps extends QueryRegistry {
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
     QueryDef("t_analyze", tAnalyze, Some(tAnalyzeSql)),
     QueryDef("t_concurrent_upsert", tConcurrentUpsert, Some(tConcurrentUpsertSql)),
+    QueryDef("t_sql_pipeline", tSqlPipeline, Some(tSqlPipelineSql)),
     QueryDef("t_metadata_files", tMetadataFiles, Some(
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
