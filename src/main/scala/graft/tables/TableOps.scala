@@ -296,6 +296,74 @@ object TableOps extends QueryRegistry {
       .orderBy("o_orderpriority")
   }
 
+  // --- t_incr_join_view: incremental maintenance of a JOIN materialized
+  // view from TWO tables' CDC streams — the hard half of incremental ETL
+  // (t_cdc_view maintains a single-table aggregate; real pipelines join).
+  // With signed change images (insert/update_post = +1, update_pre/delete
+  // = -1) the multiset identity is bilinear:
+  //   A₁⋈B₁ − A₀⋈B₀ = ΔA⋈B₀ + A₀⋈ΔB + ΔA⋈ΔB
+  // so the view is maintained by three delta joins whose inputs are
+  // O(changes) on at least one side — never a recompute of A⋈B. The
+  // oracle IS the full recompute over the final states, verifying the
+  // algebra exactly (decimal-cast per image → order-free exact sums).
+  def tIncrJoinView(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val ta = GraftTable(s, GraftTableConfig(
+      scratch("t_incr_join_view_a", dir), "o_orderkey", "o_orderkey",
+      writeChangelog = true))
+    val tb = GraftTable(s, GraftTableConfig(
+      scratch("t_incr_join_view_b", dir), "c_custkey", "c_custkey",
+      writeChangelog = true))
+    ta.dropIfExists(); tb.dropIfExists()
+    val ia = ta.insert(orders, numFiles = 4)
+    val ib = tb.insert(customer, numFiles = 2)
+    // concurrent-ish mutations on BOTH sides: reprice + delete on the fact,
+    // re-nation a seventh of the customers on the dim
+    ta.upsert(upsertBatch(orders))
+    ta.delete(col("o_orderstatus") === "F")
+    tb.upsert(customer.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_nationkey", col("c_nationkey") + 100))
+    val aOld = ta.readAsOf(ia).select(col("o_custkey"), col("o_totalprice"))
+      .withColumn("sa", lit(1))
+    val bOld = tb.readAsOf(ib).select(col("c_custkey"), col("c_nationkey"))
+      .withColumn("sb", lit(1))
+    val sgnImage =
+      when(col("_change_type").isin("insert", "update_postimage"), 1).otherwise(-1)
+    val dA = ta.cdc(ia, Timeline.MaxInstant)
+      .select(col("o_custkey"), col("o_totalprice"), sgnImage.as("sa"))
+    val dB = tb.cdc(ib, Timeline.MaxInstant)
+      .select(col("c_custkey"), col("c_nationkey"), sgnImage.as("sb"))
+    def term(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), (col("sa") * col("sb")).as("sgn"),
+          col("o_totalprice"))
+    // V₀ + the three delta terms, one union + one grouped signed sum
+    term(aOld, bOld).unionByName(term(dA, bOld))
+      .unionByName(term(aOld, dB)).unionByName(term(dA, dB))
+      .groupBy("c_nationkey")
+      .agg(sum(col("sgn").cast("long")).as("n_orders"),
+        sum(col("sgn") * col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total_price"))
+      .filter(col("n_orders") > 0)
+      .orderBy("c_nationkey")
+  }
+
+  private val tIncrJoinViewSql =
+    """WITH a1 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS st,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS price
+      |  FROM orders),
+      |a2 AS (SELECT * FROM a1 WHERE st <> 'F'),
+      |b1 AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 100 ELSE c_nationkey END AS c_nationkey
+      |  FROM customer)
+      |SELECT c_nationkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM a2 JOIN b1 ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- t_sql_pipeline: the reference's PRIMARY interface end-to-end —
   // the spark-sql quickstart flow (reference spark/sql/quickstart.sql:
   // CREATE/CTAS, UPDATE by predicate, DELETE by predicate, MERGE INTO
@@ -819,6 +887,7 @@ object TableOps extends QueryRegistry {
     QueryDef("t_analyze", tAnalyze, Some(tAnalyzeSql)),
     QueryDef("t_concurrent_upsert", tConcurrentUpsert, Some(tConcurrentUpsertSql)),
     QueryDef("t_sql_pipeline", tSqlPipeline, Some(tSqlPipelineSql)),
+    QueryDef("t_incr_join_view", tIncrJoinView, Some(tIncrJoinViewSql)),
     QueryDef("t_metadata_files", tMetadataFiles, Some(
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
