@@ -525,6 +525,21 @@ object TableOps extends QueryRegistry {
     tbl.read().orderBy("o_orderkey")
   }
 
+  // --- t_mor_incremental: incremental read on a MERGE_ON_READ table —
+  // the latest state of records changed in (i1, i2] must resolve through
+  // the DELTA files (the upsert wrote no base rewrite), proving the
+  // incremental path and the MOR resolution window compose.
+  def tMorIncremental(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_mor_incremental", dir), "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor))
+    tbl.dropIfExists()
+    val i1 = tbl.insert(orders, numFiles = 4)
+    val i2 = tbl.upsert(upsertBatch(orders))
+    tbl.incremental(i1, i2).orderBy("o_orderkey")
+  }
+
   // --- t_mor_compact: MOR upsert + tombstone delete + compaction; the
   // compacted base must equal the resolved view.
   def tMorCompact(s: SparkSession, dir: String): DataFrame = {
@@ -821,6 +836,10 @@ object TableOps extends QueryRegistry {
     QueryDef("t_time_travel", tTimeTravel,
       Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
     QueryDef("t_incremental", tIncremental, Some(
+      """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |  o_totalprice + 100 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_mor_incremental", tMorIncremental, Some(
       """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
         |  o_totalprice + 100 AS o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin)),
