@@ -1129,6 +1129,26 @@ object Queries extends QueryRegistry {
       |WHERE r_name = 'EUROPE' AND qty0 > 300
       |ORDER BY s_name""".stripMargin
 
+  // --- q_histogram: fixed-width numeric histogram (the OLAP
+  // width_bucket primitive) over order totals plus per-bucket exact
+  // decimal mass — one map-side-combinable hash agg keyed by the bucket
+  // id; the bucket is floor of one IEEE double division, identical in
+  // both engines, and the mass is an exact decimal sum.
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(floor(col("o_totalprice") / 25000).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("mass"))
+      .orderBy("bucket")
+
+  private val qHistogramSql =
+    """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -1166,6 +1186,7 @@ object Queries extends QueryRegistry {
     QueryDef("q21_waiting_supplier", q21WaitingSupplier, Some(q21Sql)),
     QueryDef("q22_global_sales", q22GlobalSales, Some(q22Sql)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
+    QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
     QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9Sql)),
     QueryDef("q11_important_parts", q11ImportantParts, Some(q11Sql)),

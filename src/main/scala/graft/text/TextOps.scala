@@ -2,6 +2,7 @@ package graft.text
 
 import graft.{GraftSession, QueryDef, QueryRegistry}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.E — per-document text analysis for LLM-data pipelines.
@@ -456,7 +457,53 @@ object TextOps extends QueryRegistry {
       |WHERE bg.w1 <> '' AND bg.w2 <> ''
       |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin
 
+  // --- x_tfidf: per-document top-5 terms by TF-IDF — the classic
+  // keyword/feature-extraction primitive (x_vocab is the raw dictionary;
+  // this weights it). tf comes from one (doc, term) hash agg, df is a
+  // count over that already-reduced table (shuffles carry aggregates,
+  // never re-tokenized text), N is a 1-row broadcast. The score is exact
+  // integers (tf·N) through ONE IEEE double division by df, so ranking
+  // ties are impossible to mis-order across engines; rank breaks ties on
+  // the term itself. (Raw tf·N/df rather than a log-damped idf keeps the
+  // oracle float-free — log differs by 1 ulp across libm builds.)
+  def xTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .cache() // feeds both the df aggregate and the scored join
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(countDistinct("doc_id").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("tok"))
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("score",
+        round((col("tf") * col("n_docs")).cast("double") / col("df"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val xTfidfSql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |r AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) DESC, tf.tok) AS BIGINT) AS rank
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+      |SELECT doc_id, rank, tok, tf, df, score FROM r
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("x_tfidf", xTfidf, Some(xTfidfSql)),
     QueryDef("x_chunk", xChunk, Some(xChunkSql)),
     QueryDef("x_bpe_pairs", xBpePairs, Some(xBpePairsSql)),
     QueryDef("x_lm_score", xLmScore, Some(xLmScoreSql)),
