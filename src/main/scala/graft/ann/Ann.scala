@@ -455,7 +455,54 @@ object Ann extends QueryRegistry {
       |  FROM p)
       |SELECT q_id, rank, vec_id, cos_r FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // --- s_cluster_quality: the cluster-audit metric a SemDeDup/IVF
+  // pipeline needs before trusting its buckets — per centroid: member
+  // count and the mean/min member→centroid cosine. Per-member cosines
+  // are quantized to 1e-6 integers BEFORE the sum (an order-free exact
+  // aggregate), then one shared double division — so the report is
+  // bit-stable while still being a float similarity summary. Broadcast
+  // centroids, one assignment pass, one tiny grouped agg: O(n·#centroids)
+  // compute, O(#centroids) output at any corpus size.
+  def sClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_id").as("cluster_id"),
+        round(col("c_cos") * 1e6).cast("long").as("q6"))
+    assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum("q6").cast("double") / count(lit(1)) / 1e6, 6).as("mean_cos"),
+        round(min("q6").cast("double") / 1e6, 6).as("min_cos"))
+      .orderBy("cluster_id")
+  }
+
+  private val sClusterQualitySql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0),
+      |asg AS (SELECT cluster_id, q6 FROM (
+      |    SELECT c.c_id AS cluster_id,
+      |      CAST(round(1000000 * round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+      |        / (e.nrm * c.cnrm), 6)) AS BIGINT) AS q6,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+      |          / (e.nrm * c.cnrm), 6) DESC, c.c_id) AS rn
+      |    FROM e CROSS JOIN c) WHERE rn = 1)
+      |SELECT cluster_id, COUNT(*) AS n_vecs,
+      |  round(CAST(SUM(q6) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_cos,
+      |  round(CAST(MIN(q6) AS DOUBLE) / 1000000.0, 6) AS min_cos
+      |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("s_cluster_quality", sClusterQuality, Some(sClusterQualitySql)),
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
