@@ -205,15 +205,21 @@ object StreamingOps extends QueryRegistry {
   // (cnt·n − sum)² > 4·(n·sumsq − sum²) ⟺ |z| > 2 — so the flag is
   // bit-exact across engines; the reported z-score is one deterministic
   // double expression from those exact integers.
-  def stAnomaly(s: SparkSession, dir: String): DataFrame = {
-    // cached: hourly feeds BOTH the probe side and the baseline aggregate —
-    // uncached, Spark re-scans and re-shuffles the raw event stream once
-    // per branch. The cache is #types × #hours rows, metadata-sized next
-    // to the events it summarizes.
-    val hourly = events(s, dir)
+  def stAnomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyFrom(events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .cache()
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The anomaly stage over an already-windowed (hour, event_type, cnt)
+    * table — shared by the batch op above and StreamingSpec, which feeds
+    * it the hourly counts produced by a real watermarked `readStream`
+    * window aggregation. */
+  def anomalyFrom(hourly0: DataFrame): DataFrame = {
+    // cached: hourly feeds BOTH the probe side and the baseline aggregate —
+    // uncached, Spark re-scans and re-shuffles the upstream once per
+    // branch. The cache is #types × #hours rows, metadata-sized next to
+    // the events it summarizes.
+    val hourly = hourly0.cache()
     val baseline = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
         sum(col("cnt") * col("cnt")).as("sq"))

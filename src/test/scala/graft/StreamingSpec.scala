@@ -52,6 +52,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming hourly counts feed the anomaly detector identically to batch") {
+    val dir = stage("anomaly")
+    val hourly = readStreamOf(dir).withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour"), col("event_type"), col("cnt"))
+    val q = hourly.writeStream
+      .format("memory").queryName("anomaly_hourly")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // re-root the memory-sink table: its MemoryPlan reuses attribute ids
+    // across both branches of anomalyFrom's self-reference, which trips
+    // the analyzer's conflicting-references check
+    val hourly2 = spark.createDataFrame(
+      spark.table("anomaly_hourly").rdd, spark.table("anomaly_hourly").schema)
+    val got = StreamingOps.anomalyFrom(hourly2)
+    val want = StreamingOps.stAnomaly(spark, sfDir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming ingest lands every event in a GraftTable (DeltaStreamer analogue)") {
     val dir = stage("ingest")
     val tbl = GraftTable(spark, GraftTableConfig(
