@@ -1149,6 +1149,61 @@ object Queries extends QueryRegistry {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_heavy_hitters: Count-Min-sketch heavy hitters with the exact
+  // counts alongside — the streaming-sketch primitive (512×3 integer
+  // counters summarize any event volume; estimate = min over 3 hashed
+  // rows, always >= exact). Hashes are md5-derived 64-bit values (DuckDB's
+  // md5_number_lower) so both engines compute identical buckets; bucket
+  // count is a POWER OF TWO, which makes signed-long pmod equal DuckDB's
+  // unsigned modulo (2^64 ≡ 0 mod 512). Everything is exact integers:
+  // sketch build is one (seed, bucket) hash agg over a 3-way explode,
+  // estimates come from a #types-sized broadcast join.
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    def md5lower(c: Column): Column = {
+      val hx = md5(c.cast("binary"))
+      def hb(i: Int) = substring(hx, i, 2)
+      val lo = conv(concat(hb(23), hb(21), hb(19), hb(17)), 16, 10).cast("long")
+      val hi = conv(concat(hb(31), hb(29), hb(27), hb(25)), 16, 10).cast("long")
+      shiftleft(hi, 32).bitwiseOR(lo)
+    }
+    def bucket(tpe: Column, seed: Int): Column =
+      pmod(md5lower(concat(tpe, lit("#"), lit(seed.toString))), lit(512))
+    val ev = t(s, dir, "events").select(col("event_type"))
+    val sketch = ev
+      .select(explode(array((0 until 3).map(sd =>
+        struct(lit(sd).as("seed"), bucket(col("event_type"), sd).as("bucket"))): _*))
+        .as("sb"))
+      .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("total"))
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+    val probes = exact.select(col("event_type"), col("exact_n"),
+      explode(array((0 until 3).map(sd =>
+        struct(lit(sd).as("seed"), bucket(col("event_type"), sd).as("bucket"))): _*))
+        .as("sb"))
+      .select(col("event_type"), col("exact_n"),
+        col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("seed", "bucket"))
+      .groupBy("event_type", "exact_n")
+      .agg(min("total").as("cm_est"))
+      .select(col("event_type"), col("exact_n"), col("cm_est"),
+        (col("cm_est") - col("exact_n")).as("overcount"))
+      .orderBy(desc("exact_n"), asc("event_type"))
+  }
+
+  private val qHeavyHittersSql =
+    """WITH ev AS (SELECT event_type FROM events),
+      |sk AS (SELECT seed, CAST(md5_number_lower(event_type || '#' || seed) % 512 AS BIGINT) AS bucket,
+      |    COUNT(*) AS total
+      |  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS seed) GROUP BY 1, 2),
+      |ex AS (SELECT event_type, COUNT(*) AS exact_n FROM ev GROUP BY 1),
+      |pr AS (SELECT ex.event_type, ex.exact_n, s.seed,
+      |    CAST(md5_number_lower(ex.event_type || '#' || s.seed) % 512 AS BIGINT) AS bucket
+      |  FROM ex CROSS JOIN (SELECT unnest([0, 1, 2]) AS seed) s)
+      |SELECT pr.event_type, pr.exact_n, MIN(sk.total) AS cm_est,
+      |  MIN(sk.total) - pr.exact_n AS overcount
+      |FROM pr JOIN sk ON pr.seed = sk.seed AND pr.bucket = sk.bucket
+      |GROUP BY 1, 2 ORDER BY exact_n DESC, event_type""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -1187,6 +1242,7 @@ object Queries extends QueryRegistry {
     QueryDef("q22_global_sales", q22GlobalSales, Some(q22Sql)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
+    QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9Sql)),
     QueryDef("q11_important_parts", q11ImportantParts, Some(q11Sql)),
