@@ -106,6 +106,40 @@ object Dedup extends QueryRegistry {
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin
 
+  // --- d_containment: asymmetric CONTAINMENT near-dup pairs —
+  // c / min(|A|, |B|) over the same blocked shingle join as
+  // d_ngram_jaccard. Jaccard misses subset-duplicates (a doc embedded in
+  // a much larger one scores c/(na+nb-c) ≈ c/nb → small); containment
+  // scores it ≈ 1, which is what quote/boilerplate subsumption looks
+  // like. Same scale shape: shared-shingle blocking, no cross product,
+  // one grouped count per co-shingled pair.
+  def dContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    jaccardPairs(sh)
+      .withColumn("containment",
+        col("c").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= 0.8)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("containment"), col("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dContainmentSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  CAST(c AS DOUBLE) / least(sa.n, sb.n) AS containment,
+      |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+      |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.8 ORDER BY 1, 2""".stripMargin
+
   // --- d_substring: exact SUBSTRING-level dedup (Lee et al. 2022's
   // "Deduplicating Training Data Makes Language Models Better") — flag every
   // doc whose normalized text shares a long verbatim span with an earlier
@@ -643,6 +677,7 @@ object Dedup extends QueryRegistry {
   override val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
+    QueryDef("d_containment", dContainment, Some(dContainmentSql)),
     QueryDef("d_dup_groups", dDupGroups, Some(dDupGroupsSql)),
     QueryDef("d_substring", dSubstring, Some(dSubstringSql)),
     // minhash's output IS the exact-verified pair set (see dMinhashLsh
