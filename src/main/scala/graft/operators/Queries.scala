@@ -1204,6 +1204,48 @@ object Queries extends QueryRegistry {
       |FROM pr JOIN sk ON pr.seed = sk.seed AND pr.bucket = sk.bucket
       |GROUP BY 1, 2 ORDER BY exact_n DESC, event_type""".stripMargin
 
+  // --- q_full_outer: FULL OUTER join with unmatched-side accounting —
+  // the reconciliation-report shape (ledger vs ledger): per-customer
+  // order rollup full-outer-joined to a deliberately-pruned customer dim,
+  // classified into both / order_only / customer_only. The rollup reduces
+  // the fact side BEFORE the join (aggregate-sized shuffle), and the
+  // outer join itself is the only full-width exchange.
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .filter(col("o_custkey") % 5 =!= 0) // prune the fact side too, so
+      .groupBy("o_custkey")               // customer_only rows exist
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("spend"))
+    val cust = t(s, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select("c_custkey", "c_mktsegment")
+    perCust.join(cust, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        when(col("o_custkey").isNotNull && col("c_custkey").isNotNull, "both")
+          .when(col("o_custkey").isNotNull, "order_only")
+          .otherwise("customer_only").as("match_type"),
+        col("n_orders"), col("spend"))
+      .groupBy("match_type")
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum("n_orders"), lit(0)).cast("long").as("n_orders"),
+        coalesce(sum("spend").cast("double"), lit(0.0)).as("total_spend"))
+      .orderBy("match_type")
+  }
+
+  private val qFullOuterSql =
+    """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders WHERE o_custkey % 5 <> 0 GROUP BY 1),
+      |c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0)
+      |SELECT CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NOT NULL THEN 'both'
+      |            WHEN o_custkey IS NOT NULL THEN 'order_only'
+      |            ELSE 'customer_only' END AS match_type,
+      |  COUNT(*) AS n_keys,
+      |  COALESCE(SUM(n_orders), 0) AS n_orders,
+      |  COALESCE(CAST(SUM(spend) AS DOUBLE), 0.0) AS total_spend
+      |FROM pc FULL OUTER JOIN c ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -1243,6 +1285,7 @@ object Queries extends QueryRegistry {
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
+    QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9Sql)),
     QueryDef("q11_important_parts", q11ImportantParts, Some(q11Sql)),
