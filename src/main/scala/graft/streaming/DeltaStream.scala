@@ -150,6 +150,13 @@ final class AsyncServices(
           nConflicts.incrementAndGet()
           logWarning(s"async compaction lost a commit race (retry " +
             s"#${nConflicts.get}) on ${table.cfg.path}: ${e.getMessage}")
+        // a lock wait-budget expiry means other live writers held the
+        // lease the whole time — transient on a loaded host; the trigger
+        // re-fires next poll. Counted with the conflicts, never silent.
+        case e: graft.tables.LockTimeoutException =>
+          nConflicts.incrementAndGet()
+          logWarning(s"async compaction lock wait expired (retry " +
+            s"#${nConflicts.get}) on ${table.cfg.path}: ${e.getMessage}")
         case e: Throwable => failureOpt = Some(e); stopped = true
       }
       try Thread.sleep(pollMs) catch { case _: InterruptedException => () }

@@ -70,6 +70,13 @@ final case class ColStat(kind: String, min: String, max: String) {
   * being swallowed as races. */
 final class CommitConflictException(msg: String) extends IllegalStateException(msg)
 
+/** The commit-lock wait budget (3× lease) expired while OTHER live writers
+  * legitimately held and renewed the lease — transient by construction on
+  * a loaded host, unlike the persistent IllegalStateException family
+  * (tombstoned instants, validator vetoes). Its own type so retry loops
+  * can treat it like a lost race while keeping it counted and logged. */
+final class LockTimeoutException(msg: String) extends IllegalStateException(msg)
+
 object ColStat {
   val Num = "num"
   val Lex = "lex"
@@ -357,7 +364,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       } catch { case _: java.io.FileNotFoundException => () } // released; retry now
       Thread.sleep(50)
     }
-    throw new IllegalStateException(
+    throw new LockTimeoutException(
       s"could not acquire commit lock $lockPath within ${3 * leaseMs} ms")
   }
 
