@@ -1983,6 +1983,38 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
   }
 
+  /** Metadata-only SHALLOW CLONE (the Delta/Iceberg shallow-clone shape):
+    * the clone's first commit references the SOURCE snapshot's live files
+    * as external (`ext:`) entries — zero data copied, per-file stats
+    * carried over verbatim (no footer re-read), and snapshot-isolated
+    * from later source mutations because the file list is pinned. Same
+    * restrictions as [[bootstrap]] on both ends (unpartitioned, unbucketed
+    * COW, no record index); the source's `clean` is the one shared hazard,
+    * exactly as with any shallow clone. Clone-local upserts rewrite
+    * affected external files into clone-owned files, never the source. */
+  def cloneFrom(source: GraftTable): String = {
+    require(cfg.tableType == TableType.Cow && cfg.numBuckets == 0 &&
+      cfg.keyGen == NoPartition && cfg.recordIndexBuckets == 0,
+      "shallow clone targets an unpartitioned, unbucketed COW table")
+    require(source.cfg.tableType == TableType.Cow,
+      "shallow clone of a MOR table requires compaction first (delta files " +
+        "are not self-contained)")
+    ensureConfig()
+    withReservedInstant { instant =>
+      val srcRoot = new Path(source.cfg.path).toUri.getPath
+      val adds = source.timeline.liveFiles(None).map { f =>
+        val abs = if (f.path.startsWith("ext:")) f.path
+          else s"ext:$srcRoot/${f.path}"
+        f.copy(path = abs, bucketMod = 0)
+      }
+      TableProperties.loadSchema(source.spark, source.cfg.path).foreach(sch =>
+        TableProperties.saveSchema(spark, cfg.path, sch))
+      invalidateReadSchema()
+      commitValidated(Commit(instant, "clone", adds, Nil))
+      instant
+    }
+  }
+
   /** DROP PARTITION (the Hudi delete_partition operation): a metadata-only
     * commit removing every live file whose partition path matches — no data
     * is read or rewritten, so retiring a day/tenant partition on a 100 TB

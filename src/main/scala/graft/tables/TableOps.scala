@@ -448,6 +448,24 @@ object TableOps extends QueryRegistry {
       |  o_totalprice, o_orderdate, o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // --- t_shallow_clone: metadata-only shallow clone (Delta/Iceberg
+  // CLONE): the clone's one commit references the source snapshot's live
+  // files as external entries — zero bytes copied, stats carried over —
+  // and stays PINNED while the source keeps mutating (the post-clone
+  // delete on the source must not show through). Cloning a 100 TB table
+  // is one timeline write.
+  def tShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_shallow_clone_src")
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    val clone = GraftTable(s, GraftTableConfig(
+      scratch("t_shallow_clone_dst", dir), "o_orderkey", "o_orderkey"))
+    clone.dropIfExists()
+    clone.cloneFrom(tbl)
+    tbl.delete(col("o_orderstatus") === "F") // source moves on; clone is pinned
+    clone.read().orderBy("o_orderkey")
+  }
+
   // --- t_analyze: ANALYZE TABLE — the column-statistics table service
   // (Spark's ANALYZE ... COMPUTE STATISTICS FOR COLUMNS / Hudi's column
   // stats index build): one aggregation pass over the snapshot computes
@@ -904,6 +922,7 @@ object TableOps extends QueryRegistry {
     QueryDef("t_partition_prune", tPartitionPrune, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
     QueryDef("t_analyze", tAnalyze, Some(tAnalyzeSql)),
+    QueryDef("t_shallow_clone", tShallowClone, Some(s"$upsertedSql ORDER BY o_orderkey")),
     QueryDef("t_concurrent_upsert", tConcurrentUpsert, Some(tConcurrentUpsertSql)),
     QueryDef("t_sql_pipeline", tSqlPipeline, Some(tSqlPipelineSql)),
     QueryDef("t_incr_join_view", tIncrJoinView, Some(tIncrJoinViewSql)),
