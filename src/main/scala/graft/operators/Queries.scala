@@ -1246,6 +1246,38 @@ object Queries extends QueryRegistry {
       |FROM pc FULL OUTER JOIN c ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_gap_fill: dense time-grid gap filling — every hour in each
+  // event type's observed range gets a row, zero-filled where no events
+  // landed (the dashboard/telemetry primitive that makes windowed charts
+  // and anomaly baselines honest). The grid generates from a #types-row
+  // aggregate (sequence explode — O(types × hours), never a scan of raw
+  // events), left-joined back to the hourly counts.
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // feeds the range aggregate AND the fill join
+    val grid = hourly.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val qGapFillSql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT event_type,
+      |    unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+      |  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      |    FROM hourly GROUP BY 1))
+      |SELECT g.event_type, g.hour, COALESCE(hourly.n, 0) AS n
+      |FROM g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.hour = hourly.hour
+      |ORDER BY g.event_type, g.hour""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -1286,6 +1318,7 @@ object Queries extends QueryRegistry {
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),
+    QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
     QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9Sql)),
     QueryDef("q11_important_parts", q11ImportantParts, Some(q11Sql)),
