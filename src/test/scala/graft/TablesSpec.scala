@@ -1281,4 +1281,48 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.clean(Timeline.MaxInstant)
     assert(tbl.readAsOf(i1).count() == orders.count())
   }
+
+  test("filesMeta is served from the timeline and matches the physical layout") {
+    val tbl = freshTable("files_meta", keyGen = FieldPartition("o_orderpriority"))
+    tbl.insert(orders, numFiles = 2)
+    val meta = tbl.filesMeta().collect()
+    // every listed file exists on disk, and nothing parquet on disk is unlisted
+    val root = new java.io.File("/tmp/graft_spec/files_meta")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val onDisk = walk(root).map(_.getPath)
+      .filter(p => p.endsWith(".parquet") && p.contains("/data/"))
+      .map(_.stripPrefix(root.getPath + "/")).toSet
+    assert(meta.map(_.getString(0)).toSet == onDisk)
+    // per-partition row rollup equals the data
+    val fromMeta = meta.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(5)).sum)
+    val expected = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => s"o_orderpriority=${r.getString(0)}" -> r.getLong(1)).toMap
+    assert(fromMeta.toMap == expected)
+  }
+
+  test("shallow clone copies zero data files; clone-local upserts never touch the source") {
+    val src = freshTable("clone_src")
+    src.insert(orders, numFiles = 3)
+    val clone = freshTable("clone_dst")
+    clone.cloneFrom(src)
+    def dataFiles(dir: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(_.getPath)
+        .filter(p => p.endsWith(".parquet") && p.contains("/data/")).toSet
+    }
+    val srcBefore = dataFiles("/tmp/graft_spec/clone_src")
+    assert(dataFiles("/tmp/graft_spec/clone_dst").isEmpty) // metadata only
+    assert(clone.read().count() == orders.count())
+    // clone-local upsert rewrites into clone-owned files, source untouched
+    clone.upsert(orders.limit(100).withColumn("o_orderstatus",
+      org.apache.spark.sql.functions.lit("C")))
+    assert(dataFiles("/tmp/graft_spec/clone_src") == srcBefore)
+    assert(dataFiles("/tmp/graft_spec/clone_dst").nonEmpty)
+    assert(clone.read().filter(org.apache.spark.sql.functions
+      .col("o_orderstatus") === "C").count() == 100)
+    assert(src.read().filter(org.apache.spark.sql.functions
+      .col("o_orderstatus") === "C").count() == 0)
+  }
 }
