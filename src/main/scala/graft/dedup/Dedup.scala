@@ -140,6 +140,55 @@ object Dedup extends QueryRegistry {
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.8 ORDER BY 1, 2""".stripMargin
 
+  // --- d_neardup_impact: per-source NEAR-dup audit — x_dedup_impact
+  // answers this for exact dups; this is the same ledger under keep-first
+  // near-dup dedup (a doc drops when it has a jac>=0.5 partner with a
+  // lower id). Mixture designers read this before trusting source
+  // weights: boilerplate-heavy sources shrink, and the exact-dup audit
+  // can't see it. Pair discovery is the same shared-shingle blocked join;
+  // the drop set and the per-source rollup are aggregate-sized.
+  def dNeardupImpact(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val dropSet = jaccardPairs(sh)
+      .filter(col("jac") >= 0.5)
+      .select(greatest(col("da"), col("db")).as("doc_id"))
+      .distinct()
+    val flagged = docs(s, dir)
+      .join(dropSet.withColumn("dropped", lit(1L)), Seq("doc_id"), "left")
+      .select(col("source"), col("n_chars"),
+        coalesce(col("dropped"), lit(0L)).as("dropped"))
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("dropped").as("n_neardup"),
+        sum("n_chars").as("chars_total"),
+        sum(col("dropped") * col("n_chars")).as("chars_dropped"))
+      .withColumn("drop_share",
+        round(col("chars_dropped").cast("double") / col("chars_total"), 6))
+      .orderBy("source")
+  }
+
+  private val dNeardupImpactSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |drops AS (SELECT DISTINCT greatest(da, db) AS doc_id
+      |  FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_neardup,
+      |  SUM(n_chars) AS chars_total,
+      |  SUM(CASE WHEN drops.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS chars_dropped,
+      |  round(CAST(SUM(CASE WHEN drops.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS DOUBLE)
+      |    / SUM(n_chars), 6) AS drop_share
+      |FROM documents LEFT JOIN drops USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --- d_substring: exact SUBSTRING-level dedup (Lee et al. 2022's
   // "Deduplicating Training Data Makes Language Models Better") — flag every
   // doc whose normalized text shares a long verbatim span with an earlier
@@ -678,6 +727,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_containment", dContainment, Some(dContainmentSql)),
+    QueryDef("d_neardup_impact", dNeardupImpact, Some(dNeardupImpactSql)),
     QueryDef("d_dup_groups", dDupGroups, Some(dDupGroupsSql)),
     QueryDef("d_substring", dSubstring, Some(dSubstringSql)),
     // minhash's output IS the exact-verified pair set (see dMinhashLsh
