@@ -1278,6 +1278,34 @@ object Queries extends QueryRegistry {
       |FROM g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.hour = hourly.hour
       |ORDER BY g.event_type, g.hour""".stripMargin
 
+  // --- q_decile_report: NTILE decile profile of order totals — the
+  // value-distribution report (who's in the top 10%?). The NTILE window
+  // is ordered by (price, key): a TOTAL order, so tile boundaries are
+  // deterministic across engines even where prices tie. One global
+  // window (single range shuffle) + one aggregate-sized hash agg.
+  def qDecileReport(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(10).over(w).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        sum(dec(col("o_totalprice"))).cast("double").as("mass"))
+      .withColumn("decile", col("decile").cast("long"))
+      .orderBy("decile")
+  }
+
+  private val qDecileReportSql =
+    """SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+      |FROM (SELECT o_orderkey, o_totalprice,
+      |    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -1319,6 +1347,7 @@ object Queries extends QueryRegistry {
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
+    QueryDef("q_decile_report", qDecileReport, Some(qDecileReportSql)),
     QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9Sql)),
     QueryDef("q11_important_parts", q11ImportantParts, Some(q11Sql)),

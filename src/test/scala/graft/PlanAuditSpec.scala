@@ -348,6 +348,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countShuffles(df) <= 2, s) // join co-partitioning only
   }
 
+  test("q_gap_fill: grid generates from an aggregate, never a raw-event rescan") {
+    val df = Queries.qGapFill(spark, sfDir)
+    val s = planString(df)
+    // the hourly cache feeds both branches: at most the hourly agg
+    // shuffle + the fill-join exchange appear above InMemoryTableScans
+    assert(s.contains("InMemoryTableScan"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q_heavy_hitters: sketch probe side broadcasts; build is partial-combined") {
+    val s = planString(Queries.qHeavyHitters(spark, sfDir))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("partial_count"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x_tfidf: tf/df shuffles carry aggregates; doc count broadcasts") {
+    val df = graft.text.TextOps.xTfidf(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("InMemoryTableScan"), s) // tf cached for both consumers
+    assert(s.contains("Broadcast"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q20: no fact-fact shuffle — per-supplier aggregate combines map-side") {
     val df = Queries.q20ExcessShipments(spark, sfDir)
     val s = planString(df)
