@@ -416,11 +416,14 @@ object Ann extends QueryRegistry {
     val cents = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    // cached: the assignment (centroid scan + window) feeds both sides of
+    // the pair join — uncached it runs twice
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= 2)
       .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
+      .cache()
     val pairs = assigned.toDF("q_id", "qe", "bucket")
       .join(assigned.toDF("n_id", "ne", "bucket"), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))

@@ -984,9 +984,12 @@ object Queries extends QueryRegistry {
     val part = t(s, dir, "part")
       .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
       .select("p_partkey")
+    // cached: eligible feeds BOTH the per-part min and the final join —
+    // uncached, the full lineitem supply-catalog aggregate runs twice
     val eligible = ps
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(europeSuppliers(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .cache()
     val minCost = eligible.groupBy(col("p_partkey").as("mc_partkey"))
       .agg(min("supply_cost").as("min_cost"))
     eligible.join(broadcast(minCost),
@@ -1070,10 +1073,13 @@ object Queries extends QueryRegistry {
       .join(broadcast(t(s, dir, "nation")).filter(col("n_name") === "NATION_3"),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
+    // cached: vals feeds the grand total AND the threshold filter —
+    // uncached, the lineitem aggregate runs once per branch
     val vals = t(s, dir, "lineitem")
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey")
       .agg(sum(dec(col("l_extendedprice"))).as("value0"))
+      .cache()
     val total = vals.agg(sum(col("value0")).cast("double").as("total0"))
     vals.crossJoin(broadcast(total))
       .filter(col("value0").cast("double") > col("total0") * lit(0.001))
