@@ -830,6 +830,7 @@ object Queries extends QueryRegistry {
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
         .as("rev_exact"))
+      .cache() // feeds its own 1-row max AND the equality filter
     val top = rev.join(broadcast(rev.agg(max("rev_exact").as("rev_max"))),
       col("rev_exact") === col("rev_max"))
     top.join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
