@@ -59,15 +59,39 @@ object Dedup extends QueryRegistry {
   /** Exact Jaccard over pairs that share >= 1 shingle, optionally restricted
     * to a candidate pair set (the LSH path — only candidates are verified,
     * so the shingle join never expands beyond LSH buckets). */
+  /** Hot-shingle document-frequency cap (standard blocked-join practice,
+    * cf. Lee et al. 2022 / CCNet): a shingle shared by k docs contributes a
+    * k²-row block to the self-join, so one ubiquitous stopword shingle
+    * ("of the and") would dominate the whole join at corpus scale while
+    * carrying no dedup signal. Shingles appearing in more than this many
+    * docs are dropped BEFORE the join — bounding every block to at most
+    * MaxShingleDf² pairs at ANY corpus size — and Jaccard/containment are
+    * computed over the retained shingle space (per-doc sizes counted
+    * post-filter, so true duplicates still score 1.0). The DuckDB oracles
+    * mirror the cap. At test SF the max observed df is 25 (sf0.1), so the
+    * cap is semantics-neutral there; at 100 TB it is what makes the
+    * blocked join's worst case bounded instead of quadratic. */
+  private[dedup] val MaxShingleDf = 100
+
   private def jaccardPairs(sh: DataFrame, candidates: Option[DataFrame] = None): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val restricted = candidates match {
       case Some(cand) =>
+        // Candidate-verify path (LSH): the join is already bounded by the
+        // candidate set, and verification must be exact over the FULL
+        // shingle sets — no df cap here.
         val docs = cand.select(col("da").as("doc_id"))
           .union(cand.select(col("db").as("doc_id"))).distinct()
         sh.join(broadcast(docs), "doc_id")
-      case None => sh
+      case None =>
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > MaxShingleDf).select("sh")
+        // hot is tiny (only ubiquitous shingles); AQE broadcasts the anti-join
+        sh.join(hot, Seq("sh"), "left_anti")
     }
+    // Post-filter sizes: Jaccard over the retained shingle space. On the
+    // candidate path restriction only removes whole docs, so per-doc counts
+    // are unchanged for every doc that can appear in a pair.
+    val sizes = restricted.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = restricted.toDF("da", "sh")
     val b = restricted.toDF("db", "sh")
     var common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
@@ -98,9 +122,11 @@ object Dedup extends QueryRegistry {
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
       |  FROM d),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
       |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT da AS doc_a, db AS doc_b,
       |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
@@ -131,9 +157,11 @@ object Dedup extends QueryRegistry {
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
       |  FROM d),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
       |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT da AS doc_a, db AS doc_b,
       |  CAST(c AS DOUBLE) / least(sa.n, sb.n) AS containment,
       |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
@@ -174,9 +202,11 @@ object Dedup extends QueryRegistry {
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
       |  FROM d),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
       |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |drops AS (SELECT DISTINCT greatest(da, db) AS doc_id
       |  FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
@@ -452,9 +482,11 @@ object Dedup extends QueryRegistry {
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
       |  FROM d),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
       |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |pairs AS (SELECT da, db FROM co
       |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),

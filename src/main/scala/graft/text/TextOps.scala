@@ -331,7 +331,7 @@ object TextOps extends QueryRegistry {
   // |docs|²; Spark works on 64-bit shingle hashes (never materializing
   // shingle strings), the oracle on the strings — same counts.
   def xSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
+    val raw = docs(s, dir)
       .select(col("source"), split(normText(col("text")), " ").as("w"))
       .select(col("source"),
         explode(when(size(col("w")) >= 5,
@@ -339,12 +339,24 @@ object TextOps extends QueryRegistry {
             "transform(sequence(0, size(w)-5), i -> xxhash64(w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
           .otherwise(array().cast("array<bigint>"))).as("sh"))
       .distinct()
+    // Hot-shingle cap: a shingle present in more than MaxShingleSources
+    // sources is corpus-wide boilerplate ("of the and of the") — it carries
+    // no pairwise attribution signal and contributes a k²-row block to the
+    // self-join. Dropping it bounds every block to MaxShingleSources² rows
+    // at any corpus size; the oracle mirrors the cap. (Test data has far
+    // fewer sources than the cap, so it is semantics-neutral there.)
+    val hot = raw.groupBy("sh").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") > MaxShingleSources).select("sh")
+    val sh = raw.join(hot, Seq("sh"), "left_anti")
     // (source, shingle) is distinct, so the pair count IS the distinct count
     sh.toDF("sa", "sh").join(sh.toDF("sb", "sh"), Seq("sh"))
       .filter(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
       .orderBy("sa", "sb")
   }
+
+  /** See the hot-shingle df cap note on xSourceOverlap. */
+  private[text] val MaxShingleSources = 32
 
   private val xSourceOverlapSql =
     """WITH d AS (SELECT source,
@@ -353,9 +365,11 @@ object TextOps extends QueryRegistry {
       |sh AS (SELECT DISTINCT source, unnest(list_distinct(
       |    list_transform(range(1, len(w)-3),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
-      |  FROM d WHERE len(w) >= 5)
+      |  FROM d WHERE len(w) >= 5),
+      |shf AS (SELECT source, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 32))
       |SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_shared
-      |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |FROM shf a JOIN shf b ON a.s = b.s AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --- x_lm_score: corpus-trained bigram-LM coherence score — the
