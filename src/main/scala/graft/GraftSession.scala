@@ -44,17 +44,30 @@ object GraftSession {
 
   /** Load one testdata table from a scale-factor directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 does
-    * not read natively — we read it as a nanos long (legacy conf) and convert
-    * to a microsecond timestamp with integer division (a double division
-    * would lose precision at the 1e18 nanos magnitude).
+    * Timestamp handling is adaptive because the driver has shipped two
+    * generations of testdata:
+    *  - TIMESTAMP(NANOS) (`events.ts` only), which Spark 4 does not read
+    *    natively — read as a nanos long (legacy conf) and convert with
+    *    integer division (double division would lose precision at 1e18);
+    *  - timestamp[us] with isAdjustedToUTC=false, which Spark reads as
+    *    TIMESTAMP_NTZ — cast to session-local TIMESTAMP (session TZ is
+    *    pinned to UTC, so wall-clock values are preserved bit-for-bit and
+    *    downstream operators keep a single timestamp type).
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // gen-1: TIMESTAMP(NANOS)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType => // gen-2: timestamp[us]
+          raw.withColumn("ts", raw.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
+      // other tables pass through untouched: their NTZ timestamps behave
+      // identically under the pinned-UTC session and the DuckDB oracle
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
   }

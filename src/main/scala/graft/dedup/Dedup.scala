@@ -88,12 +88,15 @@ object Dedup extends QueryRegistry {
         // hot is tiny (only ubiquitous shingles); AQE broadcasts the anti-join
         sh.join(hot, Seq("sh"), "left_anti")
     }
+    // using-column joins put the join key FIRST in the output, so pin the
+    // (doc_id, sh) order the positional toDF renames below depend on
+    val ordered = restricted.select("doc_id", "sh")
     // Post-filter sizes: Jaccard over the retained shingle space. On the
     // candidate path restriction only removes whole docs, so per-doc counts
     // are unchanged for every doc that can appear in a pair.
-    val sizes = restricted.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = restricted.toDF("da", "sh")
-    val b = restricted.toDF("db", "sh")
+    val sizes = ordered.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = ordered.toDF("da", "sh")
+    val b = ordered.toDF("db", "sh")
     var common = a.join(b, Seq("sh")).filter(col("da") < col("db"))
     candidates.foreach(cand => common = common.join(cand, Seq("da", "db"), "leftsemi"))
     common

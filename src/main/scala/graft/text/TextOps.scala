@@ -347,7 +347,9 @@ object TextOps extends QueryRegistry {
     // fewer sources than the cap, so it is semantics-neutral there.)
     val hot = raw.groupBy("sh").agg(count(lit(1)).as("nf"))
       .filter(col("nf") > MaxShingleSources).select("sh")
-    val sh = raw.join(hot, Seq("sh"), "left_anti")
+    // using-column joins emit the join key FIRST — re-pin (source, sh) so
+    // the positional toDF renames below stay honest
+    val sh = raw.join(hot, Seq("sh"), "left_anti").select("source", "sh")
     // (source, shingle) is distinct, so the pair count IS the distinct count
     sh.toDF("sa", "sh").join(sh.toDF("sb", "sh"), Seq("sh"))
       .filter(col("sa") < col("sb"))
