@@ -135,6 +135,40 @@ object Dedup extends QueryRegistry {
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin
 
+  // --- d_threshold_sweep: near-dup pair counts per Jaccard bucket
+  // (0.05-wide, >= 0.5) — the tuning report a pipeline owner reads to
+  // pick the dedup threshold and the minhash band/row split BEFORE
+  // committing to a corpus-wide pass. Reuses the blocked shingle join
+  // (no cross product); output is bucket-count-sized. The bucket edge
+  // floor(jac*20) is exact cross-engine: jac is the same IEEE division
+  // in both, and *20/floor introduce no further rounding differences.
+  def dThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    jaccardPairs(sh)
+      .filter(col("jac") >= 0.5)
+      .withColumn("bucket", floor(col("jac") * 20) / 20)
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  private val dThresholdSweepSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+      |  FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
+      |SELECT floor(jac*20)/20 AS bucket, COUNT(*) AS n_pairs
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- d_containment: asymmetric CONTAINMENT near-dup pairs —
   // c / min(|A|, |B|) over the same blocked shingle join as
   // d_ngram_jaccard. Jaccard misses subset-duplicates (a doc embedded in
@@ -762,6 +796,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_containment", dContainment, Some(dContainmentSql)),
+    QueryDef("d_threshold_sweep", dThresholdSweep, Some(dThresholdSweepSql)),
     QueryDef("d_neardup_impact", dNeardupImpact, Some(dNeardupImpactSql)),
     QueryDef("d_dup_groups", dDupGroups, Some(dDupGroupsSql)),
     QueryDef("d_substring", dSubstring, Some(dSubstringSql)),

@@ -1313,6 +1313,81 @@ object Queries extends QueryRegistry {
       |  FROM orders)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_cube: full CUBE over (returnflag, linestatus) — all four
+  // grouping combinations (detail, each single-dim margin, grand total)
+  // in ONE partial-agg-friendly pass; completes the rollup/grouping-sets
+  // family. Same scale shape as q_rollup: Catalyst expands the cube in a
+  // single hash aggregate, the output is grouping-cardinality-sized.
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy("returnflag", "linestatus")
+
+  private val qCubeSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // --- q_percent_rank: relative-standing profile of customer spend —
+  // percent_rank + cume_dist over a TOTAL order (spend, custkey), so
+  // tied spends rank deterministically across engines. One aggregate
+  // (map-side partials) then one global range-shuffle window; both
+  // rank functions are rank-arithmetic, exact in IEEE doubles.
+  def qPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+    val w = Window.orderBy(col("spend"), col("o_custkey"))
+    spend
+      .select(col("o_custkey"), col("spend"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .filter(col("pct_rank") >= 0.99)
+      .orderBy("o_custkey")
+  }
+
+  private val qPercentRankSql =
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey, spend,
+      |  percent_rank() OVER (ORDER BY spend, o_custkey) AS pct_rank,
+      |  cume_dist() OVER (ORDER BY spend, o_custkey) AS cume
+      |FROM spend QUALIFY pct_rank >= 0.99 ORDER BY o_custkey""".stripMargin
+
+  // --- q_latest_per_key: latest event per user (the argmax/dedup-to-
+  // current-state primitive behind every CDC snapshot and feature-store
+  // read). ONE window shuffle on user_id with a deterministic
+  // (ts, event_id) tiebreak — never a self-join against max(ts), which
+  // would scan twice and still tie-break wrong.
+  def qLatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  private val qLatestPerKeySql =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+      |FROM (SELECT user_id, event_id, ts, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -1355,6 +1430,9 @@ object Queries extends QueryRegistry {
     QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_decile_report", qDecileReport, Some(qDecileReportSql)),
+    QueryDef("q_cube", qCube, Some(qCubeSql)),
+    QueryDef("q_percent_rank", qPercentRank, Some(qPercentRankSql)),
+    QueryDef("q_latest_per_key", qLatestPerKey, Some(qLatestPerKeySql)),
     QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9Sql)),
     QueryDef("q11_important_parts", q11ImportantParts, Some(q11Sql)),

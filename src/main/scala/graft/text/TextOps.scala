@@ -518,8 +518,56 @@ object TextOps extends QueryRegistry {
       |SELECT doc_id, rank, tok, tf, df, score FROM r
       |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  // --- x_ngram_stats: top-30 word bigrams by DOCUMENT frequency —
+  // the corpus-level collocation profile (tokenizer-merge and boilerplate
+  // diagnostics read this before d_ngram_jaccard tuning). Per-doc
+  // distinct-ing happens inside the array (array_distinct before the
+  // explode), so the shuffle carries one row per (doc, distinct bigram)
+  // and the aggregate is |bigram vocab|-sized with map-side partials.
+  def xNgramStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(split(normText(col("text")), " ").as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        array_distinct(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("bigram"))
+      .limit(30)
+
+  private val xNgramStatsSql =
+    """SELECT bigram, COUNT(*) AS df FROM (
+      |  SELECT unnest(list_distinct(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1]))) AS bigram
+      |  FROM (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |        FROM documents) WHERE len(w) >= 2)
+      |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 30""".stripMargin
+
+  // --- x_sentencize: per-doc sentence segmentation stats (sentence count
+  // + total sentence chars) — the unit-of-text primitive under chunking
+  // and quality scoring. Pure per-row codegen'd regex split; integer
+  // outputs so the oracle compare is exact.
+  def xSentencize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        filter(transform(split(normText(col("text")), "[.!?]+"), t => trim(t)),
+          t => t =!= "").as("sents"))
+      .select(col("doc_id"), size(col("sents")).cast("long").as("n_sentences"),
+        coalesce(aggregate(col("sents"), lit(0L), (acc, x) => acc + length(x)), lit(0L))
+          .as("sum_chars"))
+      .orderBy("doc_id")
+
+  private val xSentencizeSql =
+    """SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+      |  CAST(COALESCE(list_sum(list_transform(sents, x -> length(x))), 0) AS BIGINT) AS sum_chars
+      |FROM (SELECT doc_id, list_filter(list_transform(
+      |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[.!?]+'),
+      |    x -> trim(x)), x -> x <> '') AS sents
+      |  FROM documents) ORDER BY doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("x_tfidf", xTfidf, Some(xTfidfSql)),
+    QueryDef("x_ngram_stats", xNgramStats, Some(xNgramStatsSql)),
+    QueryDef("x_sentencize", xSentencize, Some(xSentencizeSql)),
     QueryDef("x_chunk", xChunk, Some(xChunkSql)),
     QueryDef("x_bpe_pairs", xBpePairs, Some(xBpePairsSql)),
     QueryDef("x_lm_score", xLmScore, Some(xLmScoreSql)),
