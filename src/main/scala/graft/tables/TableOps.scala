@@ -427,7 +427,14 @@ object TableOps extends QueryRegistry {
       while (!done) {
         try { writer.upsert(batch); done = true }
         catch {
-          case _: CommitConflictException if attempts < 10 => attempts += 1
+          case _: CommitConflictException if attempts < 10 =>
+            attempts += 1
+            // linear backoff: an immediate retry re-runs the whole COW file
+            // rewrite head-on into the other writer's next commit — at two
+            // writers that's a livelock-ish storm (measured 3-4x op time).
+            // A short growing pause lets the peer finish; the lease +
+            // first-committer-wins check still provides all correctness.
+            Thread.sleep(150L * attempts)
         }
       }
     }

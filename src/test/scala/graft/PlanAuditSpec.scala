@@ -383,4 +383,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one hash shuffle total: the per-supplier aggregate
     assert(countShuffles(df) <= 1, s)
   }
+
+  test("q_cube: one Expand + partial-combined aggregate, no join") {
+    val df = Queries.qCube(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("Expand"), s) // the cube's grouping-set expansion
+    assert(s.contains("partial_"), s)
+    assert(!s.contains("Join"), s)
+    // the expansion feeds ONE hash aggregate: one data shuffle total
+    assert(countShuffles(df) <= 1, s)
+  }
+
+  test("q_latest_per_key: single window shuffle, never a max-self-join") {
+    val df = Queries.qLatestPerKey(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("Window") || s.contains("WindowGroupLimit"), s)
+    assert(!s.contains("Join"), s)
+    assert(countShuffles(df) <= 1, s)
+    // rn = 1 prunes inside the window operator (group-limit pushdown),
+    // so each task keeps one row per key instead of sorting whole groups
+    assert(s.contains("WindowGroupLimit"), s)
+  }
+
+  test("x_ngram_stats: bigram distinct happens in-array; agg is partial-combined") {
+    val df = graft.text.TextOps.xNgramStats(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("array_distinct"), s) // per-doc dedup BEFORE the explode
+    assert(s.contains("partial_count"), s)
+    assert(!s.contains("Join"), s)
+  }
+
+  test("q_percent_rank: spend aggregate combines map-side before the rank window") {
+    val df = Queries.qPercentRank(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("partial_"), s)
+    assert(!s.contains("Join"), s)
+  }
 }
