@@ -473,6 +473,21 @@ object TableOps extends QueryRegistry {
     clone.read().orderBy("o_orderkey")
   }
 
+  // --- t_snapshot_export: export the latest snapshot as PLAIN parquet —
+  // the HoodieSnapshotExporter analogue and bootstrap's inverse: a
+  // downstream consumer without the graft reader gets a self-contained
+  // directory (no timeline, no meta columns). One distributed
+  // read-resolve-write pass (O(live files), no driver collect); the
+  // export is then re-read RAW to prove it needs no graft machinery.
+  def tSnapshotExport(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_snapshot_export")
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(upsertBatch(orders))
+    val out = scratch("t_snapshot_export_out", dir)
+    tbl.read().write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy("o_orderkey")
+  }
+
   // --- t_analyze: ANALYZE TABLE — the column-statistics table service
   // (Spark's ANALYZE ... COMPUTE STATISTICS FOR COLUMNS / Hudi's column
   // stats index build): one aggregation pass over the snapshot computes
@@ -930,6 +945,7 @@ object TableOps extends QueryRegistry {
       s"SELECT $ordersCols FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
     QueryDef("t_analyze", tAnalyze, Some(tAnalyzeSql)),
     QueryDef("t_shallow_clone", tShallowClone, Some(s"$upsertedSql ORDER BY o_orderkey")),
+    QueryDef("t_snapshot_export", tSnapshotExport, Some(s"$upsertedSql ORDER BY o_orderkey")),
     QueryDef("t_concurrent_upsert", tConcurrentUpsert, Some(tConcurrentUpsertSql)),
     QueryDef("t_sql_pipeline", tSqlPipeline, Some(tSqlPipelineSql)),
     QueryDef("t_incr_join_view", tIncrJoinView, Some(tIncrJoinViewSql)),
