@@ -135,6 +135,28 @@ object Dedup extends QueryRegistry {
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin
 
+  // --- d_prefix_dup: duplicate-prefix groups — docs sharing their first
+  // 100 normalized chars (the cheap truncation/mirror-dup detector used
+  // alongside full dedup in RefinedWeb-style pipelines: a doc cut off
+  // mid-crawl hashes differently but prefixes identically). ONE hash
+  // aggregation on a 100-char key — no pair join at all, so at 100 TB
+  // this is strictly cheaper than any shingle path.
+  def dPrefixDup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), substring(normText(col("text")), 1, 100).as("p"))
+      .groupBy("p")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select("keep_id", "n_docs")
+      .orderBy("keep_id")
+
+  private val dPrefixDupSql =
+    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_docs
+      |FROM (SELECT doc_id,
+      |    substring(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 100) AS p
+      |  FROM documents)
+      |GROUP BY p HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin
+
   // --- d_threshold_sweep: near-dup pair counts per Jaccard bucket
   // (0.05-wide, >= 0.5) — the tuning report a pipeline owner reads to
   // pick the dedup threshold and the minhash band/row split BEFORE
@@ -797,6 +819,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_containment", dContainment, Some(dContainmentSql)),
     QueryDef("d_threshold_sweep", dThresholdSweep, Some(dThresholdSweepSql)),
+    QueryDef("d_prefix_dup", dPrefixDup, Some(dPrefixDupSql)),
     QueryDef("d_neardup_impact", dNeardupImpact, Some(dNeardupImpactSql)),
     QueryDef("d_dup_groups", dDupGroups, Some(dDupGroupsSql)),
     QueryDef("d_substring", dSubstring, Some(dSubstringSql)),
