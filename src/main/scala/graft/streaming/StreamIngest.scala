@@ -41,6 +41,27 @@ object StreamIngest {
       }
       .start()
 
+  final case class KeyedEvent(user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+  final case class LatestOut(user_id: Long, event_id: Long, ts_ms: Long, event_type: String)
+
+  /** Streaming latest-event-per-key (mapGroupsWithState) — the stateful
+    * twin of Queries.qLatestPerKey: each micro-batch updates a per-key
+    * O(1) state holding the current (ts, event_id)-max event and emits the
+    * key's refreshed latest row. The CDC-snapshot / feature-store pattern:
+    * executor state is one row per key regardless of stream length. */
+  def latestPerKey(events: Dataset[KeyedEvent]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[KeyedEvent], state: GroupState[KeyedEvent]) => {
+          val latest = (state.getOption.iterator ++ it)
+            .maxBy(e => (e.ts_us, e.event_id))
+          state.update(latest)
+          LatestOut(uid, latest.event_id, latest.ts_us / 1000, latest.event_type)
+        })
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessId: Long, startUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(

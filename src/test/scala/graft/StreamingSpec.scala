@@ -113,6 +113,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"closed sessions mismatch: got ${got.count()}, want ${want.count()}")
   }
 
+  test("stateful latest-per-key stream converges to the batch q_latest_per_key") {
+    import spark.implicits._
+    // chunk by event_id % 3, NOT by time: most users then receive OLDER
+    // events in later micro-batches, so the final answer is only right if
+    // per-key state survives and wins across batches
+    val dir = Files.createTempDirectory("graft_stream_latest").toString
+    GraftSession.table(spark, sfDir, "events")
+      .withColumn("chunk", col("event_id") % 3)
+      .write.mode("overwrite").partitionBy("chunk").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val evStream = spark.readStream.schema(schema)
+      .option("basePath", dir).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/chunk=*")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[StreamIngest.KeyedEvent]
+    // fold each micro-batch's updates into a last-write-wins driver map —
+    // the stream's FINAL per-key emission is the state's final content
+    val finalRows = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, String)]()
+    val q = StreamIngest.latestPerKey(evStream)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamIngest.LatestOut], _: Long) =>
+        batch.collect().foreach(r =>
+          finalRows.put(r.user_id, (r.event_id, r.ts_ms, r.event_type)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val want = graft.operators.Queries.qLatestPerKey(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(finalRows.size == want.size, s"${finalRows.size} users vs ${want.size}")
+    want.foreach { case (u, exp) =>
+      assert(finalRows.get(u) == exp, s"user $u: got ${finalRows.get(u)}, want $exp")
+    }
+  }
+
   test("streaming ingest with inline compaction keeps the file count bounded") {
     val dir = stage("ingest_compact")
     val tbl = GraftTable(spark, GraftTableConfig(
