@@ -174,6 +174,19 @@ private[sources] object GraftProcedures {
           val n = in.getUTF8String(1).toString
           table(s, in).dropExpressionIndex(n); oneString(n)
         }),
+      // HoodieSnapshotExporter parity: materialize the latest snapshot as
+      // a self-contained plain-parquet directory (no timeline, no meta
+      // columns) for consumers without the graft reader
+      new Proc("export_snapshot",
+        "export the latest snapshot as plain parquet to dest_path",
+        Seq(p("table", StringType), p("dest_path", StringType)),
+        StructType(Seq(StructField("rows_exported", LongType))),
+        (s, in) => {
+          val dest = in.getUTF8String(1).toString
+          val snap = table(s, in).read()
+          snap.write.mode("overwrite").parquet(dest)
+          Seq(new GenericInternalRow(Array[Any](s.read.parquet(dest).count())))
+        }),
       new Proc("add_validator",
         "register a pre-commit validator: violation SQL over graft_candidate",
         Seq(p("table", StringType), p("name", StringType), p("violation_sql", StringType)),

@@ -257,9 +257,17 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // orphan reaping rides the same surface (nothing to reap here)
     assert(sql("CALL graft.system.clean_orphans('proc_t', 60)").head().getInt(0) == 0)
 
+    // snapshot export: plain parquet, readable raw, row-complete, no meta cols
+    val exp = java.nio.file.Files.createTempDirectory("graft_export").toString
+    assert(sql(s"CALL graft.system.export_snapshot('proc_t', '$exp')")
+      .head().getLong(0) == 200L)
+    val raw = spark.read.parquet(exp)
+    assert(raw.count() == 200L)
+    assert(!raw.columns.exists(_.startsWith("_graft")), raw.columns.mkString(","))
+
     // procedures are discoverable
     val procs = sql("SHOW PROCEDURES IN graft.system").collect()
       .map(_.toSeq.map(String.valueOf).mkString(","))
-    assert(procs.length == 15 && procs.exists(_.contains("compact")))
+    assert(procs.length == 16 && procs.exists(_.contains("compact")))
   }
 }
