@@ -265,7 +265,9 @@ object GraftFunctions {
       v.toString
     }
     def instant(s: String): String =
-      if (s.forall(_.isDigit)) graft.tables.Timeline.pad(s.toLong) else s
+      if (s.equalsIgnoreCase("earliest")) graft.tables.Timeline.pad(0L) // hudi_table_changes parity
+      else if (s.forall(_.isDigit)) graft.tables.Timeline.pad(s.toLong)
+      else s
     val spark = SparkSession.active
     val cfg = graft.tables.TableProperties.load(spark, args(0)).getOrElse(
       throw new IllegalArgumentException(s"no graft table at ${args(0)}"))

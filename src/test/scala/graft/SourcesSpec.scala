@@ -289,6 +289,12 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bare-number instants pad automatically; 0 = from the beginning
     assert(spark.sql(
       s"SELECT * FROM graft_table_changes('$p', 'latest_state', 0)").count() == 100)
+    // the reference's 'earliest' keyword (quickstart.sql:84) and a bounded
+    // (begin, end] range both resolve
+    assert(spark.sql(
+      s"SELECT * FROM graft_table_changes('$p', 'latest_state', 'earliest')").count() == 100)
+    assert(spark.sql(s"SELECT * FROM graft_table_changes('$p', 'latest_state', " +
+      s"'earliest', '$i1')").count() == 100)
     val cdc = spark.sql(s"SELECT * FROM graft_table_changes('$p', 'cdc', '$i1')")
     assert(cdc.filter(col("_change_type") === "update_postimage").count() == 30)
     assert(cdc.filter(col("_change_type") === "update_preimage").count() == 30)
