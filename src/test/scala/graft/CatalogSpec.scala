@@ -105,6 +105,18 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(now.head().getDouble(0) - 935.0) < 1e-9)
   }
 
+  test("time travel TIMESTAMP AS OF accepts SQL timestamp/date strings (quickstart.sql:77-81)") {
+    // a future wall-clock timestamp resolves to the current snapshot
+    val tomorrow = java.time.LocalDate.now(java.time.ZoneOffset.UTC).plusDays(1)
+    assert(sql(s"SELECT * FROM graft.trips TIMESTAMP AS OF '$tomorrow'").count() == 4)
+    val nowTs = java.time.Instant.now().toString.replace("T", " ").takeWhile(_ != 'Z')
+    assert(sql(s"SELECT * FROM graft.trips TIMESTAMP AS OF '$nowTs'").count() == 4)
+    // a timestamp before the first commit: no snapshot existed — an error,
+    // not an empty table
+    intercept[Exception](
+      sql("SELECT * FROM graft.trips TIMESTAMP AS OF '2000-01-01'").count())
+  }
+
   test("CTAS (quickstart.sql:92-99)") {
     sql("""CREATE TABLE graft.trips_sp USING graft
           |TBLPROPERTIES (primaryKey = 'uuid')
