@@ -296,7 +296,38 @@ object Multimodal extends QueryRegistry {
       |WHERE lang IN ('en', 'de', 'fr', 'es') AND n_chars BETWEEN 100 AND 20000
       |ORDER BY doc_id""".stripMargin
 
+  // --- m_audio_windows: fixed-duration audio windowing with an energy
+  // gate — the VAD / silence-trim shape of an audio curation pass. The
+  // "signal" is a STUB (code points of the 64-char payload head stand in
+  // for PCM samples; a real deployment swaps only the sample source), but
+  // the Spark contract is the real one: per-row window explode (O(duration)
+  // rows, no shuffle until the presentation sort), per-window integer
+  // energy, and a deterministic voiced flag both engines compute exactly.
+  def mAudioWindows(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+      .select(col("doc_id"), col("head"),
+        explode(expr("sequence(0, cast(ceil(length(head) / 8.0) as int) - 1)")).as("w"))
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        expr("""aggregate(
+            filter(split(substring(head, w * 8 + 1, 8), ''), c -> c <> ''),
+            0L, (acc, c) -> acc + ascii(c))""").as("energy"))
+      .withColumn("voiced", col("energy") > 400L)
+      .orderBy("doc_id", "w")
+
+  private val mAudioWindowsSql =
+    """SELECT doc_id, w, energy, energy > 400 AS voiced FROM (
+      |  SELECT doc_id, CAST(w AS BIGINT) AS w,
+      |    CAST(list_sum(list_transform(
+      |      list_filter(string_split(substr(head, w * 8 + 1, 8), ''), c -> c <> ''),
+      |      c -> ascii(c))) AS BIGINT) AS energy
+      |  FROM (SELECT doc_id, substr(text, 1, 64) AS head FROM documents),
+      |    (SELECT unnest(range(0, 8)) AS w)
+      |  WHERE w * 8 < length(head))
+      |ORDER BY doc_id, w""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("m_audio_windows", mAudioWindows, Some(mAudioWindowsSql)),
     QueryDef("m_caption_pairs", mCaptionPairs, Some(mCaptionPairsSql)),
     QueryDef("m_scene_split", mSceneSplit, Some(mSceneSplitSql)),
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
