@@ -50,6 +50,20 @@ def main() -> int:
             failures += 1
             continue
         mismatched = []
+        # The driver's comparator hashes raw values, so a dtype KIND gap
+        # that a value-== compare forgives (e.g. DuckDB HUGEINT from an
+        # uncast integer SUM arriving as float64, vs Spark BIGINT) is a
+        # real FAIL there. Width-only gaps (int32 vs int64, e.g. Spark's
+        # year()) hash identically in the driver — don't flag those.
+        dtype_gap = [c for c in g.columns
+                     if g[c].dtype.kind != w[c].dtype.kind]
+        if dtype_gap:
+            print(f"FAIL {name}: dtype mismatch in {dtype_gap}: "
+                  f"got={[str(g[c].dtype) for c in dtype_gap]} "
+                  f"want={[str(w[c].dtype) for c in dtype_gap]} "
+                  "(uncast integer SUM in oracle SQL?)")
+            failures += 1
+            continue
         for c in g.columns:
             a, b = g[c], w[c]
             try:

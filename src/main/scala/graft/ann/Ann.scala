@@ -71,8 +71,9 @@ object Ann extends QueryRegistry {
        |  FROM p)
        |SELECT q_id, rank, vec_id, cos_r FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
-  // --- s_topk_ivf: IVF-style ANN. Centroids are deterministically sampled
-  // corpus vectors (vec_id % 100 == 0); every vector is assigned to its
+  // --- s_topk_ivf: IVF-style ANN. Centroids are a FIXED-k deterministic
+  // hash-rank sample of corpus vectors (see [[Centroids]] — constant-size
+  // broadcast at any corpus size); every vector is assigned to its
   // nearest centroid (the inverted file); queries probe the 2 nearest
   // centroid buckets only. Approximate w.r.t. exact top-k, but every step
   // (assignment, probing, in-bucket ranking) is deterministic round6
@@ -80,8 +81,7 @@ object Ann extends QueryRegistry {
   // PipelineSpec additionally asserts recall vs the brute-force baseline.
   def sTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val cents = Centroids.sample(e)
     // IVF build: assign each vector to its nearest centroid (one broadcast pass)
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
     val assigned = e.join(broadcast(cents), lit(true))
@@ -151,7 +151,7 @@ object Ann extends QueryRegistry {
     s"""WITH e AS (SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings),
-       |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e ${Centroids.sqlTail()}),
        |asg AS (SELECT vec_id, embedding, nrm, bucket FROM (
        |    SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS bucket,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -209,7 +209,9 @@ object Ann extends QueryRegistry {
   // --- s_topk_pq: product-quantization ANN with exact re-ranking (the
   // FAISS IVFPQ+refine shape) — completes the ANN trio (brute force / IVF /
   // PQ). The 64-dim space splits into M=4 subspaces of 16; each subspace
-  // gets a codebook of deterministically sampled codewords (vec_id % 10);
+  // gets a codebook of deterministically sampled codewords (the FIXED-size
+  // hash-rank sample of [[Centroids.PqK]] ids — corpus-size-free, like a
+  // trained FAISS codebook's constant 2^b entries);
   // every vector is ENCODED as its 4 nearest codeword ids (4 small ints
   // instead of 64 floats — the compression that lets a 100 TB corpus scan
   // from memory). A query builds a (subspace × codeword) distance table and
@@ -228,7 +230,7 @@ object Ann extends QueryRegistry {
         s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(v, m * $SUB + 1, $SUB) AS sv))")).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
       .cache()
-    val code = subs.filter(col("vec_id") % 10 === 0)
+    val code = subs.join(broadcast(Centroids.sampleIds(e, Centroids.PqK)), "vec_id")
       .select(col("vec_id").as("c_id"), col("m").as("cm"), col("sv").as("cv"))
     // index-ordered squared-distance fold, quantized to 1e-6 integers —
     // the native codegen expression (an interpreted HOF fold here costs the
@@ -272,7 +274,8 @@ object Ann extends QueryRegistry {
        |  FROM embeddings),
        |subs AS (SELECT vec_id, m, v[m * 16 + 1 : m * 16 + 16] AS sv
        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
-       |code AS (SELECT vec_id AS c_id, m AS cm, sv AS cv FROM subs WHERE vec_id % 10 = 0),
+       |code AS (SELECT vec_id AS c_id, m AS cm, sv AS cv FROM subs
+       |  WHERE vec_id IN (SELECT vec_id FROM e ${Centroids.sqlTail(Centroids.PqK)})),
        |enc AS (SELECT vec_id, m, code FROM (
        |    SELECT s.vec_id, s.m, c.c_id AS code,
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
@@ -337,8 +340,7 @@ object Ann extends QueryRegistry {
     import graft.tables.{GraftTable, GraftTableConfig}
     GraftFunctions.register(s)
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val cents = Centroids.sample(e)
     def assign(batch: DataFrame): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
       batch.join(broadcast(cents), lit(true))
@@ -358,10 +360,10 @@ object Ann extends QueryRegistry {
   }
 
   private val sIvfIncrementalSql =
-    """WITH e AS (SELECT vec_id, embedding,
+    s"""WITH e AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0)
+      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e ${Centroids.sqlTail()})
       |SELECT vec_id, bucket, cos_c FROM (
       |    SELECT e.vec_id, c.c_id AS bucket,
       |      round(list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -406,15 +408,17 @@ object Ann extends QueryRegistry {
   // graph-based label propagation. All-pairs is quadratic, so candidates
   // are blocked by IVF multi-assignment: each vector joins its 2 nearest
   // centroid buckets, and only same-bucket pairs are scored — per-bucket
-  // work is (n/#buckets)², the standard blocked-kNN bound, and #buckets
-  // grows with the corpus (vec_id % 100 sampling). The pair dedupe
+  // work is (n/#buckets)², the standard blocked-kNN bound. Centroids come
+  // from the FIXED-k hash-rank sample ([[Centroids]]) so assignment is
+  // O(n·k) with a constant-size broadcast; at a real 100 TB deployment k
+  // is the tuning knob (k ≈ √n keeps per-bucket pair work linear), and
+  // any k preserves the deterministic contract. The pair dedupe
   // shuffles only (id, id, score) triples, never embeddings; ranking uses
   // the salted two-phase top-k so no task sorts a whole vector's
   // candidate set.
   def sKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val cents = Centroids.sample(e)
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
     // cached: the assignment (centroid scan + window) feeds both sides of
     // the pair join — uncached it runs twice
@@ -437,10 +441,10 @@ object Ann extends QueryRegistry {
   }
 
   private val sKnnGraphSql =
-    """WITH e AS (SELECT vec_id, embedding,
+    s"""WITH e AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e ${Centroids.sqlTail()}),
       |a AS (SELECT vec_id, embedding, nrm, bucket FROM (
       |    SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS bucket,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -468,8 +472,7 @@ object Ann extends QueryRegistry {
   // compute, O(#centroids) output at any corpus size.
   def sClusterQuality(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val cents = Centroids.sample(e)
     val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
@@ -485,10 +488,10 @@ object Ann extends QueryRegistry {
   }
 
   private val sClusterQualitySql =
-    """WITH e AS (SELECT vec_id, embedding,
+    s"""WITH e AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e ${Centroids.sqlTail()}),
       |asg AS (SELECT cluster_id, q6 FROM (
       |    SELECT c.c_id AS cluster_id,
       |      CAST(round(1000000 * round(list_sum(list_transform(range(1, len(e.embedding) + 1),

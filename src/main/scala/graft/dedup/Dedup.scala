@@ -270,9 +270,9 @@ object Dedup extends QueryRegistry {
       |  FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
       |SELECT source, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_neardup,
-      |  SUM(n_chars) AS chars_total,
-      |  SUM(CASE WHEN drops.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS chars_dropped,
+      |  CAST(SUM(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      |  CAST(SUM(CASE WHEN drops.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
       |  round(CAST(SUM(CASE WHEN drops.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS DOUBLE)
       |    / SUM(n_chars), 6) AS drop_share
       |FROM documents LEFT JOIN drops USING (doc_id)
@@ -770,8 +770,7 @@ object Dedup extends QueryRegistry {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val cents = graft.ann.Centroids.sample(e)
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
@@ -796,7 +795,7 @@ object Dedup extends QueryRegistry {
     """WITH e AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
       |asg AS (SELECT vec_id, bucket FROM (
       |    SELECT e.vec_id, c.c_id AS bucket,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY

@@ -786,8 +786,8 @@ object Queries extends QueryRegistry {
 
   private val q12Sql =
     """SELECT l_returnflag,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -950,7 +950,7 @@ object Queries extends QueryRegistry {
       .orderBy("event_type")
 
   private val qJsonExtractSql =
-    """SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
+    """SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
       |  MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (SELECT event_type,
       |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -1248,7 +1248,7 @@ object Queries extends QueryRegistry {
       |            WHEN o_custkey IS NOT NULL THEN 'order_only'
       |            ELSE 'customer_only' END AS match_type,
       |  COUNT(*) AS n_keys,
-      |  COALESCE(SUM(n_orders), 0) AS n_orders,
+      |  CAST(COALESCE(SUM(n_orders), 0) AS BIGINT) AS n_orders,
       |  COALESCE(CAST(SUM(spend) AS DOUBLE), 0.0) AS total_spend
       |FROM pc FULL OUTER JOIN c ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin

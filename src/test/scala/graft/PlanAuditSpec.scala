@@ -201,6 +201,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("IVF family: centroid side is a FIXED-k top-k sample, broadcast, never a shuffle") {
+    // The centroid sample must compile to TakeOrderedAndProject (one O(n)
+    // pass keeping k rows — never a global sort) and be consumed via a
+    // broadcast. A centroid rule whose output grows with the corpus
+    // (the old vec_id % 100) is the 100 TB killer this pins against:
+    // limit(k) guarantees the broadcast is constant-size by construction.
+    for (df <- Seq(graft.ann.Ann.sTopkIvf(spark, sfDir),
+        graft.dedup.Dedup.dSemdedup(spark, sfDir))) {
+      val s = planString(df)
+      assert(s.contains("TakeOrderedAndProject"), s)
+      assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+      assert(!s.contains("CartesianProduct"), s)
+    }
+  }
+
   test("x_source_overlap: shingle-blocked equi-join, no doc cross product") {
     val s = planString(graft.text.TextOps.xSourceOverlap(spark, sfDir))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
