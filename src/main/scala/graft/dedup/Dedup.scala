@@ -42,19 +42,22 @@ object Dedup extends QueryRegistry {
       |GROUP BY h ORDER BY keep_id""".stripMargin
 
   /** Distinct 3-word shingles per document, identified by a 64-bit hash:
-    * (doc_id, sh: long). Hashing inside the lambda means shingle strings are
-    * never materialized — dedup joins and minhash work on longs (collision
-    * probability across a corpus is ~n²/2^64, negligible). */
+    * (doc_id, sh: long). Produced by the native one-pass
+    * [[graft.functions.ShingleHash]] expression — no regex walk, no word
+    * array, no interpreted HOF lambda; shingle strings are never
+    * materialized, so dedup joins and minhash work on longs (collision
+    * probability across a corpus is ~n²/2^64, negligible). The hash values
+    * are bit-identical to the previous
+    * `xxhash64(w[i], w[i+1], w[i+2])`-over-split formulation (see the
+    * expression's doc), so every downstream contract is unchanged. */
   // NB: the explode stays INLINE over the shingle expression — exploding a
   // separately-projected array column makes Spark carry/recompute the whole
   // array per OUTPUT row (O(shingles²) per doc, measured 35x slower).
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     docs(s, dir)
-      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
-      .select(col("doc_id"),
-        explode(when(size(col("w")) >= 3,
-          array_distinct(expr("transform(sequence(0, size(w)-3), i -> xxhash64(w[i], w[i+1], w[i+2]))")))
-          .otherwise(array().cast("array<bigint>"))).as("sh"))
+      .select(col("doc_id"), explode(expr("shingle_hash(lower(text), 3)")).as("sh"))
+  }
 
   /** Exact Jaccard over pairs that share >= 1 shingle, optionally restricted
     * to a candidate pair set (the LSH path — only candidates are verified,

@@ -246,7 +246,8 @@ object GraftFunctions {
     "cosine_sim" -> (children => CosineSim(children.head, children(1))),
     "cosine_sim_d" -> (children => CosineSimD(children.head, children(1))),
     "l2sq_q6" -> (children => L2SqQ6(children.head, children(1))),
-    "dot_f" -> (children => DotF(children.head, children(1))))
+    "dot_f" -> (children => DotF(children.head, children(1))),
+    "shingle_hash" -> (children => ShingleHash.fromArgs(children)))
 
   /** `graft_table_changes(path, mode, beginExclusive[, endInclusive])` —
     * the SQL table function mirroring the reference's `hudi_table_changes`
@@ -322,6 +323,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotF].getName, "dot_f"),
       children => DotF(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
+      children => ShingleHash.fromArgs(children)))
     ext.injectTableFunction((
       FunctionIdentifier("graft_table_changes"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_table_changes"),

@@ -226,13 +226,9 @@ object TextOps extends QueryRegistry {
   // 100 TB the cost is one shuffle of hashed shingles (the eval side is
   // tiny and broadcast).
   def xDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val sh = docs(s, dir)
-      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
-      .select(col("doc_id"),
-        explode(when(size(col("w")) >= 5,
-          array_distinct(expr(
-            "transform(sequence(0, size(w)-5), i -> xxhash64(w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
-          .otherwise(array().cast("array<bigint>"))).as("sh"))
+      .select(col("doc_id"), explode(expr("shingle_hash(lower(text), 5)")).as("sh"))
     val eval0 = sh.filter(col("doc_id") % 19 === 0).toDF("eval_id", "sh")
     val train = sh.filter(col("doc_id") % 19 =!= 0)
     train.join(broadcast(eval0), Seq("sh"))
@@ -331,13 +327,9 @@ object TextOps extends QueryRegistry {
   // |docs|²; Spark works on 64-bit shingle hashes (never materializing
   // shingle strings), the oracle on the strings — same counts.
   def xSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val raw = docs(s, dir)
-      .select(col("source"), split(normText(col("text")), " ").as("w"))
-      .select(col("source"),
-        explode(when(size(col("w")) >= 5,
-          array_distinct(expr(
-            "transform(sequence(0, size(w)-5), i -> xxhash64(w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
-          .otherwise(array().cast("array<bigint>"))).as("sh"))
+      .select(col("source"), explode(expr("shingle_hash(lower(text), 5)")).as("sh"))
       .distinct()
     // Hot-shingle cap: a shingle present in more than MaxShingleSources
     // sources is corpus-wide boilerplate ("of the and of the") — it carries

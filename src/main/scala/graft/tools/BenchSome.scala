@@ -26,6 +26,7 @@ object BenchSome {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         println(f"[benchsome] $name run$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -22,6 +22,23 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("battery sweep leaves no cached RDDs behind (per-op cache scope)") {
+    // Ops may cache intermediates that feed multiple branches of their
+    // plan; because the returned DataFrame is lazy, the op itself cannot
+    // unpersist. The per-op scope lives in the battery runners (Bench /
+    // Verify / BenchSome all clearCache() after materializing each op) —
+    // this pins that the scope actually empties the cache, including for
+    // the cache-heaviest ops.
+    for (name <- Seq("d_minhash_lsh", "q2_min_cost_supplier", "d_semdedup")) {
+      SparkEntry.queries(name)(spark, sfDir).count()
+      spark.catalog.clearCache()
+    }
+    val cached = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.name == null)
+      .filterNot(_.name.contains("Checkpoint")) // d_dup_groups-style localCheckpoints are dropped by the ContextCleaner, not clearCache
+    assert(cached.isEmpty, cached.map(_.name).mkString(", "))
+  }
+
   test("stream -> MOR table -> triggered compaction -> derived incremental aggregate") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 

@@ -16,6 +16,29 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("shingle_hash is bit-identical to the split+transform+xxhash64 formulation") {
+    GraftFunctions.register(spark)
+    val docs = GraftSession.table(spark, sfDir, "documents").limit(200)
+    for (n <- Seq(3, 5)) {
+      val legacy = docs.select(col("doc_id"),
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ").as("w"))
+        .select(col("doc_id"),
+          when(size(col("w")) >= n, array_distinct(expr(
+            s"transform(sequence(0, size(w)-$n), i -> xxhash64(${(0 until n).map(j => s"w[i+$j]").mkString(", ")}))")))
+            .otherwise(array().cast("array<bigint>")).as("sh"))
+      val native = docs.select(col("doc_id"),
+        expr(s"shingle_hash(lower(text), $n)").as("sh"))
+      assert(native.exceptAll(legacy).isEmpty && legacy.exceptAll(native).isEmpty,
+        s"shingle_hash($n) diverges from the legacy formulation")
+    }
+    // edge inputs: empty, whitespace-only, fewer tokens than n, mixed whitespace
+    val edge = spark.sql(
+      """SELECT shingle_hash(s, 3) AS sh FROM VALUES
+        |  (''), ('   '), ('one two'), ('a\tb\nc  d'), ('x x x x') AS t(s)""".stripMargin)
+      .collect().map(_.getSeq[Long](0).length)
+    assert(edge.toSeq == Seq(0, 0, 0, 2, 1), edge.toSeq.toString)
+  }
+
   test("cosine_sim is bit-identical to the aggregate/zip_with fold") {
     GraftFunctions.register(spark)
     val e = GraftSession.table(spark, sfDir, "embeddings")
