@@ -303,14 +303,22 @@ object Multimodal extends QueryRegistry {
   // the Spark contract is the real one: per-row window explode (O(duration)
   // rows, no shuffle until the presentation sort), per-window integer
   // energy, and a deterministic voiced flag both engines compute exactly.
+  // Cross-engine stability of the stub signal: Spark's ascii() returns the
+  // first UTF-8 BYTE (signed — negative on multi-byte chars) while DuckDB's
+  // returns the Unicode code point, so energy only sums chars in the
+  // printable-ASCII band [' ', '~'], where the two agree exactly — on any
+  // corpus, not just ASCII testdata. The empty-head edge is filtered out
+  // explicitly (Spark's sequence(0, -1) would emit [0, -1] where the
+  // oracle's w*8 < length(head) emits nothing).
   def mAudioWindows(s: SparkSession, dir: String): DataFrame =
     GraftSession.table(s, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+      .filter(length(col("head")) > 0)
       .select(col("doc_id"), col("head"),
         explode(expr("sequence(0, cast(ceil(length(head) / 8.0) as int) - 1)")).as("w"))
       .select(col("doc_id"), col("w").cast("long").as("w"),
         expr("""aggregate(
-            filter(split(substring(head, w * 8 + 1, 8), ''), c -> c <> ''),
+            filter(split(substring(head, w * 8 + 1, 8), ''), c -> c >= ' ' AND c <= '~'),
             0L, (acc, c) -> acc + ascii(c))""").as("energy"))
       .withColumn("voiced", col("energy") > 400L)
       .orderBy("doc_id", "w")
@@ -318,9 +326,10 @@ object Multimodal extends QueryRegistry {
   private val mAudioWindowsSql =
     """SELECT doc_id, w, energy, energy > 400 AS voiced FROM (
       |  SELECT doc_id, CAST(w AS BIGINT) AS w,
-      |    CAST(list_sum(list_transform(
-      |      list_filter(string_split(substr(head, w * 8 + 1, 8), ''), c -> c <> ''),
-      |      c -> ascii(c))) AS BIGINT) AS energy
+      |    CAST(COALESCE(list_sum(list_transform(
+      |      list_filter(string_split(substr(head, w * 8 + 1, 8), ''),
+      |        c -> c >= ' ' AND c <= '~'),
+      |      c -> ascii(c))), 0) AS BIGINT) AS energy
       |  FROM (SELECT doc_id, substr(text, 1, 64) AS head FROM documents),
       |    (SELECT unnest(range(0, 8)) AS w)
       |  WHERE w * 8 < length(head))

@@ -226,15 +226,18 @@ object Queries extends QueryRegistry {
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"),
+        grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"))
       .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
         col("n"), col("total"))
       .orderBy("status", "priority")
 
   private val qRollupSql =
-    """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+    """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""".stripMargin
 
@@ -247,10 +250,12 @@ object Queries extends QueryRegistry {
       .groupingSets(
         Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
         col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"),
+        grouping(col("o_orderpriority")).as("g_p"),
+        grouping(col("o_orderstatus")).as("g_s"))
       .select(
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+        when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
         col("n"), col("total"))
       .orderBy("priority", "status")
 
@@ -395,7 +400,8 @@ object Queries extends QueryRegistry {
       |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
   private val qGroupingSetsSql =
-    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'ALL') AS status,
+    """SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+      |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       |ORDER BY priority, status""".stripMargin
@@ -1318,21 +1324,27 @@ object Queries extends QueryRegistry {
   // in ONE partial-agg-friendly pass; completes the rollup/grouping-sets
   // family. Same scale shape as q_rollup: Catalyst expands the cube in a
   // single hash aggregate, the output is grouping-cardinality-sized.
+  // Margin rows are identified by GROUPING() in BOTH engines — a sentinel
+  // via coalesce would conflate margins with genuine NULL (or literal
+  // 'ALL') dimension values on an arbitrary corpus.
   def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
       .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("returnflag"),
+        when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
         col("n"), col("sum_qty"), col("sum_price"))
       .orderBy("returnflag", "linestatus")
 
   private val qCubeSql =
-    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-      |  COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n,
+    """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+      |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+      |  COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -1341,8 +1353,12 @@ object Queries extends QueryRegistry {
   // --- q_percent_rank: relative-standing profile of customer spend —
   // percent_rank + cume_dist over a TOTAL order (spend, custkey), so
   // tied spends rank deterministically across engines. One aggregate
-  // (map-side partials) then one global range-shuffle window; both
-  // rank functions are rank-arithmetic, exact in IEEE doubles.
+  // (map-side partials) feeds the rank window. NB: Window.orderBy with no
+  // partitionBy moves ALL aggregated rows through a SINGLE task (Spark
+  // warns about this) — acceptable here only because the window input is
+  // the per-customer aggregate, not raw orders; a 100 TB-cardinality key
+  // would need the q_window_rank-style two-phase ranked shape instead.
+  // Both rank functions are rank-arithmetic, exact in IEEE doubles.
   def qPercentRank(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
       .groupBy("o_custkey")

@@ -64,4 +64,38 @@ object CatalogSync {
   def unsync(spark: org.apache.spark.sql.SparkSession,
       database: String, tableName: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${q(database)}.${q(tableName)}")
+
+  private def columnsDdl(table: GraftTable): String =
+    table.read().schema.fields
+      .map(f => s"  ${q(f.name)} ${f.dataType.sql}")
+      .mkString(",\n")
+
+  private def quoteSqlString(s: String): String = s.replace("'", "''")
+
+  /** `SHOW CREATE TABLE`-style DDL export: the exact statement that
+    * re-registers this table in ANY catalog a Spark deployment points at
+    * (in-memory, Derby, a real Hive metastore, Glue) — the portable
+    * metastore sync-out the reference gets from `hive_sync` /
+    * glue Code.py:41-42. Unlike [[sync]], which writes into the LIVE
+    * session catalog, the DDL is a plain string a different cluster or a
+    * later session can run; CatalogSpec round-trips a table through it. */
+  def showCreateTable(table: GraftTable, database: String, tableName: String): String =
+    s"""CREATE TABLE ${q(database)}.${q(tableName)} (
+       |${columnsDdl(table)})
+       |USING graft
+       |OPTIONS (path '${quoteSqlString(table.cfg.path)}')""".stripMargin
+
+  /** Hive-compatible EXTERNAL TABLE DDL for readers WITHOUT the graft jar
+    * (Presto/Trino/Hive/Athena), pointed at a plain-parquet snapshot
+    * export (see `CALL export_snapshot` / t_snapshot_export). It must NOT
+    * point at the live table root: the root holds every commit's file
+    * groups, so a raw parquet reader there would double-count replaced
+    * rows — exactly why Hudi's hive-sync registers its own input format.
+    * Executing it needs a Hive-enabled catalog; this emits the text. */
+  def hiveDdl(table: GraftTable, database: String, tableName: String,
+      snapshotLocation: String): String =
+    s"""CREATE EXTERNAL TABLE ${q(database)}.${q(tableName)} (
+       |${columnsDdl(table)})
+       |STORED AS PARQUET
+       |LOCATION '${quoteSqlString(snapshotLocation)}'""".stripMargin
 }

@@ -183,7 +183,15 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("rows_exported", LongType))),
         (s, in) => {
           val dest = in.getUTF8String(1).toString
+          // refuse a non-empty destination (the snapshot-exporter tool this
+          // mirrors does the same) — an overwrite here would silently
+          // delete arbitrary caller-supplied paths
+          val destDir = new java.io.File(dest)
+          require(!destDir.exists() || Option(destDir.list()).forall(_.isEmpty),
+            s"export_snapshot destination '$dest' is not empty")
           val snap = table(s, in).read()
+          // overwrite is safe: the guard above proved dest empty or absent
+          // (errorifexists would refuse an existing-but-empty directory)
           snap.write.mode("overwrite").parquet(dest)
           Seq(new GenericInternalRow(Array[Any](s.read.parquet(dest).count())))
         }),

@@ -1037,11 +1037,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val written = spark.read.option("recursiveFileLookup", "true").parquet(dataDir)
     val rootS = rootStr
     // store TABLE-RELATIVE paths so liveness checks and index compaction
-    // compare directly against timeline FileMeta paths (single-column UDF,
-    // not a Dataset map — no whole-row encode/decode per record)
-    val rel = udf((f: String) => GraftTable.relativize(f, rootS))
+    // compare directly against timeline FileMeta paths (built-in
+    // expressions only — no ScalaUDF blocking WSCG in the index job)
     written
-      .select(keyStr(keyCol, written).as("k"), rel(input_file_name()).as("f"))
+      .select(keyStr(keyCol, written).as("k"),
+        GraftTable.relativizeCol(input_file_name(), rootS).as("f"))
       .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
       // shuffle BY BUCKET: a bulk commit's index write parallelizes across
       // buckets (repartition(1) would push every key of a 100 TB import
@@ -1092,16 +1092,15 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   private def writeSecondaryIndex(instant: String, dataDir: String): Unit = {
     val written = spark.read.option("recursiveFileLookup", "true").parquet(dataDir)
     val rootS = rootStr
-    val rel = udf((f: String) => GraftTable.relativize(f, rootS))
     cfg.secondaryIndexCols.filter(written.columns.contains).foreach { c =>
       // distinct FIRST on the raw absolute name so the codegen'd scan feeds
-      // the shuffle directly; the relativize UDF then runs only on the tiny
+      // the shuffle directly; relativization then runs only on the tiny
       // distinct'd set. No repartition(1): AQE coalesces the small shuffle,
       // while a large commit's index write stays parallel.
       written
         .select(col(s"`$c`").cast("string").as("v"), input_file_name().as("af"))
         .distinct()
-        .select(col("v"), rel(col("af")).as("f"))
+        .select(col("v"), GraftTable.relativizeCol(col("af"), rootS).as("f"))
         .write.mode("overwrite")
         .parquet(s"${cfg.path}/_graft/si/$c/$instant")
     }
@@ -2179,7 +2178,23 @@ object GraftTable {
     * decode so stored paths match the literal file names on disk. Static so
     * executor-side closures (record-index writes) use the identical logic
     * as the driver. */
-  private[tables] def relativize(absFileName: String, rootStr: String): String = {
+  /** [[relativize]] as a Column over built-in codegen'd expressions only —
+    * the index write jobs use this so no ScalaUDF blocks whole-stage
+    * codegen. Same semantics for everything `input_file_name()` can emit:
+    * strip `scheme://authority` or a bare `scheme:`, percent-decode the
+    * path (pre-escaping `+`, which is a LITERAL plus in a URI path but a
+    * space to url_decode), then strip the table root else mark `ext:`. */
+  private[graft] def relativizeCol(f: Column, rootS: String): Column = {
+    import org.apache.spark.sql.functions._
+    val noAuth = regexp_replace(f, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*", "")
+    val noScheme = regexp_replace(noAuth, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:", "")
+    val dec = url_decode(regexp_replace(noScheme, "\\+", "%2B"))
+    when(dec.startsWith(rootS + "/"),
+      dec.substr(lit(rootS.length + 2), length(dec)))
+      .otherwise(concat(lit("ext:"), dec))
+  }
+
+  private[graft] def relativize(absFileName: String, rootStr: String): String = {
     val p =
       try new java.net.URI(absFileName).getPath
       catch { case _: java.net.URISyntaxException => absFileName }

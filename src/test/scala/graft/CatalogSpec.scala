@@ -282,4 +282,40 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.toSeq.map(String.valueOf).mkString(","))
     assert(procs.length == 16 && procs.exists(_.contains("compact")))
   }
+
+  test("showCreateTable DDL round-trips a graft table; hiveDdl targets a snapshot export") {
+    import graft.sources.CatalogSync
+    import graft.tables.{GraftTable, GraftTableConfig}
+    import org.apache.spark.sql.functions.col
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/ddl_export", "o_orderkey", "o_orderkey"))
+    tbl.dropIfExists()
+    tbl.insert(GraftSession.table(spark, "/root/testdata/sf0.001", "orders").limit(500),
+      numFiles = 2)
+    CatalogSync.sync(tbl, "ddl_db", "orders_t")
+    val ddl = CatalogSync.showCreateTable(tbl, "ddl_db", "orders_t")
+    // the exported text is standalone: drop the live entry, re-create from
+    // the DDL alone in a FRESH session state, and read by name
+    CatalogSync.unsync(spark, "ddl_db", "orders_t")
+    val fresh = spark.newSession()
+    fresh.sql(ddl)
+    val byName = fresh.table("`ddl_db`.`orders_t`")
+    assert(byName.count() == tbl.read().count())
+    assert(byName.schema == tbl.read().schema)
+    // still a POINTER: a later upsert is visible through the DDL-created entry
+    tbl.upsert(tbl.read().limit(1).withColumn("o_orderpriority",
+      org.apache.spark.sql.functions.lit("9-DDL")))
+    assert(byName.filter(col("o_orderpriority") === "9-DDL").count() == 1)
+
+    // hive-compatible flavor: external parquet DDL over a snapshot export —
+    // the LOCATION must read row-complete with a raw parquet reader
+    val exp = java.nio.file.Files.createTempDirectory("graft_ddl_export").toString
+    tbl.read().write.mode("overwrite").parquet(exp)
+    val hive = CatalogSync.hiveDdl(tbl, "ddl_db", "orders_hive", exp)
+    assert(hive.startsWith("CREATE EXTERNAL TABLE `ddl_db`.`orders_hive`"))
+    assert(hive.contains("STORED AS PARQUET") && hive.contains(s"LOCATION '$exp'"))
+    assert(hive.contains("`o_orderkey` BIGINT"))
+    assert(spark.read.parquet(exp).count() == tbl.read().count())
+    CatalogSync.unsync(spark, "ddl_db", "orders_t")
+  }
 }

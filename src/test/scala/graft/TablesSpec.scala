@@ -1133,6 +1133,27 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == orders.count())
   }
 
+  test("relativizeCol matches relativize on every input_file_name shape, no ScalaUDF") {
+    import spark.implicits._
+    val root = "/tmp/graft tables/t1"
+    // realistic input_file_name() shapes: URIs are always percent-encoded
+    val paths = Seq(
+      "file:///tmp/graft%20tables/t1/p=1/part-000.parquet", // scheme + empty authority
+      "file:/tmp/graft%20tables/t1/part-001.parquet",       // bare scheme
+      "file:///tmp/graft%20tables/t1/part-0%2B2.parquet",   // literal-plus %2B under root
+      "hdfs://host:9000/elsewhere/part-003.parquet",        // external, authority stripped
+      "/tmp/graft tables/t1/part-004.parquet",              // no scheme at all
+      "s3a://bucket/ext/part-005.parquet")                  // external object store
+    val df = paths.toDF("af")
+      .select(col("af"), GraftTable.relativizeCol(col("af"), root).as("f"))
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    paths.foreach { p =>
+      assert(got(p) == GraftTable.relativize(p, root),
+        s"$p: col=${got(p)} scala=${GraftTable.relativize(p, root)}")
+    }
+  }
+
   test("record index: exact file set per key, stale mappings liveness-filtered") {
     val tbl = GraftTable(spark, GraftTableConfig(
       "/tmp/graft_spec/record_index", "o_orderkey", "o_orderkey",
