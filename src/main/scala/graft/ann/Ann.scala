@@ -507,8 +507,35 @@ object Ann extends QueryRegistry {
       |  round(CAST(MIN(q6) AS DOUBLE) / 1000000.0, 6) AS min_cos
       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- s_recall_eval: recall@k of the IVF index against the exact
+  // brute-force ground truth — the evaluation harness every ANN deployment
+  // runs before trusting an index (FAISS's recall benchmark shape). Both
+  // result sets are themselves deterministic operators of this registry, so
+  // the whole evaluation is DuckDB-stateable; per-query hits come from one
+  // (q_id, vec_id) equi-join of two k-row-per-query tables — evaluation
+  // cost is O(|queries|·k), independent of corpus size.
+  def sRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val bf = sTopkBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+    val iv = sTopkIvf(s, dir)
+      .select(col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
+    bf.join(iv, col("q_id") === col("iq_id") && col("vec_id") === col("ivec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("ivec_id")).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / lit(K).cast("double"), 6))
+      .orderBy("q_id")
+  }
+
+  private val sRecallEvalSql =
+    s"""WITH bf AS (SELECT q_id, vec_id FROM ($sTopkBruteforceSql)),
+       |iv AS (SELECT q_id, vec_id FROM ($sTopkIvfSql))
+       |SELECT b.q_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+       |  round(CAST(COUNT(i.vec_id) AS DOUBLE) / $K.0, 6) AS recall
+       |FROM bf b LEFT JOIN iv i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("s_cluster_quality", sClusterQuality, Some(sClusterQualitySql)),
+    QueryDef("s_recall_eval", sRecallEval, Some(sRecallEvalSql)),
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),

@@ -816,8 +816,64 @@ object Dedup extends QueryRegistry {
       |FROM asg g LEFT JOIN dropped d ON d.vec_id = g.vec_id
       |ORDER BY g.vec_id""".stripMargin
 
+  // --- d_cross_source: priority-source near-dup retention — when the same
+  // content arrives from multiple feeds, keep the copy from the
+  // highest-priority source (curated feed over bulk crawl) and charge the
+  // drop to the losing source. The pair mining is the shared blocked
+  // shingle join (no cross product); the retention rule is a per-pair
+  // integer comparison (lower source number wins, doc_id tie-break), so the
+  // whole report is deterministic. Per-source accounting is one
+  // #sources-row aggregate — 100 TB cost is the pair mining it reuses.
+  def dCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"),
+      substring(col("source"), 4, 10).cast("int").as("prio"))
+    val sh = shingles(s, dir).cache()
+    val pairs = jaccardPairs(sh).filter(col("jac") >= 0.5).select("da", "db")
+    val pa = src.select(col("doc_id").as("da"), col("prio").as("prio_a"))
+    val pb = src.select(col("doc_id").as("db"), col("prio").as("prio_b"))
+    val drops = pairs.join(pa, "da").join(pb, "db")
+      .select(
+        when(col("prio_a") < col("prio_b"), col("db"))
+          .when(col("prio_b") < col("prio_a"), col("da"))
+          .when(col("da") < col("db"), col("db")).otherwise(col("da"))
+          .as("doc_id"))
+      .distinct()
+    src.join(drops.withColumn("dropped", lit(1)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count(col("dropped")).as("n_dropped"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+      .orderBy("source")
+  }
+
+  private val dCrossSourceSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT da, db FROM co
+      |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+      |pr AS (SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS prio FROM documents),
+      |drops AS (SELECT DISTINCT
+      |    CASE WHEN a.prio < b.prio THEN p.db
+      |         WHEN b.prio < a.prio THEN p.da
+      |         WHEN p.da < p.db THEN p.db ELSE p.da END AS doc_id
+      |  FROM pairs p JOIN pr a ON a.doc_id = p.da JOIN pr b ON b.doc_id = p.db)
+      |SELECT pr.source, COUNT(*) AS n_docs, COUNT(dr.doc_id) AS n_dropped,
+      |  COUNT(*) - COUNT(dr.doc_id) AS n_kept
+      |FROM pr LEFT JOIN drops dr ON pr.doc_id = dr.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
+    QueryDef("d_cross_source", dCrossSource, Some(dCrossSourceSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_containment", dContainment, Some(dContainmentSql)),
     QueryDef("d_threshold_sweep", dThresholdSweep, Some(dThresholdSweepSql)),

@@ -1404,6 +1404,92 @@ object Queries extends QueryRegistry {
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // --- q_moving_avg: 7-day trailing moving average of daily event value per
+  // event_type — the dashboard smoothing primitive. ONE shuffle builds the
+  // daily aggregate (map-side combined), then the frame window runs inside
+  // per-event_type partitions whose size is bounded by #days, never #events
+  // — the 100 TB shape. Day totals stay exact DECIMAL through the frame
+  // sum; only the final average divides as double (round 6).
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(dec(col("value"))).as("day_total"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(
+        sum("day_total").over(w).cast("double") / count(lit(1)).over(w).cast("double"), 6))
+      .select(col("day"), col("event_type"),
+        col("day_total").cast("double").as("day_total"), col("ma7"))
+      .orderBy("day", "event_type")
+  }
+
+  private val qMovingAvgSql =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS day_total
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, CAST(day_total AS DOUBLE) AS day_total,
+      |  round(CAST(SUM(day_total) OVER w AS DOUBLE)
+      |    / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS ma7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day, event_type""".stripMargin
+
+  // --- q_lead_lag: day-over-day deltas of daily event counts per type —
+  // the trend/regression-detector primitive. Pure integer arithmetic
+  // (counts and their differences), so bit-exact across engines; the lag
+  // window shares the daily aggregate's partitioning (one shuffle total,
+  // partitions bounded by #days per type).
+  def qLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("delta", col("n") - lag("n", 1).over(w))
+      .withColumn("next_n", lead("n", 1).over(w))
+      .orderBy("day", "event_type")
+  }
+
+  private val qLeadLagSql =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n,
+      |  n - lag(n) OVER w AS delta, lead(n) OVER w AS next_n
+      |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY day, event_type""".stripMargin
+
+  // --- q_set_ops: INTERSECT/EXCEPT cohort counts — customers active in
+  // 1995 vs 1996 (churn/retention set algebra). Spark's intersect/except
+  // lower to distinct + semi/anti hash joins on o_custkey: two pushed-down
+  // scans, key-only shuffles, no row payload movement — the set-op shape
+  // that survives any fact-table size.
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct()
+    val y95 = yr(1995)
+    val y96 = yr(1996)
+    def cohort(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_cust")).select(lit(name).as("cohort"), col("n_cust"))
+    cohort("both", y95.intersect(y96))
+      .unionByName(cohort("only_1995", y95.except(y96)))
+      .unionByName(cohort("only_1996", y96.except(y95)))
+      .orderBy("cohort")
+  }
+
+  private val qSetOpsSql =
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT 'both' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_cust
+      |  FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+      |UNION ALL
+      |SELECT 'only_1995', CAST(COUNT(*) AS BIGINT)
+      |  FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+      |UNION ALL
+      |SELECT 'only_1996', CAST(COUNT(*) AS BIGINT)
+      |  FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+      |ORDER BY cohort""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
@@ -1453,5 +1539,8 @@ object Queries extends QueryRegistry {
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9Sql)),
     QueryDef("q11_important_parts", q11ImportantParts, Some(q11Sql)),
     QueryDef("q20_excess_shipments", q20ExcessShipments, Some(q20Sql)),
-    QueryDef("q_median", qMedian, Some(qMedianSql)))
+    QueryDef("q_median", qMedian, Some(qMedianSql)),
+    QueryDef("q_moving_avg", qMovingAvg, Some(qMovingAvgSql)),
+    QueryDef("q_lead_lag", qLeadLag, Some(qLeadLagSql)),
+    QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)))
 }

@@ -140,8 +140,52 @@ object Curation extends QueryRegistry {
       |  round(greatest(0.0, share - epochs * n_tokens), 6) AS leftover_budget
       |FROM e ORDER BY source""".stripMargin
 
+  // --- c_token_budget: fill a fixed per-language token budget taking the
+  // best documents first — the "cap each language's contribution" step of
+  // mixture building. Docs rank by (alpha-quality desc, doc_id); a doc is
+  // taken while the tokens BEFORE it stay under budget (so the budget may
+  // be exceeded by at most one doc — the standard greedy fill). Quality is
+  // one shared IEEE division and the cumulative sum is pure integers, so
+  // selection is bit-identical across engines. Scale: the prefix sum
+  // windows per lang — at petabyte scale the (lang, bucket) two-pass
+  // pattern of x_pack applies verbatim; selection cost is one shuffle.
+  def cTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Budget = 2000L
+    val d = GraftSession.table(s, dir, "documents")
+    val m = d.select(col("doc_id"), col("lang"),
+      when(trim(col("text")) === "", 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("toks"),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+        length(col("text")).cast("double")).as("q"))
+    val w = Window.partitionBy("lang").orderBy(desc("q"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    m.withColumn("before", coalesce(sum("toks").over(w), lit(0L)))
+      .filter(col("before") < Budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("toks").as("tokens_kept"),
+        max(col("before") + col("toks")).as("fill_level"))
+      .orderBy("lang")
+  }
+
+  private val cTokenBudgetSql =
+    """WITH m AS (SELECT doc_id, lang,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS q
+      |  FROM documents),
+      |c AS (SELECT lang, toks, COALESCE(SUM(toks) OVER (PARTITION BY lang
+      |    ORDER BY q DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS before
+      |  FROM m)
+      |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS tokens_kept,
+      |  CAST(MAX(before + toks) AS BIGINT) AS fill_level
+      |FROM c WHERE before < 2000 GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("c_curation_funnel", cCurationFunnel, Some(cCurationFunnelSql)),
+    QueryDef("c_token_budget", cTokenBudget, Some(cTokenBudgetSql)),
     QueryDef("c_mixture_plan", cMixturePlan, Some(cMixturePlanSql)),
     QueryDef("c_epoch_plan", cEpochPlan, Some(cEpochPlanSql)))
 }

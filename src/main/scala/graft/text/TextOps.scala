@@ -556,8 +556,51 @@ object TextOps extends QueryRegistry {
       |    x -> trim(x)), x -> x <> '') AS sents
       |  FROM documents) ORDER BY doc_id""".stripMargin
 
+  // --- x_quality_sweep: filter-threshold calibration — for a sweep of
+  // alpha-ratio cutoffs, how many docs and what share of corpus tokens
+  // survive (the "pick the quality bar" report every curation run needs
+  // before committing a filter). The pass test is PURE INTEGER
+  // (alpha·100 >= p·n_chars ⟺ alpha_ratio >= p%), so bit-exact across
+  // engines. Per-doc metrics are computed ONCE; the 5-row threshold dim is
+  // a broadcast cross join (n·5 predicate evals, no extra scan); the
+  // corpus-total side is a 1-row broadcast — no driver collect anywhere.
+  def xQualitySweep(s: SparkSession, dir: String): DataFrame = {
+    val m = docs(s, dir).select(
+      length(col("text")).cast("long").as("n_chars_c"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha"),
+      when(trim(col("text")) === "", 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("toks"))
+      .cache() // feeds both the sweep and the 1-row total
+    val thr = m.sparkSession.range(1)
+      .select(explode(array(lit(80), lit(81), lit(82), lit(83), lit(84))).as("p"))
+    val tot = m.agg(sum(col("toks")).as("tot_toks"))
+    m.crossJoin(broadcast(thr))
+      .filter(col("alpha") * 100 >= col("p") * col("n_chars_c"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("kept_toks"))
+      .crossJoin(broadcast(tot))
+      .select(col("p"), col("n_kept"), col("kept_toks"),
+        round(col("kept_toks").cast("double") / col("tot_toks").cast("double"), 6)
+          .as("token_share"))
+      .orderBy("p")
+  }
+
+  private val xQualitySweepSql =
+    """WITH m AS (SELECT CAST(length(text) AS BIGINT) AS n_chars_c,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+      |  FROM documents),
+      |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot_toks FROM m),
+      |thr AS (SELECT unnest([80, 81, 82, 83, 84]) AS p)
+      |SELECT t.p, COUNT(*) AS n_kept, CAST(SUM(m.toks) AS BIGINT) AS kept_toks,
+      |  round(CAST(SUM(m.toks) AS DOUBLE) / (SELECT tot_toks FROM tot), 6) AS token_share
+      |FROM m JOIN thr t ON m.alpha * 100 >= t.p * m.n_chars_c
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("x_tfidf", xTfidf, Some(xTfidfSql)),
+    QueryDef("x_quality_sweep", xQualitySweep, Some(xQualitySweepSql)),
     QueryDef("x_ngram_stats", xNgramStats, Some(xNgramStatsSql)),
     QueryDef("x_sentencize", xSentencize, Some(xSentencizeSql)),
     QueryDef("x_chunk", xChunk, Some(xChunkSql)),

@@ -434,4 +434,54 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("partial_"), s)
     assert(!s.contains("Join"), s)
   }
+
+  test("q_moving_avg: partial daily agg, frame window, no join, bounded shuffles") {
+    val df = Queries.qMovingAvg(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("partial_sum"), s)
+    assert(s.contains("RowFrame, -6, currentrow"), s)
+    assert(!s.contains("Join"), s)
+    // daily aggregate (day, type) + window re-key on type — nothing more
+    assert(countShuffles(df) <= 2, s)
+  }
+
+  test("q_lead_lag: aggregate-then-window, no join, bounded shuffles") {
+    val df = Queries.qLeadLag(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("partial_count"), s)
+    assert(!s.contains("Join"), s)
+    assert(countShuffles(df) <= 2, s)
+  }
+
+  test("q_set_ops: intersect/except lower to key-only hash joins, no cartesian") {
+    val s = planString(Queries.qSetOps(spark, sfDir))
+    assert(!s.contains("CartesianProduct"), s)
+    // set ops must move only the key column, never order payloads
+    val shuffleLines = s.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.forall(l => !l.contains("o_orderdate")), shuffleLines.mkString("\n"))
+  }
+
+  test("d_cross_source: blocked pair mining only — no cartesian, no payload in drops") {
+    val s = planString(graft.dedup.Dedup.dCrossSource(spark, sfDir))
+    assert(!s.contains("CartesianProduct"), s)
+    // the drop set carries doc ids only; text never reaches the retention join
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text")), exchanges.mkString("\n"))
+  }
+
+  test("s_recall_eval: both index paths keep the fixed-size centroid sample; no cartesian") {
+    val s = planString(graft.ann.Ann.sRecallEval(spark, sfDir))
+    assert(!s.contains("CartesianProduct"), s)
+    // the IVF side's centroid sample stays a bounded top-k pass
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("x_quality_sweep: per-doc metrics cached once; dims broadcast, no driver collect") {
+    val df = graft.text.TextOps.xQualitySweep(spark, sfDir)
+    val s = planString(df)
+    // threshold dim and 1-row total join as broadcasts, not shuffles
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("InMemoryTableScan"), s)
+    df.sparkSession.catalog.clearCache()
+  }
 }
