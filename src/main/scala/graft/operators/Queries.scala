@@ -1490,8 +1490,37 @@ object Queries extends QueryRegistry {
       |  FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
       |ORDER BY cohort""".stripMargin
 
+  // --- q_correlated: orders priced above their customer's average — a
+  // correlated scalar subquery driven through the SQL front end, so
+  // Catalyst's decorrelation owns the rewrite (subquery → aggregate +
+  // join; never a per-row re-execution). The above-average test is stated
+  // in exact DECIMAL cross-multiplication (p·n > Σp), so the boundary is
+  // bit-identical across engines — a double AVG would make edge rows
+  // engine-dependent. Scale: one per-customer aggregate + one key join.
+  def qCorrelated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q_corr_orders")
+    s.sql(
+      """WITH o AS (SELECT o_custkey, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM graft_q_corr_orders)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM o
+        |WHERE p * (SELECT COUNT(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT SUM(o3.p) FROM o o3 WHERE o3.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val qCorrelatedSql =
+    """WITH o AS (SELECT o_custkey, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM o
+      |WHERE p * (SELECT COUNT(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > (SELECT SUM(o3.p) FROM o o3 WHERE o3.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
+    QueryDef("q_correlated", qCorrelated, Some(qCorrelatedSql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
     QueryDef("q5_local_supplier", q5LocalSupplier, Some(q5Sql)),
     QueryDef("q_top_events", qTopEvents, Some(qTopEventsSql)),

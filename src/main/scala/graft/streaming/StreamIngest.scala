@@ -62,6 +62,30 @@ object StreamIngest {
         })
   }
 
+  final case class ChangeOut(
+      user_id: Long, event_id: Long, ts_ms: Long, event_type: String, live: Boolean)
+
+  /** Streaming changelog apply (mapGroupsWithState) — the stateful twin of
+    * StreamingOps.stChangelogApply: per-key state holds the latest change;
+    * each emission reports whether the key is LIVE (latest change is an
+    * upsert) or deleted (latest is the 'error' tombstone). A later upsert
+    * resurrects a deleted key, a later tombstone kills a live one — which
+    * is exactly the -D/+U RowKind merge a CDC sink performs. State is one
+    * row per key at any stream length. */
+  def applyChangelog(events: Dataset[KeyedEvent]): Dataset[ChangeOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[KeyedEvent], state: GroupState[KeyedEvent]) => {
+          val latest = (state.getOption.iterator ++ it)
+            .maxBy(e => (e.ts_us, e.event_id))
+          state.update(latest)
+          ChangeOut(uid, latest.event_id, latest.ts_us / 1000,
+            latest.event_type, latest.event_type != "error")
+        })
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessId: Long, startUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(

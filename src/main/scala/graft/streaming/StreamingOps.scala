@@ -247,7 +247,33 @@ object StreamingOps extends QueryRegistry {
       |  AND b.n * b.sq - b.s * b.s > 0
       |ORDER BY h.event_type, h.hour""".stripMargin
 
+  // --- st_changelog_apply: apply a keyed changelog to reach the live
+  // snapshot — upserts ('view'/'click'/... events) refresh a key, a
+  // tombstone ('error' here stands in for the -D RowKind) removes it if it
+  // is the key's LATEST entry. The t_changelog/CDC story in streaming
+  // form: the batch twin below is one window shuffle; the stateful twin
+  // (StreamIngest.applyChangelog, O(1) state per key) is asserted equal by
+  // StreamingSpec under out-of-order micro-batches.
+  def stChangelogApply(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  private val stChangelogApplySql =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+      |FROM (SELECT user_id, event_id, ts, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("st_changelog_apply", stChangelogApply, Some(stChangelogApplySql)),
     QueryDef("st_anomaly", stAnomaly, Some(stAnomalySql)),
     QueryDef("st_window_topk", stWindowTopk, Some(stWindowTopkSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),

@@ -476,6 +476,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("TakeOrderedAndProject"), s)
   }
 
+  test("q_correlated: scalar subqueries decorrelate to one aggregate join — no per-row re-execution") {
+    val df = Queries.qCorrelated(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    // decorrelated: the per-customer aggregate combines map-side and joins back
+    assert(s.contains("partial_sum") || s.contains("partial_count"), s)
+    assert(s.contains("Join"), s)
+  }
+
   test("x_quality_sweep: per-doc metrics cached once; dims broadcast, no driver collect") {
     val df = graft.text.TextOps.xQualitySweep(spark, sfDir)
     val s = planString(df)

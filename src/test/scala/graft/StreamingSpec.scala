@@ -152,6 +152,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stateful changelog apply converges to the batch snapshot (deletes win, upserts resurrect)") {
+    import spark.implicits._
+    // same adversarial chunking as latest-per-key: later micro-batches
+    // deliver mostly OLDER changes, so correctness needs cross-batch state
+    val dir = Files.createTempDirectory("graft_stream_chglog").toString
+    GraftSession.table(spark, sfDir, "events")
+      .withColumn("chunk", col("event_id") % 3)
+      .write.mode("overwrite").partitionBy("chunk").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val evStream = spark.readStream.schema(schema)
+      .option("basePath", dir).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/chunk=*")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[StreamIngest.KeyedEvent]
+    // fold per-key emissions last-write-wins; deleted keys leave the map
+    val live = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, String)]()
+    val q = StreamIngest.applyChangelog(evStream)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamIngest.ChangeOut], _: Long) =>
+        batch.collect().foreach { r =>
+          if (r.live) live.put(r.user_id, (r.event_id, r.ts_ms, r.event_type))
+          else live.remove(r.user_id)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val want = graft.streaming.StreamingOps.stChangelogApply(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(live.size == want.size, s"${live.size} live keys vs ${want.size}")
+    want.foreach { case (u, exp) =>
+      assert(live.get(u) == exp, s"user $u: got ${live.get(u)}, want $exp")
+    }
+    // sanity: the tombstone path actually fired — some keys ended deleted
+    val allKeys = spark.read.parquet(dir).select("user_id").distinct().count()
+    assert(want.size < allKeys, s"no deletes exercised: $allKeys keys, ${want.size} live")
+  }
+
   test("streaming ingest with inline compaction keeps the file count bounded") {
     val dir = stage("ingest_compact")
     val tbl = GraftTable(spark, GraftTableConfig(
