@@ -1518,6 +1518,106 @@ object Queries extends QueryRegistry {
       |    > (SELECT SUM(o3.p) FROM o o3 WHERE o3.o_custkey = o.o_custkey)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --- q_string_agg: per-nation sorted CSV of its customers' market
+  // segments — the LISTAGG/STRING_AGG reporting shape. Distinct pairs are
+  // reduced FIRST (the shuffle carries one row per (nation, segment),
+  // bounded by |nations|x|segments|, never per-customer rows with string
+  // payload); the collect_set is over that bounded set, and array_sort +
+  // concat_ws makes the CSV order total, so both engines emit the same
+  // string byte-for-byte.
+  def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+    pairs.groupBy("c_nationkey")
+      .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+        concat_ws(",", array_sort(collect_set(col("c_mktsegment")))).as("segments"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_segments"), col("segments"))
+      .orderBy("n_name")
+  }
+
+  private val qStringAggSql =
+    """WITH pairs AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+      |SELECT n.n_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |  string_agg(p.c_mktsegment, ',' ORDER BY p.c_mktsegment) AS segments
+      |FROM pairs p JOIN nation n ON p.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  // --- q_sessions: batch sessionization of the events stream — a new
+  // session starts after a >30-min gap (st_sessionize's batch twin, and
+  // the canonical lag -> flag -> running-count window chain). All windows
+  // are partitioned BY USER, so the shuffle is one hash exchange on
+  // user_id and no partition outgrows a user's event count; timestamps
+  // compare as integer microseconds (unix_micros / epoch_us) so the gap
+  // test is bit-identical across engines.
+  def qSessions(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "sess_id").agg(count(lit(1)).as("sz"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max(col("sz")).as("longest_session"),
+        sum(col("sz")).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val qSessionsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS sz FROM sess GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(MAX(sz) AS BIGINT) AS longest_session,
+      |  CAST(SUM(sz) AS BIGINT) AS n_events
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- q_active_intervals: sweep-line concurrency — treating each order
+  // as an open interval [orderdate, orderdate+30d), the top-10 days by
+  // number of simultaneously-open orders. The classic interval-overlap
+  // counting shape WITHOUT a range join: +1/-1 boundary events, a
+  // map-side-combinable per-day net, then ONE running sum over the
+  // day-level aggregate. The global window is single-partition by
+  // construction but its input is bounded by |distinct days| (~2.5k for
+  // any corpus size — date arithmetic caps it), so the pattern holds at
+  // 100 TB where a per-order window would not.
+  def qActiveIntervals(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select(to_date(col("o_orderdate")).as("d"))
+    val deltas = ord.select(col("d"), lit(1L).as("delta"))
+      .unionAll(ord.select(date_add(col("d"), 30).as("d"), lit(-1L).as("delta")))
+    val daily = deltas.groupBy("d").agg(sum(col("delta")).as("net"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("d"), sum(col("net")).over(w).as("open_orders"))
+      .orderBy(desc("open_orders"), asc("d"))
+      .limit(10)
+  }
+
+  private val qActiveIntervalsSql =
+    """WITH deltas AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+      |  UNION ALL
+      |  SELECT CAST(o_orderdate AS DATE) + 30 AS d, -1 AS delta FROM orders),
+      |daily AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d)
+      |SELECT d, CAST(SUM(net) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+      |FROM daily ORDER BY open_orders DESC, d LIMIT 10""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q_correlated", qCorrelated, Some(qCorrelatedSql)),
@@ -1571,5 +1671,8 @@ object Queries extends QueryRegistry {
     QueryDef("q_median", qMedian, Some(qMedianSql)),
     QueryDef("q_moving_avg", qMovingAvg, Some(qMovingAvgSql)),
     QueryDef("q_lead_lag", qLeadLag, Some(qLeadLagSql)),
-    QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)))
+    QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    QueryDef("q_string_agg", qStringAgg, Some(qStringAggSql)),
+    QueryDef("q_sessions", qSessions, Some(qSessionsSql)),
+    QueryDef("q_active_intervals", qActiveIntervals, Some(qActiveIntervalsSql)))
 }

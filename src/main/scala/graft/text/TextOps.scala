@@ -598,6 +598,75 @@ object TextOps extends QueryRegistry {
       |FROM m JOIN thr t ON m.alpha * 100 >= t.p * m.n_chars_c
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- x_char_classes: per-doc character-class census (alpha / digit /
+  // space / punct-or-other) — the cheapest corpus-health profile, and the
+  // input every byte-level quality rule reads. Each count is a LENGTH
+  // DIFFERENCE after a class-stripping regexp_replace, so both engines
+  // count identical (pure integer) values; per-row codegen, no shuffle
+  // before the final ordering.
+  def xCharClasses(s: SparkSession, dir: String): DataFrame = {
+    def stripped(pat: String) = length(regexp_replace(col("text"), pat, "")).cast("long")
+    val n = length(col("text")).cast("long")
+    docs(s, dir).select(
+      col("doc_id"),
+      n.as("n_chars_c"),
+      (n - stripped("[A-Za-z]")).as("n_alpha"),
+      (n - stripped("[0-9]")).as("n_digit"),
+      (n - stripped("\\s")).as("n_space"),
+      stripped("[A-Za-z0-9\\s]").as("n_other"))
+      .orderBy("doc_id")
+  }
+
+  private val xCharClassesSql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_c,
+      |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space,
+      |  CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_other
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- x_readability: per-doc Flesch-style readability from three integer
+  // primitives — words, sentences, and a vowel-group syllable proxy
+  // (n_groups = len(after collapsing each [aeiou]+ run to one char) -
+  // len(after deleting the runs); both engines compute the identical
+  // difference). The score itself is the only float: two exact-integer
+  // ratios through one IEEE expression, rounded at 4 places. Denominators
+  // are guarded with greatest(1, ·) so empty docs stay deterministic
+  // rather than NULL-vs-NaN engine-dependent. Pure per-row codegen.
+  def xReadability(s: SparkSession, dir: String): DataFrame = {
+    val norm = normText(col("text"))
+    val words = when(norm === "", 0L).otherwise(size(split(norm, " ")).cast("long"))
+    val sents = size(filter(transform(split(norm, "[.!?]+"), t => trim(t)),
+      t => t =!= "")).cast("long")
+    val syll = (length(regexp_replace(norm, "[aeiou]+", "V")) -
+      length(regexp_replace(norm, "[aeiou]+", ""))).cast("long")
+    docs(s, dir).select(
+      col("doc_id"), words.as("n_words"), sents.as("n_sentences"), syll.as("n_syllables"),
+      round(lit(206.835)
+        - lit(1.015) * words.cast("double") / greatest(sents, lit(1L)).cast("double")
+        - lit(84.6) * syll.cast("double") / greatest(words, lit(1L)).cast("double"), 4)
+        .as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  private val xReadabilitySql =
+    s"""WITH m AS (SELECT doc_id, $normSql AS norm FROM documents),
+      |c AS (SELECT doc_id,
+      |    CAST(CASE WHEN norm = '' THEN 0
+      |      ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(list_transform(
+      |      string_split_regex(norm, '[.!?]+'), x -> trim(x)), x -> x <> '')) AS BIGINT)
+      |      AS n_sentences,
+      |    CAST(length(regexp_replace(norm, '[aeiou]+', 'V', 'g')) -
+      |         length(regexp_replace(norm, '[aeiou]+', '', 'g')) AS BIGINT) AS n_syllables
+      |  FROM m)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  round(206.835
+      |    - 1.015 * CAST(n_words AS DOUBLE) / greatest(n_sentences, 1)
+      |    - 84.6 * CAST(n_syllables AS DOUBLE) / greatest(n_words, 1), 4) AS flesch
+      |FROM c ORDER BY doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("x_tfidf", xTfidf, Some(xTfidfSql)),
     QueryDef("x_quality_sweep", xQualitySweep, Some(xQualitySweepSql)),
@@ -619,6 +688,8 @@ object TextOps extends QueryRegistry {
     QueryDef("x_source_stats", xSourceStats, Some(xSourceStatsSql)),
     QueryDef("x_source_overlap", xSourceOverlap, Some(xSourceOverlapSql)),
     QueryDef("x_dedup_impact", xDedupImpact, Some(xDedupImpactSql)),
+    QueryDef("x_char_classes", xCharClasses, Some(xCharClassesSql)),
+    QueryDef("x_readability", xReadability, Some(xReadabilitySql)),
     QueryDef("x_gopher", xGopher, Some(xGopherSql)))
 
   // NB: keep below-`all` definitions as defs — a val here would still be

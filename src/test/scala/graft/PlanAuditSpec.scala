@@ -485,6 +485,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("Join"), s)
   }
 
+  test("q_string_agg: distinct-first bounded payload; nation side broadcast") {
+    val df = Queries.qStringAgg(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // the distinct reduces (nation, segment) pairs BEFORE the collect_set agg:
+    // no exchange may carry customer payload columns
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("c_name") && !l.contains("c_acctbal")),
+      exchanges.mkString("\n"))
+  }
+
+  test("q_sessions: one user-keyed exchange feeds every window; no join") {
+    val df = Queries.qSessions(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("Join"), s)
+    // lag + running-sum windows share the user_id partitioning; the
+    // (user, sess) and user aggregates reuse it — one hash exchange total
+    assert(countShuffles(df) <= 1, s)
+  }
+
+  test("q_active_intervals: day-level partial agg before the bounded global window") {
+    val df = Queries.qActiveIntervals(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("partial_sum"), s) // per-day net combines map-side
+    assert(!s.contains("Join"), s)
+    assert(s.contains("TakeOrderedAndProject"), s) // top-10, never a full sort
+  }
+
+  test("x_char_classes / x_readability: pure per-row codegen, no shuffle before ordering") {
+    for (df <- Seq(graft.text.TextOps.xCharClasses(spark, sfDir),
+        graft.text.TextOps.xReadability(spark, sfDir))) {
+      val s = planString(df)
+      assert(!s.contains("Join"), s)
+      assert(countShuffles(df) <= 1, s) // only the final orderBy range exchange
+    }
+  }
+
   test("x_quality_sweep: per-doc metrics cached once; dims broadcast, no driver collect") {
     val df = graft.text.TextOps.xQualitySweep(spark, sfDir)
     val s = planString(df)
