@@ -533,7 +533,74 @@ object Ann extends QueryRegistry {
        |FROM bf b LEFT JOIN iv i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- s_filtered_knn: metadata-filtered vector search — exact top-k
+  // cosine restricted to vectors whose document is English (documents
+  // joined on doc_id = vec_id). PRE-filter semantics (the filter narrows
+  // the corpus before any scoring, the way Qdrant/Milvus filtered search
+  // and FAISS IDSelector work), so recall over the filtered set is exact
+  // by construction — unlike post-filtering a top-k, which can starve.
+  // The filter is a key-only LEFT SEMI join (no document payload enters
+  // the scan), queries broadcast as in s_topk_bruteforce.
+  def sFilteredKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val en = GraftSession.table(s, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val corpus = e.join(broadcast(en), col("vec_id") === col("doc_id"), "left_semi")
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(embedding, qe)"), 6))
+    rankTopK(scored, K, Seq(desc("cos_r"), asc("vec_id")), "rank")
+      .withColumn("rank", col("rank").cast("long"))
+      .select("q_id", "rank", "vec_id", "cos_r")
+      .orderBy("q_id", "rank")
+  }
+
+  private val sFilteredKnnSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |p AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+       |      / (e.nrm * q.nrm), 6) AS cos_r
+       |  FROM e JOIN e q ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+       |  WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+       |r AS (SELECT q_id, vec_id, cos_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
+       |  FROM p)
+       |SELECT q_id, rank, vec_id, cos_r FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  // --- s_score_dist: per-query cosine-score histogram over the whole
+  // corpus (bin = floor(20·cos), i.e. 0.05-wide bins) — the distribution
+  // diagnostic that picks s_range_search radii and similarity-dedup
+  // thresholds before committing a scan. Scores round to 6 places BEFORE
+  // binning so bin membership is bit-identical across engines; the
+  // aggregate is map-side-combinable with O(|queries|·41) output rows at
+  // any corpus size, and nothing but the broadcast query set moves.
+  def sScoreDist(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("bin", floor(round(expr("cosine_sim(embedding, qe)"), 6) * 20).cast("long"))
+      .groupBy("q_id", "bin").agg(count(lit(1)).as("n"))
+      .orderBy("q_id", "bin")
+  }
+
+  private val sScoreDistSql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |p AS (SELECT q.vec_id AS q_id,
+      |    CAST(floor(round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      |      / (e.nrm * q.nrm), 6) * 20) AS BIGINT) AS bin
+      |  FROM e JOIN e q ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+      |SELECT q_id, bin, COUNT(*) AS n FROM p
+      |GROUP BY q_id, bin ORDER BY q_id, bin""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("s_filtered_knn", sFilteredKnn, Some(sFilteredKnnSql)),
+    QueryDef("s_score_dist", sScoreDist, Some(sScoreDistSql)),
     QueryDef("s_cluster_quality", sClusterQuality, Some(sClusterQualitySql)),
     QueryDef("s_recall_eval", sRecallEval, Some(sRecallEvalSql)),
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),

@@ -1618,6 +1618,36 @@ object Queries extends QueryRegistry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
       |FROM daily ORDER BY open_orders DESC, d LIMIT 10""".stripMargin
 
+  // --- q_rolling_distinct: distinct customers over a rolling 3-month
+  // window — the "rolling MAU" shape, where a frame-window COUNT(DISTINCT)
+  // doesn't exist in either engine. Restated scalably: reduce to distinct
+  // (month, customer) PAIRS first (the only per-row shuffle, map-side
+  // partial distinct), then join the tiny month dim against the pair table
+  // on a 3-month band and count distinct per window end. The band join is
+  // a broadcast of the month DIM (constant ~|months| rows — never the
+  // pairs), so per-customer data is touched exactly once per window it
+  // falls in (≤3 times) regardless of corpus size.
+  def qRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val m = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+    val pairs = t(s, dir, "orders").select(m.as("m"), col("o_custkey")).distinct()
+    val months = pairs.select(col("m").as("mw")).distinct()
+    pairs.join(broadcast(months), col("m").between(col("mw") - 2, col("mw")))
+      .groupBy("mw")
+      .agg(countDistinct(col("o_custkey")).as("n_cust_3mo"))
+      .select(col("mw").as("month_idx"), col("n_cust_3mo"))
+      .orderBy("month_idx")
+  }
+
+  private val qRollingDistinctSql =
+    """WITH pairs AS (SELECT DISTINCT
+      |    CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+      |    o_custkey
+      |  FROM orders),
+      |months AS (SELECT DISTINCT m AS mw FROM pairs)
+      |SELECT mw AS month_idx, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_3mo
+      |FROM pairs JOIN months ON m BETWEEN mw - 2 AND mw
+      |GROUP BY mw ORDER BY month_idx""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     QueryDef("q_correlated", qCorrelated, Some(qCorrelatedSql)),
@@ -1674,5 +1704,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
     QueryDef("q_string_agg", qStringAgg, Some(qStringAggSql)),
     QueryDef("q_sessions", qSessions, Some(qSessionsSql)),
-    QueryDef("q_active_intervals", qActiveIntervals, Some(qActiveIntervalsSql)))
+    QueryDef("q_active_intervals", qActiveIntervals, Some(qActiveIntervalsSql)),
+    QueryDef("q_rolling_distinct", qRollingDistinct, Some(qRollingDistinctSql)))
 }

@@ -183,7 +183,59 @@ object Curation extends QueryRegistry {
       |  CAST(MAX(before + toks) AS BIGINT) AS fill_level
       |FROM c WHERE before < 2000 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- c_dedup_mixture: mixture planning on UNIQUE tokens — the
+  // dedup-aware refinement of c_mixture_plan. A source's raw token count
+  // overstates its contribution when it holds duplicated content, so the
+  // budget (half the UNIQUE corpus, split uniformly) allocates against
+  // tokens of docs that survive exact dedup (global keeper = lowest
+  // doc_id, the same rule as the funnel's stage 1). Dedup is one
+  // fingerprint window, the rest is the mixture-plan shape: integer sums,
+  // one shared double division, round(…,6) — bit-stable, O(sources).
+  def cDedupMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = when(trim(col("text")) === "", 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val wDedup = Window.partitionBy("fp").orderBy("doc_id")
+    val perSrc = GraftSession.table(s, dir, "documents")
+      .withColumn("fp", md5(normText(col("text"))))
+      .withColumn("rn", row_number().over(wDedup))
+      .select(col("source"), toks.as("n_tok"),
+        when(col("rn") === 1, toks).otherwise(0L).as("u_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("n_tokens"), sum("u_tok").as("unique_tokens"))
+    val totals = perSrc.agg(
+      sum("unique_tokens").cast("double").as("total_u"), count(lit(1)).as("ns"))
+    val rate = round(least(lit(1.0),
+      col("total_u") / (lit(2) * col("ns")) / col("unique_tokens")), 6)
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"), col("unique_tokens"),
+        round(lit(1.0) - col("unique_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_ratio"),
+        rate.as("keep_rate"),
+        floor(rate * col("unique_tokens")).cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val cDedupMixtureSql =
+    """WITH d AS (SELECT source, doc_id,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tok,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |      ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |p AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS unique_tokens
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(unique_tokens) AS DOUBLE) AS total_u, COUNT(*) AS ns FROM p)
+      |SELECT source, n_tokens, unique_tokens,
+      |  round(1.0 - CAST(unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio,
+      |  round(least(1.0, total_u / (2 * ns) / unique_tokens), 6) AS keep_rate,
+      |  CAST(floor(round(least(1.0, total_u / (2 * ns) / unique_tokens), 6) * unique_tokens)
+      |    AS BIGINT) AS kept_tokens
+      |FROM p, t ORDER BY source""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("c_dedup_mixture", cDedupMixture, Some(cDedupMixtureSql)),
     QueryDef("c_curation_funnel", cCurationFunnel, Some(cCurationFunnelSql)),
     QueryDef("c_token_budget", cTokenBudget, Some(cTokenBudgetSql)),
     QueryDef("c_mixture_plan", cMixturePlan, Some(cMixturePlanSql)),

@@ -598,6 +598,30 @@ object TextOps extends QueryRegistry {
       |FROM m JOIN thr t ON m.alpha * 100 >= t.p * m.n_chars_c
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- x_stopword_profile: per-language stopword frequencies over a fixed
+  // function-word list — the language-health fingerprint under x_langid
+  // (languages whose top stopwords vanish signal mislabeled or boilerplate
+  // corpora). One explode + an isin prune (the filter drops ~everything
+  // BEFORE the shuffle, so the exchange carries only stopword hits), then
+  // a map-side-combinable (lang, token) aggregate with bounded
+  // |langs|·|list| output at any corpus size. Pure integers.
+  private val StopwordList = Seq("the", "and", "of", "to", "in", "a")
+
+  def xStopwordProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin(StopwordList: _*))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("lang", "tok")
+
+  private val xStopwordProfileSql =
+    s"""SELECT lang, tok, COUNT(*) AS occurrences,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM (SELECT lang, doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents)
+      |WHERE tok IN ('the', 'and', 'of', 'to', 'in', 'a')
+      |GROUP BY lang, tok ORDER BY lang, tok""".stripMargin
+
   // --- x_char_classes: per-doc character-class census (alpha / digit /
   // space / punct-or-other) — the cheapest corpus-health profile, and the
   // input every byte-level quality rule reads. Each count is a LENGTH
@@ -690,6 +714,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_dedup_impact", xDedupImpact, Some(xDedupImpactSql)),
     QueryDef("x_char_classes", xCharClasses, Some(xCharClassesSql)),
     QueryDef("x_readability", xReadability, Some(xReadabilitySql)),
+    QueryDef("x_stopword_profile", xStopwordProfile, Some(xStopwordProfileSql)),
     QueryDef("x_gopher", xGopher, Some(xGopherSql)))
 
   // NB: keep below-`all` definitions as defs — a val here would still be

@@ -523,6 +523,48 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s_filtered_knn: pre-filter is a key-only broadcast semi join; queries broadcast") {
+    val df = graft.ann.Ann.sFilteredKnn(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    // doc-id filter joins as LeftSemi and never drags document payload
+    assert(s.contains("LeftSemi"), s)
+    assert(!s.contains("text"), s)
+  }
+
+  test("s_score_dist: broadcast queries, map-side-combinable histogram agg") {
+    val df = graft.ann.Ann.sScoreDist(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("partial_count"), s)
+    // only the broadcast query set joins the corpus; no corpus shuffle pre-agg
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(countShuffles(df) <= 2, s)
+  }
+
+  test("x_stopword_profile: isin prune precedes the shuffle; bounded agg") {
+    val df = graft.text.TextOps.xStopwordProfile(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("Join"), s)
+    assert(s.contains("partial_count"), s)
+  }
+
+  test("q_rolling_distinct: pairs reduced before the band join; month dim broadcast") {
+    val df = Queries.qRollingDistinct(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastNestedLoopJoin"), s) // tiny month dim, band predicate
+    // the per-row shuffle is the pair distinct — keys only, no order payload
+    val exchanges = s.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => !l.contains("o_totalprice")), exchanges.mkString("\n"))
+  }
+
+  test("c_dedup_mixture: one fingerprint window shuffle; totals broadcast") {
+    val df = graft.pipeline.Curation.cDedupMixture(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("BroadcastNestedLoopJoin"), s) // 1-row totals
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("x_quality_sweep: per-doc metrics cached once; dims broadcast, no driver collect") {
     val df = graft.text.TextOps.xQualitySweep(spark, sfDir)
     val s = planString(df)
