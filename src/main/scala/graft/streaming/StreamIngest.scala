@@ -86,6 +86,40 @@ object StreamIngest {
         })
   }
 
+  final case class PatternState(lastViewUs: Long)
+  final case class PatternOut(user_id: Long, event_id: Long, converted: Boolean)
+
+  /** Streaming view→purchase pattern detection (flatMapGroupsWithState) —
+    * the stateful twin of StreamingOps.stPattern: per-user state is ONE
+    * long (the latest view timestamp), each purchase emits whether a view
+    * preceded it within the window. O(1) state per key at any stream
+    * length — the property that separates a CEP operator from a buffered
+    * self-join. In-order delivery per key is assumed (the micro-batch
+    * sort handles intra-batch disorder; cross-batch disorder is the
+    * watermark's job, as in sessionize). */
+  def detectPattern(
+      events: Dataset[KeyedEvent],
+      windowSec: Long): Dataset[PatternOut] = {
+    import events.sparkSession.implicits._
+    val winUs = windowSec * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[KeyedEvent], state: GroupState[PatternState]) => {
+          val evs = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var lastView = state.getOption.map(_.lastViewUs).getOrElse(Long.MinValue)
+          val out = ListBuffer.empty[PatternOut]
+          evs.foreach { e =>
+            if (e.event_type == "view") lastView = math.max(lastView, e.ts_us)
+            else if (e.event_type == "purchase")
+              out += PatternOut(uid, e.event_id,
+                lastView != Long.MinValue && e.ts_us - lastView <= winUs)
+          }
+          state.update(PatternState(lastView))
+          out.iterator
+        })
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessId: Long, startUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(

@@ -272,7 +272,46 @@ object StreamingOps extends QueryRegistry {
       |  FROM events)
       |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin
 
+  // --- st_pattern: CEP-lite sequence detection — a purchase "converts"
+  // when the same user viewed within the preceding 10 minutes. Batch form:
+  // the preceding-view timestamp is a conditional running MAX over one
+  // user-keyed window (strictly-preceding frame, so a view at the same
+  // instant but later event_id never counts), then a per-user aggregate.
+  // Integer-microsecond comparisons keep the match bit-identical across
+  // engines. Streaming form: StreamIngest.detectPattern holds one O(1)
+  // last-view timestamp per user (flatMapGroupsWithState) — state does not
+  // grow with stream length, the CEP-engine property. One shuffle total.
+  def stPattern(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("converted",
+        when(col("last_view_us").isNotNull &&
+          unix_micros(col("ts")) - col("last_view_us") <= 600L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), sum("converted").as("n_converted"))
+      .orderBy("user_id")
+  }
+
+  private val stPatternSql =
+    """WITH x AS (SELECT user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CASE WHEN last_view_us IS NOT NULL
+      |      AND epoch_us(ts) - last_view_us <= 600 * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_converted
+      |FROM x WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("st_pattern", stPattern, Some(stPatternSql)),
     QueryDef("st_changelog_apply", stChangelogApply, Some(stChangelogApplySql)),
     QueryDef("st_anomaly", stAnomaly, Some(stAnomalySql)),
     QueryDef("st_window_topk", stWindowTopk, Some(stWindowTopkSql)),

@@ -113,6 +113,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"closed sessions mismatch: got ${got.count()}, want ${want.count()}")
   }
 
+  test("stateful pattern detection (view→purchase) matches the batch window twin") {
+    import spark.implicits._
+    val dir = stage("pattern")
+    val evStream = readStreamOf(dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[StreamIngest.KeyedEvent]
+    val q = StreamIngest.detectPattern(evStream, windowSec = 600)
+      .writeStream.format("memory").queryName("pattern_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the per-purchase emissions aggregate to exactly the batch report
+    val got = spark.table("pattern_out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+    val want = StreamingOps.stPattern(spark, sfDir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"pattern mismatch: got ${got.count()} users, want ${want.count()}")
+  }
+
   test("stateful latest-per-key stream converges to the batch q_latest_per_key") {
     import spark.implicits._
     // chunk by event_id % 3, NOT by time: most users then receive OLDER
