@@ -335,7 +335,44 @@ object Multimodal extends QueryRegistry {
       |  WHERE w * 8 < length(head))
       |ORDER BY doc_id, w""".stripMargin
 
+  // --- m_modality_mix: per-(modality, language) corpus composition —
+  // docs, payload bytes, and each cell's share of total bytes: the
+  // balance report a multimodal mixture plan starts from (the c_mixture
+  // family's modality-aware sibling). Modality is the deterministic
+  // doc_id % 3 role-play used across this family; the aggregate is one
+  // map-side-combinable hash agg with |modalities|·|langs| output and a
+  // 1-row broadcast total — O(1) output at any corpus size.
+  def mModalityMix(s: SparkSession, dir: String): DataFrame = {
+    val m = GraftSession.table(s, dir, "documents")
+      .select(
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("modality"),
+        col("lang"),
+        length(substring(col("text"), 1, 64).cast("binary")).cast("long").as("b"))
+    val per = m.groupBy("modality", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("b").as("n_bytes"))
+    val tot = per.agg(sum("n_bytes").cast("double").as("total_bytes"))
+    per.crossJoin(broadcast(tot))
+      .select(col("modality"), col("lang"), col("n_docs"), col("n_bytes"),
+        round(col("n_bytes").cast("double") / col("total_bytes"), 6).as("byte_share"))
+      .orderBy("modality", "lang")
+  }
+
+  private val mModalityMixSql =
+    """WITH m AS (SELECT
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    lang, CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS b
+      |  FROM documents),
+      |p AS (SELECT modality, lang, COUNT(*) AS n_docs, CAST(SUM(b) AS BIGINT) AS n_bytes
+      |  FROM m GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(n_bytes) AS DOUBLE) AS total_bytes FROM p)
+      |SELECT modality, lang, n_docs, n_bytes,
+      |  round(CAST(n_bytes AS DOUBLE) / total_bytes, 6) AS byte_share
+      |FROM p, t ORDER BY modality, lang""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("m_modality_mix", mModalityMix, Some(mModalityMixSql)),
     QueryDef("m_audio_windows", mAudioWindows, Some(mAudioWindowsSql)),
     QueryDef("m_caption_pairs", mCaptionPairs, Some(mCaptionPairsSql)),
     QueryDef("m_scene_split", mSceneSplit, Some(mSceneSplitSql)),

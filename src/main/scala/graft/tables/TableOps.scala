@@ -839,6 +839,33 @@ object TableOps extends QueryRegistry {
   }
 
   // --- t_ctas: CREATE TABLE AS SELECT (quickstart.sql:92-99).
+  // --- t_multiformat_ingest: heterogeneous-source ingestion — one half of
+  // orders lands as CSV files, the other as JSON lines, and both are read
+  // back with the ORIGINAL schema (no inference — inference samples data
+  // and cannot be trusted at scale) and upserted into one table. This is
+  // the parquet_to_hudi.sql bootstrap generalized to the formats a real
+  // lake's landing zone actually holds; the oracle is the reassembled
+  // orders table, so any type-fidelity loss in either format's round-trip
+  // (timestamps are the classic casualty) fails the hash check.
+  def tMultiformatIngest(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val csvDir = scratch("t_multifmt_csv", dir)
+    val jsonDir = scratch("t_multifmt_json", dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .write.mode("overwrite").json(jsonDir)
+    val schema = orders.schema
+    val fromCsv = s.read.schema(schema).option("header", "true").csv(csvDir)
+    val fromJson = s.read.schema(schema).json(jsonDir)
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_multiformat_ingest", dir), "o_orderkey", "o_orderkey"))
+    tbl.dropIfExists()
+    tbl.insert(fromCsv, numFiles = 2)
+    tbl.upsert(fromJson)
+    tbl.read().select(ordersCols.split(", ").map(col): _*).orderBy("o_orderkey")
+  }
+
   def tCtas(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val agg = orders.groupBy("o_custkey").agg(
@@ -851,6 +878,8 @@ object TableOps extends QueryRegistry {
   }
 
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("t_multiformat_ingest", tMultiformatIngest,
+      Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
     QueryDef("t_insert", tInsert,
       Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
     QueryDef("t_upsert", tUpsert, Some(s"$upsertedSql ORDER BY o_orderkey")),
