@@ -395,6 +395,97 @@ object Dedup extends QueryRegistry {
       .orderBy("doc_a", "doc_b")
   }
 
+  // --- d_minhash_est: MinHash sketch-accuracy audit — for every exact
+  // near-dup pair (Jaccard >= 0.3 over the df-capped shingle space), the
+  // 16-hash MinHash ESTIMATE next to the exact value and the absolute
+  // error. This is s_recall_eval's sibling for the dedup sketches: it
+  // answers "how many hashes does MY corpus need" with data instead of
+  // the 1/sqrt(k) rule of thumb. Signatures are md5-derived 64-bit values
+  // (the d_simhash / m_scene_split recipe) so DuckDB recomputes them
+  // bit-identically — unlike d_minhash_lsh's xxhash64 signatures, which
+  // exist only engine-side and are therefore verified via exact-Jaccard
+  // output, not signature equality. Scale: the pair set is the blocked
+  // shingle join (bounded per block by the df cap), the signature build
+  // is 16 map-side-combinable min-aggs, and the estimate join touches
+  // signatures only — no text moves.
+  private val EstHashes = 16
+
+  /** Signed 64-bit hash from the md5 lower half, little-endian — the exact
+    * value DuckDB's `md5_number_lower` yields after signed casting. */
+  private def md5h64(c: Column): Column = {
+    val hx = md5(c.cast("binary"))
+    def hexByte(i: Int) = substring(hx, i, 2)
+    val lo = conv(concat(hexByte(23), hexByte(21), hexByte(19), hexByte(17)), 16, 10).cast("long")
+    val hi = conv(concat(hexByte(31), hexByte(29), hexByte(27), hexByte(25)), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  def dMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    // string shingles (not the native hash): md5 parity needs the text
+    val shStr = docs(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 3,
+        array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+    // df cap as everywhere else in this family
+    val hot = shStr.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("sh")
+    val shf = shStr.join(hot, Seq("sh"), "left_anti").cache()
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shf.select(col("doc_id").as("da"), col("sh"))
+    val b = shf.select(col("doc_id").as("db"), col("sh"))
+    val pairs = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.3)
+    val mhCols = (0 until EstHashes).map(i =>
+      min(md5h64(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    val mh = shf.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val matched = (0 until EstHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val mhA = mh.toDF("da" +: (0 until EstHashes).map(i => s"a_mh$i"): _*)
+    val mhB = mh.toDF("db" +: (0 until EstHashes).map(i => s"b_mh$i"): _*)
+    pairs.join(mhA, "da").join(mhB, "db")
+      .withColumn("est_jac", matched.cast("double") / EstHashes)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"),
+        col("est_jac"), round(abs(col("jac") - col("est_jac")), 6).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dMinhashEstSql = {
+    val h64 = (e: String) =>
+      s"CAST(md5_number_lower($e)::HUGEINT - CASE WHEN md5_number_lower($e) >= " +
+        "9223372036854775808 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+    val mhAgg = (0 until EstHashes)
+      .map(i => s"min(${h64(s"'$i:' || sh")}) AS mh$i").mkString(", ")
+    val matchSum = (0 until EstHashes)
+      .map(i => s"CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+       |  FROM d WHERE len(w) >= 3),
+       |shf AS (SELECT doc_id, sh FROM sh0 WHERE sh IN (
+       |    SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+       |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jp AS (SELECT da, db, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+       |  FROM p JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3),
+       |mh AS (SELECT doc_id, $mhAgg FROM shf GROUP BY doc_id)
+       |SELECT jp.da AS doc_a, jp.db AS doc_b, jp.jac,
+       |  CAST($matchSum AS DOUBLE) / $EstHashes AS est_jac,
+       |  round(abs(jp.jac - CAST($matchSum AS DOUBLE) / $EstHashes), 6) AS abs_err
+       |FROM jp JOIN mh ma ON ma.doc_id = jp.da JOIN mh mb ON mb.doc_id = jp.db
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // --- d_simhash: 64-bit SimHash; pairs within hamming distance 3 found by
   // 4x16-bit chunk banding (pigeonhole-complete for hd<=3: 3 flips cannot
   // touch all 4 chunks, so candidates are EXHAUSTIVE and the result is
@@ -884,6 +975,7 @@ object Dedup extends QueryRegistry {
     // minhash's output IS the exact-verified pair set (see dMinhashLsh
     // doc-comment), so the exact Jaccard query is its oracle
     QueryDef("d_minhash_lsh", dMinhashLsh, Some(dNgramJaccardSql)),
+    QueryDef("d_minhash_est", dMinhashEst, Some(dMinhashEstSql)),
     QueryDef("d_simhash", dSimhash, Some(dSimhashSql)),
     QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)),
     QueryDef("d_embed_lsh", dEmbedLsh, Some(dEmbedLshSql)),

@@ -565,6 +565,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("d_minhash_est: signature build is min-aggs over the cached capped shingles; no text in the estimate join") {
+    val df = graft.dedup.Dedup.dMinhashEst(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("partial_min"), s) // 16 map-side-combinable min-aggs
+    // the estimate join moves signatures only — never shingle strings
+    val exchanges = s.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    val sigJoins = exchanges.filter(l => l.contains("a_mh0") || l.contains("b_mh0"))
+    assert(sigJoins.forall(l => !l.contains("sh#")), sigJoins.mkString("\n"))
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("x_quality_sweep: per-doc metrics cached once; dims broadcast, no driver collect") {
     val df = graft.text.TextOps.xQualitySweep(spark, sfDir)
     val s = planString(df)
