@@ -1618,6 +1618,61 @@ object Queries extends QueryRegistry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
       |FROM daily ORDER BY open_orders DESC, d LIMIT 10""".stripMargin
 
+  // --- q_window_funnel: time-anchored conversion funnel — the deepest
+  // view→click→purchase chain each user completes within ONE HOUR of
+  // their first view (the windowFunnel shape; q_funnel is its unbounded
+  // sibling). Each step is a per-user min-aggregate joined to the
+  // previous step's anchor, so every join is aggregate-sized (one row
+  // per user) and the window test is pure integer microseconds. At scale:
+  // three hash aggs + three key joins, no window function, no self-join
+  // of raw events.
+  def qWindowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val hourUs = 3600L * 1000000L
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + hourUs)
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select("user_id", "t1", "t2"), "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t1") + hourUs)
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val users = ev.select("user_id").distinct()
+    users
+      .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        (coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+          coalesce(col("s3"), lit(0))).cast("long").as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+  }
+
+  private val qWindowFunnelSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, MIN(ev.us) AS t2, MIN(v.t1) AS t1
+      |  FROM ev JOIN v ON ev.user_id = v.user_id
+      |  WHERE ev.event_type = 'click' AND ev.us > v.t1 AND ev.us <= v.t1 + 3600000000
+      |  GROUP BY 1),
+      |p AS (SELECT ev.user_id, MIN(ev.us) AS t3
+      |  FROM ev JOIN c ON ev.user_id = c.user_id
+      |  WHERE ev.event_type = 'purchase' AND ev.us > c.t2 AND ev.us <= c.t1 + 3600000000
+      |  GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT CAST((CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END)
+      |    + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+      |    + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS level,
+      |  COUNT(*) AS n_users
+      |FROM u LEFT JOIN v ON u.user_id = v.user_id
+      |  LEFT JOIN c ON u.user_id = c.user_id
+      |  LEFT JOIN p ON u.user_id = p.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- q_rolling_distinct: distinct customers over a rolling 3-month
   // window — the "rolling MAU" shape, where a frame-window COUNT(DISTINCT)
   // doesn't exist in either engine. Restated scalably: reduce to distinct
@@ -1705,5 +1760,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_string_agg", qStringAgg, Some(qStringAggSql)),
     QueryDef("q_sessions", qSessions, Some(qSessionsSql)),
     QueryDef("q_active_intervals", qActiveIntervals, Some(qActiveIntervalsSql)),
-    QueryDef("q_rolling_distinct", qRollingDistinct, Some(qRollingDistinctSql)))
+    QueryDef("q_rolling_distinct", qRollingDistinct, Some(qRollingDistinctSql)),
+    QueryDef("q_window_funnel", qWindowFunnel, Some(qWindowFunnelSql)))
 }

@@ -598,6 +598,42 @@ object TextOps extends QueryRegistry {
       |FROM m JOIN thr t ON m.alpha * 100 >= t.p * m.n_chars_c
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- x_ngram_novelty: per-document novelty — the fraction of a doc's
+  // 3-word shingles whose FIRST corpus appearance (lowest doc_id) is this
+  // doc. Scanning the curve in doc order shows how fast a growing corpus
+  // stops contributing new content — the redundancy-saturation diagnostic
+  // behind "more data or better data". Spark side runs on the native
+  // 64-bit shingle_hash stream (8-byte keys; the oracle proves identity
+  // on shingle STRINGS, same contract as the dedup family); one hash agg
+  // for first-appearance, one key join back, counts only in the shuffles.
+  def xNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(expr("shingle_hash(lower(text), 3)")).as("sh"))
+      .cache() // feeds the first-appearance agg AND the per-doc counts
+    val firsts = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(firsts, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val xNgramNoveltySql =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      |  FROM d WHERE len(w) >= 3),
+      |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS novelty
+      |FROM sh JOIN f ON sh.sh = f.sh
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
   // --- x_stopword_profile: per-language stopword frequencies over a fixed
   // function-word list — the language-health fingerprint under x_langid
   // (languages whose top stopwords vanish signal mislabeled or boilerplate
@@ -715,6 +751,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_char_classes", xCharClasses, Some(xCharClassesSql)),
     QueryDef("x_readability", xReadability, Some(xReadabilitySql)),
     QueryDef("x_stopword_profile", xStopwordProfile, Some(xStopwordProfileSql)),
+    QueryDef("x_ngram_novelty", xNgramNovelty, Some(xNgramNoveltySql)),
     QueryDef("x_gopher", xGopher, Some(xGopherSql)))
 
   // NB: keep below-`all` definitions as defs — a val here would still be

@@ -565,6 +565,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q_window_funnel: aggregate-sized step joins, no raw-event self-join, no cartesian") {
+    val df = Queries.qWindowFunnel(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("partial_min"), s) // per-user step minima combine map-side
+    // no exchange may carry raw event payload (event_type strings move
+    // only before their filter+agg, never through the step joins)
+    val exchanges = s.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => !l.contains("props")), exchanges.mkString("\n"))
+  }
+
+  test("x_ngram_novelty: 8-byte shingle keys only; first-appearance agg combines map-side") {
+    val df = graft.text.TextOps.xNgramNovelty(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("partial_min"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // shuffles carry (sh: long, doc_id) — never text
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text")), exchanges.mkString("\n"))
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("d_minhash_est: signature build is min-aggs over the cached capped shingles; no text in the estimate join") {
     val df = graft.dedup.Dedup.dMinhashEst(spark, sfDir)
     val s = planString(df)
