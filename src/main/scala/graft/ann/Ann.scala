@@ -221,7 +221,11 @@ object Ann extends QueryRegistry {
   // corpus). Distances are quantized to 1e-6 BIGINTs, so encode argmins and
   // ADC sums are order-independent integer math: the whole pipeline is
   // stated as a DuckDB oracle (PipelineSpec asserts recall vs exact L2).
-  def sTopkPq(s: SparkSession, dir: String): DataFrame = {
+  /** Shared PQ machinery: codebook build, encode, ADC scan, shortlist —
+    * returns (shortlist with its ADC distance, the full-vector table).
+    * sTopkPq re-ranks the shortlist exactly; sPqError audits the ADC
+    * approximation against the exact distances on the same shortlist. */
+  private def pqAdcShortlist(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val M = 4; val SUB = 16; val SHORTLIST = 50
     val e = embs(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -256,7 +260,13 @@ object Ann extends QueryRegistry {
       .agg(sum("qd_i").as("adc_i"))
     val shortlist = rankTopK(adc, SHORTLIST,
         Seq(asc("adc_i"), asc("vec_id")), "srn")
-      .select("q_id", "vec_id")
+      .select("q_id", "vec_id", "adc_i")
+    (shortlist, e)
+  }
+
+  def sTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val (shortlist, e) = pqAdcShortlist(s, dir)
+    def d2i(a: String, b: String) = s"l2sq_q6($a, $b)"
     // exact L2 re-rank of the shortlist only
     val qv = e.filter(col("vec_id") < 5).toDF("q_id", "qfull")
     val w = Window.partitionBy("q_id").orderBy(asc("l2_i"), asc("vec_id"))
@@ -268,6 +278,62 @@ object Ann extends QueryRegistry {
       .select("q_id", "rank", "vec_id", "l2_r")
       .orderBy("q_id", "rank")
   }
+
+  // --- s_pq_error: PQ quantization-distortion audit — on each query's
+  // ADC shortlist, the mean and max absolute gap between the ADC distance
+  // (sum of per-subspace codeword distances) and the exact full-vector
+  // distance. This is the codebook-quality dial: distortion says whether
+  // M/SUB/PqK fit the corpus BEFORE recall quietly degrades (the FAISS
+  // index-factory tuning loop, as s_recall_eval is for IVF and
+  // d_minhash_est for MinHash). All distances are the quantized-integer
+  // l2sq_q6 values, so errors are exact BIGINTs until one final rounded
+  // division; evaluation cost is O(|queries|·shortlist) beyond the PQ
+  // pipeline itself.
+  def sPqError(s: SparkSession, dir: String): DataFrame = {
+    val (shortlist, e) = pqAdcShortlist(s, dir)
+    def d2i(a: String, b: String) = s"l2sq_q6($a, $b)"
+    val qv = e.filter(col("vec_id") < 5).toDF("q_id", "qfull")
+    shortlist.join(e, "vec_id").join(broadcast(qv), "q_id")
+      .withColumn("l2_i", expr(d2i("v", "qfull")))
+      .withColumn("err", abs(col("adc_i") - col("l2_i")))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_eval"),
+        round(sum("err").cast("double") / (count(lit(1)) * lit(1000000.0)), 6).as("mae"),
+        round(max("err").cast("double") / 1000000.0, 6).as("max_err"))
+      .orderBy("q_id")
+  }
+
+  private val sPqErrorSql =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, m, v[m * 16 + 1 : m * 16 + 16] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+       |code AS (SELECT vec_id AS c_id, m AS cm, sv AS cv FROM subs
+       |  WHERE vec_id IN (SELECT vec_id FROM e ${Centroids.sqlTail(Centroids.PqK)})),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.c_id AS code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        CAST(round(list_sum(list_transform(range(1, 17),
+       |          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) * 1000000) AS BIGINT),
+       |        c.c_id) AS rn
+       |    FROM subs s JOIN code c ON s.m = c.cm) WHERE rn = 1),
+       |dt AS (SELECT q.vec_id AS q_id, q.m, c.c_id AS code,
+       |    CAST(round(list_sum(list_transform(range(1, 17),
+       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1000000) AS BIGINT) AS qd_i
+       |  FROM subs q JOIN code c ON q.m = c.cm WHERE q.vec_id < 5),
+       |sl AS (SELECT q_id, vec_id, adc_i FROM (
+       |    SELECT d.q_id, a.vec_id, SUM(d.qd_i) AS adc_i,
+       |      ROW_NUMBER() OVER (PARTITION BY d.q_id ORDER BY SUM(d.qd_i), a.vec_id) AS srn
+       |    FROM enc a JOIN dt d ON a.m = d.m AND a.code = d.code AND a.vec_id <> d.q_id
+       |    GROUP BY 1, 2) WHERE srn <= 50),
+       |rr AS (SELECT sl.q_id,
+       |    abs(sl.adc_i - CAST(round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> (e.v[i] - q.v[i]) * (e.v[i] - q.v[i]))) * 1000000) AS BIGINT)) AS err
+       |  FROM sl JOIN e ON e.vec_id = sl.vec_id JOIN e q ON q.vec_id = sl.q_id)
+       |SELECT q_id, COUNT(*) AS n_eval,
+       |  round(CAST(SUM(err) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS mae,
+       |  round(CAST(MAX(err) AS DOUBLE) / 1000000.0, 6) AS max_err
+       |FROM rr GROUP BY q_id ORDER BY q_id""".stripMargin
 
   private val sTopkPqSql =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -607,6 +673,7 @@ object Ann extends QueryRegistry {
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
     QueryDef("s_topk_pq", sTopkPq, Some(sTopkPqSql)),
+    QueryDef("s_pq_error", sPqError, Some(sPqErrorSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
     QueryDef("s_ivf_incremental", sIvfIncremental, Some(sIvfIncrementalSql)),
     QueryDef("s_mips", sMips, Some(sMipsSql)),
