@@ -19,6 +19,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("q_sessions agrees with st_sessionize on every user (two independent formulations)") {
+    // both split at 30-min gaps with (ts, event_id) ordering; the per-user
+    // rollup of the streaming family's per-session report must equal the
+    // query battery's direct aggregate exactly
+    val fromSessions = graft.streaming.StreamingOps.stSessionize(spark, sfSmall)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.max("n_events").as("longest_session"),
+        org.apache.spark.sql.functions.sum("n_events").as("n_events"))
+    val direct = graft.operators.Queries.qSessions(spark, sfSmall)
+    assert(fromSessions.exceptAll(direct).isEmpty && direct.exceptAll(fromSessions).isEmpty,
+      "sessionization formulations disagree")
+  }
+
   test("minhash-LSH recovers every high-jaccard pair (recall on near-dups)") {
     val exact = Dedup.dNgramJaccard(spark, sfDup)
       .filter(col("jac") >= 0.9)
