@@ -420,18 +420,23 @@ object Dedup extends QueryRegistry {
     shiftleft(hi, 32).bitwiseOR(lo)
   }
 
-  def dMinhashEst(s: SparkSession, dir: String): DataFrame = {
-    // string shingles (not the native hash): md5 parity needs the text
+  /** String 3-shingles with the family's df cap applied (md5-parity ops
+    * need the shingle TEXT, unlike the hashed [[shingles]] stream). */
+  private def cappedStringShingles(s: SparkSession, dir: String): DataFrame = {
     val shStr = docs(s, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
       .select(col("doc_id"), explode(when(size(col("w")) >= 3,
         array_distinct(expr(
           "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
         .otherwise(array().cast("array<string>"))).as("sh"))
-    // df cap as everywhere else in this family
     val hot = shStr.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("sh")
-    val shf = shStr.join(hot, Seq("sh"), "left_anti").cache()
+    shStr.join(hot, Seq("sh"), "left_anti")
+  }
+
+  def dMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    // string shingles (not the native hash): md5 parity needs the text
+    val shf = cappedStringShingles(s, dir).cache()
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shf.select(col("doc_id").as("da"), col("sh"))
     val b = shf.select(col("doc_id").as("db"), col("sh"))
@@ -484,6 +489,94 @@ object Dedup extends QueryRegistry {
        |  round(abs(jp.jac - CAST($matchSum AS DOUBLE) / $EstHashes), 6) AS abs_err
        |FROM jp JOIN mh ma ON ma.doc_id = jp.da JOIN mh mb ON mb.doc_id = jp.db
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- d_lsh_tuning: banding-configuration sweep — for each (bands, rows)
+  // split of the same 16-hash MinHash signature, the candidate-pair count
+  // and how many candidates verify at Jaccard >= 0.5. This is the LSH
+  // S-curve read off the REAL corpus: more bands → more candidates (higher
+  // recall, more verify work), fewer bands → tighter precision — and the
+  // operator shows the exact trade the production banding buys before
+  // anyone commits a config. Signatures are the md5-derived values of
+  // d_minhash_est, so the oracle recomputes the whole sweep; band
+  // signatures compare as concatenated strings (tuple equality). Scale:
+  // the sweep adds |configs| band-explodes over the signature table (one
+  // row per doc), never another pass over text.
+  private val TuningConfigs = Seq((8, 2), (4, 4), (2, 8)) // bands x rows = 16
+
+  def dLshTuning(s: SparkSession, dir: String): DataFrame = {
+    val shf = cappedStringShingles(s, dir).cache()
+    val mhCols = (0 until EstHashes).map(i =>
+      min(md5h64(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    val mh = shf.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).cache()
+    // exact >= 0.5 pairs once, shared by every config's verify count
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shf.select(col("doc_id").as("da"), col("sh"))
+    val b = shf.select(col("doc_id").as("db"), col("sh"))
+    val dup = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= 0.5)
+      .select("da", "db")
+    val perConfig = TuningConfigs.map { case (bands, rows) =>
+      val bandCols = (0 until bands).map { bb =>
+        struct(lit(bb).as("band"),
+          concat_ws(",", (bb * rows until (bb + 1) * rows).map(i => col(s"mh$i")): _*).as("sig"))
+      }
+      val buckets = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+      val cand = buckets.toDF("da", "band", "sig")
+        .join(buckets.toDF("db", "band", "sig"), Seq("band", "sig"))
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(dup, Seq("da", "db"), "leftsemi")
+          .agg(count(lit(1)).as("n_verified")))
+        .select(lit(s"${bands}x$rows").as("config"),
+          col("n_candidates"), col("n_verified"))
+    }
+    perConfig.reduce(_ unionAll _).orderBy("config")
+  }
+
+  private val dLshTuningSql = {
+    val h64 = (e: String) =>
+      s"CAST(md5_number_lower($e)::HUGEINT - CASE WHEN md5_number_lower($e) >= " +
+        "9223372036854775808 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+    val mhAgg = (0 until EstHashes)
+      .map(i => s"min(${h64(s"'$i:' || sh")}) AS mh$i").mkString(", ")
+    val configSelects = TuningConfigs.map { case (bands, rows) =>
+      val bandRows = (0 until bands).map { bb =>
+        val sig = (bb * rows until (bb + 1) * rows)
+          .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+        s"SELECT doc_id, $bb AS band, $sig AS sig FROM mh"
+      }.mkString("\n    UNION ALL ")
+      s"""SELECT '${bands}x$rows' AS config,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |     FROM ($bandRows) x JOIN ($bandRows) y
+         |     ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)) AS n_candidates,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |     FROM ($bandRows) x JOIN ($bandRows) y
+         |     ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id) c
+         |   WHERE EXISTS (SELECT 1 FROM dup WHERE dup.da = c.da AND dup.db = c.db))
+         |    AS n_verified""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+       |  FROM d WHERE len(w) >= 3),
+       |shf AS (SELECT doc_id, sh FROM sh0 WHERE sh IN (
+       |    SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+       |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |dup AS (SELECT da, db FROM p JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+       |mh AS (SELECT doc_id, $mhAgg FROM shf GROUP BY doc_id)
+       |$configSelects
+       |ORDER BY config""".stripMargin
   }
 
   // --- d_simhash: 64-bit SimHash; pairs within hamming distance 3 found by
@@ -976,6 +1069,7 @@ object Dedup extends QueryRegistry {
     // doc-comment), so the exact Jaccard query is its oracle
     QueryDef("d_minhash_lsh", dMinhashLsh, Some(dNgramJaccardSql)),
     QueryDef("d_minhash_est", dMinhashEst, Some(dMinhashEstSql)),
+    QueryDef("d_lsh_tuning", dLshTuning, Some(dLshTuningSql)),
     QueryDef("d_simhash", dSimhash, Some(dSimhashSql)),
     QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)),
     QueryDef("d_embed_lsh", dEmbedLsh, Some(dEmbedLshSql)),

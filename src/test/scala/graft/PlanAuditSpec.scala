@@ -587,6 +587,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("d_lsh_tuning: one signature build feeds every config; candidate joins carry no text") {
+    val df = graft.dedup.Dedup.dLshTuning(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    // the cached signature table is reused across configs (InMemoryTableScan)
+    assert(s.contains("InMemoryTableScan"), s)
+    val exchanges = s.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => !l.contains("text")), exchanges.mkString("\n"))
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("d_minhash_est: signature build is min-aggs over the cached capped shingles; no text in the estimate join") {
     val df = graft.dedup.Dedup.dMinhashEst(spark, sfDir)
     val s = planString(df)
