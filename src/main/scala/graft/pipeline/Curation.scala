@@ -234,7 +234,60 @@ object Curation extends QueryRegistry {
       |    AS BIGINT) AS kept_tokens
       |FROM p, t ORDER BY source""".stripMargin
 
+  // --- c_curriculum_plan: curriculum ordering of sources — sources rank
+  // by mean alpha-quality (one IEEE division of the same exact integer
+  // sums on both engines, so the order is deterministic; ties break on
+  // source) and split into three training phases
+  // (early/mid/late thirds by NTILE): the "clean data last" annealing
+  // schedule a pretraining run feeds its sampler. O(sources) output; the
+  // only non-integer is the reported mean itself, one shared division.
+  def cCurriculumPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = when(trim(col("text")) === "", 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val perSrc = GraftSession.table(s, dir, "documents")
+      .select(col("source"), toks.as("n_tok"),
+        length(col("text")).cast("long").as("chars"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("n_tokens"), sum("chars").as("sum_chars"),
+        sum("alpha").as("sum_alpha"))
+    // quality = sum_alpha/sum_chars; rank DESC on the exact ratio via the
+    // double division (deterministic IEEE — both engines divide the same
+    // integers), ties broken on source
+    val q = col("sum_alpha").cast("double") / col("sum_chars").cast("double")
+    val w = Window.orderBy(desc("quality"), asc("source"))
+    perSrc
+      .withColumn("quality", round(q, 6))
+      .withColumn("phase", ntile(3).over(w).cast("long"))
+      .select(col("source"), col("n_tokens"), col("quality"),
+        col("phase"),
+        when(col("phase") === 1, "late").when(col("phase") === 2, "mid")
+          .otherwise("early").as("phase_name"))
+      .orderBy("source")
+  }
+
+  private val cCurriculumPlanSql =
+    """WITH d AS (SELECT source,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha
+      |  FROM documents),
+      |p AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(chars) AS BIGINT) AS sum_chars, CAST(SUM(alpha) AS BIGINT) AS sum_alpha
+      |  FROM d GROUP BY 1),
+      |r AS (SELECT source, n_tokens,
+      |    round(CAST(sum_alpha AS DOUBLE) / CAST(sum_chars AS DOUBLE), 6) AS quality,
+      |    CAST(NTILE(3) OVER (ORDER BY CAST(sum_alpha AS DOUBLE) / CAST(sum_chars AS DOUBLE) DESC,
+      |      source) AS BIGINT) AS phase
+      |  FROM p)
+      |SELECT source, n_tokens, quality, phase,
+      |  CASE WHEN phase = 1 THEN 'late' WHEN phase = 2 THEN 'mid' ELSE 'early' END AS phase_name
+      |FROM r ORDER BY source""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("c_curriculum_plan", cCurriculumPlan, Some(cCurriculumPlanSql)),
     QueryDef("c_dedup_mixture", cDedupMixture, Some(cDedupMixtureSql)),
     QueryDef("c_curation_funnel", cCurationFunnel, Some(cCurationFunnelSql)),
     QueryDef("c_token_budget", cTokenBudget, Some(cTokenBudgetSql)),
