@@ -869,30 +869,36 @@ object TableOps extends QueryRegistry {
     newTbl.read().select(ordersCols.split(", ").map(col): _*).orderBy("o_orderkey")
   }
 
-  // --- t_multiformat_ingest: heterogeneous-source ingestion — one half of
-  // orders lands as CSV files, the other as JSON lines, and both are read
+  // --- t_multiformat_ingest: heterogeneous-source ingestion — orders land
+  // in thirds as CSV files, JSON lines, and ORC, and all three are read
   // back with the ORIGINAL schema (no inference — inference samples data
   // and cannot be trusted at scale) and upserted into one table. This is
   // the parquet_to_hudi.sql bootstrap generalized to the formats a real
   // lake's landing zone actually holds; the oracle is the reassembled
-  // orders table, so any type-fidelity loss in either format's round-trip
-  // (timestamps are the classic casualty) fails the hash check.
+  // orders table, so any type-fidelity loss in any format's round-trip
+  // (timestamps through the TEXT formats are the classic casualty) fails
+  // the hash check.
   def tMultiformatIngest(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val csvDir = scratch("t_multifmt_csv", dir)
     val jsonDir = scratch("t_multifmt_json", dir)
-    orders.filter(col("o_orderkey") % 2 === 0)
+    val orcDir = scratch("t_multifmt_orc", dir)
+    orders.filter(col("o_orderkey") % 3 === 0)
       .write.mode("overwrite").option("header", "true").csv(csvDir)
-    orders.filter(col("o_orderkey") % 2 === 1)
+    orders.filter(col("o_orderkey") % 3 === 1)
       .write.mode("overwrite").json(jsonDir)
+    orders.filter(col("o_orderkey") % 3 === 2)
+      .write.mode("overwrite").orc(orcDir)
     val schema = orders.schema
     val fromCsv = s.read.schema(schema).option("header", "true").csv(csvDir)
     val fromJson = s.read.schema(schema).json(jsonDir)
+    val fromOrc = s.read.schema(schema).orc(orcDir)
     val tbl = GraftTable(s, GraftTableConfig(
       scratch("t_multiformat_ingest", dir), "o_orderkey", "o_orderkey"))
     tbl.dropIfExists()
     tbl.insert(fromCsv, numFiles = 2)
     tbl.upsert(fromJson)
+    tbl.upsert(fromOrc)
     tbl.read().select(ordersCols.split(", ").map(col): _*).orderBy("o_orderkey")
   }
 
