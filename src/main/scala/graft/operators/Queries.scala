@@ -1673,6 +1673,44 @@ object Queries extends QueryRegistry {
       |  LEFT JOIN p ON u.user_id = p.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_first_last: first-touch / last-touch attribution — each
+  // customer's earliest and latest order (date, orderkey tie-break) with
+  // prices. Deliberately NOT a first_value/last_value window: min_by /
+  // max_by aggregates compute the same rows in ONE map-side-combinable
+  // hash agg with no per-partition sort and no frame materialization —
+  // at 100 TB the window formulation sorts every customer's history, the
+  // aggregate touches each row once. The ordering key is a single long
+  // (days·1e8 + orderkey), so both engines compare identically.
+  def qFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val ord = unix_date(to_date(col("o_orderdate"))).cast("long") * 100000000L +
+      col("o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("p"),
+        ord.as("ord"))
+      .groupBy("o_custkey")
+      .agg(
+        min_by(col("o_orderkey"), col("ord")).as("first_key"),
+        min_by(col("p"), col("ord")).cast("double").as("first_price"),
+        max_by(col("o_orderkey"), col("ord")).as("last_key"),
+        max_by(col("p"), col("ord")).cast("double").as("last_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  private val qFirstLastSql =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) * 100000000
+      |      + o_orderkey AS ord
+      |  FROM orders)
+      |SELECT o_custkey,
+      |  arg_min(o_orderkey, ord) AS first_key,
+      |  CAST(arg_min(p, ord) AS DOUBLE) AS first_price,
+      |  arg_max(o_orderkey, ord) AS last_key,
+      |  CAST(arg_max(p, ord) AS DOUBLE) AS last_price,
+      |  COUNT(*) AS n_orders
+      |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // --- q_rolling_distinct: distinct customers over a rolling 3-month
   // window — the "rolling MAU" shape, where a frame-window COUNT(DISTINCT)
   // doesn't exist in either engine. Restated scalably: reduce to distinct
@@ -1761,5 +1799,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_sessions", qSessions, Some(qSessionsSql)),
     QueryDef("q_active_intervals", qActiveIntervals, Some(qActiveIntervalsSql)),
     QueryDef("q_rolling_distinct", qRollingDistinct, Some(qRollingDistinctSql)),
-    QueryDef("q_window_funnel", qWindowFunnel, Some(qWindowFunnelSql)))
+    QueryDef("q_window_funnel", qWindowFunnel, Some(qWindowFunnelSql)),
+    QueryDef("q_first_last", qFirstLast, Some(qFirstLastSql)))
 }

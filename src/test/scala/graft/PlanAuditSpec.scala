@@ -565,6 +565,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q_first_last: one hash agg with map-side partials — no window, no sort before the agg") {
+    val df = Queries.qFirstLast(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("Window"), s) // min_by/max_by, not first_value frames
+    assert(s.contains("partial_min_by") || s.contains("partial_"), s)
+    assert(countShuffles(df) <= 2, s) // agg re-key + presentation sort only
+  }
+
   test("q_window_funnel: aggregate-sized step joins, no raw-event self-join, no cartesian") {
     val df = Queries.qWindowFunnel(spark, sfDir)
     val s = planString(df)
