@@ -279,6 +279,42 @@ object Ann extends QueryRegistry {
       .orderBy("q_id", "rank")
   }
 
+  // --- s_outliers: embedding-space outlier mining — the 20 corpus vectors
+  // most isolated from every centroid (lowest best-centroid cosine). The
+  // OOD screen an embedding-quality gate runs before ANN indexing or
+  // semantic dedup: clusters of junk embeddings (close to each other but
+  // far from all content centroids) surface here first. One broadcast
+  // centroid pass per vector (the IVF assignment shape) and a bounded
+  // global top-k — no corpus shuffle, no pairwise work.
+  def sOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = Centroids.sample(e)
+    e.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("nearest_c"),
+        max(col("c_cos")).as("best_cos"))
+      .orderBy(asc("best_cos"), asc("vec_id"))
+      .limit(20)
+  }
+
+  private val sOutliersSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e
+       |  WHERE vec_id IN (SELECT vec_id FROM e ${Centroids.sqlTail(Centroids.K)})),
+       |a AS (SELECT e.vec_id, c.c_id,
+       |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+       |      / (e.nrm * c.cnrm), 6) AS c_cos
+       |  FROM e CROSS JOIN c),
+       |b AS (SELECT vec_id, c_id AS nearest_c, c_cos AS best_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+       |  FROM a)
+       |SELECT vec_id, nearest_c, best_cos FROM b WHERE rn = 1
+       |ORDER BY best_cos, vec_id LIMIT 20""".stripMargin
+
   // --- s_pq_error: PQ quantization-distortion audit — on each query's
   // ADC shortlist, the mean and max absolute gap between the ADC distance
   // (sum of per-subspace codeword distances) and the exact full-vector
@@ -674,6 +710,7 @@ object Ann extends QueryRegistry {
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
     QueryDef("s_topk_pq", sTopkPq, Some(sTopkPqSql)),
     QueryDef("s_pq_error", sPqError, Some(sPqErrorSql)),
+    QueryDef("s_outliers", sOutliers, Some(sOutliersSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
     QueryDef("s_ivf_incremental", sIvfIncremental, Some(sIvfIncrementalSql)),
     QueryDef("s_mips", sMips, Some(sMipsSql)),
