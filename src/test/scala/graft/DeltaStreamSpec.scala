@@ -174,7 +174,7 @@ class DeltaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val running = DeltaStream.start(spark, cfg)
     try {
       def waitFor(n: Long): Unit = {
-        val deadline = System.currentTimeMillis() + 120000L
+        val deadline = System.currentTimeMillis() + 300000L // generous: full-suite runs under load flaked at 120 s once
         while (tbl.timeline.latestInstant().isEmpty ||
           tbl.read().count() < n) {
           assert(System.currentTimeMillis() < deadline, s"timed out waiting for $n rows")
@@ -210,7 +210,7 @@ class DeltaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         Thread.sleep(40L)
       }
       // wait until the trigger has fired at least once against the waves
-      val deadline = System.currentTimeMillis() + 120000L
+      val deadline = System.currentTimeMillis() + 300000L // generous: full-suite runs under load flaked at 120 s once
       while (services.compactionsRun == 0 && services.failure.isEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(25L)
     } finally services.close() // throws if the service thread failed
