@@ -157,6 +157,16 @@ final class AsyncServices(
           nConflicts.incrementAndGet()
           logWarning(s"async compaction lock wait expired (retry " +
             s"#${nConflicts.get}) on ${table.cfg.path}: ${e.getMessage}")
+        // shutdown-induced wreckage is not a service failure: close() sets
+        // `stopped` BEFORE interrupting, and an interrupt that lands while
+        // the compactor is inside NIO surfaces as ClosedByInterruptException
+        // (an IOException — the InterruptedException case above never sees
+        // it). The aborted compaction rolled back under withReservedInstant;
+        // the table is consistent and the trigger would simply re-fire.
+        case e: Throwable if stopped || Thread.currentThread().isInterrupted ||
+            e.isInstanceOf[java.nio.channels.ClosedByInterruptException] =>
+          logInfo(s"async services shutdown interrupted an in-flight " +
+            s"compaction on ${table.cfg.path} (rolled back): $e")
         case e: Throwable => failureOpt = Some(e); stopped = true
       }
       try Thread.sleep(pollMs) catch { case _: InterruptedException => () }
