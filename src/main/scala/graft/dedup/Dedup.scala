@@ -420,6 +420,32 @@ object Dedup extends QueryRegistry {
     shiftleft(hi, 32).bitwiseOR(lo)
   }
 
+  // --- d_cluster_sizes: duplicate-cluster size histogram — how many
+  // exact-dup clusters exist at each multiplicity, with the docs and the
+  // REDUNDANT docs (all but one per cluster) each size contributes. The
+  // one-glance corpus redundancy profile: a heavy tail here is what makes
+  // exact dedup pay for itself before any near-dup pass runs. Two hash
+  // aggregations over the fingerprint — O(distinct sizes) output at any
+  // corpus size.
+  def dClusterSizes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(md5(normText(col("text"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("sz"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("sz")).as("n_docs"),
+        (count(lit(1)) * (col("sz") - 1)).as("n_redundant"))
+      .orderBy("sz")
+
+  private val dClusterSizesSql =
+    """WITH c AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+      |    COUNT(*) AS sz
+      |  FROM documents GROUP BY 1)
+      |SELECT sz, COUNT(*) AS n_clusters,
+      |  CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) * (sz - 1) AS BIGINT) AS n_redundant
+      |FROM c GROUP BY sz ORDER BY sz""".stripMargin
+
   /** String 3-shingles with the family's df cap applied (md5-parity ops
     * need the shingle TEXT, unlike the hashed [[shingles]] stream). */
   private def cappedStringShingles(s: SparkSession, dir: String): DataFrame = {
@@ -1070,6 +1096,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_minhash_lsh", dMinhashLsh, Some(dNgramJaccardSql)),
     QueryDef("d_minhash_est", dMinhashEst, Some(dMinhashEstSql)),
     QueryDef("d_lsh_tuning", dLshTuning, Some(dLshTuningSql)),
+    QueryDef("d_cluster_sizes", dClusterSizes, Some(dClusterSizesSql)),
     QueryDef("d_simhash", dSimhash, Some(dSimhashSql)),
     QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)),
     QueryDef("d_embed_lsh", dEmbedLsh, Some(dEmbedLshSql)),
