@@ -1346,4 +1346,44 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(src.read().filter(org.apache.spark.sql.functions
       .col("o_orderstatus") === "C").count() == 0)
   }
+
+  test("config matrix: insert+upsert+delete parity across COW/MOR x index x partitioning") {
+    // the reference's compatibility harness sweeps cow/mor x metadata x
+    // partitioned configs (compatibility_test_main.sh, configs/*.props);
+    // here the same write sequence must yield the identical table under
+    // every config combination — layout choices may never change answers
+    import org.apache.spark.sql.functions._
+    val orders = GraftSession.table(spark, sfDir, "orders")
+    val expected = orders
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 10 === 0, "U").otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 100)
+          .otherwise(col("o_totalprice")))
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val configs = for {
+      tt <- Seq(TableType.Cow, TableType.Mor)
+      rib <- Seq(0, 8)
+      kg <- Seq[KeyGen](NoPartition, FieldPartition("o_orderstatus"))
+    } yield (tt, rib, kg)
+    configs.foreach { case (tt, rib, kg) =>
+      val name = s"matrix_${tt}_${rib}_${kg.getClass.getSimpleName}"
+      val tbl = GraftTable(spark, GraftTableConfig(
+        s"/tmp/graft_spec/$name", "o_orderkey", "o_orderkey",
+        keyGen = kg, tableType = tt, recordIndexBuckets = rib))
+      tbl.dropIfExists()
+      tbl.insert(orders, numFiles = 2)
+      tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 100))
+      tbl.delete(col("o_orderkey") % 97 === 0)
+      val got = tbl.read().select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"config $name diverged: got ${got.count()} rows, want ${expected.count()}")
+      tbl.dropIfExists()
+    }
+  }
 }
