@@ -29,7 +29,8 @@ class EndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Verify / BenchSome all clearCache() after materializing each op) —
     // this pins that the scope actually empties the cache, including for
     // the cache-heaviest ops.
-    for (name <- Seq("d_minhash_lsh", "q2_min_cost_supplier", "d_semdedup")) {
+    for (name <- Seq("d_minhash_lsh", "q2_min_cost_supplier", "d_semdedup",
+        "d_minhash_est", "d_lsh_tuning", "x_ngram_novelty")) {
       SparkEntry.queries(name)(spark, sfDir).count()
       spark.catalog.clearCache()
     }

@@ -595,6 +595,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("c_curriculum_plan / c_dedup_mixture: O(sources) plans, no raw-doc payload in late exchanges") {
+    for (df <- Seq(graft.pipeline.Curation.cCurriculumPlan(spark, sfDir),
+        graft.pipeline.Curation.cDedupMixture(spark, sfDir))) {
+      val s = planString(df)
+      assert(!s.contains("CartesianProduct"), s)
+      assert(s.contains("partial_sum"), s) // per-source sums combine map-side
+    }
+  }
+
+  test("s_outliers: broadcast centroid pass + bounded global top-k, no corpus shuffle join") {
+    val df = graft.ann.Ann.sOutliers(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("TakeOrderedAndProject"), s) // top-20, never a full sort
+    assert(s.contains("BroadcastNestedLoopJoin"), s) // fixed-k centroids broadcast
+  }
+
   test("d_lsh_tuning: one signature build feeds every config; candidate joins carry no text") {
     val df = graft.dedup.Dedup.dLshTuning(spark, sfDir)
     val s = planString(df)
