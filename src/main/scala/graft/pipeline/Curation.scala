@@ -286,7 +286,66 @@ object Curation extends QueryRegistry {
       |  CASE WHEN phase = 1 THEN 'late' WHEN phase = 2 THEN 'mid' ELSE 'early' END AS phase_name
       |FROM r ORDER BY source""".stripMargin
 
+  // --- c_incr_curation: the curation funnel run INCREMENTALLY over table
+  // commits — documents land in a lakehouse table in waves, and each wave
+  // is curated by reading ONLY the incremental slice and deduping it
+  // against a seen-fingerprint set (within-wave: lowest doc_id by window;
+  // cross-wave: first-seen-wins anti-join — the fingerprint-index pattern
+  // that makes exact dedup O(new batch) instead of O(corpus) per
+  // ingestion). Because waves arrive in doc_id order, first-seen-wins
+  // composes to exactly the batch funnel's lowest-doc-id rule, so the
+  // oracle is the BATCH funnel over the full corpus: the hash check
+  // proves the incremental pipeline recomputes nothing and loses nothing.
+  // At 100 TB this is the only viable shape — per ingestion the work is
+  // O(wave + wave-sized probes of the fp index), never a corpus rescan.
+  def cIncrCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{GraftTable, GraftTableConfig}
+    import org.apache.spark.sql.expressions.Window
+    val docsAll = GraftSession.table(s, dir, "documents")
+    val embs = GraftSession.table(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val root = "/tmp/graft_tables/c_incr_curation_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = GraftTable(s, GraftTableConfig(root, "doc_id", "doc_id"))
+    tbl.dropIfExists()
+    val mid = 250L
+    val i1 = tbl.insert(docsAll.filter(col("doc_id") < mid), numFiles = 2)
+    val i2 = tbl.insert(docsAll.filter(col("doc_id") >= mid), numFiles = 2)
+
+    val nChars = length(col("text")).cast("long")
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val keepRate = when(col("lang") === "en", 80)
+      .when(col("lang") === "zh", 50).otherwise(25)
+    val wDedup = Window.partitionBy("fp").orderBy("doc_id")
+    // one wave: dedup within the slice, then against the fps already kept
+    def curateWave(slice: DataFrame, seenFps: Option[DataFrame]): DataFrame = {
+      val inWave = slice
+        .withColumn("fp", md5(normText(col("text"))))
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+      val unseen = seenFps match {
+        case Some(seen) => inWave.join(seen, Seq("fp"), "left_anti")
+        case None => inWave
+      }
+      unseen
+        .filter(nChars >= 64 &&
+          alpha.cast("double") / nChars.cast("double") > 0.6)
+        .filter(pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100)) < keepRate)
+        .join(embs, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"),
+          nChars.as("n_chars_calc"), col("fp"))
+    }
+    val wave1 = curateWave(tbl.incremental(graft.tables.Timeline.pad(0L), i1), None)
+      .cache() // feeds the seen-fp index AND the final union
+    // the fp index carries EVERY wave-1 fingerprint (kept or filtered):
+    // a doc that failed the quality gate still claims its content, exactly
+    // as the batch window's lowest-doc-id rule does
+    val seen1 = tbl.incremental(graft.tables.Timeline.pad(0L), i1)
+      .select(md5(normText(col("text"))).as("fp")).distinct()
+    val wave2 = curateWave(tbl.incremental(i1, i2), Some(seen1))
+    wave1.unionAll(wave2).orderBy("doc_id")
+  }
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("c_incr_curation", cIncrCuration, Some(cCurationFunnelSql)),
     QueryDef("c_curriculum_plan", cCurriculumPlan, Some(cCurriculumPlanSql)),
     QueryDef("c_dedup_mixture", cDedupMixture, Some(cDedupMixtureSql)),
     QueryDef("c_curation_funnel", cCurationFunnel, Some(cCurationFunnelSql)),
