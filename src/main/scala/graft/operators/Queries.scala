@@ -1673,6 +1673,41 @@ object Queries extends QueryRegistry {
       |  LEFT JOIN p ON u.user_id = p.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_dispersion: exact second-moment statistics — per order priority,
+  // the mean and VARIANCE of order price computed entirely in integer
+  // cents: n·Σc² − (Σc)² stays exact decimal/int128 arithmetic (bounded:
+  // even at 10⁹ orders of $500k the numerator is ~10³³ < 10³⁸) and ONE
+  // double division at the end, so both engines agree bit-for-bit where a
+  // naive double `var_samp` would drift with partial-aggregation order.
+  // Map-side-combinable hash agg; the canonical "stable variance at
+  // scale" shape.
+  def qDispersion(s: SparkSession, dir: String): DataFrame = {
+    val c = (dec(col("o_totalprice")) * 100).cast(DecimalType(18, 0))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), c.as("c"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("s2"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("s1").cast("double") / (col("n") * 100.0), 6).as("mean_price"),
+        round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * 10000.0), 4)
+          .as("var_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val qDispersionSql =
+    """WITH o AS (SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+      |  FROM orders),
+      |g AS (SELECT o_orderpriority, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+      |  FROM o GROUP BY 1)
+      |SELECT o_orderpriority, n,
+      |  round(CAST(s1 AS DOUBLE) / (n * 100.0), 6) AS mean_price,
+      |  round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0), 4) AS var_price
+      |FROM g ORDER BY o_orderpriority""".stripMargin
+
   // --- q_first_last: first-touch / last-touch attribution — each
   // customer's earliest and latest order (date, orderkey tie-break) with
   // prices. Deliberately NOT a first_value/last_value window: min_by /
@@ -1800,5 +1835,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_active_intervals", qActiveIntervals, Some(qActiveIntervalsSql)),
     QueryDef("q_rolling_distinct", qRollingDistinct, Some(qRollingDistinctSql)),
     QueryDef("q_window_funnel", qWindowFunnel, Some(qWindowFunnelSql)),
-    QueryDef("q_first_last", qFirstLast, Some(qFirstLastSql)))
+    QueryDef("q_first_last", qFirstLast, Some(qFirstLastSql)),
+    QueryDef("q_dispersion", qDispersion, Some(qDispersionSql)))
 }

@@ -634,6 +634,47 @@ object TextOps extends QueryRegistry {
       |FROM sh JOIN f ON sh.sh = f.sh
       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 
+  // --- x_vocab_growth: Heaps-law curve — BIGRAM-type inventory size after
+  // every 50-doc checkpoint (in doc_id ingestion order). Read next to
+  // x_ngram_novelty: novelty says how much each DOC adds, this says how
+  // fast the type inventory saturates — the "is more data still buying
+  // new language" diagnostic. (Bigram types, not unigrams: the synthetic
+  // corpus's ~31-word vocabulary saturates inside the first checkpoint,
+  // while its pair space keeps growing — on a real corpus both are valid
+  // Heaps curves.) Scalably: bigram → min(doc_id) first-seen (one hash
+  // agg), new types per checkpoint bucket (another), then a running sum
+  // over the BUCKET dim only — the window input is |corpus|/50 aggregate
+  // rows, never tokens (a petabyte run widens the bucket, same plan).
+  def xVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firsts = docs(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 2,
+        array_distinct(expr(
+          "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")))
+        .otherwise(array().cast("array<string>"))).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val perBucket = firsts
+      .groupBy(floor(col("first_doc") / 50L).as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .select(((col("bucket") + 1) * 50).cast("long").as("n_docs_processed"),
+        col("new_types"), sum("new_types").over(w).as("vocab_size"))
+      .orderBy("n_docs_processed")
+  }
+
+  private val xVocabGrowthSql =
+    s"""WITH f AS (SELECT tok, MIN(doc_id) AS first_doc FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+      |        i -> w[i] || ' ' || w[i+1]))) AS tok
+      |    FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents)
+      |    WHERE len(w) >= 2) GROUP BY tok),
+      |b AS (SELECT first_doc // 50 AS bucket, COUNT(*) AS new_types FROM f GROUP BY 1)
+      |SELECT CAST((bucket + 1) * 50 AS BIGINT) AS n_docs_processed, new_types,
+      |  CAST(SUM(new_types) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+      |FROM b ORDER BY n_docs_processed""".stripMargin
+
   // --- x_stopword_profile: per-language stopword frequencies over a fixed
   // function-word list — the language-health fingerprint under x_langid
   // (languages whose top stopwords vanish signal mislabeled or boilerplate
@@ -752,6 +793,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_readability", xReadability, Some(xReadabilitySql)),
     QueryDef("x_stopword_profile", xStopwordProfile, Some(xStopwordProfileSql)),
     QueryDef("x_ngram_novelty", xNgramNovelty, Some(xNgramNoveltySql)),
+    QueryDef("x_vocab_growth", xVocabGrowth, Some(xVocabGrowthSql)),
     QueryDef("x_gopher", xGopher, Some(xGopherSql)))
 
   // NB: keep below-`all` definitions as defs — a val here would still be

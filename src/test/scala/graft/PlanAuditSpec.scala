@@ -573,6 +573,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countShuffles(df) <= 2, s) // agg re-key + presentation sort only
   }
 
+  test("q_dispersion: exact decimal moments combine map-side; no window") {
+    val df = Queries.qDispersion(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("partial_sum"), s)
+    assert(!s.contains("Window"), s)
+    assert(countShuffles(df) <= 2, s)
+  }
+
+  test("x_vocab_growth: window input is the bucket dim, never tokens") {
+    val df = graft.text.TextOps.xVocabGrowth(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("partial_min"), s) // first-seen agg combines map-side
+    // the (single-partition) running-sum window must sit ABOVE the bucket
+    // aggregate — its exchange carries (bucket, new_types) only
+    val exchanges = s.linesIterator.filter(_.contains("Exchange SinglePartition")).toSeq
+    assert(exchanges.forall(l => !l.contains("tok")), exchanges.mkString("\n"))
+  }
+
   test("q_window_funnel: aggregate-sized step joins, no raw-event self-join, no cartesian") {
     val df = Queries.qWindowFunnel(spark, sfDir)
     val s = planString(df)
