@@ -1673,6 +1673,40 @@ object Queries extends QueryRegistry {
       |  LEFT JOIN p ON u.user_id = p.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_mode: modal value per group — each nation's most common customer
+  // market segment with its count. MODE() restated as two hash aggregates
+  // (count per (group, value), then max_by with a count-then-value
+  // tie-break) — both map-side-combinable, no window over raw rows, the
+  // shape that holds when one group spans millions of rows. The tie-break
+  // (higher count wins, then LOWER segment string) is total, so both
+  // engines pick the identical mode.
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy("c_nationkey")
+      .agg(
+        // min over (-cnt, segment): highest count wins, ties break toward
+        // the lexicographically smallest segment — a total order
+        min_by(col("c_mktsegment"),
+          struct((-col("cnt")).as("nc"), col("c_mktsegment"))).as("mode_segment"),
+        max(col("cnt")).as("n_mode"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("mode_segment"), col("n_mode"))
+      .orderBy("n_name")
+  }
+
+  private val qModeSql =
+    """WITH c AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+      |  FROM customer GROUP BY 1, 2),
+      |r AS (SELECT c_nationkey, c_mktsegment, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY cnt DESC, c_mktsegment) AS rn
+      |  FROM c)
+      |SELECT n.n_name, r.c_mktsegment AS mode_segment, CAST(r.cnt AS BIGINT) AS n_mode
+      |FROM r JOIN nation n ON r.c_nationkey = n.n_nationkey
+      |WHERE r.rn = 1 ORDER BY n.n_name""".stripMargin
+
   // --- q_dispersion: exact second-moment statistics — per order priority,
   // the mean and VARIANCE of order price computed entirely in integer
   // cents: n·Σc² − (Σc)² stays exact decimal/int128 arithmetic (bounded:
@@ -1836,5 +1870,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_rolling_distinct", qRollingDistinct, Some(qRollingDistinctSql)),
     QueryDef("q_window_funnel", qWindowFunnel, Some(qWindowFunnelSql)),
     QueryDef("q_first_last", qFirstLast, Some(qFirstLastSql)),
-    QueryDef("q_dispersion", qDispersion, Some(qDispersionSql)))
+    QueryDef("q_dispersion", qDispersion, Some(qDispersionSql)),
+    QueryDef("q_mode", qMode, Some(qModeSql)))
 }
