@@ -1673,6 +1673,48 @@ object Queries extends QueryRegistry {
       |  LEFT JOIN p ON u.user_id = p.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_bucketed_join: co-located fact-fact join — orders and lineitem
+  // written as BUCKETED tables (8 buckets on the join key, sorted in
+  // bucket), then joined with ZERO exchange on either side: the join
+  // consumes the buckets' co-partitioning directly (PlanAuditSpec pins a
+  // shuffle-free SortMergeJoin). This is THE pattern that amortizes the
+  // big-join shuffle at 100 TB — pay the partitioning once at write time,
+  // reuse it across every downstream join — and the battery's only op
+  // exercising Spark's bucketed-table read path end to end.
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (ot, lt) = (s"graft_bkt_orders_$suffix", s"graft_bkt_lineitem_$suffix")
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // a fresh session may find the managed location on disk without the
+    // catalog entry (warehouse outlives sessions) — clear both
+    for (tn <- Seq(ot, lt)) {
+      s.sql(s"DROP TABLE IF EXISTS $tn")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath.stripSuffix("/") + "/" + tn)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    t(s, dir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").format("parquet").saveAsTable(ot)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").format("parquet").saveAsTable(lt)
+    // merge hint: at test SF the orders side fits a broadcast, which would
+    // bypass the bucketed path entirely — the op exists to exercise the
+    // co-located SortMergeJoin a 100 TB fact-fact join would use
+    s.table(ot).hint("merge").join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("price")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val qBucketedJoinSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --- q_mode: modal value per group — each nation's most common customer
   // market segment with its count. MODE() restated as two hash aggregates
   // (count per (group, value), then max_by with a count-then-value
@@ -1871,5 +1913,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_window_funnel", qWindowFunnel, Some(qWindowFunnelSql)),
     QueryDef("q_first_last", qFirstLast, Some(qFirstLastSql)),
     QueryDef("q_dispersion", qDispersion, Some(qDispersionSql)),
-    QueryDef("q_mode", qMode, Some(qModeSql)))
+    QueryDef("q_mode", qMode, Some(qModeSql)),
+    QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)))
 }

@@ -573,6 +573,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countShuffles(df) <= 2, s) // agg re-key + presentation sort only
   }
 
+  test("q_bucketed_join: the fact-fact join consumes bucket co-partitioning — zero exchange on the keys") {
+    val s = planString(Queries.qBucketedJoin(spark, sfDir))
+    assert(s.contains("SortMergeJoin"), s)
+    assert(s.contains("Bucketed: true"), s) // both scans read their buckets
+    assert(!s.contains("BroadcastExchange"), s)
+    // the join keys are never re-shuffled: the only exchanges allowed are
+    // the aggregate/presentation ones on o_orderpriority above the join
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("o_orderkey") && !l.contains("l_orderkey")),
+      exchanges.mkString("\n"))
+  }
+
   test("q_dispersion: exact decimal moments combine map-side; no window") {
     val df = Queries.qDispersion(spark, sfDir)
     val s = planString(df)
