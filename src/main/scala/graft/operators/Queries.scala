@@ -1715,6 +1715,30 @@ object Queries extends QueryRegistry {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --- q_copurchase: market-basket co-occurrence — the top 20 part pairs
+  // appearing on the same order. The self-join is keyed on o_orderkey, so
+  // each block is one order's line items (bounded by order size, ~7) and
+  // the pair expansion is O(orders · k²) with NO quadratic blow-up at any
+  // corpus size — the same bounded-block argument as the dedup family's
+  // shingle joins. Distinct parts per order first (a pair counts once per
+  // order), pair counts combine map-side, top-20 via TakeOrdered.
+  def qCopurchase(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.toDF("ok", "pa")
+      .join(items.toDF("ok", "pb"), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), asc("pa"), asc("pb"))
+      .limit(20)
+  }
+
+  private val qCopurchaseSql =
+    """WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_orders
+      |FROM i a JOIN i b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin
+
   // --- q_mode: modal value per group — each nation's most common customer
   // market segment with its count. MODE() restated as two hash aggregates
   // (count per (group, value), then max_by with a count-then-value
@@ -1914,5 +1938,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_first_last", qFirstLast, Some(qFirstLastSql)),
     QueryDef("q_dispersion", qDispersion, Some(qDispersionSql)),
     QueryDef("q_mode", qMode, Some(qModeSql)),
-    QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)))
+    QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)),
+    QueryDef("q_copurchase", qCopurchase, Some(qCopurchaseSql)))
 }

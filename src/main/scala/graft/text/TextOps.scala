@@ -675,6 +675,33 @@ object TextOps extends QueryRegistry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
       |FROM b ORDER BY n_docs_processed""".stripMargin
 
+  // --- x_boilerplate: repeated-sentence detection — the sentences
+  // appearing verbatim in the most documents (min length 20 chars to skip
+  // fragments). This is the header/footer/navigation screen a web-corpus
+  // pipeline runs before token counting: high-df sentences are template
+  // boilerplate, not content. Per-doc distinct happens in-array before the
+  // explode, so the shuffle carries one row per (doc, distinct sentence)
+  // and the df aggregate combines map-side; top-20 via TakeOrdered.
+  def xBoilerplate(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(filter(
+          transform(split(normText(col("text")), "[.!?]+"), t => trim(t)),
+          t => length(t) >= 20))).as("sent"))
+      .groupBy("sent").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(desc("df"), asc("sent"))
+      .limit(20)
+
+  private val xBoilerplateSql =
+    s"""SELECT sent, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+      |      string_split_regex($normSql, '[.!?]+'), x -> trim(x)),
+      |    x -> length(x) >= 20))) AS sent
+      |  FROM documents)
+      |GROUP BY sent HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY df DESC, sent LIMIT 20""".stripMargin
+
   // --- x_stopword_profile: per-language stopword frequencies over a fixed
   // function-word list — the language-health fingerprint under x_langid
   // (languages whose top stopwords vanish signal mislabeled or boilerplate
@@ -794,6 +821,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_stopword_profile", xStopwordProfile, Some(xStopwordProfileSql)),
     QueryDef("x_ngram_novelty", xNgramNovelty, Some(xNgramNoveltySql)),
     QueryDef("x_vocab_growth", xVocabGrowth, Some(xVocabGrowthSql)),
+    QueryDef("x_boilerplate", xBoilerplate, Some(xBoilerplateSql)),
     QueryDef("x_gopher", xGopher, Some(xGopherSql)))
 
   // NB: keep below-`all` definitions as defs — a val here would still be

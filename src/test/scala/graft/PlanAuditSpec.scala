@@ -585,6 +585,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       exchanges.mkString("\n"))
   }
 
+  test("q_copurchase: order-keyed pair blocks, distinct-first, top-k without full sort") {
+    val df = Queries.qCopurchase(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("partial_count"), s) // pair counts combine map-side
+  }
+
+  test("x_boilerplate: in-array distinct before explode; df agg combines map-side") {
+    val df = graft.text.TextOps.xBoilerplate(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("Join"), s)
+    assert(s.contains("array_distinct"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
   test("q_dispersion: exact decimal moments combine map-side; no window") {
     val df = Queries.qDispersion(spark, sfDir)
     val s = planString(df)
