@@ -315,6 +315,49 @@ object Ann extends QueryRegistry {
        |SELECT vec_id, nearest_c, best_cos FROM b WHERE rn = 1
        |ORDER BY best_cos, vec_id LIMIT 20""".stripMargin
 
+  // --- s_centroid_balance: IVF bucket load balance — per centroid, how
+  // many vectors its inverted-file bucket holds and the share of the
+  // corpus. A skewed histogram here is why an IVF probe misses its
+  // latency target (one hot bucket serves most queries) — the index
+  // health metric read BEFORE recall is blamed. Same broadcast assignment
+  // pass as the IVF build; output is k rows at any corpus size.
+  def sCentroidBalance(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = Centroids.sample(e)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val per = assigned.groupBy("c_id").agg(count(lit(1)).as("n_vectors"))
+    val tot = per.agg(sum("n_vectors").cast("double").as("total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("c_id"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("total"), 6).as("share"))
+      .orderBy("c_id")
+  }
+
+  private val sCentroidBalanceSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e
+       |  WHERE vec_id IN (SELECT vec_id FROM e ${Centroids.sqlTail(Centroids.K)})),
+       |a AS (SELECT e.vec_id, c.c_id,
+       |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+       |      / (e.nrm * c.cnrm), 6) AS c_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY round(list_sum(list_transform(
+       |        range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+       |      / (e.nrm * c.cnrm), 6) DESC, c.c_id) AS arn
+       |  FROM e CROSS JOIN c),
+       |p AS (SELECT c_id, COUNT(*) AS n_vectors FROM a WHERE arn = 1 GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_vectors) AS DOUBLE) AS total FROM p)
+       |SELECT c_id, n_vectors, round(CAST(n_vectors AS DOUBLE) / total, 6) AS share
+       |FROM p, t ORDER BY c_id""".stripMargin
+
   // --- s_pq_error: PQ quantization-distortion audit — on each query's
   // ADC shortlist, the mean and max absolute gap between the ADC distance
   // (sum of per-subspace codeword distances) and the exact full-vector
@@ -711,6 +754,7 @@ object Ann extends QueryRegistry {
     QueryDef("s_topk_pq", sTopkPq, Some(sTopkPqSql)),
     QueryDef("s_pq_error", sPqError, Some(sPqErrorSql)),
     QueryDef("s_outliers", sOutliers, Some(sOutliersSql)),
+    QueryDef("s_centroid_balance", sCentroidBalance, Some(sCentroidBalanceSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
     QueryDef("s_ivf_incremental", sIvfIncremental, Some(sIvfIncrementalSql)),
     QueryDef("s_mips", sMips, Some(sMipsSql)),

@@ -1715,6 +1715,39 @@ object Queries extends QueryRegistry {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --- q_yoy_growth: year-over-year revenue growth per nation — the
+  // canonical trend report. Exact-decimal yearly sums first (a bounded
+  // (nation, year) aggregate), then ONE lag window over that dim — the
+  // window input is |nations|·|years| rows at any corpus size, never
+  // order rows. Growth is a single rounded IEEE division of two decimals
+  // both engines computed identically.
+  def qYoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val yearly = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy("n_name").orderBy("yr")
+    yearly
+      .withColumn("prev_rev", lag("rev", 1).over(w))
+      .select(col("n_name"), col("yr"), col("rev").cast("double").as("revenue"),
+        round((col("rev") - col("prev_rev")).cast("double") /
+          col("prev_rev").cast("double"), 6).as("yoy_growth"))
+      .orderBy("n_name", "yr")
+  }
+
+  private val qYoyGrowthSql =
+    """WITH y AS (SELECT n.n_name, CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, yr, CAST(rev AS DOUBLE) AS revenue,
+      |  round(CAST(rev - lag(rev) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE)
+      |    / CAST(lag(rev) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE), 6) AS yoy_growth
+      |FROM y ORDER BY n_name, yr""".stripMargin
+
   // --- q_copurchase: market-basket co-occurrence — the top 20 part pairs
   // appearing on the same order. The self-join is keyed on o_orderkey, so
   // each block is one order's line items (bounded by order size, ~7) and
@@ -1939,5 +1972,6 @@ object Queries extends QueryRegistry {
     QueryDef("q_dispersion", qDispersion, Some(qDispersionSql)),
     QueryDef("q_mode", qMode, Some(qModeSql)),
     QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)),
-    QueryDef("q_copurchase", qCopurchase, Some(qCopurchaseSql)))
+    QueryDef("q_copurchase", qCopurchase, Some(qCopurchaseSql)),
+    QueryDef("q_yoy_growth", qYoyGrowth, Some(qYoyGrowthSql)))
 }

@@ -675,6 +675,35 @@ object TextOps extends QueryRegistry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
       |FROM b ORDER BY n_docs_processed""".stripMargin
 
+  // --- x_fertility: tokenizer fertility per language — characters per
+  // BPE-ish regex token (the standard multilingual tokenizer-efficiency
+  // metric: a language whose fertility is 2x English pays 2x the context
+  // budget for the same text). Integer sums per language, one shared IEEE
+  // division; the regex token rule is x_tokens' BPE-ish class split, so
+  // the two ops read on the same token definition.
+  def xFertility(s: SparkSession, dir: String): DataFrame = {
+    val bpeToks = size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    docs(s, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("chars"), bpeToks.as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("sum_chars"),
+        sum("toks").as("sum_tokens"))
+      .withColumn("fertility",
+        round(col("sum_chars").cast("double") / col("sum_tokens").cast("double"), 6))
+      .orderBy("lang")
+  }
+
+  private val xFertilitySql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+      |    AS sum_tokens,
+      |  round(CAST(SUM(length(text)) AS DOUBLE) /
+      |    SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 6)
+      |    AS fertility
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --- x_boilerplate: repeated-sentence detection — the sentences
   // appearing verbatim in the most documents (min length 20 chars to skip
   // fragments). This is the header/footer/navigation screen a web-corpus
@@ -822,6 +851,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_ngram_novelty", xNgramNovelty, Some(xNgramNoveltySql)),
     QueryDef("x_vocab_growth", xVocabGrowth, Some(xVocabGrowthSql)),
     QueryDef("x_boilerplate", xBoilerplate, Some(xBoilerplateSql)),
+    QueryDef("x_fertility", xFertility, Some(xFertilitySql)),
     QueryDef("x_gopher", xGopher, Some(xGopherSql)))
 
   // NB: keep below-`all` definitions as defs — a val here would still be
