@@ -451,6 +451,41 @@ object Dedup extends QueryRegistry {
     }.mkString(", ")
   }
 
+  // --- d_dup_provenance: within-source vs cross-source duplication — for
+  // every exact-dup cluster, how many duplicate PAIRS share a source and
+  // how many cross sources. Same-source pairs mean re-posts inside one
+  // feed (fix the feed); cross-source pairs mean crawl overlap (fix the
+  // mixture). Counts are C(n,2) combinatorics over two hash aggregates —
+  // pairs are never materialized, so the arithmetic is O(clusters) at any
+  // corpus size.
+  def dDupProvenance(s: SparkSession, dir: String): DataFrame = {
+    val perFpSrc = docs(s, dir)
+      .select(md5(normText(col("text"))).as("h"), col("source"))
+      .groupBy("h", "source").agg(count(lit(1)).as("ns"))
+    val perFp = perFpSrc.groupBy("h")
+      .agg(sum("ns").as("n"),
+        // sum over sources of C(ns, 2) = within-source pairs
+        sum(col("ns") * (col("ns") - 1) / 2).as("within"))
+      .filter(col("n") >= 2)
+    perFp
+      .select(col("n"), col("within"),
+        (col("n") * (col("n") - 1) / 2 - col("within")).as("cross"))
+      .agg(count(lit(1)).as("n_dup_clusters"),
+        coalesce(sum("within"), lit(0L)).cast("long").as("within_source_pairs"),
+        coalesce(sum("cross"), lit(0L)).cast("long").as("cross_source_pairs"))
+  }
+
+  private val dDupProvenanceSql =
+    """WITH fs AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+      |    source, COUNT(*) AS ns
+      |  FROM documents GROUP BY 1, 2),
+      |f AS (SELECT h, SUM(ns) AS n, SUM(ns * (ns - 1) // 2) AS within
+      |  FROM fs GROUP BY h HAVING SUM(ns) >= 2)
+      |SELECT COUNT(*) AS n_dup_clusters,
+      |  CAST(COALESCE(SUM(within), 0) AS BIGINT) AS within_source_pairs,
+      |  CAST(COALESCE(SUM(n * (n - 1) // 2 - within), 0) AS BIGINT) AS cross_source_pairs
+      |FROM f""".stripMargin
+
   // --- d_cluster_sizes: duplicate-cluster size histogram — how many
   // exact-dup clusters exist at each multiplicity, with the docs and the
   // REDUNDANT docs (all but one per cluster) each size contributes. The
@@ -1142,6 +1177,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_minhash_est", dMinhashEst, Some(dMinhashEstSql)),
     QueryDef("d_lsh_tuning", dLshTuning, Some(dLshTuningSql)),
     QueryDef("d_cluster_sizes", dClusterSizes, Some(dClusterSizesSql)),
+    QueryDef("d_dup_provenance", dDupProvenance, Some(dDupProvenanceSql)),
     QueryDef("d_simhash", dSimhash, Some(dSimhashSql)),
     QueryDef("d_embed_cosine", dEmbedCosine, Some(dEmbedCosineSql)),
     QueryDef("d_embed_lsh", dEmbedLsh, Some(dEmbedLshSql)),

@@ -344,7 +344,80 @@ object Curation extends QueryRegistry {
     wave1.unionAll(wave2).orderBy("doc_id")
   }
 
+  // --- c_funnel_stages: the curation funnel's survival report — docs and
+  // tokens remaining after each stage (raw → dedup → quality → sample →
+  // embedded), with the share of raw docs. The ops run the funnel; THIS is
+  // the number a curation review actually reads ("where did the corpus
+  // go?"). One pass computes every stage flag cumulatively, then a 5-row
+  // conditional aggregate — no stage re-scans the corpus. Integer counts,
+  // one rounded share division.
+  def cFunnelStages(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = GraftSession.table(s, dir, "documents")
+    val embIds = GraftSession.table(s, dir, "embeddings").select(col("vec_id"))
+    val nChars = length(col("text")).cast("long")
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+    val keepRate = when(col("lang") === "en", 80)
+      .when(col("lang") === "zh", 50).otherwise(25)
+    val toks = when(trim(col("text")) === "", 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val wDedup = Window.partitionBy("fp").orderBy("doc_id")
+    val staged = docs
+      .withColumn("fp", md5(normText(col("text"))))
+      .withColumn("s_dedup", row_number().over(wDedup) === 1)
+      .withColumn("s_quality", col("s_dedup") && nChars >= 64 &&
+        alpha.cast("double") / nChars.cast("double") > 0.6)
+      .withColumn("s_sample", col("s_quality") &&
+        pmod(col("doc_id") * 2654435761L % 1000000007L, lit(100)) < keepRate)
+      .join(embIds.withColumn("has_emb", lit(true)),
+        col("doc_id") === col("vec_id"), "left")
+      .withColumn("s_embedded", col("s_sample") && coalesce(col("has_emb"), lit(false)))
+      .withColumn("n_tok", toks)
+    val stages = Seq(
+      ("1_raw", lit(true)), ("2_dedup", col("s_dedup")),
+      ("3_quality", col("s_quality")), ("4_sample", col("s_sample")),
+      ("5_embedded", col("s_embedded")))
+    val total = docs.agg(count(lit(1)).cast("double").as("total_docs"))
+    stages.map { case (name, flag) =>
+      staged.filter(flag)
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .crossJoin(broadcast(total))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+          round(col("n_docs").cast("double") / col("total_docs"), 6).as("doc_share"))
+    }.reduce(_ unionAll _).orderBy("stage")
+  }
+
+  private val cFunnelStagesSql =
+    """WITH base AS (SELECT doc_id, lang, text,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tok,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |      ORDER BY doc_id) = 1 AS s_dedup
+      |  FROM documents),
+      |st AS (SELECT doc_id, n_tok, s_dedup,
+      |    s_dedup AND length(text) >= 64
+      |      AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE) > 0.6 AS s_quality,
+      |    s_dedup AND length(text) >= 64
+      |      AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE) > 0.6
+      |      AND ((doc_id * 2654435761) % 1000000007) % 100 <
+      |        CASE WHEN lang = 'en' THEN 80 WHEN lang = 'zh' THEN 50 ELSE 25 END AS s_sample
+      |  FROM base),
+      |st2 AS (SELECT st.*, st.s_sample AND ev.vec_id IS NOT NULL AS s_embedded
+      |  FROM st LEFT JOIN embeddings ev ON st.doc_id = ev.vec_id),
+      |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total_docs FROM documents)
+      |SELECT stage, n_docs, n_tokens, round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS doc_share
+      |FROM (
+      |  SELECT '1_raw' AS stage, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM st2
+      |  UNION ALL SELECT '2_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM st2 WHERE s_dedup
+      |  UNION ALL SELECT '3_quality', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM st2 WHERE s_quality
+      |  UNION ALL SELECT '4_sample', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM st2 WHERE s_sample
+      |  UNION ALL SELECT '5_embedded', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM st2 WHERE s_embedded
+      |), t ORDER BY stage""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("c_funnel_stages", cFunnelStages, Some(cFunnelStagesSql)),
     QueryDef("c_incr_curation", cIncrCuration, Some(cCurationFunnelSql)),
     QueryDef("c_curriculum_plan", cCurriculumPlan, Some(cCurriculumPlanSql)),
     QueryDef("c_dedup_mixture", cDedupMixture, Some(cDedupMixtureSql)),

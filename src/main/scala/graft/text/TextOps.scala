@@ -675,6 +675,32 @@ object TextOps extends QueryRegistry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
       |FROM b ORDER BY n_docs_processed""".stripMargin
 
+  // --- x_length_profile: per-language document-length quartiles over
+  // integer character counts (q_percentiles' bit-exact binary-fraction
+  // percentile contract) plus min/max — the distribution every length
+  // filter and chunk-size choice is calibrated against, per language
+  // because length norms differ by script. One hash agg, |langs| rows.
+  def xLengthProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        percentile(col("n_chars"), lit(0.25)).as("p25_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+        percentile(col("n_chars"), lit(0.75)).as("p75_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
+  private val xLengthProfileSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  quantile_cont(n_chars, 0.25) AS p25_chars,
+      |  quantile_cont(n_chars, 0.5) AS p50_chars,
+      |  quantile_cont(n_chars, 0.75) AS p75_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --- x_fertility: tokenizer fertility per language — characters per
   // BPE-ish regex token (the standard multilingual tokenizer-efficiency
   // metric: a language whose fertility is 2x English pays 2x the context
@@ -852,6 +878,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_vocab_growth", xVocabGrowth, Some(xVocabGrowthSql)),
     QueryDef("x_boilerplate", xBoilerplate, Some(xBoilerplateSql)),
     QueryDef("x_fertility", xFertility, Some(xFertilitySql)),
+    QueryDef("x_length_profile", xLengthProfile, Some(xLengthProfileSql)),
     QueryDef("x_gopher", xGopher, Some(xGopherSql)))
 
   // NB: keep below-`all` definitions as defs — a val here would still be
