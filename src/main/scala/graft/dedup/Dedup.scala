@@ -639,8 +639,11 @@ object Dedup extends QueryRegistry {
         .filter(col("da") < col("db"))
         .select("da", "db").distinct()
         .join(dup, Seq("da", "db"), "left")
+        // outer coalesce: a config with ZERO candidates sums over an empty
+        // relation (NULL in Spark, 0 in the oracle's scalar subquery) —
+        // both counts must land as 0, not NULL
         .agg(count(lit(1)).as("n_candidates"),
-          sum(coalesce(col("is_dup"), lit(0L))).as("n_verified"))
+          coalesce(sum(coalesce(col("is_dup"), lit(0L))), lit(0L)).as("n_verified"))
         .select(lit(s"${bands}x$rows").as("config"),
           col("n_candidates"), col("n_verified"))
     }

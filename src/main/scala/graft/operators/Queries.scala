@@ -239,7 +239,8 @@ object Queries extends QueryRegistry {
     """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
       |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""".stripMargin
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status NULLS FIRST, priority NULLS FIRST""".stripMargin
 
   // --- q_grouping_sets: explicit GROUPING SETS — per-priority, per-status,
   // and grand-total aggregates in ONE pass (the shapes ROLLUP can't express:
@@ -404,7 +405,7 @@ object Queries extends QueryRegistry {
       |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-      |ORDER BY priority, status""".stripMargin
+      |ORDER BY priority NULLS FIRST, status NULLS FIRST""".stripMargin
 
   // --- q_pivot: PIVOT — order counts and revenue spread across status
   // columns per priority. Spark's pivot with explicit values plans a single
@@ -1348,7 +1349,7 @@ object Queries extends QueryRegistry {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-      |ORDER BY returnflag, linestatus""".stripMargin
+      |ORDER BY returnflag NULLS FIRST, linestatus NULLS FIRST""".stripMargin
 
   // --- q_percent_rank: relative-standing profile of customer spend —
   // percent_rank + cume_dist over a TOTAL order (spend, custkey), so
@@ -1414,7 +1415,11 @@ object Queries extends QueryRegistry {
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(sum(dec(col("value"))).as("day_total"))
-    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      .withColumn("day_num", unix_date(col("day")).cast("long"))
+    // RANGE over epoch-day integers, not ROWS: a type with gap days must
+    // average over the last 7 CALENDAR days (a ROWS frame would silently
+    // stretch across the last 7 ACTIVE days — weeks, on sparse types)
+    val w = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
     daily
       .withColumn("ma7", round(
         sum("day_total").over(w).cast("double") / count(lit(1)).over(w).cast("double"), 6))
@@ -1425,14 +1430,15 @@ object Queries extends QueryRegistry {
 
   private val qMovingAvgSql =
     """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
       |    SUM(CAST(value AS DECIMAL(18,2))) AS day_total
-      |  FROM events GROUP BY 1, 2)
+      |  FROM events GROUP BY 1, 2, 3)
       |SELECT day, event_type, CAST(day_total AS DOUBLE) AS day_total,
       |  round(CAST(SUM(day_total) OVER w AS DOUBLE)
       |    / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS ma7
       |FROM daily
-      |WINDOW w AS (PARTITION BY event_type ORDER BY day
-      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day, event_type""".stripMargin
 
   // --- q_lead_lag: day-over-day deltas of daily event counts per type —
@@ -1684,7 +1690,10 @@ object Queries extends QueryRegistry {
   def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
     val (ot, lt) = (s"graft_bkt_orders_$suffix", s"graft_bkt_lineitem_$suffix")
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // NB: no session-conf mutation here — auto bucketed scan (default on)
+    // keeps the bucketed read by itself once the merge hint makes the join
+    // need the buckets' distribution, and a set-without-restore would leak
+    // planner behavior into every op that runs after this one
     // a fresh session may find the managed location on disk without the
     // catalog entry (warehouse outlives sessions) — clear both
     for (tn <- Seq(ot, lt)) {
@@ -1848,9 +1857,12 @@ object Queries extends QueryRegistry {
   // hash agg with no per-partition sort and no frame materialization —
   // at 100 TB the window formulation sorts every customer's history, the
   // aggregate touches each row once. The ordering key is a single long
-  // (days·1e8 + orderkey), so both engines compare identically.
+  // (days·1e12 + orderkey): days stay < ~10^5, so the packed key fits a
+  // long with orderkeys up to 10^12 — beyond any TPC-H scale factor —
+  // and both engines compare identically. (An 1e8 multiplier would let a
+  // 6·10^8 orderkey at SF100 bleed into the day field and mis-order.)
   def qFirstLast(s: SparkSession, dir: String): DataFrame = {
-    val ord = unix_date(to_date(col("o_orderdate"))).cast("long") * 100000000L +
+    val ord = unix_date(to_date(col("o_orderdate"))).cast("long") * 1000000000000L +
       col("o_orderkey")
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("p"),
@@ -1868,7 +1880,7 @@ object Queries extends QueryRegistry {
   private val qFirstLastSql =
     """WITH o AS (SELECT o_custkey, o_orderkey,
       |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
-      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) * 100000000
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) * 1000000000000
       |      + o_orderkey AS ord
       |  FROM orders)
       |SELECT o_custkey,

@@ -348,9 +348,9 @@ object Curation extends QueryRegistry {
   // tokens remaining after each stage (raw → dedup → quality → sample →
   // embedded), with the share of raw docs. The ops run the funnel; THIS is
   // the number a curation review actually reads ("where did the corpus
-  // go?"). One pass computes every stage flag cumulatively, then a 5-row
-  // conditional aggregate — no stage re-scans the corpus. Integer counts,
-  // one rounded share division.
+  // go?"). One pass computes every stage flag cumulatively into a CACHED
+  // frame; the five per-stage aggregates read that cache, so no stage
+  // re-scans the corpus. Integer counts, one rounded share division.
   def cFunnelStages(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = GraftSession.table(s, dir, "documents")
@@ -373,6 +373,7 @@ object Curation extends QueryRegistry {
         col("doc_id") === col("vec_id"), "left")
       .withColumn("s_embedded", col("s_sample") && coalesce(col("has_emb"), lit(false)))
       .withColumn("n_tok", toks)
+      .cache() // five stage aggregates read this once, not five corpus re-scans
     val stages = Seq(
       ("1_raw", lit(true)), ("2_dedup", col("s_dedup")),
       ("3_quality", col("s_quality")), ("4_sample", col("s_sample")),

@@ -185,10 +185,20 @@ private[sources] object GraftProcedures {
           val dest = in.getUTF8String(1).toString
           // refuse a non-empty destination (the snapshot-exporter tool this
           // mirrors does the same) — an overwrite here would silently
-          // delete arbitrary caller-supplied paths
-          val destDir = new java.io.File(dest)
-          require(!destDir.exists() || Option(destDir.list()).forall(_.isEmpty),
-            s"export_snapshot destination '$dest' is not empty")
+          // delete arbitrary caller-supplied paths. Checked through the
+          // Hadoop FileSystem of the dest's OWN scheme: a java.io.File
+          // check never sees s3a://-style URIs (would wave through a
+          // populated remote prefix) and returns a null listing for a
+          // regular file (which must count as non-empty, not vacuously
+          // empty).
+          val destPath = new org.apache.hadoop.fs.Path(dest)
+          val destFs = destPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (destFs.exists(destPath)) {
+            require(destFs.getFileStatus(destPath).isDirectory,
+              s"export_snapshot destination '$dest' exists and is not a directory")
+            require(destFs.listStatus(destPath).isEmpty,
+              s"export_snapshot destination '$dest' is not empty")
+          }
           val snap = table(s, in).read()
           // overwrite is safe: the guard above proved dest empty or absent
           // (errorifexists would refuse an existing-but-empty directory)

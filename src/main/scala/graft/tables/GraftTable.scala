@@ -2188,7 +2188,14 @@ object GraftTable {
     import org.apache.spark.sql.functions._
     val noAuth = regexp_replace(f, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*", "")
     val noScheme = regexp_replace(noAuth, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:", "")
-    val dec = url_decode(regexp_replace(noScheme, "\\+", "%2B"))
+    // decode only when every '%' is a valid escape — url_decode THROWS on
+    // a bare '%' (e.g. a producer that never percent-encodes emitting
+    // 'part-100%.parquet'), where the row-wise relativize() degrades to
+    // the raw path via its URISyntaxException fallback; this is that
+    // fallback in expression form (CaseWhen only evaluates the taken
+    // branch, so the malformed row never reaches url_decode)
+    val dec = when(noScheme.rlike("%(?![0-9A-Fa-f]{2})"), noScheme)
+      .otherwise(url_decode(regexp_replace(noScheme, "\\+", "%2B")))
     when(dec.startsWith(rootS + "/"),
       dec.substr(lit(rootS.length + 2), length(dec)))
       .otherwise(concat(lit("ext:"), dec))

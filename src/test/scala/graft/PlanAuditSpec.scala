@@ -439,7 +439,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Queries.qMovingAvg(spark, sfDir)
     val s = planString(df)
     assert(s.contains("partial_sum"), s)
-    assert(s.contains("RowFrame, -6, currentrow"), s)
+    // RANGE frame over epoch-day ints: true 7-CALENDAR-day window on gaps
+    assert(s.contains("RangeFrame, -6, currentrow"), s)
     assert(!s.contains("Join"), s)
     // daily aggregate (day, type) + window re-key on type — nothing more
     assert(countShuffles(df) <= 2, s)

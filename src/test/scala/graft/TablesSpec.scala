@@ -1143,7 +1143,8 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "file:///tmp/graft%20tables/t1/part-0%2B2.parquet",   // literal-plus %2B under root
       "hdfs://host:9000/elsewhere/part-003.parquet",        // external, authority stripped
       "/tmp/graft tables/t1/part-004.parquet",              // no scheme at all
-      "s3a://bucket/ext/part-005.parquet")                  // external object store
+      "s3a://bucket/ext/part-005.parquet",                  // external object store
+      "/tmp/graft tables/t1/part-100%.parquet")             // malformed escape: decode must NOT throw
     val df = paths.toDF("af")
       .select(col("af"), GraftTable.relativizeCol(col("af"), root).as("f"))
     assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
