@@ -1293,15 +1293,45 @@ object Queries extends QueryRegistry {
       |ORDER BY g.event_type, g.hour""".stripMargin
 
   // --- q_decile_report: NTILE decile profile of order totals — the
-  // value-distribution report (who's in the top 10%?). The NTILE window
-  // is ordered by (price, key): a TOTAL order, so tile boundaries are
-  // deterministic across engines even where prices tie. One global
-  // window (single range shuffle) + one aggregate-sized hash agg.
+  // value-distribution report (who's in the top 10%?). Semantically this
+  // is NTILE(10) ordered by (price, key) — a TOTAL order, so tile
+  // boundaries are deterministic across engines even where prices tie —
+  // but a global NTILE window is a SINGLE-TASK sort of the whole fact
+  // table, so the plan is the two-phase distributed rank instead (same
+  // shape as x_pack's prefix sum): rows bucket by a fixed price width
+  // (order-preserving: higher bucket ⇒ strictly higher price), phase 1
+  // ranks within each (parallel) bucket, phase 2 broadcast-joins each
+  // bucket's tiny start offset to form the exact global rank, and the
+  // decile falls out of NTILE's ceil/floor arithmetic on (rank, n).
+  // Parallelism scales with the value range, not 1; output is
+  // bit-identical to the single-window formulation the oracle states.
   def qDecileReport(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"),
-        ntile(10).over(w).as("decile"))
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bkt", floor(col("o_totalprice") / 1000.0))
+    val wLocal = Window.partitionBy("bkt")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wOffset = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1) // tiny: one row per bucket
+    val offsets = orders.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOffset), lit(0L)))
+      .select("bkt", "off")
+    val total = orders.groupBy().agg(count(lit(1)).as("n_total"))
+    val ranked = orders
+      .withColumn("lr", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("bkt"))
+      .crossJoin(broadcast(total))
+      .withColumn("rk", col("lr") + col("off"))
+    // NTILE(k): first (n mod k) tiles hold ceil(n/k) rows, the rest floor.
+    // `div` is true long division — exact at any row count (a double
+    // floor(a/b) can be off by one once quotients pass ~2^50).
+    ranked
+      .withColumn("q", expr("n_total div 10"))
+      .withColumn("r", col("n_total") % 10L)
+      .withColumn("cut", col("r") * (col("q") + 1L))
+      .withColumn("decile",
+        when(col("rk") <= col("cut"), expr("(rk - 1) div (q + 1)") + 1L)
+          .otherwise(col("r") + expr("(rk - cut - 1) div greatest(q, 1L)") + 1L))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         min("o_totalprice").as("min_price"),
@@ -1687,21 +1717,34 @@ object Queries extends QueryRegistry {
   // big-join shuffle at 100 TB — pay the partitioning once at write time,
   // reuse it across every downstream join — and the battery's only op
   // exercising Spark's bucketed-table read path end to end.
-  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+  private def bucketTableNames(dir: String): (String, String) = {
     val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val (ot, lt) = (s"graft_bkt_orders_$suffix", s"graft_bkt_lineitem_$suffix")
-    // NB: no session-conf mutation here — auto bucketed scan (default on)
-    // keeps the bucketed read by itself once the merge hint makes the join
-    // need the buckets' distribution, and a set-without-restore would leak
-    // planner behavior into every op that runs after this one
-    // a fresh session may find the managed location on disk without the
-    // catalog entry (warehouse outlives sessions) — clear both
+    (s"graft_bkt_orders_$suffix", s"graft_bkt_lineitem_$suffix")
+  }
+
+  /** Drops qBucketedJoin's catalog tables AND their warehouse dirs — a
+    * fresh session may find the managed location on disk without the
+    * catalog entry (warehouse outlives sessions), so both must go. */
+  def dropBucketTables(s: SparkSession, dir: String): Unit = {
+    val (ot, lt) = bucketTableNames(dir)
     for (tn <- Seq(ot, lt)) {
       s.sql(s"DROP TABLE IF EXISTS $tn")
       val loc = new org.apache.hadoop.fs.Path(
         s.sessionState.conf.warehousePath.stripSuffix("/") + "/" + tn)
       loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     }
+  }
+
+  /** Writes the bucketed tables and returns the LAZY co-located join plan
+    * (split out so PlanAuditSpec can audit the physical plan). Callers own
+    * cleanup: call [[dropBucketTables]] after materializing. */
+  def qBucketedJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val (ot, lt) = bucketTableNames(dir)
+    // NB: no session-conf mutation here — auto bucketed scan (default on)
+    // keeps the bucketed read by itself once the merge hint makes the join
+    // need the buckets' distribution, and a set-without-restore would leak
+    // planner behavior into every op that runs after this one
+    dropBucketTables(s, dir)
     t(s, dir, "orders").write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").format("parquet").saveAsTable(ot)
     t(s, dir, "lineitem")
@@ -1711,10 +1754,24 @@ object Queries extends QueryRegistry {
     // merge hint: at test SF the orders side fits a broadcast, which would
     // bypass the bucketed path entirely — the op exists to exercise the
     // co-located SortMergeJoin a 100 TB fact-fact join would use
-    s.table(ot).hint("merge").join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+    s.table(ot).hint("merge")
+      .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
       .agg(sum(col("price")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
       .orderBy("o_orderpriority")
+  }
+
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = qBucketedJoinPlan(s, dir)
+    // materialize BEFORE cleanup (the plan reads the catalog tables
+    // lazily); the collect is output-sized — |priorities| rows — and lets
+    // the op drop its tables + warehouse dirs instead of leaking one pair
+    // per dataset dir into shared catalog state where concurrent batteries
+    // could race on the names
+    val rows = joined.collect().toSeq
+    val schema = joined.schema
+    dropBucketTables(s, dir)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 
   private val qBucketedJoinSql =

@@ -146,9 +146,14 @@ object Curation extends QueryRegistry {
   // taken while the tokens BEFORE it stay under budget (so the budget may
   // be exceeded by at most one doc — the standard greedy fill). Quality is
   // one shared IEEE division and the cumulative sum is pure integers, so
-  // selection is bit-identical across engines. Scale: the prefix sum
-  // windows per lang — at petabyte scale the (lang, bucket) two-pass
-  // pattern of x_pack applies verbatim; selection cost is one shuffle.
+  // selection is bit-identical across engines. Scale: the prefix sum is
+  // the (lang, bucket) TWO-PASS pattern of x_pack — `lang` alone is a
+  // handful of values and a dominant language would drag the whole corpus
+  // through one task, so rows sub-bucket by a fixed quality band (floor is
+  // monotone, so band order is consistent with the q-desc rank order),
+  // pass 1 windows within each (lang, band) in parallel, pass 2 broadcasts
+  // the tiny per-band token offsets. Output is bit-identical to the
+  // single-window formulation the oracle states.
   def cTokenBudget(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Budget = 2000L
@@ -158,9 +163,18 @@ object Curation extends QueryRegistry {
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("toks"),
       (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
         length(col("text")).cast("double")).as("q"))
-    val w = Window.partitionBy("lang").orderBy(desc("q"), asc("doc_id"))
+      .withColumn("band", floor(col("q") * 64.0)) // q ∈ [0,1] ⇒ ≤65 bands
+    val wLocal = Window.partitionBy("lang", "band")
+      .orderBy(desc("q"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    m.withColumn("before", coalesce(sum("toks").over(w), lit(0L)))
+    val wOffset = Window.partitionBy("lang").orderBy(desc("band"))
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤65 rows per lang
+    val offsets = m.groupBy("lang", "band").agg(sum("toks").as("band_toks"))
+      .withColumn("off", coalesce(sum(col("band_toks")).over(wOffset), lit(0L)))
+      .select("lang", "band", "off")
+    m.withColumn("local_before", coalesce(sum("toks").over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "band"))
+      .withColumn("before", col("local_before") + col("off"))
       .filter(col("before") < Budget)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), sum("toks").as("tokens_kept"),
@@ -205,11 +219,17 @@ object Curation extends QueryRegistry {
       .agg(sum("n_tok").as("n_tokens"), sum("u_tok").as("unique_tokens"))
     val totals = perSrc.agg(
       sum("unique_tokens").cast("double").as("total_u"), count(lit(1)).as("ns"))
-    val rate = round(least(lit(1.0),
-      col("total_u") / (lit(2) * col("ns")) / col("unique_tokens")), 6)
+    // Zero guards: a source whose content is ENTIRELY duplicated elsewhere
+    // (unique_tokens = 0) keeps nothing — rate 0, not 0/0=Inf (which DuckDB
+    // may render differently); a tokenless source has dup_ratio 0 by fiat.
+    val rate = when(col("unique_tokens") === 0L, lit(0.0))
+      .otherwise(round(least(lit(1.0),
+        col("total_u") / (lit(2) * col("ns")) / col("unique_tokens")), 6))
     perSrc.crossJoin(broadcast(totals))
       .select(col("source"), col("n_tokens"), col("unique_tokens"),
-        round(lit(1.0) - col("unique_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("unique_tokens").cast("double") / col("n_tokens").cast("double"), 6))
           .as("dup_ratio"),
         rate.as("keep_rate"),
         floor(rate * col("unique_tokens")).cast("long").as("kept_tokens"))
@@ -228,10 +248,15 @@ object Curation extends QueryRegistry {
       |  FROM d GROUP BY 1),
       |t AS (SELECT CAST(SUM(unique_tokens) AS DOUBLE) AS total_u, COUNT(*) AS ns FROM p)
       |SELECT source, n_tokens, unique_tokens,
-      |  round(1.0 - CAST(unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio,
-      |  round(least(1.0, total_u / (2 * ns) / unique_tokens), 6) AS keep_rate,
-      |  CAST(floor(round(least(1.0, total_u / (2 * ns) / unique_tokens), 6) * unique_tokens)
-      |    AS BIGINT) AS kept_tokens
+      |  CASE WHEN n_tokens = 0 THEN 0.0
+      |    ELSE round(1.0 - CAST(unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |  END AS dup_ratio,
+      |  CASE WHEN unique_tokens = 0 THEN 0.0
+      |    ELSE round(least(1.0, total_u / (2 * ns) / unique_tokens), 6)
+      |  END AS keep_rate,
+      |  CAST(floor(CASE WHEN unique_tokens = 0 THEN 0.0
+      |    ELSE round(least(1.0, total_u / (2 * ns) / unique_tokens), 6)
+      |  END * unique_tokens) AS BIGINT) AS kept_tokens
       |FROM p, t ORDER BY source""".stripMargin
 
   // --- c_curriculum_plan: curriculum ordering of sources — sources rank

@@ -112,8 +112,13 @@ object StreamIngest {
           evs.foreach { e =>
             if (e.event_type == "view") lastView = math.max(lastView, e.ts_us)
             else if (e.event_type == "purchase")
+              // the >= lastView bound fails safe on cross-batch disorder: a
+              // purchase older than the stored last-view state can never be
+              // "preceded" by it, matching the batch twin's strictly-
+              // preceding frame (identical for in-order input)
               out += PatternOut(uid, e.event_id,
-                lastView != Long.MinValue && e.ts_us - lastView <= winUs)
+                lastView != Long.MinValue && e.ts_us >= lastView &&
+                  e.ts_us - lastView <= winUs)
           }
           state.update(PatternState(lastView))
           out.iterator

@@ -730,19 +730,25 @@ object TextOps extends QueryRegistry {
       |    AS fertility
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  // --- x_boilerplate: repeated-sentence detection — the sentences
-  // appearing verbatim in the most documents (min length 20 chars to skip
-  // fragments). This is the header/footer/navigation screen a web-corpus
-  // pipeline runs before token counting: high-df sentences are template
-  // boilerplate, not content. Per-doc distinct happens in-array before the
-  // explode, so the shuffle carries one row per (doc, distinct sentence)
-  // and the df aggregate combines map-side; top-20 via TakeOrdered.
+  // --- x_boilerplate: repeated-passage detection — the 8-word shingles
+  // appearing verbatim in the most documents. This is the header/footer/
+  // navigation screen a web-corpus pipeline runs before token counting:
+  // high-df passages are template boilerplate, not content. The unit is a
+  // fixed-width shingle rather than a punctuation-split sentence because
+  // boilerplate need not respect sentence bounds (and a corpus with no
+  // sentence punctuation — like this synthetic one — would make a
+  // sentence-level check vacuous: the old formulation verified 0 rows).
+  // Per-doc distinct happens in-array before the explode, so the shuffle
+  // carries one row per (doc, distinct shingle) and the df aggregate
+  // combines map-side; top-20 via TakeOrdered.
   def xBoilerplate(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .withColumn("w", split(normText(col("text")), " "))
       .select(col("doc_id"),
-        explode(array_distinct(filter(
-          transform(split(normText(col("text")), "[.!?]+"), t => trim(t)),
-          t => length(t) >= 20))).as("sent"))
+        explode(array_distinct(when(size(col("w")) >= 8,
+          expr("transform(sequence(0, size(w)-8), i -> concat_ws(' ', " +
+            "w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))"))
+          .otherwise(array().cast("array<string>")))).as("sent"))
       .groupBy("sent").agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
       .orderBy(desc("df"), asc("sent"))
@@ -750,10 +756,11 @@ object TextOps extends QueryRegistry {
 
   private val xBoilerplateSql =
     s"""SELECT sent, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
-      |  SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
-      |      string_split_regex($normSql, '[.!?]+'), x -> trim(x)),
-      |    x -> length(x) >= 20))) AS sent
-      |  FROM documents)
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(w) - 6, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |           w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))) AS sent
+      |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents))
       |GROUP BY sent HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY df DESC, sent LIMIT 20""".stripMargin
 

@@ -146,6 +146,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_decile_report / c_token_budget: no single-partition window consumes a fact table") {
+    // the bulk rank/cumsum window must partition by the range bucket —
+    // NTILE/prefix-sum work then spreads across tasks; the only global
+    // windows left are over the tiny per-bucket offset tables
+    for ((df, bulkPat) <- Seq(
+        Queries.qDecileReport(spark, sfDir) -> """.*windowspecdefinition\(bkt#\d+L?, o_totalprice.*""",
+        graft.pipeline.Curation.cTokenBudget(spark, sfDir) ->
+          """.*windowspecdefinition\(lang#\d+, band#\d+L?.*""")) {
+      val s = planString(df)
+      val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty, s)
+      assert(windows.exists(_.matches(bulkPat)),
+        s"bulk window not bucketed in:\n${windows.mkString("\n")}")
+      // the per-bucket offsets come back via broadcast, not a shuffle
+      assert(s.contains("BroadcastHashJoin"), s)
+    }
+  }
+
   test("s_topk_bruteforce: two-phase ranking — no single-task sort of a query's candidates") {
     val s = planString(graft.ann.Ann.sTopkBruteforce(spark, sfDir))
     val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
@@ -575,15 +593,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q_bucketed_join: the fact-fact join consumes bucket co-partitioning — zero exchange on the keys") {
-    val s = planString(Queries.qBucketedJoin(spark, sfDir))
-    assert(s.contains("SortMergeJoin"), s)
-    assert(s.contains("Bucketed: true"), s) // both scans read their buckets
-    assert(!s.contains("BroadcastExchange"), s)
-    // the join keys are never re-shuffled: the only exchanges allowed are
-    // the aggregate/presentation ones on o_orderpriority above the join
-    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(l => !l.contains("o_orderkey") && !l.contains("l_orderkey")),
-      exchanges.mkString("\n"))
+    // audit the lazy join plan (qBucketedJoin itself materializes + drops
+    // its tables, returning a local result), then clean up the tables here
+    val s = planString(Queries.qBucketedJoinPlan(spark, sfDir))
+    try {
+      assert(s.contains("SortMergeJoin"), s)
+      assert(s.contains("Bucketed: true"), s) // both scans read their buckets
+      assert(!s.contains("BroadcastExchange"), s)
+      // the join keys are never re-shuffled: the only exchanges allowed are
+      // the aggregate/presentation ones on o_orderpriority above the join
+      val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(l => !l.contains("o_orderkey") && !l.contains("l_orderkey")),
+        exchanges.mkString("\n"))
+    } finally Queries.dropBucketTables(spark, sfDir)
   }
 
   test("q_copurchase: order-keyed pair blocks, distinct-first, top-k without full sort") {
