@@ -79,9 +79,15 @@ object Ann extends QueryRegistry {
   // (assignment, probing, in-bucket ranking) is deterministic round6
   // double math — so the WHOLE pipeline is stated as a DuckDB oracle;
   // PipelineSpec additionally asserts recall vs the brute-force baseline.
-  def sTopkIvf(s: SparkSession, dir: String): DataFrame = {
+  def sTopkIvf(s: SparkSession, dir: String): DataFrame = sTopkIvf(s, dir, None)
+
+  /** IVF top-k with pluggable centroids: the oracle-graded path uses the
+    * deterministic hash-rank [[Centroids.sample]] (None); deployments can
+    * pass [[Centroids.refine]]d centroids — PipelineSpec property-tests
+    * that refinement does not degrade recall. */
+  def sTopkIvf(s: SparkSession, dir: String, centroids: Option[DataFrame]): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = Centroids.sample(e)
+    val cents = centroids.getOrElse(Centroids.sample(e))
     // IVF build: assign each vector to its nearest centroid (one broadcast pass)
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
     val assigned = e.join(broadcast(cents), lit(true))

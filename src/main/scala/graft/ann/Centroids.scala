@@ -62,4 +62,86 @@ object Centroids {
     * splice into a `FROM e` CTE. */
   def sqlTail(k: Int = K): String =
     s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"
+
+  /** Bounded-sample k-means refinement of the hash-rank centroid sample —
+    * the "k-means|| on a sample" step SURVEY §5 promises for IVF recall at
+    * scale. Hash-rank sampling bounds COST but not QUALITY (a random
+    * sample is not a clustering); this runs `iters` Lloyd iterations over
+    * a FIXED-SIZE training sample (`sampleN` hash-rank vectors, so the
+    * refinement cost is corpus-size-free: O(sampleN·k·iters) with a
+    * constant-size broadcast per step), starting from [[sample]]'s k
+    * seeds.
+    *
+    * Every step reuses s_kmeans' deterministic quantized arithmetic
+    * (Ann.scala sKmeans): embeddings quantize to integer micro-units,
+    * assignment breaks distance ties by centroid id, and recentering is an
+    * exact integer sum divided by the count — bit-reproducible across
+    * runs and engines. Standard Lloyd monotonicity holds: the training
+    * objective never increases. A centroid that loses every member keeps
+    * its previous position (FAISS empty-cluster convention, minus the
+    * random re-seed — determinism wins here).
+    *
+    * The ORACLE-verified operators keep the raw [[sample]] (mirroring
+    * `iters` Lloyd steps in every IVF oracle would bloat the SQL beyond
+    * review); refinement is opt-in for deployments, property-tested in
+    * PipelineSpec (determinism + objective improvement + recall
+    * non-degradation). */
+  def refine(e: DataFrame, k: Int = K, iters: Int = 2, sampleN: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val train = e.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("qv"),
+        md5(col("vec_id").cast("string")).as("_hr"))
+      .orderBy(hashRank("vec_id"): _*)
+      .limit(sampleN)
+      .select("vec_id", "qv")
+      .cache()
+    val distExpr =
+      """aggregate(zip_with(qv, ce, (x, c) ->
+        |  (cast(x as double) / 1000000.0 - c) * (cast(x as double) / 1000000.0 - c)),
+        |  cast(0.0 as double), (a, v) -> a + v)""".stripMargin
+    var cents = sample(e, k)
+      .select(col("c_id"),
+        expr("transform(ce, x -> cast(x as double))").as("ce"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("c_id"))
+      val assigned = train.join(broadcast(cents), lit(true))
+        .withColumn("dist", expr(distExpr))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "qv", "c_id")
+      val recentered = assigned
+        .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos")
+        .agg((sum("x").cast("double") / count(lit(1)).cast("double") / lit(1000000.0)).as("mv"))
+        .groupBy("c_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), p -> p.mv)").as("nce"))
+      cents = cents.join(recentered, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("nce"), col("ce")).as("ce"))
+      // tiny (k rows): materialize each step so the loop's lineage stays flat
+      cents = cents.sparkSession.createDataFrame(
+        cents.collectAsList(), cents.schema)
+    }
+    train.unpersist()
+    cents
+  }
+
+  /** Mean nearest-centroid squared distance of `e`'s vectors under
+    * `cents` — the k-means objective, used to measure centroid quality
+    * (lower is better). Same quantized arithmetic as [[refine]]. */
+  def objective(e: DataFrame, cents: DataFrame): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val q = e.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("qv"))
+    val distExpr =
+      """aggregate(zip_with(qv, ce, (x, c) ->
+        |  (cast(x as double) / 1000000.0 - c) * (cast(x as double) / 1000000.0 - c)),
+        |  cast(0.0 as double), (a, v) -> a + v)""".stripMargin
+    val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("c_id"))
+    q.join(broadcast(cents), lit(true))
+      .withColumn("dist", expr(distExpr))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .agg(avg("dist")).head().getDouble(0)
+  }
 }

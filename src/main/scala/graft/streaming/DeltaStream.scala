@@ -46,7 +46,15 @@ object DeltaStream {
       // 0 disables; > 0 compacts to this target in the background
       asyncCompactTargetRows: Long = 0L,
       compactDeltaCommits: Int = 5,
-      compactDeltaSeconds: Long = 600L)
+      compactDeltaSeconds: Long = 600L,
+      // online clustering (the reference's clustering.schedule.enabled +
+      // clustering.delta_commits): reorganize the layout while ingest
+      // keeps running — bucket tables split consistent-hash buckets,
+      // others sort-rewrite on these columns
+      asyncCluster: Boolean = false,
+      clusterSortCols: Seq[String] = Nil,
+      clusterNumFiles: Int = 4,
+      clusterDeltaCommits: Int = 4)
 
   /** The started ingest plus its background services handle (None when
     * async compaction is off). Stop the query first, then the services. */
@@ -90,12 +98,16 @@ object DeltaStream {
         else Trigger.AvailableNow())
     val query = writer.start(cfg.targetPath)
     val services =
-      if (cfg.asyncCompactTargetRows > 0L) {
+      if (cfg.asyncCompactTargetRows > 0L || cfg.asyncCluster) {
         val table = GraftTable(spark,
           graft.sources.GraftDataSource.effectiveConfig(
             spark, cfg.targetPath, cfg.tableOptions))
         Some(new AsyncServices(table, cfg.asyncCompactTargetRows,
-          cfg.compactDeltaCommits, cfg.compactDeltaSeconds).start())
+          cfg.compactDeltaCommits, cfg.compactDeltaSeconds,
+          asyncCluster = cfg.asyncCluster,
+          clusterSortCols = cfg.clusterSortCols,
+          clusterNumFiles = cfg.clusterNumFiles,
+          clusterDeltaCommits = cfg.clusterDeltaCommits).start())
       } else None
     Running(query, services)
   }
@@ -104,10 +116,13 @@ object DeltaStream {
 /** Background table services under the SAME commit protocol as every other
   * writer — the analogue of the reference's async compaction
   * (DeltaStreamerExample.scala: `compaction.async.enabled=true`,
-  * `compaction.trigger.strategy=NUM_OR_TIME`). A daemon thread polls the
-  * NUM_OR_TIME trigger and compacts concurrently with ingest; the commit
-  * lease serializes the actual commits, and first-committer-wins conflict
-  * detection resolves overlapping file rewrites.
+  * `compaction.trigger.strategy=NUM_OR_TIME`) and online clustering
+  * (flink consistent_hashing.sql:51-57: `clustering.schedule.enabled`
+  * with `clustering.delta_commits=4` while the streaming INSERT runs). A
+  * daemon thread polls the triggers and compacts/clusters concurrently
+  * with ingest; the commit lease serializes the actual commits, and
+  * first-committer-wins conflict detection resolves overlapping file
+  * rewrites.
   *
   * Like Hudi's, async compaction is a MERGE-ON-READ pattern: MOR ingest
   * appends delta files (no removes), so it NEVER conflicts with a
@@ -121,24 +136,46 @@ final class AsyncServices(
     targetRows: Long,
     deltaCommits: Int = 5,
     deltaSeconds: Long = 600L,
-    pollMs: Long = 500L) extends AutoCloseable with org.apache.spark.internal.Logging {
+    pollMs: Long = 500L,
+    // async clustering (flink consistent_hashing.sql:51-57's
+    // clustering.schedule.enabled + clustering.delta_commits): when
+    // enabled, the service also polls the clustering trigger and
+    // reorganizes the layout ONLINE — bucket-indexed tables via
+    // consistent-hash splits, others via a sort rewrite — under the same
+    // lease + first-committer-wins protocol as async compaction. MOR
+    // ingest appends deltas (no removes), so live writes never lose to
+    // the clusterer; a delta landing AFTER the clustering snapshot stays
+    // live and still resolves by precombine over the new base files.
+    asyncCluster: Boolean = false,
+    clusterSortCols: Seq[String] = Nil,
+    clusterNumFiles: Int = 4,
+    clusterDeltaCommits: Int = 4) extends AutoCloseable
+    with org.apache.spark.internal.Logging {
 
   require(table.cfg.tableType == graft.tables.TableType.Mor,
-    "async compaction is a merge-on-read pattern (delta appends never " +
-      "conflict with the compactor); a COW table's upserts can lose a " +
-      "first-committer race against it — compact COW inline between " +
-      "batches (StreamIngest.toGraftTable) instead")
+    "async table services are a merge-on-read pattern (delta appends " +
+      "never conflict with the compactor/clusterer); a COW table's " +
+      "upserts can lose a first-committer race against them — compact " +
+      "COW inline between batches (StreamIngest.toGraftTable) instead")
+  require(!asyncCluster || clusterSortCols.nonEmpty || table.cfg.numBuckets > 0,
+    "async clustering needs sort columns (or a bucket index to split)")
 
   @volatile private var stopped = false
   @volatile private[this] var failureOpt: Option[Throwable] = None
   private val nCompactions = new java.util.concurrent.atomic.AtomicInteger
+  private val nClusterings = new java.util.concurrent.atomic.AtomicInteger
   private val nConflicts = new java.util.concurrent.atomic.AtomicInteger
 
   private val thread = new Thread(() => {
     while (!stopped) {
       try {
-        if (TableServices.maybeCompact(table, targetRows, deltaCommits, deltaSeconds).nonEmpty)
+        if (targetRows > 0L &&
+            TableServices.maybeCompact(table, targetRows, deltaCommits, deltaSeconds).nonEmpty)
           nCompactions.incrementAndGet()
+        if (asyncCluster && !stopped &&
+            TableServices.maybeCluster(table, clusterSortCols, clusterNumFiles,
+              clusterDeltaCommits).nonEmpty)
+          nClusterings.incrementAndGet()
       } catch {
         case _: InterruptedException => ()
         // lost a first-committer-wins race to a concurrent writer: benign,
@@ -148,14 +185,14 @@ final class AsyncServices(
         // lock-acquire timeout) is a persistent failure and must surface.
         case e: graft.tables.CommitConflictException =>
           nConflicts.incrementAndGet()
-          logWarning(s"async compaction lost a commit race (retry " +
+          logWarning(s"async table service lost a commit race (retry " +
             s"#${nConflicts.get}) on ${table.cfg.path}: ${e.getMessage}")
         // a lock wait-budget expiry means other live writers held the
         // lease the whole time — transient on a loaded host; the trigger
         // re-fires next poll. Counted with the conflicts, never silent.
         case e: graft.tables.LockTimeoutException =>
           nConflicts.incrementAndGet()
-          logWarning(s"async compaction lock wait expired (retry " +
+          logWarning(s"async table service lock wait expired (retry " +
             s"#${nConflicts.get}) on ${table.cfg.path}: ${e.getMessage}")
         // shutdown-induced wreckage is not a service failure: close() sets
         // `stopped` BEFORE interrupting, and an interrupt that lands while
@@ -177,6 +214,7 @@ final class AsyncServices(
   def start(): this.type = { thread.start(); this }
 
   def compactionsRun: Int = nCompactions.get
+  def clusteringsRun: Int = nClusterings.get
   /** Commit races lost (and retried) so far — observable, never silent. */
   def conflictsRetried: Int = nConflicts.get
   def failure: Option[Throwable] = failureOpt

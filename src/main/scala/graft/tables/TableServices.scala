@@ -35,6 +35,39 @@ object TableServices {
     if (numTrigger || timeTrigger) Some(table.compact(targetRows)) else None
   }
 
+  /** Online clustering trigger (flink/src/main/sql/consistent_hashing.sql:51-57:
+    * `clustering.schedule.enabled=true`, `clustering.delta_commits=4`,
+    * ConsistentBucketClusteringPlanStrategy — clustering scheduled and run
+    * WHILE the streaming INSERT continues): cluster when `deltaCommits`
+    * commits have landed since the last layout reorganization. Dispatches
+    * on the table's layout, as the reference's plan strategies do:
+    * bucket-indexed tables get the consistent-hashing split plan
+    * ([[maybeSplitBuckets]] — a sort rewrite would destroy the bucket
+    * invariant); everything else gets a sort-clustering rewrite. Returns
+    * the clustering instant (for splits, the last split's instant). */
+  def maybeCluster(
+      table: GraftTable,
+      sortCols: Seq[String],
+      numFiles: Int,
+      deltaCommits: Int = 4,
+      splitThreshold: Double = 2.0): Option[String] = {
+    val t = table.timeline
+    val instants = t.instants()
+    if (instants.isEmpty) return None
+    val sinceCluster = instants.reverse.takeWhile { i =>
+      val op = t.readCommit(i).op
+      op != "cluster" && op != "split_bucket"
+    }
+    if (sinceCluster.size < deltaCommits) return None
+    if (table.cfg.numBuckets > 0) {
+      if (maybeSplitBuckets(table, splitThreshold).nonEmpty) t.latestInstant()
+      else None
+    } else {
+      require(sortCols.nonEmpty, "sort clustering needs sort columns")
+      Some(table.cluster(sortCols, numFiles))
+    }
+  }
+
   /** Consistent-hashing split planner (the analogue of the reference's
     * flink helpers/FindBucketNumber.java: a clustering plan driven by
     * `hoodie.bucket.index.split.threshold`): buckets whose live rows exceed

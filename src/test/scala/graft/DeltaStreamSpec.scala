@@ -224,4 +224,72 @@ class DeltaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().count() == orders.count())
     assert(tbl.read().filter(col("o_orderstatus") === "S8").count() == 40)
   }
+
+  test("async clustering: sort rewrite runs under concurrent MOR ingest, no lost commits") {
+    val out = "/tmp/graft_spec/async_cluster"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      out, "o_orderkey", "o_orderkey", tableType = TableType.Mor))
+    tbl.dropIfExists()
+    val orders = GraftSession.table(spark, "/root/testdata/sf0.001", "orders")
+    tbl.insert(orders, numFiles = 4)
+
+    val services = new AsyncServices(
+      tbl, targetRows = 0L, pollMs = 25L, // compaction off: clustering only
+      asyncCluster = true, clusterSortCols = Seq("o_orderkey"),
+      clusterNumFiles = 2, clusterDeltaCommits = 2).start()
+    try {
+      // ingest waves land WHILE the clusterer rewrites the layout; MOR
+      // deltas add files only, so live writes never lose to the clusterer
+      (1 to 8).foreach { i =>
+        tbl.upsert(orders.limit(40).withColumn("o_orderstatus", lit(s"C$i")))
+        Thread.sleep(40L)
+      }
+      val deadline = System.currentTimeMillis() + 300000L
+      while (services.clusteringsRun == 0 && services.failure.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25L)
+    } finally services.close() // throws if the service thread failed
+
+    assert(services.clusteringsRun >= 1, "clustering trigger never fired")
+    val ops = tbl.timeline.instants().map(i => tbl.timeline.readCommit(i).op)
+    assert(ops.count(_ != "cluster") == 9, s"ingest commits lost: $ops")
+    assert(ops.contains("cluster"), s"clustering commit lost: $ops")
+    // content is a pure reorganization: same keys, last wave visible
+    assert(tbl.read().count() == orders.count())
+    assert(tbl.read().filter(col("o_orderstatus") === "C8").count() == 40)
+  }
+
+  test("async clustering: consistent-hash bucket split under live ingest (online resize)") {
+    val out = "/tmp/graft_spec/async_cluster_bkt"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      out, "o_orderkey", "o_orderkey", numBuckets = 4, tableType = TableType.Mor))
+    tbl.dropIfExists()
+    val orders = GraftSession.table(spark, "/root/testdata/sf0.001", "orders")
+    tbl.insert(orders)
+    // the reference scenario (flink consistent_hashing.sql:51-99): ingest
+    // keeps writing while the scheduled clustering splits hot buckets.
+    // Waves target ONE bucket so its live rows outgrow 2x the average.
+    val hot = orders.filter(pmod(xxhash64(col("o_orderkey")), lit(4)) === 0)
+
+    val services = new AsyncServices(
+      tbl, targetRows = 0L, pollMs = 25L,
+      asyncCluster = true, clusterDeltaCommits = 2).start()
+    try {
+      (1 to 8).foreach { i =>
+        tbl.upsert(hot.withColumn("o_orderstatus", lit(s"B$i")))
+        Thread.sleep(40L)
+      }
+      val deadline = System.currentTimeMillis() + 300000L
+      while (services.clusteringsRun == 0 && services.failure.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25L)
+    } finally services.close()
+
+    assert(services.clusteringsRun >= 1, "bucket-split trigger never fired")
+    val ops = tbl.timeline.instants().map(i => tbl.timeline.readCommit(i).op)
+    assert(ops.contains("split_bucket"), s"split commit lost: $ops")
+    assert(ops.count(o => o != "split_bucket") == 9, s"ingest commits lost: $ops")
+    // the split folded the hot bucket into the doubled modulus without
+    // losing a row or an update
+    assert(tbl.read().count() == orders.count())
+    assert(tbl.read().filter(col("o_orderstatus") === "B8").count() == hot.count())
+  }
 }

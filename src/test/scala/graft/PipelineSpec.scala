@@ -81,6 +81,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"IVF recall $recall vs brute force")
   }
 
+  test("Centroids.refine: deterministic, improves the k-means objective, recall not degraded") {
+    val e = GraftSession.table(spark, sfSmall, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val raw = graft.ann.Centroids.sample(e)
+      .select(col("c_id"), expr("transform(ce, x -> cast(x as double))").as("ce"))
+    def snapshot(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val r1 = graft.ann.Centroids.refine(e)
+    val r2 = graft.ann.Centroids.refine(e)
+    // bit-deterministic across runs (quantized Lloyd, exact integer means)
+    assert(snapshot(r1) == snapshot(r2), "refine is not deterministic")
+    assert(r1.count() == graft.ann.Centroids.K, "refine changed k")
+    // Lloyd monotonicity: the k-means objective never increases vs the raw
+    // hash-rank sample (at this SF the bounded training sample covers the
+    // whole corpus, so the training guarantee IS the corpus objective)
+    val objRaw = graft.ann.Centroids.objective(e, raw)
+    val objRef = graft.ann.Centroids.objective(e, r1)
+    assert(objRef <= objRaw + 1e-9, s"objective degraded: raw $objRaw -> refined $objRef")
+    // recall vs brute force with refined centroids is not below the raw
+    // sample's recall (the property SURVEY §5's refinement exists for)
+    val bf = Ann.sTopkBruteforce(spark, sfSmall)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
+      val floats = cents.select(col("c_id"),
+        expr("transform(ce, x -> cast(x as float))").as("ce"))
+      val ivf = Ann.sTopkIvf(spark, sfSmall, Some(floats))
+        .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & ivf).size.toDouble / bf.size
+    }
+    val (rawRecall, refRecall) = (recallOf(raw), recallOf(r1))
+    assert(refRecall >= rawRecall - 1e-9,
+      s"refined recall $refRecall below raw sample recall $rawRecall")
+  }
+
   test("PQ top-k achieves reasonable recall vs the exact-L2 baseline") {
     // PQ/ADC approximates SQUARED L2 — recall is measured against the exact
     // L2 top-k (the cosine brute force ranks a different metric);
