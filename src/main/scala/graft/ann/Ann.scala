@@ -285,6 +285,127 @@ object Ann extends QueryRegistry {
       .orderBy("q_id", "rank")
   }
 
+  // --- s_ivf_pq: the FAISS IVFPQ composition — the IVF coarse quantizer
+  // restricts the PQ/ADC scan to the probed buckets, so the per-query scan
+  // cost drops from O(n) code lookups (s_topk_pq) to O(n · nprobe / k):
+  // the index layout that serves billion-vector search in practice. Same
+  // deterministic parts as its two parents: cosine bucket assignment with
+  // (score, id) tie-breaks, quantized integer ADC sums, exact L2 re-rank
+  // of the 50-deep shortlist. The bucket restriction happens BEFORE the
+  // distance-table join — the ADC join's left side is the probed slice,
+  // never the whole encoded corpus.
+  def sIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val M = 4; val SUB = 16; val SHORTLIST = 50
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val ev = e.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cents = Centroids.sample(e)
+    // IVF coarse assignment + probes (the s_topk_ivf shape)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("c_id").as("bucket"))
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("c_id"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(expr("cosine_sim(qe, ce)"), 6))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("q_id"), col("c_id").as("bucket"))
+    // PQ codebook + encode (the s_topk_pq shape)
+    val subs = ev.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(v, m * $SUB + 1, $SUB) AS sv))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      .cache()
+    val code = subs.join(broadcast(Centroids.sampleIds(ev, Centroids.PqK)), "vec_id")
+      .select(col("vec_id").as("c_id"), col("m").as("cm"), col("sv").as("cv"))
+    def d2i(a: String, b: String) = s"l2sq_q6($a, $b)"
+    val encoded = subs.join(broadcast(code), col("m") === col("cm"))
+      .withColumn("dist_i", expr(d2i("sv", "cv")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("c_id"), struct(col("dist_i"), col("c_id"))).as("code"))
+    val dtable = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sv").as("qv"))
+      .join(broadcast(code), col("qm") === col("cm"))
+      .select(col("q_id"), col("qm").as("m"), col("c_id").as("code"),
+        expr(d2i("qv", "cv")).as("qd_i"))
+    // ADC restricted to probed buckets: encoded ⨝ bucket ⨝ probes first
+    val adc = encoded.join(assigned, "vec_id")
+      .join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(dtable), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("qd_i").as("adc_i"))
+    val shortlist = rankTopK(adc, SHORTLIST,
+        Seq(asc("adc_i"), asc("vec_id")), "srn")
+      .select("q_id", "vec_id")
+    // exact L2 re-rank of the shortlist
+    val qv = ev.filter(col("vec_id") < 5).toDF("q_id", "qfull")
+    val w = Window.partitionBy("q_id").orderBy(asc("l2_i"), asc("vec_id"))
+    shortlist.join(ev, "vec_id").join(broadcast(qv), "q_id")
+      .withColumn("l2_i", expr(d2i("v", "qfull")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .withColumn("l2_r", col("l2_i").cast("double") / lit(1000000.0))
+      .select("q_id", "rank", "vec_id", "l2_r")
+      .orderBy("q_id", "rank")
+  }
+
+  private val sIvfPqSql =
+    s"""WITH e0 AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e0 ${Centroids.sqlTail()}),
+       |asg AS (SELECT vec_id, bucket FROM (
+       |    SELECT e0.vec_id, c.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY e0.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(e0.embedding) + 1),
+       |          i -> CAST(e0.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+       |          / (e0.nrm * c.cnrm), 6) DESC, c.c_id) AS rn
+       |    FROM e0 CROSS JOIN c) WHERE rn = 1),
+       |probes AS (SELECT q_id, bucket FROM (
+       |    SELECT e0.vec_id AS q_id, c.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY e0.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(e0.embedding) + 1),
+       |          i -> CAST(e0.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+       |          / (e0.nrm * c.cnrm), 6) DESC, c.c_id) AS prn
+       |    FROM e0 CROSS JOIN c WHERE e0.vec_id < 5) WHERE prn <= 2),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, m, v[m * 16 + 1 : m * 16 + 16] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+       |code AS (SELECT vec_id AS c_id, m AS cm, sv AS cv FROM subs
+       |  WHERE vec_id IN (SELECT vec_id FROM e ${Centroids.sqlTail(Centroids.PqK)})),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.c_id AS code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        CAST(round(list_sum(list_transform(range(1, 17),
+       |          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) * 1000000) AS BIGINT),
+       |        c.c_id) AS rn
+       |    FROM subs s JOIN code c ON s.m = c.cm) WHERE rn = 1),
+       |dt AS (SELECT q.vec_id AS q_id, q.m, c.c_id AS code,
+       |    CAST(round(list_sum(list_transform(range(1, 17),
+       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1000000) AS BIGINT) AS qd_i
+       |  FROM subs q JOIN code c ON q.m = c.cm WHERE q.vec_id < 5),
+       |sl AS (SELECT q_id, vec_id FROM (
+       |    SELECT d.q_id, a.vec_id, SUM(d.qd_i) AS adc_i,
+       |      ROW_NUMBER() OVER (PARTITION BY d.q_id ORDER BY SUM(d.qd_i), a.vec_id) AS srn
+       |    FROM enc a JOIN asg g ON a.vec_id = g.vec_id
+       |      JOIN probes p ON g.bucket = p.bucket
+       |      JOIN dt d ON a.m = d.m AND a.code = d.code AND d.q_id = p.q_id
+       |        AND a.vec_id <> d.q_id
+       |    GROUP BY 1, 2) WHERE srn <= 50),
+       |rr AS (SELECT sl.q_id, sl.vec_id,
+       |    CAST(round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> (e.v[i] - q.v[i]) * (e.v[i] - q.v[i]))) * 1000000) AS BIGINT) AS l2_i
+       |  FROM sl JOIN e ON e.vec_id = sl.vec_id JOIN e q ON q.vec_id = sl.q_id),
+       |r AS (SELECT q_id, vec_id, CAST(l2_i AS DOUBLE) / 1000000.0 AS l2_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2_i, vec_id) AS BIGINT) AS rank
+       |  FROM rr)
+       |SELECT q_id, rank, vec_id, l2_r FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // --- s_outliers: embedding-space outlier mining — the 20 corpus vectors
   // most isolated from every centroid (lowest best-centroid cosine). The
   // OOD screen an embedding-quality gate runs before ANN indexing or
@@ -758,6 +879,7 @@ object Ann extends QueryRegistry {
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
     QueryDef("s_topk_pq", sTopkPq, Some(sTopkPqSql)),
+    QueryDef("s_ivf_pq", sIvfPq, Some(sIvfPqSql)),
     QueryDef("s_pq_error", sPqError, Some(sPqErrorSql)),
     QueryDef("s_outliers", sOutliers, Some(sOutliersSql)),
     QueryDef("s_centroid_balance", sCentroidBalance, Some(sCentroidBalanceSql)),

@@ -202,6 +202,23 @@ object TableOps extends QueryRegistry {
     tbl.pointLookup(Seq(1L, 7L, 42L, 100L, 999L)).orderBy("o_orderkey")
   }
 
+  // --- t_bloom_index: Hudi's DEFAULT index type (hoodie.index.type=BLOOM)
+  // — per-file bloom filters on the record key prune equality lookups past
+  // what range stats can. The writes interleave keys modulo 4, so EVERY
+  // file spans the whole key range and range pruning keeps all of them;
+  // only the parquet footer bloom (written at insert time, probed by
+  // lookupFiles with no false negatives) discriminates — TablesSpec pins
+  // that the lookup touches fewer files than live. At 100 TB this is the
+  // O(candidate-footers) pruning level between free range stats and the
+  // paid-for record index.
+  def tBloomIndex(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_bloom_index")
+    (0 to 3).foreach { m =>
+      tbl.insert(orders.filter(col("o_orderkey") % 4 === m), numFiles = 2)
+    }
+    tbl.pointLookup(Seq(2L, 8L, 44L, 104L, 996L)).orderBy("o_orderkey")
+  }
+
   // --- t_record_index: Hudi-1.0-style record-level index — per-commit
   // (key → file) mappings in hash-bucketed index parquet; a point lookup
   // reads ONE index bucket for the exact file list instead of probing
@@ -989,6 +1006,8 @@ object TableOps extends QueryRegistry {
       Some(s"SELECT $ordersCols FROM orders ORDER BY o_orderkey")),
     QueryDef("t_bucket_index", tBucketIndex, Some(
       s"SELECT $ordersCols FROM orders WHERE o_orderkey IN (1, 7, 42, 100, 999) ORDER BY o_orderkey")),
+    QueryDef("t_bloom_index", tBloomIndex, Some(
+      s"SELECT $ordersCols FROM orders WHERE o_orderkey IN (2, 8, 44, 104, 996) ORDER BY o_orderkey")),
     // the upsert re-stamps key%10==0 rows before the lookup, so the oracle
     // is the upserted view restricted to the looked-up keys
     QueryDef("t_record_index", tRecordIndex, Some(

@@ -534,6 +534,45 @@ object TextOps extends QueryRegistry {
       |        FROM documents) WHERE len(w) >= 2)
       |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 30""".stripMargin
 
+  // --- x_zipf: per-language Zipf rank-frequency profile — the token
+  // frequency at power-of-two ranks (1, 2, 4, ..., 512), the standard
+  // corpus-health curve (a natural-language corpus decays ~1/rank; a flat
+  // or cliffed profile signals boilerplate or synthetic text). Counts are
+  // pure integers so the oracle is exact; ranking is the SALTED two-phase
+  // top-k (local top-512 within (lang, hash-salt) partitions, then the
+  // global rank over the <= 64x512 survivors) — at 100 TB a language's
+  // vocabulary is ~1e8 types and a bare partitionBy(lang) window would
+  // sort it in one task.
+  def xZipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Ranks = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L)
+    val counts = docs(s, dir)
+      .select(col("lang"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+    val wLocal = Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("tok")), lit(64)))
+      .orderBy(desc("freq"), asc("tok"))
+    val wGlobal = Window.partitionBy("lang").orderBy(desc("freq"), asc("tok"))
+    counts
+      .withColumn("_lr", row_number().over(wLocal)).filter(col("_lr") <= 512)
+      .withColumn("rank", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank").isin(Ranks: _*))
+      .select("lang", "rank", "tok", "freq")
+      .orderBy("lang", "rank")
+  }
+
+  private val xZipfSql =
+    s"""WITH c AS (SELECT lang, tok, COUNT(*) AS freq FROM (
+      |    SELECT lang, unnest(string_split($normSql, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |r AS (SELECT lang, tok, freq,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS BIGINT) AS rank
+      |  FROM c)
+      |SELECT lang, rank, tok, freq FROM r
+      |WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+      |ORDER BY lang, rank""".stripMargin
+
   // --- x_sentencize: per-doc sentence segmentation stats (sentence count
   // + total sentence chars) — the unit-of-text primitive under chunking
   // and quality scoring. Pure per-row codegen'd regex split; integer
@@ -872,6 +911,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_quality", xQuality, Some(xQualitySql)),
     QueryDef("x_langid", xLangid, Some(xLangidSql)),
     QueryDef("x_vocab", xVocab, Some(xVocabSql)),
+    QueryDef("x_zipf", xZipf, Some(xZipfSql)),
     QueryDef("x_redact", xRedact, Some(xRedactSql)),
     QueryDef("x_sample_mix", xSampleMix, Some(xSampleMixSql)),
     QueryDef("x_pack", xPack, Some(xPackSql)),

@@ -164,6 +164,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s_ivf_pq / x_zipf: bucket-restricted scans and salted two-phase ranking") {
+    // s_ivf_pq: the probes restriction reaches the ADC side via broadcast
+    // (the encoded corpus is never cross-joined to all queries), and the
+    // shortlist ranks two-phase
+    val sp = planString(graft.ann.Ann.sIvfPq(spark, sfDir))
+    assert(sp.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, sp)
+    assert(!sp.contains("CartesianProduct"), sp)
+    // x_zipf: the bulk rank window partitions by (lang, salt), not lang
+    val sz = planString(graft.text.TextOps.xZipf(spark, sfDir))
+    val zw = sz.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(zw.exists(_.matches(""".*windowspecdefinition\(lang#\d+, _w\d+#\d+L?.*""")),
+      s"x_zipf bulk window not salted:\n${zw.mkString("\n")}")
+  }
+
   test("s_topk_bruteforce: two-phase ranking — no single-task sort of a query's candidates") {
     val s = planString(graft.ann.Ann.sTopkBruteforce(spark, sfDir))
     val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
