@@ -138,6 +138,54 @@ object Dedup extends QueryRegistry {
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin
 
+  // --- d_edit_distance: shingle-blocked candidates verified by
+  // LEVENSHTEIN similarity — the character-level verify real pipelines run
+  // where token Jaccard is blind (small in-place edits, number/date
+  // rewrites, OCR noise keep token sets near-identical but matter for
+  // training-data provenance). Candidates come from the same df-capped
+  // shingle block join as d_ngram_jaccard (never an all-pairs product;
+  // pair count is bounded at any corpus size), so the O(len²) edit-DP runs
+  // ONLY on pairs already known to share content. Distance is a pure
+  // integer; the similarity is one IEEE division — both exact across
+  // engines.
+  def dEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val cand = jaccardPairs(sh).filter(col("jac") >= 0.3).select("da", "db")
+    val tn = docs(s, dir).select(col("doc_id"), normText(col("text")).as("tn"))
+    val sim = round(lit(1.0) - col("lev").cast("double") /
+      greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
+    cand
+      .join(tn.toDF("da", "ta"), "da")
+      .join(tn.toDF("db", "tb"), "db")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("lev"),
+        sim.as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dEditDistanceSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tn
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |cand AS (SELECT da, db FROM co
+      |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  CAST(levenshtein(a.tn, b.tn) AS BIGINT) AS lev,
+      |  round(1.0 - CAST(levenshtein(a.tn, b.tn) AS DOUBLE)
+      |    / greatest(length(a.tn), length(b.tn)), 6) AS edit_sim
+      |FROM cand JOIN d a ON a.doc_id = da JOIN d b ON b.doc_id = db
+      |ORDER BY 1, 2""".stripMargin
+
   // --- d_prefix_dup: duplicate-prefix groups — docs sharing their first
   // 100 normalized chars (the cheap truncation/mirror-dup detector used
   // alongside full dedup in RefinedWeb-style pipelines: a doc cut off
@@ -1168,6 +1216,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_cross_source", dCrossSource, Some(dCrossSourceSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
+    QueryDef("d_edit_distance", dEditDistance, Some(dEditDistanceSql)),
     QueryDef("d_containment", dContainment, Some(dContainmentSql)),
     QueryDef("d_threshold_sweep", dThresholdSweep, Some(dThresholdSweepSql)),
     QueryDef("d_prefix_dup", dPrefixDup, Some(dPrefixDupSql)),

@@ -1163,6 +1163,49 @@ object Queries extends QueryRegistry {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_histogram_equidepth: 8-bin EQUI-DEPTH histogram of order values
+  // — the histogram a query optimizer or distribution dashboard actually
+  // wants (equal mass per bin, boundaries where the data is), completing
+  // q_histogram's fixed-width variant. Boundaries are the exact k/8
+  // percentiles over int-cents: BINARY fractions, so the interpolation
+  // (b-a)·k·2⁻³ over integers is an EXACT double in both engines (the
+  // q_percentiles contract). The plan is one percentile aggregate (7
+  // values, broadcast) + a codegen'd comparison assignment + a bounded
+  // hash agg — no sort, no window, no NTILE single-task shuffle.
+  def qHistogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val fracs = (1 to 7).map(k => k / 8.0)
+    val bounds = cents.agg(
+      percentile(col("cents"), lit(fracs.head)).as("b1"),
+      fracs.tail.zipWithIndex.map { case (f, i) =>
+        percentile(col("cents"), lit(f)).as(s"b${i + 2}") }: _*)
+    val bin = (1 to 7).map(k => (col("cents") > col(s"b$k")).cast("long"))
+      .reduce(_ + _) + 1L
+    cents.crossJoin(broadcast(bounds))
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+      .orderBy("bin")
+  }
+
+  private val qHistogramEquidepthSql =
+    """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |b AS (SELECT quantile_cont(cents, 0.125) AS b1, quantile_cont(cents, 0.25) AS b2,
+      |    quantile_cont(cents, 0.375) AS b3, quantile_cont(cents, 0.5) AS b4,
+      |    quantile_cont(cents, 0.625) AS b5, quantile_cont(cents, 0.75) AS b6,
+      |    quantile_cont(cents, 0.875) AS b7 FROM c)
+      |SELECT bin, COUNT(*) AS n_orders,
+      |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+      |FROM (SELECT cents,
+      |    1 + CAST(cents > b1 AS BIGINT) + CAST(cents > b2 AS BIGINT)
+      |      + CAST(cents > b3 AS BIGINT) + CAST(cents > b4 AS BIGINT)
+      |      + CAST(cents > b5 AS BIGINT) + CAST(cents > b6 AS BIGINT)
+      |      + CAST(cents > b7 AS BIGINT) AS bin
+      |  FROM c, b)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- q_heavy_hitters: Count-Min-sketch heavy hitters with the exact
   // counts alongside — the streaming-sketch primitive (512×3 integer
   // counters summarize any event volume; estimate = min over 3 hashed
@@ -2017,6 +2060,7 @@ object Queries extends QueryRegistry {
     QueryDef("q22_global_sales", q22GlobalSales, Some(q22Sql)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
+    QueryDef("q_histogram_equidepth", qHistogramEquidepth, Some(qHistogramEquidepthSql)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),

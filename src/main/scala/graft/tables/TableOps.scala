@@ -235,6 +235,29 @@ object TableOps extends QueryRegistry {
     tbl.pointLookup(Seq(1L, 7L, 42L, 100L, 999L)).orderBy("o_orderkey")
   }
 
+  // --- t_rli_compact: record-index COMPACTION — the index-maintenance
+  // service behind t_record_index. Every commit appends its own (key →
+  // file) index dir, so a long-running table's point lookup degrades to
+  // O(#commits) small index reads; compaction folds all per-commit dirs
+  // into one merged, liveness-filtered index (the same small-file disease
+  // and cure as data compaction, applied to the index). Three upsert waves
+  // build four index dirs; the fold must keep lookups exact across the
+  // replaced-file mappings it drops.
+  def tRliCompact(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_rli_compact", dir), "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 16))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    (1 to 3).foreach { i =>
+      tbl.upsert(orders.filter(col("o_orderkey") % 9 === i)
+        .withColumn("o_orderstatus", lit(s"W$i")))
+    }
+    require(tbl.compactRecordIndex() > 0, "no index dirs folded")
+    tbl.pointLookup(Seq(1L, 7L, 11L, 12L, 100L, 999L)).orderBy("o_orderkey")
+  }
+
   // --- t_secondary_index: Hudi-1.0-style secondary index — per-commit
   // (value → file) mappings for a non-key column; an equality lookup reads
   // the small index, then scans only the mapped files. Clustering first
@@ -1013,6 +1036,15 @@ object TableOps extends QueryRegistry {
     QueryDef("t_record_index", tRecordIndex, Some(
       s"""$upsertedSql
          |WHERE o_orderkey IN (1, 7, 42, 100, 999)
+         |ORDER BY o_orderkey""".stripMargin)),
+    // the waves re-stamp key%9 in {1,2,3} rows before the compacted lookup
+    QueryDef("t_rli_compact", tRliCompact, Some(
+      s"""SELECT o_orderkey, o_custkey,
+         |  CASE WHEN o_orderkey % 9 IN (1, 2, 3)
+         |    THEN 'W' || CAST(o_orderkey % 9 AS VARCHAR)
+         |    ELSE o_orderstatus END AS o_orderstatus,
+         |  o_totalprice, o_orderdate, o_orderpriority
+         |FROM orders WHERE o_orderkey IN (1, 7, 11, 12, 100, 999)
          |ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_secondary_index", tSecondaryIndex, Some(
       s"""SELECT $ordersCols FROM orders
