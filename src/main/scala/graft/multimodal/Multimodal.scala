@@ -209,6 +209,56 @@ object Multimodal extends QueryRegistry {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- m_tar_offsets: WebDataset-style random-access index — for every
+  // media item, its shard and byte offset within the shard, the manifest a
+  // training data-loader uses to seek straight to an item without reading
+  // the shard head. Same (media_type, doc_id-bucket) TWO-PASS prefix sum
+  // as m_pack_shards (pass 1 windows inside parallel sub-shards, pass 2
+  // broadcasts tiny bucket offsets), so building the index for a 100 TB
+  // media corpus is one bounded-window pass, never a per-modality
+  // single-task sort. Pure integer arithmetic — the oracle states the
+  // single-window formulation and hashes exactly.
+  def mTarOffsets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val modality = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+    val m = GraftSession.table(s, dir, "documents").select(
+      col("doc_id"), modality.as("media_type"),
+      length(substring(col("text"), 1, 64).cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("bkt", floor(col("doc_id") / 1024L))
+    val wLocal = Window.partitionBy("media_type", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOffset = Window.partitionBy("media_type").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = m.groupBy("media_type", "bkt")
+      .agg(sum("n_bytes").as("bkt_bytes"))
+      .withColumn("off", coalesce(sum(col("bkt_bytes")).over(wOffset), lit(0L)))
+      .select("media_type", "bkt", "off")
+    m.withColumn("run_local", sum(col("n_bytes")).over(wLocal))
+      .join(broadcast(offsets), Seq("media_type", "bkt"))
+      .withColumn("before", col("run_local") + col("off") - col("n_bytes"))
+      .select(col("doc_id"), col("media_type"),
+        floor(col("before") / 4096L).as("shard_id"),
+        (col("before") % 4096L).as("offset_bytes"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  private val mTarOffsetsSql =
+    """WITH m AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |r AS (SELECT doc_id, media_type, n_bytes,
+      |    CAST(SUM(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |     - n_bytes AS bef
+      |  FROM m)
+      |SELECT doc_id, media_type, bef // 4096 AS shard_id,
+      |  bef % 4096 AS offset_bytes, n_bytes
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // --- m_scene_split: scene segmentation over frame sequences — the video
   // curation step that cuts a clip where consecutive frame fingerprints
   // jump (hamming > threshold), then emits per-scene manifests. Frames are
@@ -379,5 +429,6 @@ object Multimodal extends QueryRegistry {
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_media_pipeline", mMediaPipeline, Some(mMediaPipelineSql)),
     QueryDef("m_frame_dedup", mFrameDedup, Some(mFrameDedupSql)),
-    QueryDef("m_pack_shards", mPackShards, Some(mPackShardsSql)))
+    QueryDef("m_pack_shards", mPackShards, Some(mPackShardsSql)),
+    QueryDef("m_tar_offsets", mTarOffsets, Some(mTarOffsetsSql)))
 }

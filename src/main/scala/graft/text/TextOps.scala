@@ -573,6 +573,46 @@ object TextOps extends QueryRegistry {
       |WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
       |ORDER BY lang, rank""".stripMargin
 
+  // --- x_shingle_curve: cross-document duplication rate as a function of
+  // shingle width n = 1..5 — the sensitivity sweep behind CHOOSING the
+  // dedup shingle size (1-grams conflate all docs sharing vocabulary;
+  // 5-grams only catch verbatim runs; the knee of this curve is where
+  // minhash should sit). Per-doc distinct shingles (shingle_hash dedupes
+  // in-pass) flow through ONE hash aggregate per width; dup_rate =
+  // 1 - global-distinct / sum-of-per-doc-distinct. Hash-vs-string
+  // distinctness matches the d_ngram_jaccard precedent (64-bit xxhash
+  // collisions are the only divergence risk).
+  def xShingleCurve(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val per = (1 to 5).map { n =>
+      docs(s, dir).select(lit(n.toLong).as("n"),
+        explode(expr(s"shingle_hash(lower(text), $n)")).as("sh"))
+    }.reduce(_ unionAll _)
+    per.groupBy("n")
+      .agg(count(lit(1)).as("n_shingles"), countDistinct("sh").as("n_distinct"))
+      .withColumn("dup_rate", round(lit(1.0) -
+        col("n_distinct").cast("double") / col("n_shingles").cast("double"), 6))
+      .orderBy("n")
+  }
+
+  private val xShingleCurveSql = {
+    def grams(n: Int): String =
+      if (n == 1) "list_transform(range(1, len(w) + 1), i -> w[i])"
+      else {
+        val cat = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"list_transform(range(1, greatest(len(w) - ${n - 2}, 1)), i -> $cat)"
+      }
+    val arms = (1 to 5).map(n =>
+      s"SELECT $n AS n, doc_id, unnest(list_distinct(${grams(n)})) AS sh FROM d")
+      .mkString("\n      | UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+      |g AS ($arms)
+      |SELECT CAST(n AS BIGINT) AS n, COUNT(*) AS n_shingles,
+      |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
+      |  round(1.0 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --- x_sentencize: per-doc sentence segmentation stats (sentence count
   // + total sentence chars) — the unit-of-text primitive under chunking
   // and quality scoring. Pure per-row codegen'd regex split; integer
@@ -912,6 +952,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_langid", xLangid, Some(xLangidSql)),
     QueryDef("x_vocab", xVocab, Some(xVocabSql)),
     QueryDef("x_zipf", xZipf, Some(xZipfSql)),
+    QueryDef("x_shingle_curve", xShingleCurve, Some(xShingleCurveSql)),
     QueryDef("x_redact", xRedact, Some(xRedactSql)),
     QueryDef("x_sample_mix", xSampleMix, Some(xSampleMixSql)),
     QueryDef("x_pack", xPack, Some(xPackSql)),
