@@ -235,6 +235,82 @@ object TableOps extends QueryRegistry {
     tbl.pointLookup(Seq(1L, 7L, 42L, 100L, 999L)).orderBy("o_orderkey")
   }
 
+  // --- t_archive_timeline: timeline ARCHIVAL (Hudi's archived timeline) —
+  // a long-lived table's hot `_graft/` dir would otherwise grow one commit
+  // file per write forever, making every liveFiles() replay O(lifetime).
+  // A checkpoint snapshots the live-file set at an instant; archive() then
+  // moves every commit at or before it into `_graft/archive/`, so the hot
+  // timeline stays O(recent commits) at any table age while history reads
+  // (incremental, CDC, clean) still resolve archived commits through the
+  // fallback. The op checkpoints mid-history, archives, and proves the
+  // snapshot read is byte-identical across the checkpoint + hot-tail path.
+  def tArchiveTimeline(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, orders) = ordersTable(s, dir, "t_archive_timeline")
+    tbl.insert(orders, numFiles = 2)
+    (1 to 4).foreach { i =>
+      tbl.upsert(orders.filter(col("o_orderkey") % 11 === i)
+        .withColumn("o_orderstatus", lit(s"A$i")))
+    }
+    val instants = tbl.timeline.instants()
+    tbl.timeline.checkpoint(instants(2)) // after the insert + 2 waves
+    require(tbl.timeline.archive() > 0, "nothing archived")
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  // --- t_nbcc_upsert: NON-BLOCKING concurrency control (Hudi 1.0 NBCC) —
+  // two writers upsert OVERLAPPING keys at the same time with no retry
+  // loop at all: MOR upserts append delta files (no removes), so
+  // first-committer-wins conflict detection can never fire and neither
+  // writer ever waits on or aborts for the other. Resolution across
+  // commits is commit-time ordering (Hudi's COMMIT_TIME_ORDERING default)
+  // — arrival order of CONCURRENT commits is inherently racy, so the
+  // writers stamp contested keys with the SAME image (the idempotent-
+  // producer pattern NBCC pipelines use): the snapshot is bit-identical
+  // whichever commit lands last. Contrast t_concurrent_upsert, the OCC
+  // path, where COW writers race on file rewrites and losers must retry.
+  def tNbccUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val path = scratch("t_nbcc_upsert", dir)
+    val tbl = GraftTable(s, GraftTableConfig(
+      path, "o_orderkey", "o_totalprice", tableType = TableType.Mor))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = Seq(
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 6 === 0,
+          col("o_totalprice") + 200).otherwise(col("o_totalprice") + 100))
+        .withColumn("o_orderstatus", when(col("o_orderkey") % 6 === 0,
+          lit("NB")).otherwise(lit("NA"))),
+      orders.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 200)
+        .withColumn("o_orderstatus", lit("NB")))
+      .map { b =>
+        Future {
+          // independent handle per writer, no retry: NBCC means the append
+          // path cannot lose a commit race
+          GraftTable(s, GraftTableConfig(
+            path, "o_orderkey", "o_totalprice", tableType = TableType.Mor))
+            .upsert(b)
+        }
+      }
+    Await.result(Future.sequence(writers), 600.seconds)
+    tbl.read().orderBy("o_orderkey")
+  }
+
+  private val tNbccUpsertSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 6 = 0 THEN 'NB'
+      |       WHEN o_orderkey % 3 = 0 THEN 'NA'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 200
+      |       WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // --- t_rli_compact: record-index COMPACTION — the index-maintenance
   // service behind t_record_index. Every commit appends its own (key →
   // file) index dir, so a long-running table's point lookup degrades to
@@ -1037,6 +1113,15 @@ object TableOps extends QueryRegistry {
       s"""$upsertedSql
          |WHERE o_orderkey IN (1, 7, 42, 100, 999)
          |ORDER BY o_orderkey""".stripMargin)),
+    // four waves re-stamp key%11 in {1..4} before checkpoint + archive
+    QueryDef("t_archive_timeline", tArchiveTimeline, Some(
+      s"""SELECT o_orderkey, o_custkey,
+         |  CASE WHEN o_orderkey % 11 IN (1, 2, 3, 4)
+         |    THEN 'A' || CAST(o_orderkey % 11 AS VARCHAR)
+         |    ELSE o_orderstatus END AS o_orderstatus,
+         |  o_totalprice, o_orderdate, o_orderpriority
+         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_nbcc_upsert", tNbccUpsert, Some(tNbccUpsertSql)),
     // the waves re-stamp key%9 in {1,2,3} rows before the compacted lookup
     QueryDef("t_rli_compact", tRliCompact, Some(
       s"""SELECT o_orderkey, o_custkey,
