@@ -186,6 +186,62 @@ object Dedup extends QueryRegistry {
       |FROM cand JOIN d a ON a.doc_id = da JOIN d b ON b.doc_id = db
       |ORDER BY 1, 2""".stripMargin
 
+  // --- d_neardup_clusters: connected components over the NEAR-dup pair
+  // graph — transitive closure of the jac >= 0.5 pairs, the clustering
+  // step that turns pairwise candidates into dedup groups (A~B and B~C
+  // put A,B,C in ONE group even when A~C never surfaced; keeping one doc
+  // per component is the actual dedup action). Iterative min-label
+  // propagation to the FIXPOINT, which is unique (component-minimum id),
+  // so iteration count cannot leak into the output and the DuckDB oracle
+  // can state the closure recursively. Each round is one join + one
+  // aggregate over the PAIR GRAPH (dup clusters only — not the corpus);
+  // rounds are bounded by component diameter, O(log n) with the standard
+  // large-star/small-star variant this reduces to at 100 TB. The per-round
+  // driver-side convergence check reads ONE count.
+  def dNeardupClusters(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val pairs = jaccardPairs(sh).filter(col("jac") >= 0.5).select("da", "db")
+    val edges = pairs.unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("a", "b").cache()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lab")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = edges.join(labels, col("b") === col("v"))
+        .select(col("a").as("v"), col("lab"))
+      val upd = labels.unionAll(nbr).groupBy("v").agg(min("lab").as("lab")).cache()
+      changed = upd.join(labels.withColumnRenamed("lab", "old"), "v")
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = upd
+    }
+    labels.select(col("v").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val dNeardupClustersSql =
+    """WITH RECURSIVE d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT da, db FROM co
+      |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+      |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+      |reach AS (
+      |  SELECT DISTINCT a AS v, a AS u FROM e
+      |  UNION
+      |  SELECT r.v, e.b AS u FROM reach r JOIN e ON e.a = r.u)
+      |SELECT v AS doc_id, MIN(u) AS cluster_id
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- d_prefix_dup: duplicate-prefix groups — docs sharing their first
   // 100 normalized chars (the cheap truncation/mirror-dup detector used
   // alongside full dedup in RefinedWeb-style pipelines: a doc cut off
@@ -1217,6 +1273,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_cross_source", dCrossSource, Some(dCrossSourceSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_edit_distance", dEditDistance, Some(dEditDistanceSql)),
+    QueryDef("d_neardup_clusters", dNeardupClusters, Some(dNeardupClustersSql)),
     QueryDef("d_containment", dContainment, Some(dContainmentSql)),
     QueryDef("d_threshold_sweep", dThresholdSweep, Some(dThresholdSweepSql)),
     QueryDef("d_prefix_dup", dPrefixDup, Some(dPrefixDupSql)),

@@ -259,6 +259,65 @@ object Curation extends QueryRegistry {
       |  END * unique_tokens) AS BIGINT) AS kept_tokens
       |FROM p, t ORDER BY source""".stripMargin
 
+  // --- c_cluster_keeper: quality-aware keeper selection per NEAR-dup
+  // cluster — the dedup ACTION after clustering: within each transitive
+  // near-dup component (d_neardup_clusters' fixpoint), keep the member
+  // with the best alpha-quality (ties by doc_id), the "keep the best copy,
+  // not the first copy" policy curation pipelines apply when crawl and
+  // curated sources overlap. Components come from the pair graph (dup
+  // clusters only, never the corpus); the keeper window runs over tiny
+  // per-cluster member lists. Quality is one IEEE division of exact
+  // integers — bit-stable, as everywhere in this family.
+  def cClusterKeeper(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = graft.dedup.Dedup.dNeardupClusters(s, dir)
+    val q = GraftSession.table(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+        length(col("text")).cast("double")).as("q"))
+    val w = Window.partitionBy("cluster_id").orderBy(desc("q"), asc("doc_id"))
+    comps.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("rn")).as("keep_doc"),
+        min_by(col("source"), col("rn")).as("keep_source"))
+      .orderBy("cluster_id")
+  }
+
+  private val cClusterKeeperSql =
+    """WITH RECURSIVE d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT da, db FROM co
+      |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+      |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+      |reach AS (
+      |  SELECT DISTINCT a AS v, a AS u FROM e
+      |  UNION
+      |  SELECT r.v, e.b AS u FROM reach r JOIN e ON e.a = r.u),
+      |comp AS (SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY 1),
+      |m AS (SELECT comp.cluster_id, comp.doc_id, doc.source,
+      |    CAST(length(regexp_replace(doc.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / length(doc.text) AS q
+      |  FROM comp JOIN documents doc ON doc.doc_id = comp.doc_id),
+      |r AS (SELECT cluster_id, doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+      |  FROM m)
+      |SELECT cluster_id, COUNT(*) AS n_docs,
+      |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+      |  MIN(CASE WHEN rn = 1 THEN source END) AS keep_source
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- c_curriculum_plan: curriculum ordering of sources — sources rank
   // by mean alpha-quality (one IEEE division of the same exact integer
   // sums on both engines, so the order is deterministic; ties break on
@@ -445,6 +504,7 @@ object Curation extends QueryRegistry {
   override val all: Seq[QueryDef] = Seq(
     QueryDef("c_funnel_stages", cFunnelStages, Some(cFunnelStagesSql)),
     QueryDef("c_incr_curation", cIncrCuration, Some(cCurationFunnelSql)),
+    QueryDef("c_cluster_keeper", cClusterKeeper, Some(cClusterKeeperSql)),
     QueryDef("c_curriculum_plan", cCurriculumPlan, Some(cCurriculumPlanSql)),
     QueryDef("c_dedup_mixture", cDedupMixture, Some(cDedupMixtureSql)),
     QueryDef("c_curation_funnel", cCurationFunnel, Some(cCurationFunnelSql)),

@@ -289,11 +289,23 @@ object TableOps extends QueryRegistry {
         .withColumn("o_orderstatus", lit("NB")))
       .map { b =>
         Future {
-          // independent handle per writer, no retry: NBCC means the append
-          // path cannot lose a commit race
-          GraftTable(s, GraftTableConfig(
+          // independent handle per writer. No CONFLICT retry — NBCC means
+          // the append path cannot lose a commit race — but the commit
+          // lease itself can time out on a loaded host while the peer
+          // holds it; that transient (rolled back by withReservedInstant)
+          // retries like any lease wait.
+          val writer = GraftTable(s, GraftTableConfig(
             path, "o_orderkey", "o_totalprice", tableType = TableType.Mor))
-            .upsert(b)
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try { writer.upsert(b); done = true }
+            catch {
+              case _: graft.tables.LockTimeoutException if attempts < 30 =>
+                attempts += 1
+                Thread.sleep(150L * attempts)
+            }
+          }
         }
       }
     Await.result(Future.sequence(writers), 600.seconds)
@@ -316,8 +328,8 @@ object TableOps extends QueryRegistry {
   // file) index dir, so a long-running table's point lookup degrades to
   // O(#commits) small index reads; compaction folds all per-commit dirs
   // into one merged, liveness-filtered index (the same small-file disease
-  // and cure as data compaction, applied to the index). Three upsert waves
-  // build four index dirs; the fold must keep lookups exact across the
+  // and cure as data compaction, applied to the index). Two upsert waves
+  // build three index dirs; the fold must keep lookups exact across the
   // replaced-file mappings it drops.
   def tRliCompact(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -326,7 +338,7 @@ object TableOps extends QueryRegistry {
       recordIndexBuckets = 16))
     tbl.dropIfExists()
     tbl.insert(orders, numFiles = 4)
-    (1 to 3).foreach { i =>
+    (1 to 2).foreach { i =>
       tbl.upsert(orders.filter(col("o_orderkey") % 9 === i)
         .withColumn("o_orderstatus", lit(s"W$i")))
     }
@@ -543,7 +555,12 @@ object TableOps extends QueryRegistry {
       while (!done) {
         try { writer.upsert(batch); done = true }
         catch {
-          case _: CommitConflictException if attempts < 10 =>
+          // both are the transient faces of contention: losing the
+          // first-committer race, and the lock wait-budget expiring on a
+          // loaded host while the peer holds the lease (withReservedInstant
+          // rolled the aborted attempt back either way — retry is safe)
+          case e @ (_: CommitConflictException |
+              _: graft.tables.LockTimeoutException) if attempts < 30 =>
             attempts += 1
             // linear backoff: an immediate retry re-runs the whole COW file
             // rewrite head-on into the other writer's next commit — at two
@@ -1122,10 +1139,10 @@ object TableOps extends QueryRegistry {
          |  o_totalprice, o_orderdate, o_orderpriority
          |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("t_nbcc_upsert", tNbccUpsert, Some(tNbccUpsertSql)),
-    // the waves re-stamp key%9 in {1,2,3} rows before the compacted lookup
+    // the waves re-stamp key%9 in {1,2} rows before the compacted lookup
     QueryDef("t_rli_compact", tRliCompact, Some(
       s"""SELECT o_orderkey, o_custkey,
-         |  CASE WHEN o_orderkey % 9 IN (1, 2, 3)
+         |  CASE WHEN o_orderkey % 9 IN (1, 2)
          |    THEN 'W' || CAST(o_orderkey % 9 AS VARCHAR)
          |    ELSE o_orderstatus END AS o_orderstatus,
          |  o_totalprice, o_orderdate, o_orderpriority
