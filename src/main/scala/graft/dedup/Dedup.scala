@@ -205,13 +205,17 @@ object Dedup extends QueryRegistry {
       .toDF("a", "b").cache()
     var labels = edges.select(col("a").as("v")).distinct()
       .select(col("v"), col("v").as("lab")).cache()
-    var changed = 1L
-    while (changed > 0) {
+    // labels only ever DECREASE toward the component minimum, so the label
+    // sum is a strictly-monotone convergence witness: one tiny aggregate
+    // per round instead of a join-and-count against the previous state
+    var prevSum = Long.MinValue
+    var curSum = labels.agg(sum("lab")).head().getLong(0)
+    while (curSum != prevSum) {
       val nbr = edges.join(labels, col("b") === col("v"))
         .select(col("a").as("v"), col("lab"))
       val upd = labels.unionAll(nbr).groupBy("v").agg(min("lab").as("lab")).cache()
-      changed = upd.join(labels.withColumnRenamed("lab", "old"), "v")
-        .filter(col("lab") =!= col("old")).count()
+      prevSum = curSum
+      curSum = upd.agg(sum("lab")).head().getLong(0)
       labels.unpersist()
       labels = upd
     }
