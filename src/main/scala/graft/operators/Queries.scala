@@ -1163,6 +1163,34 @@ object Queries extends QueryRegistry {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_unpivot: wide→long reshaping (UNPIVOT / melt) — the inverse of
+  // q_pivot and the step every metrics store runs to turn a wide measure
+  // row into (entity, measure, value) facts. The unpivot happens AFTER the
+  // aggregate, so `stack` runs over |returnflags|·3 rows — at any corpus
+  // size the reshape is output-sized; the only corpus-sized work is the
+  // one partial-agg shuffle.
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(dec(col("l_discount"))).cast("double").as("sum_disc"))
+      .select(col("l_returnflag"),
+        expr("stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, " +
+          "'sum_disc', sum_disc) AS (measure, value)"))
+      .orderBy("l_returnflag", "measure")
+
+  private val qUnpivotSql =
+    """WITH a AS (SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+      |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+      |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   // --- q_histogram_equidepth: 8-bin EQUI-DEPTH histogram of order values
   // — the histogram a query optimizer or distribution dashboard actually
   // wants (equal mass per bin, boundaries where the data is), completing
@@ -2042,6 +2070,7 @@ object Queries extends QueryRegistry {
     QueryDef("q19_disjunctive", q19Disjunctive, Some(q19Sql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
+    QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
