@@ -69,6 +69,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sim >= dups.count(), s"simhash found $sim hd=0 pairs")
   }
 
+  test("near-dup components: labels are component minima and every pair is intra-cluster") {
+    val comps = Dedup.dNeardupClusters(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a label never exceeds its vertex and is itself labeled as a root
+    assert(comps.forall { case (v, l) => l <= v && comps.get(l).contains(l) },
+      "labels are not component minima")
+    // the closure property: both endpoints of every jac >= 0.5 pair share
+    // a cluster (dNgramJaccard emits exactly that pair set)
+    val pairs = Dedup.dNgramJaccard(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs at this SF — test is vacuous")
+    assert(pairs.forall { case (a, b) => comps(a) == comps(b) },
+      "a candidate pair crosses clusters")
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force and is deterministic") {
     val bf = Ann.sTopkBruteforce(spark, sfSmall)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
