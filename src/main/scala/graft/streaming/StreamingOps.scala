@@ -71,6 +71,39 @@ object StreamingOps extends QueryRegistry {
        |  epoch_ms(max(ts)) AS end_ms, COUNT(*) AS n_events
        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- st_session_window: gap-based sessions via Spark's NATIVE
+  // session_window operator — the API Structured Streaming runs with
+  // watermarked session state (MergingSessionsExec), here exercised on the
+  // batch twin (the same expression works in both modes). Distinct from
+  // st_sessionize, which builds sessions from explicit lag/island logic:
+  // this one hands merging to the engine — one shuffle on the grouping
+  // key, no window function at all. Boundary semantics differ from the
+  // lag formulation and the oracle states them exactly: a session's end
+  // is EXCLUSIVE at last-event + gap, so an event arriving at exactly
+  // that instant starts a NEW session (ts - prev >= gap, not >), and the
+  // reported end includes the gap padding.
+  def stSessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$GapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "start_ms")
+
+  private val stSessionWindowSql =
+    s"""WITH x AS (SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL $GapMinutes MINUTE THEN 1 ELSE 0 END AS ns
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |y AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM x)
+       |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+       |  epoch_ms(max(ts) + INTERVAL $GapMinutes MINUTE) AS end_ms, COUNT(*) AS n_events
+       |FROM y GROUP BY user_id, sess_id ORDER BY user_id, start_ms""".stripMargin
+
   /** Exactly-once dedup of an at-least-once stream: `dropDuplicates` on the
     * event id — usable verbatim under `readStream` with a watermark bounding
     * the dedup state (StreamingSpec runs it that way over a doubled
@@ -317,6 +350,7 @@ object StreamingOps extends QueryRegistry {
     QueryDef("st_window_topk", stWindowTopk, Some(stWindowTopkSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
+    QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
     QueryDef("st_late_drop", stLateDrop, Some(stLateDropSql)),
     QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),
