@@ -1978,6 +1978,59 @@ object Queries extends QueryRegistry {
       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0), 4) AS var_price
       |FROM g ORDER BY o_orderpriority""".stripMargin
 
+  // --- q_corr: pairwise Pearson correlation of daily revenue between
+  // order priorities — the co-movement matrix a demand dashboard reads
+  // (do URGENT and LOW days rise together?). Same exact-moment contract
+  // as q_dispersion: daily cents are exact decimals, all five moments are
+  // exact decimal sums (21 digits at most here — far inside DECIMAL(38)
+  // and DuckDB's HUGEINT, so neither engine rounds), and the final corr
+  // is casts + one division + two sqrts, every step correctly rounded
+  // under IEEE-754 in both engines. Plan: one (day, priority) partial-agg
+  // shuffle, a self-join on the BOUNDED day dim, then a 10-row moment
+  // aggregate — nothing fact-sized past the first shuffle.
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), col("o_orderpriority").as("p"),
+        (dec(col("o_totalprice")) * 100).cast(DecimalType(18, 0)).as("c"))
+      .groupBy("d", "p").agg(sum("c").cast(DecimalType(18, 0)).as("x"))
+    val a = daily.select(col("d"), col("p").as("pa"), col("x").as("xa"))
+    val b = daily.select(col("d"), col("p").as("pb"), col("x").as("xb"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    a.join(b, "d").filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n"),
+        sum("xa").cast(DecimalType(38, 0)).as("sx"),
+        sum("xb").cast(DecimalType(38, 0)).as("sy"),
+        sum((col("xa") * col("xb")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("xa") * col("xa")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("xb") * col("xb")).cast(DecimalType(38, 0))).as("syy"))
+      .select(col("pa"), col("pb"), col("n"),
+        when(vx === 0 || vy === 0, lit(null).cast("double"))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+          .as("corr"))
+      .orderBy("pa", "pb")
+  }
+
+  private val qCorrSql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS p,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |j AS (SELECT a.pa, b.pb, a.xa, b.xb
+      |  FROM (SELECT d, p AS pa, x AS xa FROM daily) a
+      |  JOIN (SELECT d, p AS pb, x AS xb FROM daily) b USING (d)
+      |  WHERE a.pa < b.pb),
+      |g AS (SELECT pa, pb, COUNT(*) AS n, SUM(xa) AS sx, SUM(xb) AS sy,
+      |    SUM(xa * xb) AS sxy, SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+      |  FROM j GROUP BY 1, 2)
+      |SELECT pa, pb, n,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+      |  END AS corr
+      |FROM g ORDER BY 1, 2""".stripMargin
+
   // --- q_first_last: first-touch / last-touch attribution — each
   // customer's earliest and latest order (date, orderkey tie-break) with
   // prices. Deliberately NOT a first_value/last_value window: min_by /
@@ -2112,6 +2165,7 @@ object Queries extends QueryRegistry {
     QueryDef("q_window_funnel", qWindowFunnel, Some(qWindowFunnelSql)),
     QueryDef("q_first_last", qFirstLast, Some(qFirstLastSql)),
     QueryDef("q_dispersion", qDispersion, Some(qDispersionSql)),
+    QueryDef("q_corr", qCorr, Some(qCorrSql)),
     QueryDef("q_mode", qMode, Some(qModeSql)),
     QueryDef("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)),
     QueryDef("q_copurchase", qCopurchase, Some(qCopurchaseSql)),
