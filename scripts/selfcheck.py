@@ -16,6 +16,13 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Ops allowed to return 0 rows at sf0.01. An empty result that the oracle
+# also returns empty is VACUOUS — it passes the compare while checking
+# nothing (x_boilerplate shipped that way for two rounds before it was
+# caught). Today every op yields rows at sf0.01, so the allowlist is
+# empty; add a name here ONLY with a comment saying why empty is correct.
+VACUOUS_OK: set = set()
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -47,6 +54,15 @@ def main() -> int:
             continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            failures += 1
+            continue
+        # vacuity guard (sf0.01 = the driver's gate scale): both sides
+        # empty means the oracle verified nothing at all
+        if (len(g) == 0 and name not in VACUOUS_OK
+                and sf_dir.rstrip("/").endswith("sf0.01")):
+            print(f"FAIL {name}: vacuous — 0 rows at sf0.01; the oracle "
+                  "discriminates nothing (allowlist in selfcheck.py only "
+                  "if genuinely empty)")
             failures += 1
             continue
         mismatched = []

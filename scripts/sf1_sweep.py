@@ -1,40 +1,59 @@
 #!/usr/bin/env python3
-"""10x scale sweep: time the most expensive ops at sf0.1 and at a 10x
-amplified copy (scripts/make_sfx.py -> /tmp/sf1), report per-op ratios,
-flag super-linear drift. Writes BENCH_SF1.json.
+"""10x scale sweep: time operators at sf0.1 and at a 10x amplified copy
+(scripts/make_sfx.py -> /tmp/sf1), report per-op ratios, flag super-linear
+drift. Writes BENCH_SF1.json.
 
-Usage: python3 scripts/sf1_sweep.py [op ...]   (default: the top list below)
+Usage:
+  python3 scripts/sf1_sweep.py all [oracle_sql.json]  # full battery (default
+                                                      # json: a Verify dump)
+  python3 scripts/sf1_sweep.py <op> [op ...]          # named subset
 
 A linear-scaling op should land near 10x (less when fixed overhead
 dominates, e.g. commit machinery); anything well past LINEAR_FLAG x is
 flagged for a plan audit — that is the quadratic-drift detector this
-sweep exists for.
+sweep exists for. The full battery runs in BATCH-sized JVMs (fresh JVM
+per batch bounds heap fragmentation and gives resumability: results are
+flushed to BENCH_SF1.partial.json after every batch, and already-timed
+ops are skipped on rerun). The JVM is invoked directly (not via sbt) so
+the sweep can run alongside an sbt session without fighting its lock —
+compile FIRST, the sweep reads target/scala-2.13/classes.
 """
 import json
+import os
 import re
 import subprocess
 import sys
 
-# top-10 most expensive ops of the round-6 driver bench + the two
-# windows reworked this round
-DEFAULT_OPS = [
-    "d_minhash_lsh", "t_sql_pipeline", "t_incr_join_view", "d_lsh_tuning",
-    "t_repartition_evolve", "t_record_index", "t_multiformat_ingest",
-    "d_minhash_est", "t_cdc", "t_consistent_hash",
-    "q_decile_report", "c_token_budget",
-]
 LINEAR_FLAG = 13.0  # 10x data + 30% slack for shuffle constants
+BATCH = 24
+PARTIAL = "/root/repo/BENCH_SF1.partial.json"
+FINAL = "/root/repo/BENCH_SF1.json"
 
-ops = sys.argv[1:] or DEFAULT_OPS
+ADD_OPENS = [f"--add-opens=java.base/{p}=ALL-UNNAMED" for p in [
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "jdk.internal.ref", "sun.nio.ch",
+    "sun.nio.cs", "sun.security.action", "sun.util.calendar"]]
 
 
-def bench(sfdir):
-    env = {"SPARK_GRAFT_SF_DIR": sfdir, "SPARK_GRAFT_CPUS": "16"}
-    import os
-    out = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.tools.BenchSome {' '.join(ops)}"],
-        capture_output=True, text=True, env={**os.environ, **env},
-        cwd="/root/repo", timeout=7200)
+def op_list(argv):
+    if argv and argv[0] != "all":
+        return argv
+    src = argv[1] if len(argv) > 1 else "/tmp/graft_verify/oracle_sql.json"
+    if not os.path.exists(src):
+        sys.exit(f"op list source {src} missing — run graft.Verify first "
+                 "or pass explicit op names")
+    return sorted(json.load(open(src)).keys())
+
+
+def bench(ops, sfdir):
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": sfdir, "SPARK_GRAFT_CPUS": "16"}
+    cmd = (["java"] + ADD_OPENS +
+           ["-Xmx24g", "-cp",
+            "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*",
+            "graft.tools.BenchSome"] + list(ops))
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd="/root/repo", timeout=7200)
     times = {}
     for line in out.stdout.splitlines() + out.stderr.splitlines():
         m = re.search(r"\[benchsome\] (\S+) run(\d) +([0-9.]+) s", line)
@@ -42,23 +61,41 @@ def bench(sfdir):
             times[m.group(1)] = float(m.group(3))
     missing = [o for o in ops if o not in times]
     if missing:
-        sys.exit(f"no timing for {missing} at {sfdir}:\n{out.stdout[-3000:]}\n{out.stderr[-2000:]}")
+        sys.exit(f"no timing for {missing} at {sfdir}:"
+                 f"\n{out.stdout[-3000:]}\n{out.stderr[-2000:]}")
     return times
 
 
-t01 = bench("/root/testdata/sf0.1")
-t1 = bench("/tmp/sf1")
+def main():
+    ops = op_list(sys.argv[1:])
+    done = {}
+    if os.path.exists(PARTIAL):
+        done = json.load(open(PARTIAL))
+        print(f"resuming: {len(done)} ops already timed in {PARTIAL}")
+    todo = [o for o in ops if o not in done]
+    for i in range(0, len(todo), BATCH):
+        batch = todo[i:i + BATCH]
+        print(f"batch {i // BATCH + 1}: {batch[0]}..{batch[-1]} "
+              f"({len(batch)} ops)")
+        t01 = bench(batch, "/root/testdata/sf0.1")
+        t1 = bench(batch, "/tmp/sf1")
+        for op in batch:
+            ratio = round(t1[op] / t01[op], 2)
+            done[op] = {"sf0.1_s": round(t01[op], 3),
+                        "sf1_s": round(t1[op], 3), "ratio": ratio,
+                        "super_linear": ratio > LINEAR_FLAG}
+            print(f"{op:24s} {t01[op]:8.2f}s -> {t1[op]:8.2f}s  x{ratio}"
+                  + ("  <-- SUPER-LINEAR" if ratio > LINEAR_FLAG else ""))
+        with open(PARTIAL, "w") as f:
+            json.dump(done, f, indent=2)
+    rows = {o: done[o] for o in ops}
+    result = {"factor": 10, "linear_flag": LINEAR_FLAG,
+              "n_ops": len(rows), "ops": rows,
+              "flagged": [o for o, r in rows.items() if r["super_linear"]]}
+    with open(FINAL, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {FINAL} ({len(rows)} ops); flagged:", result["flagged"])
 
-rows = {}
-for op in ops:
-    ratio = round(t1[op] / t01[op], 2)
-    rows[op] = {"sf0.1_s": round(t01[op], 3), "sf1_s": round(t1[op], 3),
-                "ratio": ratio, "super_linear": ratio > LINEAR_FLAG}
-    print(f"{op:24s} {t01[op]:8.2f}s -> {t1[op]:8.2f}s  x{ratio}"
-          + ("  <-- SUPER-LINEAR" if ratio > LINEAR_FLAG else ""))
 
-result = {"factor": 10, "linear_flag": LINEAR_FLAG, "ops": rows,
-          "flagged": [o for o, r in rows.items() if r["super_linear"]]}
-with open("/root/repo/BENCH_SF1.json", "w") as f:
-    json.dump(result, f, indent=2)
-print("wrote BENCH_SF1.json; flagged:", result["flagged"])
+if __name__ == "__main__":
+    main()

@@ -66,22 +66,35 @@ object Bench {
       m.dropIfExists()
     }
 
+    // per-op self-attribution: alongside wall seconds, record the JVM GC
+    // time and commit-lock retry deltas spent INSIDE the measurement, so a
+    // driver-bench swing can be read as load/GC pressure vs lock contention
+    // vs code directly from BENCH_SELF.json (three rounds of battery-tail
+    // inflation have otherwise cost a rerun-and-adjudicate cycle each)
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    final case class OpStat(sec: Double, gcMs: Long, leaseRetries: Long)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis
+      val lr0 = graft.tables.Timeline.lockRetries.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      val stat = OpStat(dt, gcMillis - gc0,
+        graft.tables.Timeline.lockRetries.get() - lr0)
       // untimed inter-query cleanup: queries are independent, so blocks a
       // query cached (or localCheckpointed) must not squeeze the next one's
       // execution memory — the GC lets the ContextCleaner drop orphaned
       // checkpoint blocks
       spark.catalog.clearCache()
       System.gc()
-      name -> dt
+      name -> stat
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v.sec) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2.sec).sum else 0.0
     // The harness records only the LAST ~2000 chars of stdout and parses a
     // JSON line out of that window. With 100+ ops the full per-op line is
     // ~2.7 KB and can never sit complete inside the window (round 4's
@@ -92,8 +105,18 @@ object Bench {
     val fullLine =
       s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}"""
     println(fullLine)
+    // BENCH_SELF.json carries the attribution detail: {sec, gc_ms,
+    // lease_retries} per op. Interpretation rule (SURVEY §5): a sec swing
+    // with proportionally swollen gc_ms is machine/GC pressure; nonzero
+    // lease_retries is commit-lock contention; neither = code.
+    val detail = results.map { case (k, v) =>
+      "\"" + k + "\":{\"sec\":" + f3(v.sec) + ",\"gc_ms\":" + v.gcMs +
+        ",\"lease_retries\":" + v.leaseRetries + "}"
+    }.mkString("{", ",", "}")
+    val selfLine =
+      s"""{"queries":$detail,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"), fullLine + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"), selfLine + "\n")
     catch { case _: Exception => () } // repo may be elsewhere; the line printed
     val families = Seq(
       "tables" -> "t_", "query" -> "q", "dedup" -> "d_", "text" -> "x_",
@@ -104,7 +127,7 @@ object Bench {
         .sortBy(-_._2.length).headOption.map(_._1).getOrElse("other")
     val byFam = results.groupBy { case (k, _) => family(k) }
     val famJson = families.map(_._1).filter(byFam.contains).map { f =>
-      val vs = byFam(f).map(_._2)
+      val vs = byFam(f).map(_._2.sec)
       "\"" + f + "_" + vs.size + "ops\":" + f3(vs.sum)
     }.mkString("{", ",", "}")
     val slim =

@@ -805,6 +805,121 @@ object Ann extends QueryRegistry {
        |FROM bf b LEFT JOIN iv i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- s_recall_refined: recall@k of the IVF index under the RAW
+  // hash-rank centroid sample vs [[Centroids.refine]]d centroids (two
+  // deterministic quantized Lloyd steps over a bounded 2048-vector
+  // training sample), both against the exact brute-force ground truth —
+  // the graded evidence that refinement is worth its cost before a 100 TB
+  // index build commits to it. Everything is bit-deterministic (hash-rank
+  // sampling, quantized integer recentering, round6 cosine), so the WHOLE
+  // comparison — including both Lloyd steps — is stated as a DuckDB
+  // oracle (the sKmeans a1/m/c1/a2 CTE pattern, plus the dead-centroid
+  // keep rule as a LEFT JOIN coalesce). Mean recall is an exact integer
+  // hit-count divided once at the end (no order-sensitive double
+  // accumulation). Cost: evaluation is O(|queries|·k); refinement is
+  // O(sampleN·k·iters) with constant-size broadcasts — corpus-size-free.
+  def sRecallRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val bf = sTopkBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+    def meanRecall(variant: String, cents: Option[DataFrame]): DataFrame = {
+      val iv = sTopkIvf(s, dir, cents)
+        .select(col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
+      bf.join(iv, col("q_id") === col("iq_id") &&
+          col("vec_id") === col("ivec_id"), "left")
+        .groupBy("q_id").agg(count(col("ivec_id")).as("h"))
+        .agg(count(lit(1)).as("n_queries"), sum("h").as("th"))
+        .select(lit(variant).as("variant"), col("n_queries"),
+          round(col("th").cast("double") /
+            (col("n_queries") * lit(K)).cast("double"), 6).as("mean_recall"))
+    }
+    val refined = Centroids.refine(e)
+      .select(col("c_id"), expr("transform(ce, x -> cast(x as float))").as("ce"))
+    meanRecall("raw_sample", None)
+      .unionAll(meanRecall("refined", Some(refined)))
+      .orderBy("variant")
+  }
+
+  private val sRecallRefinedSql = {
+    // one Lloyd step: assign the quantized training sample to `cin`'s
+    // nearest centroid (L2, ties by c_id), recenter by exact integer mean,
+    // dead centroids keep their position (the refine() coalesce rule)
+    def lloyd(cin: String, cout: String): String =
+      s"""a_$cout AS (SELECT vec_id, qv, c_id FROM (
+         |    SELECT t.vec_id, t.qv, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, len(t.qv) + 1),
+         |          i -> (CAST(t.qv[i] AS DOUBLE) / 1000000.0 - c.ce[i])
+         |             * (CAST(t.qv[i] AS DOUBLE) / 1000000.0 - c.ce[i]))), c.c_id) AS rn
+         |    FROM tr t CROSS JOIN $cin c) WHERE rn = 1),
+         |m_$cout AS (SELECT c_id, i,
+         |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mv
+         |  FROM (SELECT c_id, unnest(range(1, len(qv) + 1)) AS i, unnest(qv) AS x
+         |    FROM a_$cout) GROUP BY c_id, i),
+         |r_$cout AS (SELECT c_id, list(mv ORDER BY i) AS nce FROM m_$cout GROUP BY c_id),
+         |$cout AS (SELECT c.c_id, coalesce(r.nce, c.ce) AS ce
+         |  FROM $cin c LEFT JOIN r_$cout r ON r.c_id = c.c_id)""".stripMargin
+    // one IVF pass over centroid CTE `c` (columns c_id, ce, cnrm) -> top-K
+    def ivf(c: String, out: String): String =
+      s"""asg_$out AS (SELECT vec_id, embedding, nrm, bucket FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+         |          / (e.nrm * c.cnrm), 6) DESC, c.c_id) AS rn
+         |    FROM e CROSS JOIN $c c) WHERE rn = 1),
+         |pr_$out AS (SELECT q_id, qe, qn, bucket FROM (
+         |    SELECT q.q_id, q.qe, q.qn, c.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |        round(list_sum(list_transform(range(1, len(q.qe) + 1),
+         |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+         |          / (q.qn * c.cnrm), 6) DESC, c.c_id) AS prn
+         |    FROM q CROSS JOIN $c c) WHERE prn <= 2),
+         |$out AS (SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, a.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+         |        round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(p.qe[i] AS DOUBLE)))
+         |          / (a.nrm * p.qn), 6) DESC, a.vec_id) AS rank
+         |    FROM asg_$out a JOIN pr_$out p
+         |      ON a.bucket = p.bucket AND a.vec_id <> p.q_id) WHERE rank <= $K)""".stripMargin
+    def recall(top: String, variant: String): String =
+      s"""SELECT '$variant' AS variant, COUNT(*) AS n_queries,
+         |  round(CAST(SUM(h) AS DOUBLE) / (COUNT(*) * $K), 6) AS mean_recall
+         |FROM (SELECT b.q_id, COUNT(t.vec_id) AS h FROM bf b
+         |  LEFT JOIN $top t ON t.q_id = b.q_id AND t.vec_id = b.vec_id
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 5),
+       |bf AS (SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+       |          / (e.nrm * q.qn), 6) DESC, e.vec_id) AS rank
+       |    FROM e JOIN q ON e.vec_id <> q.q_id) WHERE rank <= $K),
+       |craw AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e ${Centroids.sqlTail()}),
+       |tr AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048)),
+       |c0 AS (SELECT c_id, list_transform(ce, x -> CAST(x AS DOUBLE)) AS ce FROM craw),
+       |${lloyd("c0", "c1")},
+       |${lloyd("c1", "c2")},
+       |cref AS (SELECT c_id, list_transform(ce, x -> CAST(x AS REAL)) AS cef FROM c2),
+       |crefn AS (SELECT c_id, cef AS ce,
+       |    sqrt(list_sum(list_transform(cef, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+       |  FROM cref),
+       |${ivf("craw", "top_raw")},
+       |${ivf("crefn", "top_ref")}
+       |SELECT * FROM (
+       |  ${recall("top_raw", "raw_sample").replace("\n", "\n  ")}
+       |  UNION ALL
+       |  ${recall("top_ref", "refined").replace("\n", "\n  ")}
+       |) ORDER BY variant""".stripMargin
+  }
+
   // --- s_filtered_knn: metadata-filtered vector search — exact top-k
   // cosine restricted to vectors whose document is English (documents
   // joined on doc_id = vec_id). PRE-filter semantics (the filter narrows
@@ -875,6 +990,7 @@ object Ann extends QueryRegistry {
     QueryDef("s_score_dist", sScoreDist, Some(sScoreDistSql)),
     QueryDef("s_cluster_quality", sClusterQuality, Some(sClusterQualitySql)),
     QueryDef("s_recall_eval", sRecallEval, Some(sRecallEvalSql)),
+    QueryDef("s_recall_refined", sRecallRefined, Some(sRecallRefinedSql)),
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),

@@ -190,36 +190,20 @@ object Dedup extends QueryRegistry {
   // graph — transitive closure of the jac >= 0.5 pairs, the clustering
   // step that turns pairwise candidates into dedup groups (A~B and B~C
   // put A,B,C in ONE group even when A~C never surfaced; keeping one doc
-  // per component is the actual dedup action). Iterative min-label
-  // propagation to the FIXPOINT, which is unique (component-minimum id),
-  // so iteration count cannot leak into the output and the DuckDB oracle
-  // can state the closure recursively. Each round is one join + one
-  // aggregate over the PAIR GRAPH (dup clusters only — not the corpus);
-  // rounds are bounded by component diameter, O(log n) with the standard
-  // large-star/small-star variant this reduces to at 100 TB. The per-round
-  // driver-side convergence check reads ONE count.
+  // per component is the actual dedup action). Runs the large-star/
+  // small-star contraction ([[ConnectedComponents]]) to the FIXPOINT,
+  // which is unique (component-minimum id), so iteration count cannot
+  // leak into the output and the DuckDB oracle can state the closure
+  // recursively. Rounds are O(log^2 n) regardless of component DIAMETER
+  // — a crawl-mirror chain of length d no longer costs d shuffle rounds
+  // — and every round touches only the PAIR GRAPH (dup clusters, not
+  // the corpus). Empty pair graphs short-circuit to an empty result.
   def dNeardupClusters(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
-    val pairs = jaccardPairs(sh).filter(col("jac") >= 0.5).select("da", "db")
-    val edges = pairs.unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
-      .toDF("a", "b").cache()
-    var labels = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("lab")).cache()
-    // labels only ever DECREASE toward the component minimum, so the label
-    // sum is a strictly-monotone convergence witness: one tiny aggregate
-    // per round instead of a join-and-count against the previous state
-    var prevSum = Long.MinValue
-    var curSum = labels.agg(sum("lab")).head().getLong(0)
-    while (curSum != prevSum) {
-      val nbr = edges.join(labels, col("b") === col("v"))
-        .select(col("a").as("v"), col("lab"))
-      val upd = labels.unionAll(nbr).groupBy("v").agg(min("lab").as("lab")).cache()
-      prevSum = curSum
-      curSum = upd.agg(sum("lab")).head().getLong(0)
-      labels.unpersist()
-      labels = upd
-    }
-    labels.select(col("v").as("doc_id"), col("lab").as("cluster_id"))
+    val pairs = jaccardPairs(sh).filter(col("jac") >= 0.5)
+      .select(col("da").as("a"), col("db").as("b"))
+    ConnectedComponents.run(pairs)
+      .select(col("v").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
   }
 

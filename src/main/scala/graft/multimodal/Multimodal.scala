@@ -238,7 +238,9 @@ object Multimodal extends QueryRegistry {
       .join(broadcast(offsets), Seq("media_type", "bkt"))
       .withColumn("before", col("run_local") + col("off") - col("n_bytes"))
       .select(col("doc_id"), col("media_type"),
-        floor(col("before") / 4096L).as("shard_id"),
+        // integer `div`, not floor(double /): double division is exact only
+        // below 2^53 cumulative bytes, which a 100 TB shard stream exceeds
+        expr("before div 4096").as("shard_id"),
         (col("before") % 4096L).as("offset_bytes"),
         col("n_bytes"))
       .orderBy("doc_id")

@@ -165,6 +165,12 @@ final class AsyncServices(
   private val nCompactions = new java.util.concurrent.atomic.AtomicInteger
   private val nClusterings = new java.util.concurrent.atomic.AtomicInteger
   private val nConflicts = new java.util.concurrent.atomic.AtomicInteger
+  // latest timeline instant at the last clustering poll that declined to
+  // act: a satisfied-but-unsplittable bucket trigger (every bucket under
+  // splitThreshold) would otherwise re-run the full liveFiles replay
+  // (25-500 ms) on EVERY poll until a new commit lands — only a timeline
+  // change can change the decision, so skip the poll until one does
+  @volatile private var clusterNoopAt: Option[String] = None
 
   private val thread = new Thread(() => {
     while (!stopped) {
@@ -172,10 +178,16 @@ final class AsyncServices(
         if (targetRows > 0L &&
             TableServices.maybeCompact(table, targetRows, deltaCommits, deltaSeconds).nonEmpty)
           nCompactions.incrementAndGet()
-        if (asyncCluster && !stopped &&
-            TableServices.maybeCluster(table, clusterSortCols, clusterNumFiles,
-              clusterDeltaCommits).nonEmpty)
-          nClusterings.incrementAndGet()
+        if (asyncCluster && !stopped) {
+          val latest = table.timeline.latestInstant()
+          if (latest != clusterNoopAt) {
+            if (TableServices.maybeCluster(table, clusterSortCols, clusterNumFiles,
+                clusterDeltaCommits).nonEmpty) {
+              nClusterings.incrementAndGet()
+              clusterNoopAt = None
+            } else clusterNoopAt = latest
+          }
+        }
       } catch {
         case _: InterruptedException => ()
         // lost a first-committer-wins race to a concurrent writer: benign,

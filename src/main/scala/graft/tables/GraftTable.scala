@@ -519,9 +519,26 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   }
 
   // ------------------------------------------------------- expression index
+  //
+  // Storage is SHARDED PARQUET, not a single driver-side JSON: entries
+  // (path, mn, mx) live under _graft/exprindex/<name>/b=<0..15>/ keyed by
+  // path hash, with a tiny <name>.meta.json ({expr, kind}) beside it.
+  // Harvest, merge, and range-overlap filtering all run AS SPARK JOBS —
+  // the driver only ever collects the pruned survivor list (output-sized)
+  // and the affected-bucket ids, so at millions of files there is no
+  // single JSON whose read/write/parse is an O(#files) driver bottleneck
+  // (the record index pioneered this layout; see recordIndexDir). A
+  // refresh rewrites ONLY the buckets containing new or dead entries.
+  // Crash safety: an interrupted bucket overwrite can only LOSE entries,
+  // and a missing entry conservatively keeps its file in every lookup.
 
-  private def exprIndexPath(name: String) =
-    new Path(s"${cfg.path}/_graft/exprindex/$name.json")
+  private val ExprIndexBuckets = 16
+
+  private def exprIndexDir(name: String) =
+    new Path(s"${cfg.path}/_graft/exprindex/$name")
+
+  private def exprIndexMetaPath(name: String) =
+    new Path(s"${cfg.path}/_graft/exprindex/$name.meta.json")
 
   /** Map an expression's Catalyst type to the [[ColStat]] comparison domain
     * it can be indexed under. DECIMAL is safe here (unlike footer harvesting)
@@ -535,58 +552,90 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       s"expression index does not support result type $other")
   }
 
-  /** Per-file min/max of the expression over `files` — ONE aggregation job
-    * (a map-side-combinable min/max per input file, no sort). Files whose
-    * expression is entirely NULL get no entry and are conservatively kept
-    * by every lookup. */
-  private def harvestExprStats(exprSql: String, kind: String,
-      files: Seq[FileMeta]): Map[String, ColStat] = {
-    if (files.isEmpty) return Map.empty
-    readFiles(files)
-      .select(input_file_name().as("_gf"), expr(exprSql).as("_gv"))
-      .groupBy("_gf").agg(min("_gv").as("mn"), max("_gv").as("mx"))
-      .collect()
-      .flatMap { r =>
-        if (r.isNullAt(1) || r.isNullAt(2)) None
-        else for {
-          lo <- ColStat.bound(kind, r.get(1))
-          hi <- ColStat.bound(kind, r.get(2))
-        } yield relPath(r.getString(0)) -> ColStat(kind, lo.toString, hi.toString)
-      }.toMap
+  /** Normalize a harvested min/max value to `kind`'s comparison-domain
+    * string, as an EXPRESSION — the distributed twin of [[ColStat.bound]]'s
+    * driver-side normalization (num/date/ts compare as doubles, lex as raw
+    * strings), so harvests never round-trip values through the driver. */
+  private def statStrCol(c: Column, kind: String): Column = kind match {
+    case ColStat.Lex => c.cast("string")
+    case ColStat.Date =>
+      datediff(c, lit("1970-01-01")).cast("double").cast("string")
+    case ColStat.Ts => unix_micros(c).cast("double").cast("string")
+    case _ => c.cast("double").cast("string") // ColStat.Num
   }
 
-  private def writeExprIndex(name: String, exprSql: String, kind: String,
-      entries: Map[String, ColStat]): Unit = {
+  private def exprBucketCol: Column =
+    pmod(xxhash64(col("path")), lit(ExprIndexBuckets)).cast("int").as("b")
+
+  /** Per-file min/max of the expression over `files` as a DataFrame
+    * (path, mn, mx) — ONE aggregation job (map-side-combinable min/max
+    * per input file, no sort), NEVER collected. Files whose expression is
+    * entirely NULL get no entry and are conservatively kept by every
+    * lookup. */
+  private def harvestExprStatsDf(exprSql: String, kind: String,
+      files: Seq[FileMeta]): DataFrame = {
+    if (files.isEmpty) return emptyExprEntries()
+    readFiles(files)
+      .select(GraftTable.relativizeCol(input_file_name(), rootStr).as("path"),
+        expr(exprSql).as("_gv"))
+      .groupBy("path").agg(min("_gv").as("_mn"), max("_gv").as("_mx"))
+      .filter(col("_mn").isNotNull && col("_mx").isNotNull)
+      .select(col("path"), statStrCol(col("_mn"), kind).as("mn"),
+        statStrCol(col("_mx"), kind).as("mx"))
+  }
+
+  private def emptyExprEntries(): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, mn STRING, mx STRING"))
+
+  /** All live index entries (path, mn, mx, b). Missing or entry-less
+    * index dirs read as empty (conservative: nothing prunes). */
+  private def readExprEntries(name: String): DataFrame = {
+    val dir = exprIndexDir(name)
+    val hasParquet = fs.exists(dir) && {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!hasParquet)
+      emptyExprEntries().withColumn("b", lit(0).cast("int"))
+    else spark.read.parquet(dir.toString).select("path", "mn", "mx", "b")
+  }
+
+  private def writeExprMeta(name: String, exprSql: String, kind: String): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("expr", exprSql)
     root.put("kind", kind)
-    val es = root.putObject("entries")
-    entries.toSeq.sortBy(_._1).foreach { case (p, st) =>
-      val n = es.putObject(p); n.put("min", st.min); n.put("max", st.max)
-    }
-    fs.mkdirs(exprIndexPath(name).getParent)
-    TableProperties.atomicWrite(fs, exprIndexPath(name),
+    fs.mkdirs(exprIndexMetaPath(name).getParent)
+    TableProperties.atomicWrite(fs, exprIndexMetaPath(name),
       mapper.writeValueAsBytes(root))
   }
 
-  private def readExprIndex(name: String): (String, String, Map[String, ColStat]) = {
-    val p = exprIndexPath(name)
+  private def readExprMeta(name: String): (String, String) = {
+    val p = exprIndexMetaPath(name)
     require(fs.exists(p), s"no expression index '$name' on table ${cfg.path}")
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(new String(bytes, "UTF-8"))
-    val kind = root.get("kind").asText()
-    val entries = scala.collection.mutable.Map.empty[String, ColStat]
-    val it = root.get("entries").fields()
-    while (it.hasNext) {
-      val e = it.next()
-      entries(e.getKey) =
-        ColStat(kind, e.getValue.get("min").asText(), e.getValue.get("max").asText())
-    }
-    (root.get("expr").asText(), kind, entries.toMap)
+    (root.get("expr").asText(), root.get("kind").asText())
   }
+
+  /** The distributed twin of [[ColStat.overlaps]] over normalized bound
+    * values (from [[ColStat.bound]]): keep where min <= hi && lo <= max
+    * in the kind's comparison domain. */
+  private def exprOverlapCond(kind: String, loB: Any, hiB: Any): Column =
+    (loB, hiB) match {
+      case (l: String, h: String) =>
+        col("mn") <= lit(h) && lit(l) <= col("mx")
+      case (l: java.lang.Double, h: java.lang.Double) =>
+        col("mn").cast("double") <= lit(h.doubleValue()) &&
+          lit(l.doubleValue()) <= col("mx").cast("double")
+      case _ => lit(true)
+    }
 
   /** Hudi-1.0-style EXPRESSION INDEX (`CREATE INDEX ... ON (expr)` with
     * column_stats): per-file min/max of an arbitrary deterministic SQL
@@ -602,32 +651,79 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     require(live.nonEmpty, s"cannot build expression index on empty table ${cfg.path}")
     val dt = readFiles(live).select(expr(exprSql).as("_gv")).schema.head.dataType
     val kind = exprKindOf(dt)
-    writeExprIndex(name, exprSql, kind, harvestExprStats(exprSql, kind, live))
+    fs.delete(exprIndexDir(name), true)
+    harvestExprStatsDf(exprSql, kind, live)
+      .withColumn("b", exprBucketCol)
+      .repartition(col("b"))
+      .write.partitionBy("b").mode("overwrite")
+      .parquet(exprIndexDir(name).toString)
+    writeExprMeta(name, exprSql, kind)
   }
 
   /** Incremental index maintenance: harvest stats for live files the index
     * doesn't cover yet (commits since the build) and drop entries for dead
-    * files. O(new files), not O(table). Returns how many files were newly
-    * indexed. */
+    * files. O(new files) harvest work, and ONLY the buckets that gained a
+    * fresh entry or lost a dead one are rewritten — untouched buckets keep
+    * their files byte-for-byte (pinned in TablesSpec), so a steady-state
+    * refresh is O(changed buckets), not O(index). Returns how many files
+    * were newly indexed. */
   def refreshExpressionIndex(name: String): Int = {
-    val (exprSql, kind, entries) = readExprIndex(name)
+    import spark.implicits._
+    val (exprSql, kind) = readExprMeta(name)
     val live = timeline.liveFiles(None)
-    val fresh = harvestExprStats(exprSql, kind, live.filterNot(f => entries.contains(f.path)))
-    val livePaths = live.map(_.path).toSet
-    writeExprIndex(name, exprSql, kind,
-      entries.filter { case (p, _) => livePaths(p) } ++ fresh)
-    fresh.size
+    val liveDf = live.map(_.path).toDF("path")
+    val entries = readExprEntries(name)
+    // uncovered live files (an anti-join, not a driver set): O(new) rows
+    val freshPaths = liveDf.join(entries.select("path"), Seq("path"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    val freshFiles = live.filter(f => freshPaths(f.path))
+    // pin the fresh harvest once — it is reused per affected bucket below
+    val fresh = harvestExprStatsDf(exprSql, kind, freshFiles)
+      .withColumn("b", exprBucketCol).localCheckpoint()
+    val freshBuckets = fresh.select("b").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val deadBuckets = entries.join(liveDf, Seq("path"), "left_anti")
+      .select("b").distinct().collect().map(_.getInt(0)).toSet
+    val nFresh = fresh.count().toInt
+    (freshBuckets ++ deadBuckets).toSeq.sorted.foreach { k =>
+      val bucketDir = new Path(exprIndexDir(name), s"b=$k")
+      val existing =
+        if (fs.exists(bucketDir)) spark.read.parquet(bucketDir.toString)
+          .select("path", "mn", "mx")
+        else emptyExprEntries()
+      // materialize the merged bucket BEFORE overwriting the dir it reads
+      val merged = existing.join(liveDf, Seq("path"), "left_semi")
+        .unionByName(fresh.filter(col("b") === k).drop("b"))
+        .localCheckpoint()
+      merged.write.mode("overwrite").parquet(bucketDir.toString)
+    }
+    nFresh
   }
 
   def dropExpressionIndex(name: String): Unit = {
-    fs.delete(exprIndexPath(name), false); ()
+    fs.delete(exprIndexDir(name), true)
+    fs.delete(exprIndexMetaPath(name), false); ()
   }
 
   /** Live files that may contain rows whose indexed expression falls in
-    * [lo, hi] (exposed for tests/plan audits). Unindexed files are kept. */
+    * [lo, hi] (exposed for tests/plan audits). Unindexed files are kept.
+    * The overlap test runs as a Spark filter over the sharded entries —
+    * the driver collects only the surviving file list (output-sized),
+    * never the index. */
   def exprIndexFiles(name: String, lo: Any, hi: Any): Seq[FileMeta] = {
-    val (_, _, entries) = readExprIndex(name)
-    timeline.liveFiles(None).filter(f => entries.get(f.path).forall(_.overlaps(lo, hi)))
+    import spark.implicits._
+    val (_, kind) = readExprMeta(name)
+    val live = timeline.liveFiles(None)
+    (ColStat.bound(kind, lo), ColStat.bound(kind, hi)) match {
+      case (Some(l), Some(h)) =>
+        val liveDf = live.map(_.path).toDF("path")
+        val kept = liveDf
+          .join(readExprEntries(name).select("path", "mn", "mx"), Seq("path"), "left")
+          .filter(col("mn").isNull || exprOverlapCond(kind, l, h))
+          .select("path").collect().map(_.getString(0)).toSet
+        live.filter(f => kept(f.path))
+      case _ => live // unanswerable bound type: keep all, skip the index read
+    }
   }
 
   /** Expression-pruned range read: scans only [[exprIndexFiles]]'s files,
@@ -636,9 +732,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * resolve an older one (same caveat as [[readBetween]]). */
   def readExprBetween(name: String, lo: Any, hi: Any): DataFrame = {
     require(cfg.tableType == TableType.Cow, "readExprBetween requires a COW table")
-    val (exprSql, _, entries) = readExprIndex(name)
-    val files = timeline.liveFiles(None)
-      .filter(f => entries.get(f.path).forall(_.overlaps(lo, hi)))
+    val (exprSql, _) = readExprMeta(name)
+    val files = exprIndexFiles(name, lo, hi)
     if (files.isEmpty) read().filter(lit(false))
     else dropInternal(readFiles(files)).filter(expr(exprSql).between(lit(lo), lit(hi)))
   }

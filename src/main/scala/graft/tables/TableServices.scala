@@ -54,11 +54,14 @@ object TableServices {
     val t = table.timeline
     val instants = t.instants()
     if (instants.isEmpty) return None
-    val sinceCluster = instants.reverse.takeWhile { i =>
-      val op = t.readCommit(i).op
-      op != "cluster" && op != "split_bucket"
-    }
-    if (sinceCluster.size < deltaCommits) return None
+    // the trigger only needs to know whether >= deltaCommits non-cluster
+    // commits landed since the last layout reorg — stop the metadata scan
+    // at deltaCommits instants instead of replaying the whole timeline
+    // on every poll (a long-lived stream's timeline grows unboundedly)
+    val sinceCluster = instants.reverseIterator.map(i => t.readCommit(i).op)
+      .takeWhile(op => op != "cluster" && op != "split_bucket")
+      .take(deltaCommits).size
+    if (sinceCluster < deltaCommits) return None
     if (table.cfg.numBuckets > 0) {
       if (maybeSplitBuckets(table, splitThreshold).nonEmpty) t.latestInstant()
       else None

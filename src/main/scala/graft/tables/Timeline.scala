@@ -362,6 +362,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
           }
         }
       } catch { case _: java.io.FileNotFoundException => () } // released; retry now
+      Timeline.lockRetries.incrementAndGet()
       Thread.sleep(50)
     }
     throw new LockTimeoutException(
@@ -616,6 +617,14 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
 }
 
 object Timeline {
+  /** Process-wide count of commit-lock acquire retries (a waiter found the
+    * lock held — or freshly broken — and slept before trying again).
+    * Monotone; readers take deltas. Bench records the per-op delta into
+    * BENCH_SELF.json so a latency swing can be attributed to lock
+    * contention (concurrent-writer ops) vs plain machine load without a
+    * rerun-and-compare cycle. */
+  val lockRetries = new java.util.concurrent.atomic.AtomicLong
+
   // One lock object per qualified table path, JVM-wide: serializes the
   // commit-conflict validation with the commit rename across every Timeline
   // handle (and thread) for the same table in this driver.

@@ -606,7 +606,8 @@ object TextOps extends QueryRegistry {
       s"SELECT $n AS n, doc_id, unnest(list_distinct(${grams(n)})) AS sh FROM d")
       .mkString("\n      | UNION ALL ")
     s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
-      |g AS ($arms)
+      |g0 AS ($arms),
+      |g AS (SELECT * FROM g0 WHERE sh <> '')
       |SELECT CAST(n AS BIGINT) AS n, COUNT(*) AS n_shingles,
       |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
       |  round(1.0 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 6) AS dup_rate

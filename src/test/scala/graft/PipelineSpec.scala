@@ -84,6 +84,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a candidate pair crosses clusters")
   }
 
+  test("large-star/small-star CC: chain, star, ring, forest, and empty graphs") {
+    import spark.implicits._
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.dedup.ConnectedComponents.run(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 0-1-2-...-63: diameter 63, the case plain label propagation
+    // needs 63 rounds for; star contraction must still find min 0
+    val chain = cc((0L until 63L).map(i => (i, i + 1)))
+    assert(chain.size == 64 && chain.values.forall(_ == 0L), s"chain: $chain")
+    // star centered at the LARGEST id (worst case for downward edges)
+    val star = cc((0L until 20L).map(i => (99L, i)))
+    assert(star.size == 21 && star.values.forall(_ == 0L), s"star: $star")
+    // ring 10..19 closed: component min 10
+    val ring = cc((10L until 19L).map(i => (i, i + 1)) :+ (19L, 10L))
+    assert(ring.size == 10 && ring.values.forall(_ == 10L), s"ring: $ring")
+    // forest: two components + an isolated self-contained pair, plus
+    // duplicate and reversed edges (run() must canonicalize)
+    val forest = cc(Seq((5L, 3L), (3L, 5L), (3L, 7L), (100L, 200L), (200L, 100L)))
+    assert(forest == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 100L -> 100L, 200L -> 100L))
+    // empty pair graph: must return an empty frame, not NPE on a null
+    // aggregate (the round-7 ADVICE crash)
+    val empty = graft.dedup.ConnectedComponents.run(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq == Seq("v", "lab"))
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force and is deterministic") {
     val bf = Ann.sTopkBruteforce(spark, sfSmall)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

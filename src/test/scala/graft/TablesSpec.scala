@@ -656,6 +656,59 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("crash injection: writers interrupted at random points never corrupt the table") {
+    // The concurrency matrix (lease retries, NBCC, async services, orphan
+    // reaping) is tested piecewise elsewhere; this is the adversarial
+    // composition: kill a writer at a SEEDED-RANDOM point mid-protocol,
+    // then assert the commit contract held — every tagged wave is
+    // all-or-nothing, no rows are ever lost or duplicated, the lock never
+    // wedges (interrupt unwinds through the holder's finally), and the
+    // reaper deletes the killed writers' half-written files without
+    // touching live data.
+    val tbl = freshTable("crash_inject")
+    tbl.insert(orders, numFiles = 4)
+    val n = orders.count()
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val landed = scala.collection.mutable.Map.empty[String, Long]
+    for (run <- 0 until 8) {
+      val tag = s"K$run"
+      val wave = orders.filter(col("o_orderkey") % 7 === run % 7)
+        .withColumn("o_orderstatus", lit(tag))
+      val expected = wave.count()
+      val t = new Thread(() => {
+        try GraftTable(spark, tbl.cfg).upsert(wave)
+        catch { case _: Throwable => () } // a killed writer may throw anything
+      }, s"crash-writer-$run")
+      t.start()
+      Thread.sleep(rnd.nextInt(1200).toLong) // randomized kill point
+      t.interrupt()
+      t.join(120000)
+      assert(!t.isAlive, s"writer $run wedged after interrupt")
+      // invariants, from a cache-cold handle (as the next job would see it)
+      val fresh = GraftTable(spark, tbl.cfg)
+      assert(fresh.read().count() == n, s"run $run: rows lost or duplicated")
+      val c = fresh.read().filter(col("o_orderstatus") === tag).count()
+      assert(c == 0L || c == expected,
+        s"run $run: partial commit visible — $c of $expected '$tag' rows")
+      landed(tag) = c
+    }
+    // the table is not wedged: a clean writer still commits normally
+    val fin = GraftTable(spark, tbl.cfg)
+    fin.upsert(orders.filter(col("o_orderkey") % 7 === 6)
+      .withColumn("o_orderstatus", lit("FIN")))
+    assert(fin.read().filter(col("o_orderstatus") === "FIN").count() ==
+      orders.filter(col("o_orderkey") % 7 === 6).count())
+    // reaper converges: half-written files from killed writers are
+    // unreferenced and reapable; committed state is untouched by reaping
+    val before = fin.read().groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fin.cleanOrphans(olderThanMs = 0L)
+    val after = GraftTable(spark, tbl.cfg).read().groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before, s"reaper changed visible state: $before -> $after")
+    assert(after.values.sum == n)
+  }
+
   test("concurrent MOR writers: delta appends never conflict, both commit") {
     val tbl = GraftTable(spark, GraftTableConfig(
       "/tmp/graft_spec/concurrent_mor", "o_orderkey", "o_orderkey",
@@ -1039,6 +1092,46 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.createExpressionIndex("pfx", "substring(o_orderpriority, 1, 1)")
     assert(tbl.exprIndexFiles("pfx", "9", "9").isEmpty ||
       tbl.readExprBetween("pfx", "9", "9").count() == 0)
+  }
+
+  test("expr index refresh rewrites only the buckets with new or dead entries") {
+    val tbl = freshTable("expr_shard")
+    tbl.insert(orders, numFiles = 8)
+    tbl.createExpressionIndex("m", "month(o_orderdate)")
+    val dir = new org.apache.hadoop.fs.Path(s"${tbl.cfg.path}/_graft/exprindex/m")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // signature of every index parquet file: bucket -> (name, mtime, len)
+    def snapshot(): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out(st.getPath.toString.split("/exprindex/m/")(1)) =
+            (st.getModificationTime, st.getLen)
+      }
+      out.toMap
+    }
+    def bucketOf(rel: String): String = rel.split("/")(0)
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // a pure insert of NEW keys adds a couple of files (no dead entries):
+    // only the buckets those paths hash to may be rewritten
+    tbl.insert(orders.limit(200)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L), numFiles = 2)
+    assert(tbl.refreshExpressionIndex("m") == 2)
+    val after = snapshot()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p)).map(bucketOf)
+    assert(changed.size <= 2, s"refresh touched buckets $changed for 2 new files")
+    // every file in an untouched bucket is byte-for-byte the same object
+    before.foreach { case (p, sig) =>
+      if (!changed(bucketOf(p)))
+        assert(after.get(p).contains(sig), s"unaffected bucket file $p rewritten")
+    }
+    // and the refreshed index still answers correctly
+    assert(tbl.readExprBetween("m", 3, 3).count() ==
+      tbl.read().filter(month(col("o_orderdate")) === 3).count())
   }
 
   test("stats harvesting is type-gated: decimals poisoned, date/ts prune correctly") {
