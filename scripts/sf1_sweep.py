@@ -66,34 +66,59 @@ def bench(ops, sfdir):
     return times
 
 
+def code_epoch():
+    """Identity of the code under measurement: git rev + dirty marker.
+    A partial from a DIFFERENT epoch must not be resumed — mixing
+    measurement epochs in one artifact silently blends old and new code."""
+    rev = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                         text=True, cwd="/root/repo").stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain"],
+                           capture_output=True, text=True,
+                           cwd="/root/repo").stdout.strip() != ""
+    return rev + ("+dirty" if dirty else "")
+
+
 def main():
     ops = op_list(sys.argv[1:])
+    epoch = code_epoch()
     done = {}
     if os.path.exists(PARTIAL):
-        done = json.load(open(PARTIAL))
-        print(f"resuming: {len(done)} ops already timed in {PARTIAL}")
+        partial = json.load(open(PARTIAL))
+        if partial.get("epoch") == epoch:
+            done = partial.get("ops", {})
+            print(f"resuming: {len(done)} ops already timed in {PARTIAL}")
+        else:
+            print(f"discarding stale partial (epoch {partial.get('epoch')} "
+                  f"!= {epoch})")
     todo = [o for o in ops if o not in done]
     for i in range(0, len(todo), BATCH):
         batch = todo[i:i + BATCH]
         print(f"batch {i // BATCH + 1}: {batch[0]}..{batch[-1]} "
-              f"({len(batch)} ops)")
+              f"({len(batch)} ops)", flush=True)
         t01 = bench(batch, "/root/testdata/sf0.1")
         t1 = bench(batch, "/tmp/sf1")
         for op in batch:
-            ratio = round(t1[op] / t01[op], 2)
+            # an op printing "0.00 s" at sf0.1 would divide by zero; clamp
+            # to the print resolution (ratio stays meaningful: "at most")
+            ratio = round(t1[op] / max(t01[op], 0.005), 2)
             done[op] = {"sf0.1_s": round(t01[op], 3),
                         "sf1_s": round(t1[op], 3), "ratio": ratio,
                         "super_linear": ratio > LINEAR_FLAG}
             print(f"{op:24s} {t01[op]:8.2f}s -> {t1[op]:8.2f}s  x{ratio}"
-                  + ("  <-- SUPER-LINEAR" if ratio > LINEAR_FLAG else ""))
+                  + ("  <-- SUPER-LINEAR" if ratio > LINEAR_FLAG else ""),
+                  flush=True)
         with open(PARTIAL, "w") as f:
-            json.dump(done, f, indent=2)
+            json.dump({"epoch": epoch, "ops": done}, f, indent=2)
     rows = {o: done[o] for o in ops}
-    result = {"factor": 10, "linear_flag": LINEAR_FLAG,
+    result = {"factor": 10, "linear_flag": LINEAR_FLAG, "epoch": epoch,
               "n_ops": len(rows), "ops": rows,
               "flagged": [o for o, r in rows.items() if r["super_linear"]]}
     with open(FINAL, "w") as f:
         json.dump(result, f, indent=2)
+    # the partial is consumed — leaving it would let a future rerun resume
+    # stale timings into a fresh artifact
+    if os.path.exists(PARTIAL):
+        os.remove(PARTIAL)
     print(f"wrote {FINAL} ({len(rows)} ops); flagged:", result["flagged"])
 
 

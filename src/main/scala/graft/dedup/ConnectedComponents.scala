@@ -45,50 +45,71 @@ object ConnectedComponents {
       .distinct()
   }
 
-  private def checksum(edges: DataFrame): (Long, Long) = {
+  private def checksum(edges: DataFrame): (Long, Long, Long) = {
     // XOR-fold, not sum: xxhash64 values span the full 64-bit range, so a
     // sum overflows under ANSI mode; XOR over a DISTINCT edge set is
-    // order-independent and collision-resistant alongside the count
+    // order-independent alongside the count. Two independent 64-bit
+    // hashes (the (a,b) and (b,a) foldings differ per edge) push a
+    // false-convergence collision to ~2^-128 per round — the fixpoint is
+    // probabilistically witnessed, not proven by set difference, and at
+    // that probability the trade is taken deliberately.
     val r = edges.agg(
       count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
+      coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)),
+      coalesce(bit_xor(xxhash64(col("b"), col("a"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Labels every vertex of the undirected edge list `edgesIn` (columns
     * `a`, `b`, integral ids) with the MINIMUM vertex id of its connected
     * component. Returns (v: long, lab: long), one row per distinct
-    * vertex. An empty edge list yields an empty (schema-correct) result
-    * — no aggregate is ever read off an empty frame. */
-  def run(edgesIn: DataFrame): DataFrame = {
+    * vertex — vertices appearing only in self-loops label themselves. An
+    * empty edge list yields an empty (schema-correct) result — no
+    * aggregate is ever read off an empty frame. */
+  def run(edgesIn: DataFrame): DataFrame = runCounted(edgesIn)._1
+
+  /** [[run]] plus the number of contraction rounds the fixpoint took —
+    * exposed so scale tests can pin the O(log^2 n) round bound on
+    * high-diameter graphs (a chain of length d converges in O(log d)
+    * rounds here vs d rounds under min-label propagation). */
+  def runCounted(edgesIn: DataFrame): (DataFrame, Int) = {
     val spark = edgesIn.sparkSession
     import spark.implicits._
     // every round references the previous frame several times (the union
     // inside largeStar plus two join sides), so WITHOUT lineage
     // truncation the logical plan grows ~5x per round and the planner
     // itself OOMs after a handful of rounds — eagerly pin each round's
-    // (edge-list-sized) result and drop the chain behind it
+    // (edge-list-sized) result and drop the chain behind it; each pinned
+    // frame is explicitly unpersisted once the NEXT round's checksum has
+    // materialized its successor, so storage stays one-round-sized
+    // instead of growing until the ContextCleaner notices
     var edges = edgesIn
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint()
-    if (edges.isEmpty) return Seq.empty[(Long, Long)].toDF("v", "lab")
-    var prev = (-1L, 0L)
-    var cs = checksum(edges)
-    while (cs != prev) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      prev = cs
-      cs = checksum(next)
-      edges = next
+    var rounds = 0
+    // the star forest: empty edge sets (including self-loop-only inputs)
+    // skip the fixpoint — every vertex is its own component and the
+    // nodes-derived coalesce below labels it, so self-loop vertices are
+    // handled identically whether or not real edges accompany them
+    val star = if (edges.isEmpty) edges else {
+      var prev = (-1L, 0L, 0L)
+      var cs = checksum(edges)
+      while (cs != prev) {
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        prev = cs
+        cs = checksum(next) // materializes `next`: safe to drop its parent
+        edges.unpersist()
+        edges = next
+        rounds += 1
+      }
+      edges // (v, componentMin); centers appear only on b and self-label
     }
-    // converged: `edges` is the star forest (v, componentMin); centers
-    // appear only on the b side and label themselves
-    val star = edges
     val nodes = edgesIn.select(col("a").cast("long").as("v"))
       .unionAll(edgesIn.select(col("b").cast("long").as("v")))
       .distinct()
-    nodes
+    (nodes
       .join(star.select(col("a").as("v"), col("b").as("lab")), Seq("v"), "left")
-      .select(col("v"), coalesce(col("lab"), col("v")).as("lab"))
+      .select(col("v"), coalesce(col("lab"), col("v")).as("lab")), rounds)
   }
 }

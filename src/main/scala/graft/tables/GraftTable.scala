@@ -521,18 +521,33 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   // ------------------------------------------------------- expression index
   //
   // Storage is SHARDED PARQUET, not a single driver-side JSON: entries
-  // (path, mn, mx) live under _graft/exprindex/<name>/b=<0..15>/ keyed by
-  // path hash, with a tiny <name>.meta.json ({expr, kind}) beside it.
-  // Harvest, merge, and range-overlap filtering all run AS SPARK JOBS —
-  // the driver only ever collects the pruned survivor list (output-sized)
-  // and the affected-bucket ids, so at millions of files there is no
-  // single JSON whose read/write/parse is an O(#files) driver bottleneck
-  // (the record index pioneered this layout; see recordIndexDir). A
-  // refresh rewrites ONLY the buckets containing new or dead entries.
-  // Crash safety: an interrupted bucket overwrite can only LOSE entries,
-  // and a missing entry conservatively keeps its file in every lookup.
+  // (path, mn, mx) live under _graft/exprindex/<name>/b=<0..N-1>/ keyed
+  // by path hash, with a tiny <name>.meta.json ({expr, kind, buckets})
+  // beside it. Harvest, merge, and range-overlap filtering all run AS
+  // SPARK JOBS — the driver only ever collects the pruned survivor list
+  // (output-sized) and the affected-bucket ids, so at millions of files
+  // there is no single JSON whose read/write/parse is an O(#files)
+  // driver bottleneck (the record index pioneered this layout; see
+  // recordIndexDir). A refresh rewrites ONLY the buckets containing new
+  // or dead entries — in ONE dynamic-partition-overwrite job, so the
+  // cost is O(affected entries) with a constant job count, not
+  // O(buckets) job launches. Crash safety: an interrupted bucket
+  // overwrite can only LOSE entries, and a missing entry conservatively
+  // keeps its file in every lookup.
 
-  private val ExprIndexBuckets = 16
+  /** Bucket count for pre-knob meta files that don't record one. */
+  private val ExprIndexDefaultBuckets = 16
+  private val ExprIndexEntriesPerBucket = 65536L
+  private val ExprIndexMaxBuckets = 4096
+
+  /** Derive the shard count from the entry count: ~64k entries (a few MB
+    * of parquet) per bucket, clamped to [1, 4096] — a 10M-file table gets
+    * ~153 buckets, a 12-file test table gets 1 instead of 16 near-empty
+    * jobs' worth of dirs. The chosen count is frozen into the index meta
+    * so refreshes stay consistent as the table grows. */
+  private def exprIndexBucketsFor(nEntries: Long): Int =
+    math.min(ExprIndexMaxBuckets.toLong, math.max(1L,
+      (nEntries + ExprIndexEntriesPerBucket - 1) / ExprIndexEntriesPerBucket)).toInt
 
   private def exprIndexDir(name: String) =
     new Path(s"${cfg.path}/_graft/exprindex/$name")
@@ -564,8 +579,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     case _ => c.cast("double").cast("string") // ColStat.Num
   }
 
-  private def exprBucketCol: Column =
-    pmod(xxhash64(col("path")), lit(ExprIndexBuckets)).cast("int").as("b")
+  private def exprBucketCol(buckets: Int): Column =
+    pmod(xxhash64(col("path")), lit(buckets)).cast("int").as("b")
 
   /** Per-file min/max of the expression over `files` as a DataFrame
     * (path, mn, mx) — ONE aggregation job (map-side-combinable min/max
@@ -604,24 +619,30 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     else spark.read.parquet(dir.toString).select("path", "mn", "mx", "b")
   }
 
-  private def writeExprMeta(name: String, exprSql: String, kind: String): Unit = {
+  private def writeExprMeta(name: String, exprSql: String, kind: String,
+      buckets: Int): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("expr", exprSql)
     root.put("kind", kind)
+    root.put("buckets", buckets)
     fs.mkdirs(exprIndexMetaPath(name).getParent)
     TableProperties.atomicWrite(fs, exprIndexMetaPath(name),
       mapper.writeValueAsBytes(root))
   }
 
-  private def readExprMeta(name: String): (String, String) = {
+  /** (expr, kind, buckets). Meta files written before the bucket knob
+    * existed carry no count and read as the 16 they were sharded with. */
+  private def readExprMeta(name: String): (String, String, Int) = {
     val p = exprIndexMetaPath(name)
     require(fs.exists(p), s"no expression index '$name' on table ${cfg.path}")
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(new String(bytes, "UTF-8"))
-    (root.get("expr").asText(), root.get("kind").asText())
+    val buckets =
+      if (root.has("buckets")) root.get("buckets").asInt() else ExprIndexDefaultBuckets
+    (root.get("expr").asText(), root.get("kind").asText(), buckets)
   }
 
   /** The distributed twin of [[ColStat.overlaps]] over normalized bound
@@ -641,35 +662,42 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * column_stats): per-file min/max of an arbitrary deterministic SQL
     * expression — month(ts), lower(code), … — values parquet footers can
     * never answer. Built in one scan job over the current live files and
-    * stored as `_graft/exprindex/<name>.json`; range lookups then prune
+    * stored as bucket-sharded parquet under `_graft/exprindex/<name>/`
+    * (layout note at the top of this section); range lookups then prune
     * the FILE SET like [[readBetween]] does for plain columns. Files
     * committed after the build are conservatively kept until
-    * [[refreshExpressionIndex]] extends the index to them. */
-  def createExpressionIndex(name: String, exprSql: String): Unit = {
+    * [[refreshExpressionIndex]] extends the index to them.
+    * `buckets` <= 0 (the default) derives the shard count from the live
+    * file count ([[exprIndexBucketsFor]]); an explicit count is frozen
+    * into the meta the same way. */
+  def createExpressionIndex(name: String, exprSql: String, buckets: Int = 0): Unit = {
     require(name.matches("[A-Za-z0-9_\\-]+"), s"illegal index name '$name'")
     val live = timeline.liveFiles(None)
     require(live.nonEmpty, s"cannot build expression index on empty table ${cfg.path}")
     val dt = readFiles(live).select(expr(exprSql).as("_gv")).schema.head.dataType
     val kind = exprKindOf(dt)
+    val nb = if (buckets > 0) buckets else exprIndexBucketsFor(live.size.toLong)
     fs.delete(exprIndexDir(name), true)
     harvestExprStatsDf(exprSql, kind, live)
-      .withColumn("b", exprBucketCol)
+      .withColumn("b", exprBucketCol(nb))
       .repartition(col("b"))
       .write.partitionBy("b").mode("overwrite")
       .parquet(exprIndexDir(name).toString)
-    writeExprMeta(name, exprSql, kind)
+    writeExprMeta(name, exprSql, kind, nb)
   }
 
   /** Incremental index maintenance: harvest stats for live files the index
     * doesn't cover yet (commits since the build) and drop entries for dead
     * files. O(new files) harvest work, and ONLY the buckets that gained a
     * fresh entry or lost a dead one are rewritten — untouched buckets keep
-    * their files byte-for-byte (pinned in TablesSpec), so a steady-state
-    * refresh is O(changed buckets), not O(index). Returns how many files
-    * were newly indexed. */
+    * their files byte-for-byte (pinned in TablesSpec) — in ONE dynamic
+    * partition overwrite job (surviving entries of every affected bucket
+    * union the fresh harvest), so a steady-state refresh costs a constant
+    * number of job launches no matter how many buckets changed. Returns
+    * how many files were newly indexed. */
   def refreshExpressionIndex(name: String): Int = {
     import spark.implicits._
-    val (exprSql, kind) = readExprMeta(name)
+    val (exprSql, kind, buckets) = readExprMeta(name)
     val live = timeline.liveFiles(None)
     val liveDf = live.map(_.path).toDF("path")
     val entries = readExprEntries(name)
@@ -677,25 +705,33 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val freshPaths = liveDf.join(entries.select("path"), Seq("path"), "left_anti")
       .collect().map(_.getString(0)).toSet
     val freshFiles = live.filter(f => freshPaths(f.path))
-    // pin the fresh harvest once — it is reused per affected bucket below
     val fresh = harvestExprStatsDf(exprSql, kind, freshFiles)
-      .withColumn("b", exprBucketCol).localCheckpoint()
+      .withColumn("b", exprBucketCol(buckets)).localCheckpoint()
     val freshBuckets = fresh.select("b").distinct()
       .collect().map(_.getInt(0)).toSet
     val deadBuckets = entries.join(liveDf, Seq("path"), "left_anti")
       .select("b").distinct().collect().map(_.getInt(0)).toSet
     val nFresh = fresh.count().toInt
-    (freshBuckets ++ deadBuckets).toSeq.sorted.foreach { k =>
-      val bucketDir = new Path(exprIndexDir(name), s"b=$k")
-      val existing =
-        if (fs.exists(bucketDir)) spark.read.parquet(bucketDir.toString)
-          .select("path", "mn", "mx")
-        else emptyExprEntries()
-      // materialize the merged bucket BEFORE overwriting the dir it reads
-      val merged = existing.join(liveDf, Seq("path"), "left_semi")
-        .unionByName(fresh.filter(col("b") === k).drop("b"))
+    val affected = freshBuckets ++ deadBuckets
+    if (affected.nonEmpty) {
+      // surviving entries from the affected buckets (partition-pruned
+      // read) + the fresh harvest, materialized BEFORE the write
+      // overwrites the dirs it was read from
+      val merged = entries.filter(col("b").isInCollection(affected))
+        .join(liveDf, Seq("path"), "left_semi")
+        .unionByName(fresh)
         .localCheckpoint()
-      merged.write.mode("overwrite").parquet(bucketDir.toString)
+      merged.repartition(col("b"))
+        .write.partitionBy("b").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(exprIndexDir(name).toString)
+      // an affected bucket whose merged content is EMPTY (every entry
+      // dead) is absent from the dynamic overwrite — drop its dir so
+      // stale entries don't linger
+      val written = merged.select("b").distinct()
+        .collect().map(_.getInt(0)).toSet
+      (affected -- written).foreach(k =>
+        fs.delete(new Path(exprIndexDir(name), s"b=$k"), true))
     }
     nFresh
   }
@@ -712,7 +748,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * never the index. */
   def exprIndexFiles(name: String, lo: Any, hi: Any): Seq[FileMeta] = {
     import spark.implicits._
-    val (_, kind) = readExprMeta(name)
+    val (_, kind, _) = readExprMeta(name)
     val live = timeline.liveFiles(None)
     (ColStat.bound(kind, lo), ColStat.bound(kind, hi)) match {
       case (Some(l), Some(h)) =>
@@ -732,7 +768,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * resolve an older one (same caveat as [[readBetween]]). */
   def readExprBetween(name: String, lo: Any, hi: Any): DataFrame = {
     require(cfg.tableType == TableType.Cow, "readExprBetween requires a COW table")
-    val (exprSql, _) = readExprMeta(name)
+    val (exprSql, _, _) = readExprMeta(name)
     val files = exprIndexFiles(name, lo, hi)
     if (files.isEmpty) read().filter(lit(false))
     else dropInternal(readFiles(files)).filter(expr(exprSql).between(lit(lo), lit(hi)))

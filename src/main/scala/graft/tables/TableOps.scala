@@ -866,6 +866,33 @@ object TableOps extends QueryRegistry {
       .orderBy("o_orderkey")
   }
 
+  // --- t_version: the table format up/downgrade surface (the reference's
+  // utilities DowngradeTable.scala flow: downgrade a written table, verify
+  // it still reads, move back up). Each step re-reads the TABLE — the row
+  // count and key checksum prove version churn never touches data — and
+  // the validation contract is exercised too: downgrading to a NEWER
+  // version must throw, same-version must be a no-op.
+  def tVersion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (tbl, orders) = ordersTable(s, dir, "t_version")
+    tbl.insert(orders, numFiles = 4)
+    def snap(step: String, changed: Boolean) = {
+      val r = tbl.read().agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      (step, TableServices.tableVersion(tbl), changed, r.getLong(0), r.getLong(1))
+    }
+    val insert = snap("insert", changed = false)
+    val down = { require(TableServices.downgradeTable(tbl, 0)); snap("downgrade", changed = true) }
+    val noop = { require(!TableServices.downgradeTable(tbl, 0)); snap("downgrade_noop", changed = false) }
+    val rejected =
+      try { TableServices.downgradeTable(tbl, 2); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejected, "downgrade to a NEWER version must be rejected")
+    val up = { require(TableServices.upgradeTable(tbl)); snap("upgrade", changed = true) }
+    Seq(insert, down, noop, up)
+      .toDF("step", "version", "changed", "n_rows", "key_sum")
+      .orderBy("step")
+  }
+
   // --- t_precommit: pre-commit validation (Hudi's SqlQueryPreCommitValidator)
   // — a registered SQL rule vetoes any commit whose CANDIDATE snapshot
   // violates it. The good upsert lands; the corrupting one (negative prices)
@@ -1215,6 +1242,19 @@ object TableOps extends QueryRegistry {
     // the rejected batch leaves no trace: the oracle is just the clean
     // upserted view
     QueryDef("t_precommit", tPrecommit, Some(s"$upsertedSql ORDER BY o_orderkey")),
+    // the version walk is declarative (v1 -> v0 -> v0 no-op -> v1) and the
+    // count/checksum re-read at every step must equal the source table's
+    QueryDef("t_version", tVersion, Some(
+      """SELECT * FROM (
+        |  SELECT 'insert' AS step, 1 AS version, false AS changed,
+        |    COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+        |  UNION ALL SELECT 'downgrade', 0, true,
+        |    COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'downgrade_noop', 0, false,
+        |    COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'upgrade', 1, true,
+        |    COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |) ORDER BY step""".stripMargin)),
     // the upsert re-stamps key%10==0 rows before the indexed scan
     QueryDef("t_expr_index", tExprIndex, Some(
       s"""$upsertedSql

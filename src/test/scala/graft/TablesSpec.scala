@@ -1097,7 +1097,9 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("expr index refresh rewrites only the buckets with new or dead entries") {
     val tbl = freshTable("expr_shard")
     tbl.insert(orders, numFiles = 8)
-    tbl.createExpressionIndex("m", "month(o_orderdate)")
+    // explicit non-derived count: at 8 files the derived count is 1, which
+    // would make the untouched-bucket pins below vacuous
+    tbl.createExpressionIndex("m", "month(o_orderdate)", buckets = 16)
     val dir = new org.apache.hadoop.fs.Path(s"${tbl.cfg.path}/_graft/exprindex/m")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // signature of every index parquet file: bucket -> (name, mtime, len)
@@ -1131,6 +1133,52 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // and the refreshed index still answers correctly
     assert(tbl.readExprBetween("m", 3, 3).count() ==
+      tbl.read().filter(month(col("o_orderdate")) === 3).count())
+  }
+
+  test("expr index bucket count: derived at create, frozen in meta, 16 when absent") {
+    val tbl = freshTable("expr_buckets")
+    tbl.insert(orders, numFiles = 6)
+    val fs = new org.apache.hadoop.fs.Path(tbl.cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketDirs(name: String): Set[String] = {
+      val dir = new org.apache.hadoop.fs.Path(
+        s"${tbl.cfg.path}/_graft/exprindex/$name")
+      fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    // 6 entries derive 1 bucket (~64k entries per shard), not 16 near-empty dirs
+    tbl.createExpressionIndex("derived", "month(o_orderdate)")
+    assert(bucketDirs("derived") == Set("b=0"))
+    // a non-default explicit count shards into exactly that many dirs and
+    // the refresh respects it (entries land in buckets the meta recorded)
+    tbl.createExpressionIndex("wide", "month(o_orderdate)", buckets = 4)
+    assert(bucketDirs("wide").subsetOf(Set("b=0", "b=1", "b=2", "b=3")) &&
+      bucketDirs("wide").size > 1)
+    tbl.insert(orders.limit(100)
+      .withColumn("o_orderkey", col("o_orderkey") + 20000000L), numFiles = 1)
+    assert(tbl.refreshExpressionIndex("wide") == 1)
+    assert(bucketDirs("wide").subsetOf(Set("b=0", "b=1", "b=2", "b=3")))
+    assert(tbl.readExprBetween("wide", 3, 3).count() ==
+      tbl.read().filter(month(col("o_orderdate")) === 3).count())
+    // migration safety: a meta file written before the knob existed (no
+    // "buckets" field) reads as the 16 it was sharded with
+    val metaPath = new org.apache.hadoop.fs.Path(
+      s"${tbl.cfg.path}/_graft/exprindex/wide.meta.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(metaPath)
+    val node = try mapper.readTree(in)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    node.remove("buckets")
+    val out = fs.create(metaPath, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    // refresh under the fallback count still answers correctly (existing
+    // 4-bucket entries merge with fresh 16-hashed ones; lookups read ALL
+    // buckets regardless of count, so correctness is hash-layout-free)
+    tbl.insert(orders.limit(50)
+      .withColumn("o_orderkey", col("o_orderkey") + 30000000L), numFiles = 1)
+    assert(tbl.refreshExpressionIndex("wide") == 1)
+    assert(tbl.readExprBetween("wide", 3, 3).count() ==
       tbl.read().filter(month(col("o_orderdate")) === 3).count())
   }
 
