@@ -138,6 +138,71 @@ object Dedup extends QueryRegistry {
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin
 
+  // --- d_incr_dedup: INCREMENTAL near-dup dedup — the production arrival
+  // pattern at 100 TB: today's batch (doc_id odd — a deterministic split)
+  // is deduplicated against the standing HISTORY (doc_id even) plus
+  // itself, without ever re-pairing history against history. The probe
+  // side of the blocked shingle join is BATCH-ONLY, so per arrival the
+  // join ships O(batch shingles) probes against the history postings (in
+  // production a maintained index, its extraction amortized across
+  // arrivals — the record-index pattern applied to shingles); history×
+  // history pairs are never formed. Keep rule: a batch doc survives iff
+  // no history doc and no LOWER-ID batch doc sits at Jaccard >= 0.5 —
+  // the same keep-lowest convention as d_exact, restated incrementally.
+  // Every batch doc is reported (kept or not) with its two dup flags.
+  def dIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("sh")
+    val shf = sh.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh")
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val probe = shf.filter(col("doc_id") % 2 === 1).toDF("b", "sh")
+    val post = shf.toDF("o", "sh")
+    val near = probe.join(post, Seq("sh")).filter(col("b") =!= col("o"))
+      .groupBy("b", "o").agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("b", "nb"), "b")
+      .join(sizes.toDF("o", "no"), "o")
+      .filter(col("c").cast("double") / (col("nb") + col("no") - col("c")) >= 0.5)
+    val flags = near.groupBy("b").agg(
+      max(when(col("o") % 2 === 0, 1L).otherwise(0L)).as("dup_of_history"),
+      max(when(col("o") % 2 === 1 && col("o") < col("b"), 1L).otherwise(0L))
+        .as("dup_in_batch"))
+    docs(s, dir).select(col("doc_id")).filter(col("doc_id") % 2 === 1)
+      .join(flags.withColumnRenamed("b", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_of_history"), lit(0L)).as("dup_of_history"),
+        coalesce(col("dup_in_batch"), lit(0L)).as("dup_in_batch"),
+        (coalesce(col("dup_of_history"), lit(0L)) === 0 &&
+          coalesce(col("dup_in_batch"), lit(0L)) === 0).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val dIncrDedupSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      |co AS (SELECT p.doc_id AS b, o.doc_id AS o, COUNT(*) AS c
+      |  FROM shf p JOIN shf o ON p.s = o.s AND p.doc_id % 2 = 1 AND o.doc_id <> p.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT b, o FROM co JOIN sz sb ON sb.doc_id = b JOIN sz so ON so.doc_id = o
+      |  WHERE CAST(c AS DOUBLE) / (sb.n + so.n - c) >= 0.5),
+      |f AS (SELECT b, MAX(CASE WHEN o % 2 = 0 THEN 1 ELSE 0 END) AS doh,
+      |         MAX(CASE WHEN o % 2 = 1 AND o < b THEN 1 ELSE 0 END) AS dib
+      |  FROM j GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(f.doh, 0) AS BIGINT) AS dup_of_history,
+      |  CAST(COALESCE(f.dib, 0) AS BIGINT) AS dup_in_batch,
+      |  CAST(COALESCE(f.doh, 0) = 0 AND COALESCE(f.dib, 0) = 0 AS BIGINT) AS kept
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |LEFT JOIN f ON f.b = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // --- d_edit_distance: shingle-blocked candidates verified by
   // LEVENSHTEIN similarity — the character-level verify real pipelines run
   // where token Jaccard is blind (small in-place edits, number/date
@@ -1283,6 +1348,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_cross_source", dCrossSource, Some(dCrossSourceSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
+    QueryDef("d_incr_dedup", dIncrDedup, Some(dIncrDedupSql)),
     QueryDef("d_edit_distance", dEditDistance, Some(dEditDistanceSql)),
     QueryDef("d_neardup_clusters", dNeardupClusters, Some(dNeardupClustersSql)),
     QueryDef("d_containment", dContainment, Some(dContainmentSql)),

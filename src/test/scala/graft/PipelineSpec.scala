@@ -162,6 +162,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"(needs $d rounds total) at $propMs%.0f ms per $rounds rounds")
   }
 
+  test("Centroids.scaledK grows as ceil(sqrt n) — the fixed-k quadratic guard") {
+    import graft.ann.Centroids
+    // a FIXED centroid count in front of an in-bucket pair scan is a
+    // latent quadratic (round-9 sweep: x34 at 10x data); the pair-scan
+    // ops must block on the scaled count
+    assert(Centroids.scaledK(0) == 16 && Centroids.scaledK(256) == 16)
+    assert(Centroids.scaledK(500) == 23)
+    assert(Centroids.scaledK(5000) == 71)
+    assert(Centroids.scaledK(50000) == 224)
+    // pair work n²/k at the scaled k is Θ(n^1.5): 10x data => ~31.6x
+    // pairs, never 100x
+    val pairs = (n: Long) => n.toDouble * n / Centroids.scaledK(n)
+    assert(pairs(50000) / pairs(5000) < 33.0)
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force and is deterministic") {
     val bf = Ann.sTopkBruteforce(spark, sfSmall)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

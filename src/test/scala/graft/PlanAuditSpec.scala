@@ -253,6 +253,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("d_incr_dedup: batch-only probe, no cross product — history is never self-paired") {
+    val s = planString(graft.dedup.Dedup.dIncrDedup(spark, sfDir))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the batch restriction (doc_id % 2 = 1) is a real filter below the
+    // pair join — the probe stream is batch-sized, not corpus-sized
+    assert(s.contains("% 2") && s.contains("= 1"), s)
+  }
+
   test("saltedJoin: identical results to the plain join; salts scatter the key") {
     import org.apache.spark.sql.functions._
     val lineitem = GraftSession.table(spark, sfDir, "lineitem")
