@@ -807,6 +807,112 @@ object Ann extends QueryRegistry {
        |FROM bf b LEFT JOIN iv i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- s_probe_sweep: the IVF nprobe CALIBRATION curve — mean recall@k
+  // AND mean scanned-candidate fraction for nprobe ∈ {1, 2, 4}, the
+  // recall/cost frontier an ANN deployment reads before fixing its probe
+  // count (FAISS's nprobe sweep; the IVF twin of d_lsh_tuning's banding
+  // S-curve). One IVF build and one probe ranking are shared across the
+  // sweep (cached; each nprobe point filters prn <= np — no rebuild);
+  // recall joins against the exact brute-force ground truth; both
+  // summary stats are exact integer counts divided ONCE at the end, so
+  // every row is bit-deterministic and the whole sweep is one DuckDB
+  // oracle. Cost: evaluation O(|queries| · nprobe · n/k) — the very
+  // quantity the scanned-fraction column reports.
+  def sProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cents = Centroids.sample(e)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
+      .cache()
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("c_id"))
+    val probesAll = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", round(expr("cosine_sim(qe, ce)"), 6))
+      .withColumn("prn", row_number().over(wProbe))
+      .select(col("q_id"), col("qe"), col("c_id").as("bucket_p"), col("prn"))
+      .cache()
+    val bf = sTopkBruteforce(s, dir).select(col("q_id"), col("vec_id")).cache()
+    val rows = Seq(1, 2, 4).map { np =>
+      val probes = probesAll.filter(col("prn") <= np).drop("prn")
+      val scored = assigned.join(broadcast(probes), col("bucket") === col("bucket_p"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos_r", round(expr("cosine_sim(embedding, qe)"), 6))
+      val ranked = rankTopK(scored, K, Seq(desc("cos_r"), asc("vec_id")), "rank")
+        .select(col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
+      val rec = bf.join(ranked, col("q_id") === col("iq_id") &&
+          col("vec_id") === col("ivec_id"), "left")
+        .groupBy("q_id").agg(count(col("ivec_id")).as("h"))
+        .agg(count(lit(1)), sum("h")).head()
+      val scanned = scored.agg(count(lit(1))).head().getLong(0)
+      (np.toLong, rec.getLong(0), rec.getLong(1), scanned)
+    }
+    // the two ratios round via Spark's round (HALF_UP, same as DuckDB's) —
+    // a driver-side rint would be HALF_EVEN and can differ by 1e-6
+    rows.toDF("nprobe", "n_queries", "th", "scanned")
+      .select(col("nprobe"), col("n_queries"), col("scanned"),
+        round(col("th").cast("double") /
+          (col("n_queries") * lit(K)).cast("double"), 6).as("mean_recall"),
+        round(col("scanned").cast("double") /
+          (col("n_queries") * lit(n)).cast("double"), 6).as("mean_scanned_frac"))
+      .orderBy("nprobe")
+  }
+
+  private val sProbeSweepSql = {
+    // one sweep point: probe the np nearest buckets, rank in-bucket
+    // candidates, count brute-force hits and scanned candidates
+    def point(np: Int): String =
+      s"""p_$np AS (SELECT q_id, qe, qn, bucket FROM probes WHERE prn <= $np),
+         |sc_$np AS (SELECT p.q_id, a.vec_id,
+         |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(p.qe[i] AS DOUBLE)))
+         |      / (a.nrm * p.qn), 6) AS cos_r
+         |  FROM asg a JOIN p_$np p ON a.bucket = p.bucket AND a.vec_id <> p.q_id),
+         |rk_$np AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank
+         |  FROM sc_$np) WHERE rank <= $K),
+         |hit_$np AS (SELECT b.q_id, COUNT(i.vec_id) AS h FROM bf b
+         |  LEFT JOIN rk_$np i ON b.q_id = i.q_id AND b.vec_id = i.vec_id GROUP BY 1),
+         |row_$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hit_$np) AS n_queries,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sc_$np) AS scanned,
+         |    round((SELECT CAST(SUM(h) AS DOUBLE) FROM hit_$np)
+         |      / ((SELECT COUNT(*) FROM hit_$np) * $K.0), 6) AS mean_recall,
+         |    round((SELECT CAST(COUNT(*) AS DOUBLE) FROM sc_$np)
+         |      / ((SELECT COUNT(*) FROM hit_$np) * (SELECT COUNT(*) FROM e)), 6)
+         |      AS mean_scanned_frac)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cnrm FROM e ${Centroids.sqlTail()}),
+       |asg AS (SELECT vec_id, embedding, nrm, bucket FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+       |          / (e.nrm * c.cnrm), 6) DESC, c.c_id) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 5),
+       |probes AS (SELECT q_id, qe, qn, bucket, prn FROM (
+       |    SELECT q.q_id, q.qe, q.qn, c.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(q.qe) + 1),
+       |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+       |          / (q.qn * c.cnrm), 6) DESC, c.c_id) AS prn
+       |    FROM q CROSS JOIN c)),
+       |bf AS (SELECT q_id, vec_id FROM ($sTopkBruteforceSql)),
+       |${point(1)},
+       |${point(2)},
+       |${point(4)}
+       |SELECT * FROM row_1 UNION ALL SELECT * FROM row_2 UNION ALL
+       |SELECT * FROM row_4 ORDER BY nprobe""".stripMargin
+  }
+
   // --- s_recall_refined: recall@k of the IVF index under the RAW
   // hash-rank centroid sample vs [[Centroids.refine]]d centroids (two
   // deterministic quantized Lloyd steps over a bounded 2048-vector
@@ -993,6 +1099,7 @@ object Ann extends QueryRegistry {
     QueryDef("s_cluster_quality", sClusterQuality, Some(sClusterQualitySql)),
     QueryDef("s_recall_eval", sRecallEval, Some(sRecallEvalSql)),
     QueryDef("s_recall_refined", sRecallRefined, Some(sRecallRefinedSql)),
+    QueryDef("s_probe_sweep", sProbeSweep, Some(sProbeSweepSql)),
     QueryDef("s_topk_bruteforce", sTopkBruteforce, Some(sTopkBruteforceSql)),
     QueryDef("s_topk_ivf", sTopkIvf, Some(sTopkIvfSql)),
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
