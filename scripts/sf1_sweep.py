@@ -91,15 +91,21 @@ def bench(ops, sfdir):
 
 
 def code_epoch():
-    """Identity of the code under measurement: git rev + dirty marker.
-    A partial from a DIFFERENT epoch must not be resumed — mixing
-    measurement epochs in one artifact silently blends old and new code."""
-    rev = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
-                         text=True, cwd="/root/repo").stdout.strip()
-    dirty = subprocess.run(["git", "status", "--porcelain"],
+    """Identity of the code under measurement: the src/main tree hash plus
+    a src/main-scoped dirty marker. A partial from a DIFFERENT epoch must
+    not be resumed — mixing measurement epochs in one artifact silently
+    blends old and new code. Scoped to src/main (what target/classes is
+    built from) so doc/script commits and this sweep's own untracked
+    partial file do not spuriously invalidate a resumable run (HEAD rev +
+    whole-tree porcelain did both: the partial itself made the tree
+    "dirty", so no partial could ever be resumed)."""
+    tree = subprocess.run(["git", "rev-parse", "HEAD:src/main"],
+                          capture_output=True, text=True,
+                          cwd="/root/repo").stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain", "--", "src/main"],
                            capture_output=True, text=True,
                            cwd="/root/repo").stdout.strip() != ""
-    return rev + ("+dirty" if dirty else "")
+    return tree + ("+dirty" if dirty else "")
 
 
 def main():

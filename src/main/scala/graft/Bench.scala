@@ -79,7 +79,16 @@ object Bench {
       val gc0 = gcMillis
       val lr0 = graft.tables.Timeline.lockRetries.get()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Consume via the query's OWN physical plan (toRdd), not .count():
+      // under count() Catalyst legally eliminates count-invariant suffixes
+      // — a final left join whose build side has unique keys (aggregate
+      // output), the output sort, every unreferenced column — so a
+      // .count() "benchmark" of such an op times a fraction of the query
+      // (d_incr_dedup timed 0.24 s while its actual shingle join costs
+      // seconds). toRdd executes the plan that produces the full rows a
+      // real consumer would read.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       val stat = OpStat(dt, gcMillis - gc0,
         graft.tables.Timeline.lockRetries.get() - lr0)

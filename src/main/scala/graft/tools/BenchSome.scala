@@ -27,7 +27,10 @@ object BenchSome {
       val fn = qs(name)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // toRdd, not count(): count() lets Catalyst drop count-invariant
+        // suffixes (unique-key left joins, sorts, all unreferenced
+        // columns) and time a fraction of the op — see Bench.scala
+        fn(spark, sfDir).queryExecution.toRdd.count()
         println(f"[benchsome] $name run$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
         spark.catalog.clearCache()
       }
