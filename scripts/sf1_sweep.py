@@ -7,6 +7,16 @@ Usage:
   python3 scripts/sf1_sweep.py all [oracle_sql.json]  # full battery (default
                                                       # json: a Verify dump)
   python3 scripts/sf1_sweep.py <op> [op ...]          # named subset
+  python3 scripts/sf1_sweep.py --merge <op> [op ...]  # time the named ops at
+                                                      # the CURRENT epoch and
+                                                      # merge them into the
+                                                      # committed final file
+
+--merge exists for the incremental case (a new op, or one op's fix) where
+re-sweeping the whole battery would cost hours for information that did
+not change: the merged entries carry their own epoch in `merged_epochs`
+so the artifact never silently blends measurement epochs, and
+flagged/explained are recomputed over the union.
 
 A linear-scaling op should land near 10x (less when fixed overhead
 dominates, e.g. commit machinery); anything well past LINEAR_FLAG x is
@@ -108,7 +118,39 @@ def code_epoch():
     return tree + ("+dirty" if dirty else "")
 
 
+def merge_main(ops):
+    if not os.path.exists(FINAL):
+        sys.exit(f"--merge needs an existing {FINAL}")
+    epoch = code_epoch()
+    result = json.load(open(FINAL))
+    t01 = bench(ops, "/root/testdata/sf0.1")
+    t1 = bench(ops, "/tmp/sf1")
+    merged = result.setdefault("merged_epochs", {})
+    for op in ops:
+        ratio = round(t1[op] / max(t01[op], 0.005), 2)
+        result["ops"][op] = {"sf0.1_s": round(t01[op], 3),
+                             "sf1_s": round(t1[op], 3), "ratio": ratio,
+                             "super_linear": ratio > LINEAR_FLAG}
+        merged[op] = epoch
+        print(f"{op:24s} {t01[op]:8.2f}s -> {t1[op]:8.2f}s  x{ratio}"
+              + ("  <-- SUPER-LINEAR" if ratio > LINEAR_FLAG else ""),
+              flush=True)
+    result["n_ops"] = len(result["ops"])
+    over = [o for o, r in sorted(result["ops"].items()) if r["super_linear"]]
+    result["flagged"] = [o for o in over if o not in EXPLAINED]
+    result["explained"] = {o: EXPLAINED[o] for o in over if o in EXPLAINED}
+    with open(FINAL, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"merged {len(ops)} ops into {FINAL} "
+          f"({result['n_ops']} total); flagged:", result["flagged"])
+
+
 def main():
+    if sys.argv[1:2] == ["--merge"]:
+        if len(sys.argv) < 3:
+            sys.exit("--merge needs op names")
+        merge_main(sys.argv[2:])
+        return
     ops = op_list(sys.argv[1:])
     epoch = code_epoch()
     done = {}

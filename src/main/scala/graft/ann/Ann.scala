@@ -228,11 +228,13 @@ object Ann extends QueryRegistry {
   // ADC sums are order-independent integer math: the whole pipeline is
   // stated as a DuckDB oracle (PipelineSpec asserts recall vs exact L2).
   /** Shared PQ machinery: codebook build, encode, ADC scan, shortlist —
-    * returns (shortlist with its ADC distance, the full-vector table).
-    * sTopkPq re-ranks the shortlist exactly; sPqError audits the ADC
-    * approximation against the exact distances on the same shortlist. */
-  private def pqAdcShortlist(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val M = 4; val SUB = 16; val SHORTLIST = 50
+    * returns (shortlist with its ADC distance and rank, the full-vector
+    * table). sTopkPq re-ranks the shortlist exactly; sPqError audits the
+    * ADC approximation against the exact distances on the same shortlist;
+    * sPqRefine sweeps the re-rank depth (`depth` caps the ADC rank kept). */
+  private def pqAdcShortlist(s: SparkSession, dir: String,
+      depth: Int = 50): (DataFrame, DataFrame) = {
+    val M = 4; val SUB = 16
     val e = embs(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
     // per-subspace views (vec_id, m, sv); slice() is 1-based
@@ -264,9 +266,9 @@ object Ann extends QueryRegistry {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum("qd_i").as("adc_i"))
-    val shortlist = rankTopK(adc, SHORTLIST,
+    val shortlist = rankTopK(adc, depth,
         Seq(asc("adc_i"), asc("vec_id")), "srn")
-      .select("q_id", "vec_id", "adc_i")
+      .select("q_id", "vec_id", "adc_i", "srn")
     (shortlist, e)
   }
 
@@ -1093,6 +1095,108 @@ object Ann extends QueryRegistry {
       |SELECT q_id, bin, COUNT(*) AS n FROM p
       |GROUP BY q_id, bin ORDER BY q_id, bin""".stripMargin
 
+  // --- s_pq_refine: the PQ refine-DEPTH calibration curve — mean recall@K
+  // after exact re-rank of the ADC shortlist, for depth R in {10, 25, 50,
+  // 100}: the PQ twin of s_probe_sweep's nprobe curve (FAISS's k_factor
+  // sweep). One ADC scan at the DEEPEST depth is shared across the sweep
+  // (each point filters srn <= R — no rescan) and the exact distances are
+  // computed ONCE on that deepest shortlist; ground truth is exact L2
+  // top-K over the corpus (the PQ pipeline's metric — s_topk_bruteforce is
+  // the cosine twin, not reusable here). R=K is pure-ADC recall (re-ranking
+  // exactly K candidates reorders but cannot change the set), so the first
+  // point IS the unrefined baseline and the rise above it is what each
+  // extra block of exact distance evaluations per query buys. Hit counts
+  // are exact integers divided once at the end, so the whole curve is one
+  // DuckDB oracle. Cost: O(|queries| · n) ADC lookups + O(|queries| · R)
+  // exact distances — corpus scan once, refine work bounded by R.
+  def sPqRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val depths = Seq(10, 25, 50, 100)
+    val (shortlist, e) = pqAdcShortlist(s, dir, depths.max)
+    def d2i(a: String, b: String) = s"l2sq_q6($a, $b)"
+    val qv = e.filter(col("vec_id") < 5).toDF("q_id", "qfull")
+    val truth = rankTopK(
+        e.join(broadcast(qv), lit(true)).filter(col("vec_id") =!= col("q_id"))
+          .withColumn("l2_i", expr(d2i("v", "qfull"))),
+        K, Seq(asc("l2_i"), asc("vec_id")), "trn")
+      .select(col("q_id").as("tq"), col("vec_id").as("tv")).cache()
+    // exact distances once, on the deepest shortlist only
+    val slx = shortlist.join(e, "vec_id").join(broadcast(qv), "q_id")
+      .withColumn("l2_i", expr(d2i("v", "qfull")))
+      .select("q_id", "vec_id", "srn", "l2_i").cache()
+    val rows = depths.map { r =>
+      val rr = rankTopK(slx.filter(col("srn") <= r), K,
+          Seq(asc("l2_i"), asc("vec_id")), "rank")
+        .select(col("q_id").as("iq"), col("vec_id").as("iv"))
+      val rec = truth.join(rr,
+          col("tq") === col("iq") && col("tv") === col("iv"), "left")
+        .groupBy("tq").agg(count(col("iv")).as("h"))
+        .agg(count(lit(1)), sum("h")).head()
+      (r.toLong, rec.getLong(0), rec.getLong(1))
+    }
+    // ratios round via Spark's round (HALF_UP, same as DuckDB's)
+    rows.toDF("depth", "n_queries", "th")
+      .select(col("depth"), col("n_queries"),
+        round(col("th").cast("double") /
+          (col("n_queries") * lit(K)).cast("double"), 6).as("mean_recall"))
+      .orderBy("depth")
+  }
+
+  private val sPqRefineSql: String = {
+    // one sweep point: exact-re-rank the depth-R prefix of the ADC
+    // shortlist, count ground-truth hits
+    def point(r: Int): String =
+      s"""rk_$r AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2_i, vec_id) AS rank
+         |  FROM rr WHERE srn <= $r) WHERE rank <= $K),
+         |hit_$r AS (SELECT t.q_id, COUNT(i.vec_id) AS h FROM tr t
+         |  LEFT JOIN rk_$r i ON t.q_id = i.q_id AND t.vec_id = i.vec_id GROUP BY 1),
+         |row_$r AS (SELECT CAST($r AS BIGINT) AS depth,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hit_$r) AS n_queries,
+         |    round((SELECT CAST(SUM(h) AS DOUBLE) FROM hit_$r)
+         |      / ((SELECT COUNT(*) FROM hit_$r) * $K.0), 6) AS mean_recall)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, m, v[m * 16 + 1 : m * 16 + 16] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+       |code AS (SELECT vec_id AS c_id, m AS cm, sv AS cv FROM subs
+       |  WHERE vec_id IN (SELECT vec_id FROM e ${Centroids.sqlTail(Centroids.PqK)})),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.c_id AS code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        CAST(round(list_sum(list_transform(range(1, 17),
+       |          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) * 1000000) AS BIGINT),
+       |        c.c_id) AS rn
+       |    FROM subs s JOIN code c ON s.m = c.cm) WHERE rn = 1),
+       |dt AS (SELECT q.vec_id AS q_id, q.m, c.c_id AS code,
+       |    CAST(round(list_sum(list_transform(range(1, 17),
+       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1000000) AS BIGINT) AS qd_i
+       |  FROM subs q JOIN code c ON q.m = c.cm WHERE q.vec_id < 5),
+       |sl AS (SELECT q_id, vec_id, srn FROM (
+       |    SELECT d.q_id, a.vec_id, SUM(d.qd_i) AS adc_i,
+       |      ROW_NUMBER() OVER (PARTITION BY d.q_id ORDER BY SUM(d.qd_i), a.vec_id) AS srn
+       |    FROM enc a JOIN dt d ON a.m = d.m AND a.code = d.code AND a.vec_id <> d.q_id
+       |    GROUP BY 1, 2) WHERE srn <= 100),
+       |rr AS (SELECT sl.q_id, sl.vec_id, sl.srn,
+       |    CAST(round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> (e.v[i] - q.v[i]) * (e.v[i] - q.v[i]))) * 1000000) AS BIGINT) AS l2_i
+       |  FROM sl JOIN e ON e.vec_id = sl.vec_id JOIN e q ON q.vec_id = sl.q_id),
+       |tr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(round(list_sum(list_transform(range(1, len(e.v) + 1),
+       |          i -> (e.v[i] - q.v[i]) * (e.v[i] - q.v[i]))) * 1000000) AS BIGINT),
+       |        e.vec_id) AS rank
+       |    FROM e CROSS JOIN e q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= $K),
+       |${point(10)},
+       |${point(25)},
+       |${point(50)},
+       |${point(100)}
+       |SELECT * FROM row_10 UNION ALL SELECT * FROM row_25 UNION ALL
+       |SELECT * FROM row_50 UNION ALL SELECT * FROM row_100 ORDER BY depth""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("s_filtered_knn", sFilteredKnn, Some(sFilteredKnnSql)),
     QueryDef("s_score_dist", sScoreDist, Some(sScoreDistSql)),
@@ -1106,6 +1210,7 @@ object Ann extends QueryRegistry {
     QueryDef("s_topk_pq", sTopkPq, Some(sTopkPqSql)),
     QueryDef("s_ivf_pq", sIvfPq, Some(sIvfPqSql)),
     QueryDef("s_pq_error", sPqError, Some(sPqErrorSql)),
+    QueryDef("s_pq_refine", sPqRefine, Some(sPqRefineSql)),
     QueryDef("s_outliers", sOutliers, Some(sOutliersSql)),
     QueryDef("s_centroid_balance", sCentroidBalance, Some(sCentroidBalanceSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),

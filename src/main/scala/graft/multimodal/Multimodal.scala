@@ -355,6 +355,11 @@ object Multimodal extends QueryRegistry {
   // the Spark contract is the real one: per-row window explode (O(duration)
   // rows, no shuffle until the presentation sort), per-window integer
   // energy, and a deterministic voiced flag both engines compute exactly.
+  // The energy is 8 explicit codegen'd per-char terms, NOT a
+  // split/filter/aggregate HOF chain: the lambda chain is CodegenFallback
+  // and allocates per char — the round-9 re-sweep (post count()-fix, which
+  // had been eliminating this very expression) measured the HOF version at
+  // x39 for 10x data from allocation/GC pressure alone.
   // Cross-engine stability of the stub signal: Spark's ascii() returns the
   // first UTF-8 BYTE (signed — negative on multi-byte chars) while DuckDB's
   // returns the Unicode code point, so energy only sums chars in the
@@ -369,9 +374,12 @@ object Multimodal extends QueryRegistry {
       .select(col("doc_id"), col("head"),
         explode(expr("sequence(0, cast(ceil(length(head) / 8.0) as int) - 1)")).as("w"))
       .select(col("doc_id"), col("w").cast("long").as("w"),
-        expr("""aggregate(
-            filter(split(substring(head, w * 8 + 1, 8), ''), c -> c >= ' ' AND c <= '~'),
-            0L, (acc, c) -> acc + ascii(c))""").as("energy"))
+        (0 until 8).map(j =>
+            expr(s"CAST(CASE WHEN substring(head, w * 8 + ${j + 1}, 1) " +
+              s"BETWEEN ' ' AND '~' " +
+              s"THEN ascii(substring(head, w * 8 + ${j + 1}, 1)) " +
+              "ELSE 0 END AS BIGINT)"))
+          .reduce(_ + _).as("energy"))
       .withColumn("voiced", col("energy") > 400L)
       .orderBy("doc_id", "w")
 
@@ -423,6 +431,97 @@ object Multimodal extends QueryRegistry {
       |  round(CAST(n_bytes AS DOUBLE) / total_bytes, 6) AS byte_share
       |FROM p, t ORDER BY modality, lang""".stripMargin
 
+  // --- m_phash_dedup: perceptual-hash NEAR-duplicate detection over the
+  // binary media column — the Hamming-distance analogue of m_frame_dedup's
+  // exact fingerprint grouping (the aHash family: per-cell "luma"
+  // thresholded against the payload-wide mean, packed into a 64-bit
+  // signature). The STUB luma kernel is position-salted byte arithmetic
+  // standing in for a real decode+downscale — a deployment swaps only the
+  // kernel; the signature packing, banding and verify are unchanged.
+  // Pairs within Hamming distance 3 are found by 4x16-bit banding
+  // (pigeonhole-complete for hd<=3: 3 flips cannot touch all 4 bands, so
+  // candidates are EXHAUSTIVE and the result exact — the d_simhash
+  // contract). Scale shape: one map stage for signatures, an equi-join on
+  // (band, value) for candidates, integer bit_count verify — no pairwise
+  // scan outside shared-band buckets; past ~10^8 items the knob is a wider
+  // signature (128-bit / 4x32 bands), not a different plan.
+  def mPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = GraftSession.table(s, dir, "documents")
+      .select(col("doc_id"), rpad(substring(col("text"), 1, 64), 64, " ").as("head"))
+    // STUB luma kernel: cell i's brightness = (code(char_i) * (2i-1)) % 251.
+    // The position salt decorrelates cells of unrelated payloads; identical
+    // payload prefixes still yield identical lumas, so near-identical
+    // payloads land within the Hamming threshold.
+    val lumas = (1 to 64).map(i =>
+      (ascii(substring(col("head"), i, 1)) * lit(2 * i - 1)) % 251)
+    val withL = base.select(
+      col("doc_id") +: lumas.zipWithIndex.map { case (c, i) => c.as(s"l$i") }: _*)
+    val tot = (0 until 64).map(i => col(s"l$i")).reduce(_ + _)
+    // bit i = 1 iff 64*luma_i > sum(lumas): the mean threshold stated in
+    // integer-exact form (no division — bit-identical in both engines)
+    def bit(i: Int) = when(col(s"l$i") * 64 > col("tot"), 1).otherwise(0)
+    val bands = (0 until 4).map(c =>
+      (0 until 16).map(j => bit(c * 16 + j) * lit(1 << j)).reduce(_ + _).as(s"band$c"))
+    val sigs = withL.withColumn("tot", tot).select(col("doc_id") +: bands: _*)
+    // cached: two self-join sides of a 64-bit-wide bit-packing projection
+    // would otherwise duplicate a very wide codegen stage (d_simhash's rule)
+    val chunks = sigs.select(col("doc_id"), col("band0"), col("band1"),
+        col("band2"), col("band3"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("ci"), col(s"band$c").as("cv"))): _*)).as("ck"))
+      .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+        col("band3"), col("ck.ci"), col("ck.cv"))
+      .cache()
+    val a = chunks.toDF("da", "a0", "a1", "a2", "a3", "ci", "cv")
+    val b = chunks.toDF("db", "b0", "b1", "b2", "b3", "ci", "cv")
+    val pairs = a.join(b, Seq("ci", "cv"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3")
+      .distinct()
+      .withColumn("hd",
+        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2"))) +
+          bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long"))
+      .filter(col("hd") <= 3)
+    pairs.select(col("da").as("doc_a"), col("db").as("doc_b"), col("hd"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** pHash oracle, generated: DuckDB recomputes the identical salted lumas
+    * (`unicode` == Spark `ascii` on this ASCII corpus), the integer mean
+    * threshold, the four 16-bit bands, the pigeonhole self-join and the
+    * bit_count Hamming verify. */
+  private val mPhashDedupSql: String = {
+    val lumaDefs = (1 to 64).map(i =>
+      s"(unicode(substr(head, $i, 1)) * ${2 * i - 1}) % 251 AS l${i - 1}")
+      .mkString(", ")
+    val totExpr = (0 until 64).map(i => s"l$i").mkString(" + ")
+    def bandExpr(c: Int) = (0 until 16).map { j =>
+      s"CASE WHEN l${c * 16 + j} * 64 > tot THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    val bandDefs = (0 until 4).map(c => s"${bandExpr(c)} AS band$c").mkString(", ")
+    val hdExpr = "bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) " +
+      "+ bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))"
+    s"""WITH d AS (SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS head
+       |  FROM documents),
+       |l AS (SELECT doc_id, $lumaDefs FROM d),
+       |t AS (SELECT *, $totExpr AS tot FROM l),
+       |s AS (SELECT doc_id, $bandDefs FROM t),
+       |c AS (SELECT doc_id, band0, band1, band2, band3, unnest([0, 1, 2, 3]) AS ci
+       |  FROM s),
+       |cx AS (SELECT doc_id, band0, band1, band2, band3, ci,
+       |    CASE ci WHEN 0 THEN band0 WHEN 1 THEN band1 WHEN 2 THEN band2
+       |      ELSE band3 END AS cv
+       |  FROM c),
+       |p AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |    a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+       |    b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+       |  FROM cx a JOIN cx b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT da AS doc_a, db AS doc_b, CAST($hdExpr AS BIGINT) AS hd
+       |FROM p WHERE $hdExpr <= 3 ORDER BY 1, 2""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("m_modality_mix", mModalityMix, Some(mModalityMixSql)),
     QueryDef("m_audio_windows", mAudioWindows, Some(mAudioWindowsSql)),
@@ -431,6 +530,7 @@ object Multimodal extends QueryRegistry {
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_media_pipeline", mMediaPipeline, Some(mMediaPipelineSql)),
     QueryDef("m_frame_dedup", mFrameDedup, Some(mFrameDedupSql)),
+    QueryDef("m_phash_dedup", mPhashDedup, Some(mPhashDedupSql)),
     QueryDef("m_pack_shards", mPackShards, Some(mPackShardsSql)),
     QueryDef("m_tar_offsets", mTarOffsets, Some(mTarOffsetsSql)))
 }

@@ -259,4 +259,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("width") =!= col("fake_width") || col("height") =!= col("fake_height"))
     assert(joined.count() == 0)
   }
+
+  test("s_pq_refine: recall is monotone in re-rank depth; depth=K is the ADC baseline") {
+    // exact re-rank can only ADD ground-truth items as the shortlist
+    // deepens: a truth item inside the candidate set always survives the
+    // exact top-K cut (anything beating it is itself global top-K), so
+    // hits(R) = |truth ∩ shortlist_R| — monotone nondecreasing in R
+    val rows = Ann.sPqRefine(spark, sfSmall)
+      .orderBy("depth").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(10L, 25L, 50L, 100L))
+    assert(rows.forall(_._2 == 5L), s"expected 5 queries: ${rows.mkString(",")}")
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"recall not monotone: $a -> $b")
+    }
+  }
+
+  test("m_phash_dedup: matches a brute-force all-pairs Hamming check (banding is exhaustive)") {
+    // independent formulation: signatures via posexplode + aggregation
+    // (the op packs 64 wide columns), then ALL pairs — no banding — so a
+    // band-pigeonhole miss would show up as a set difference
+    val sigs = GraftSession.table(spark, sfSmall, "documents")
+      .select(col("doc_id"), rpad(substring(col("text"), 1, 64), 64, " ").as("head"))
+      .select(col("doc_id"), posexplode(split(col("head"), ""))) // (pos 0-based, ch)
+      .select(col("doc_id"), col("pos"),
+        (ascii(col("col")) * (col("pos") * 2 + 1) % 251).as("luma"))
+      .withColumn("tot", sum("luma").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("bit", when(col("luma") * 64 > col("tot"), 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(when(col("pos") < 16,
+            col("bit") * expr("shiftleft(1L, cast(pos as int))")).otherwise(0L)).as("band0"),
+        sum(when(col("pos") >= 16 && col("pos") < 32,
+            col("bit") * expr("shiftleft(1L, cast(pos - 16 as int))")).otherwise(0L)).as("band1"),
+        sum(when(col("pos") >= 32 && col("pos") < 48,
+            col("bit") * expr("shiftleft(1L, cast(pos - 32 as int))")).otherwise(0L)).as("band2"),
+        sum(when(col("pos") >= 48,
+            col("bit") * expr("shiftleft(1L, cast(pos - 48 as int))")).otherwise(0L)).as("band3"))
+    val a = sigs.toDF("da", "a0", "a1", "a2", "a3")
+    val b = sigs.toDF("db", "b0", "b1", "b2", "b3")
+    val brute = a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("hd",
+        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2"))) +
+          bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long"))
+      .filter(col("hd") <= 3)
+      .select("da", "db", "hd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Multimodal.mPhashDedup(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} diff=${(banded -- brute) ++ (brute -- banded)}")
+  }
 }

@@ -326,6 +326,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("partial_min") || s.contains("partial_count") || s.contains("HashAggregate"), s)
   }
 
+  test("m_phash_dedup: candidates come from an equi-join on (band, value) — no cartesian scan") {
+    val df = graft.multimodal.Multimodal.mPhashDedup(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
+    // the Hamming verify is integer bit_count on the banded candidates,
+    // inside codegen (no UDF, no HOF fallback)
+    assert(!s.contains("CodegenFallback"), s)
+  }
+
   test("m_pack_shards: bounded shuffles — 2 bulk + 2 bucket-sized") {
     val df = graft.multimodal.Multimodal.mPackShards(spark, sfDir)
     // BULK rows move twice: into the (media_type, bkt) window and into the
