@@ -41,13 +41,21 @@ def load(src):
 
 def main():
     args = sys.argv[1:]
+    note = None
+    if "--note" in args:
+        i = args.index("--note")
+        note = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    prev_id = None
     if args and args[0] == "--git":
         rev = args[1]
+        prev_id = rev
         prev = load(subprocess.run(
             ["git", "show", f"{rev}:BENCH_SELF.json"], capture_output=True,
             text=True, cwd="/root/repo", check=True).stdout)
         curr_path = args[2] if len(args) > 2 else "/root/repo/BENCH_SELF.json"
     elif len(args) == 2:
+        prev_id = args[0]
         prev = load(open(args[0]).read())
         curr_path = args[1]
     else:
@@ -84,7 +92,8 @@ def main():
             flagged.append(row)
 
     result = {"global_factor": round(factor, 3), "thresh": THRESH,
-              "n_shared": len(shared),
+              "n_shared": len(shared), "prev": prev_id,
+              **({"note": note} if note else {}),
               "flagged": sorted(flagged, key=lambda r: -r["adj_ratio"]),
               "explained_by_load": explained}
     with open(OUT, "w") as f:
