@@ -846,12 +846,16 @@ object Dedup extends QueryRegistry {
   }
 
   // --- d_simhash: 64-bit SimHash; pairs within hamming distance 3 found by
-  // 4x16-bit chunk banding (pigeonhole-complete for hd<=3: 3 flips cannot
-  // touch all 4 chunks, so candidates are EXHAUSTIVE and the result is
-  // exact, not probabilistic). Token hashes are md5-derived 64-bit values
+  // the Manku 6-block / choose-3 pigeonhole ([[HammingBlocks]]: exhaustive
+  // for hd<=3 like the naive 4x16 chunking, but the candidate key carries
+  // ~32 signature bits instead of 16, so accidental collisions scale as
+  // ~20*n^2/2^32 instead of n^2/2^16 — the blocking that survives 10^7+
+  // docs). Token hashes are md5-derived 64-bit values
   // (the little-endian upper half, DuckDB's md5_number_lower) instead of
   // xxhash64 so the oracle recomputes the identical signatures — md5 costs
-  // ~2x xxhash64 per token, the price of a cross-engine-checkable op.
+  // ~2x xxhash64 per token, the price of a cross-engine-checkable op. The
+  // oracle states the pair semantics via the equivalent-output 4x16
+  // banding (cheapest exhaustive form at oracle scale).
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
     val hx = md5(col("tok").cast("binary"))
     def hexByte(i: Int) = substring(hx, i, 2)
@@ -871,14 +875,13 @@ object Dedup extends QueryRegistry {
     val sigs = bitSums.select(col("doc_id"), simhash.as("sh"))
     // cached for the same reason as the LSH buckets: two self-join sides of
     // a plan holding 64 aggregate columns would double a very wide codegen
-    val chunks = sigs.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("ci"), shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("ck"))
-      .select(col("doc_id"), col("sh"), col("ck.ci"), col("ck.cv"))
+    val chunks = sigs
+      .select(col("doc_id"), col("sh"),
+        explode(HammingBlocks.comboKeys(col("sh"))).as("ck"))
       .cache()
-    val pairs = chunks.select(col("doc_id").as("da"), col("sh").as("sha"), col("ci"), col("cv"))
-      .join(chunks.select(col("doc_id").as("db"), col("sh").as("shb"), col("ci"), col("cv")),
-        Seq("ci", "cv"))
+    val pairs = chunks.select(col("doc_id").as("da"), col("sh").as("sha"), col("ck"))
+      .join(chunks.select(col("doc_id").as("db"), col("sh").as("shb"), col("ck")),
+        Seq("ck"))
       .filter(col("da") < col("db"))
       .select("da", "db", "sha", "shb").distinct()
       .withColumn("hd", bit_count(col("sha").bitwiseXOR(col("shb"))))

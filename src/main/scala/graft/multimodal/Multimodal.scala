@@ -438,13 +438,15 @@ object Multimodal extends QueryRegistry {
   // signature). The STUB luma kernel is position-salted byte arithmetic
   // standing in for a real decode+downscale — a deployment swaps only the
   // kernel; the signature packing, banding and verify are unchanged.
-  // Pairs within Hamming distance 3 are found by 4x16-bit banding
-  // (pigeonhole-complete for hd<=3: 3 flips cannot touch all 4 bands, so
-  // candidates are EXHAUSTIVE and the result exact — the d_simhash
-  // contract). Scale shape: one map stage for signatures, an equi-join on
-  // (band, value) for candidates, integer bit_count verify — no pairwise
-  // scan outside shared-band buckets; past ~10^8 items the knob is a wider
-  // signature (128-bit / 4x32 bands), not a different plan.
+  // Pairs within Hamming distance 3 are found by the Manku 6-block /
+  // choose-3 pigeonhole ([[graft.dedup.HammingBlocks]]: exhaustive for
+  // hd<=3, candidate keys carry ~32 signature bits so accidental
+  // collisions scale as ~20*n^2/2^32, not n^2/2^16 — the d_simhash
+  // contract). Scale shape: one map stage for signatures, a single-column
+  // equi-join on the packed combo key for candidates, integer bit_count
+  // verify — no pairwise scan outside shared-key buckets. The oracle
+  // states the same pair semantics via the equivalent-output 4x16 banding
+  // (cheapest exhaustive form at oracle scale).
   def mPhashDedup(s: SparkSession, dir: String): DataFrame = {
     val base = GraftSession.table(s, dir, "documents")
       .select(col("doc_id"), rpad(substring(col("text"), 1, 64), 64, " ").as("head"))
@@ -462,27 +464,25 @@ object Multimodal extends QueryRegistry {
     def bit(i: Int) = when(col(s"l$i") * 64 > col("tot"), 1).otherwise(0)
     val bands = (0 until 4).map(c =>
       (0 until 16).map(j => bit(c * 16 + j) * lit(1 << j)).reduce(_ + _).as(s"band$c"))
-    val sigs = withL.withColumn("tot", tot).select(col("doc_id") +: bands: _*)
+    // pack the four 16-bit bands into ONE 64-bit signature (bit 63 via the
+    // long shift is Long's sign bit — harmless: only xor/bit_count touch it)
+    val sh = (0 until 4).map(c => shiftleft(col(s"band$c").cast("long"), c * 16))
+      .reduce(_.bitwiseOR(_))
+    val sigs = withL.withColumn("tot", tot)
+      .select(col("doc_id") +: bands: _*)
+      .select(col("doc_id"), sh.as("sh"))
     // cached: two self-join sides of a 64-bit-wide bit-packing projection
     // would otherwise duplicate a very wide codegen stage (d_simhash's rule)
-    val chunks = sigs.select(col("doc_id"), col("band0"), col("band1"),
-        col("band2"), col("band3"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("ci"), col(s"band$c").as("cv"))): _*)).as("ck"))
-      .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
-        col("band3"), col("ck.ci"), col("ck.cv"))
+    val chunks = sigs
+      .select(col("doc_id"), col("sh"),
+        explode(graft.dedup.HammingBlocks.comboKeys(col("sh"))).as("ck"))
       .cache()
-    val a = chunks.toDF("da", "a0", "a1", "a2", "a3", "ci", "cv")
-    val b = chunks.toDF("db", "b0", "b1", "b2", "b3", "ci", "cv")
-    val pairs = a.join(b, Seq("ci", "cv"))
+    val pairs = chunks.select(col("doc_id").as("da"), col("sh").as("sha"), col("ck"))
+      .join(chunks.select(col("doc_id").as("db"), col("sh").as("shb"), col("ck")),
+        Seq("ck"))
       .filter(col("da") < col("db"))
-      .select("da", "db", "a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3")
-      .distinct()
-      .withColumn("hd",
-        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
-          bit_count(col("a1").bitwiseXOR(col("b1"))) +
-          bit_count(col("a2").bitwiseXOR(col("b2"))) +
-          bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long"))
+      .select("da", "db", "sha", "shb").distinct()
+      .withColumn("hd", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
       .filter(col("hd") <= 3)
     pairs.select(col("da").as("doc_a"), col("db").as("doc_b"), col("hd"))
       .orderBy("doc_a", "doc_b")
