@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerType, LongType}
+
+/** Shared bloom-filter arithmetic — the runtime-filter pattern Spark's own
+  * `InjectRuntimeFilter` rule uses for join pruning, here exposed as graft
+  * SQL functions so an operator can build the filter from an arbitrary
+  * build-side plan and probe it inside whole-stage codegen.
+  *
+  * Layout contract (both sides MUST agree or false negatives appear):
+  * bit position `p` lives in byte `p >>> 3`, bit `p & 7`; hash `i` of key
+  * `key` is the TOP `mLog2` bits of `XXH64(key, seed = i)`. The builder
+  * aggregates positions into 64-bit words (`word = p >>> 6`, bit
+  * `p & 63`), and [[BloomImpl.fill]] writes each word little-endian so the
+  * byte/bit view above holds.
+  */
+object BloomImpl {
+
+  /** Bit position of hash `i` for `key` in a filter of `1 << mLog2` bits. */
+  def pos(key: Long, i: Int, mLog2: Int): Long =
+    XXH64.hashLong(key, i.toLong) >>> (64 - mLog2)
+
+  /** True iff all `k` hash bits of `key` are set — no false negatives for
+    * inserted keys; false positives at the standard `(1-e^{-kn/m})^k` rate. */
+  def mightContain(key: Long, bitmap: Array[Byte], k: Int, mLog2: Int): Boolean = {
+    var i = 0
+    while (i < k) {
+      val p = pos(key, i, mLog2)
+      if ((bitmap((p >>> 3).toInt) & (1 << (p & 7L).toInt)) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Write an aggregated (wordIndex, orOfBits) pair into the byte bitmap —
+    * little-endian, matching [[mightContain]]'s byte/bit addressing. */
+  def fill(bitmap: Array[Byte], word: Long, bits: Long): Unit = {
+    var j = 0
+    while (j < 8) {
+      bitmap(word.toInt * 8 + j) = (bitmap(word.toInt * 8 + j) | ((bits >>> (8 * j)) & 0xffL)).toByte
+      j += 1
+    }
+  }
+}
+
+/** `bloom_pos(key, i, mLog2)` — bit position of hash `i` for `key`; the
+  * build side explodes `i ∈ [0, k)` and bit-ORs positions into words. */
+case class BloomPos(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_pos"
+
+  override protected def nullSafeEval(key: Any, i: Any, mLog2: Any): Any =
+    BloomImpl.pos(key.asInstanceOf[Long], i.asInstanceOf[Int], mLog2.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (key, i, m) =>
+      s"${ev.value} = graft.functions.BloomImpl.pos($key, $i, $m);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BloomPos =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `bloom_contains(key, bitmap, k, mLog2)` — codegen'd membership probe.
+  * `k`/`mLog2` must be foldable (they parameterize the generated loop). */
+case class BloomContains(left: Expression, right: Expression, k: Int, mLog2: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_contains"
+
+  override protected def nullSafeEval(key: Any, bitmap: Any): Any =
+    BloomImpl.mightContain(
+      key.asInstanceOf[Long], bitmap.asInstanceOf[Array[Byte]], k, mLog2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (key, bm) =>
+      s"${ev.value} = graft.functions.BloomImpl.mightContain($key, $bm, $k, $mLog2);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomContains {
+  def fromArgs(children: Seq[Expression]): BloomContains = {
+    require(children.size == 4, "usage: bloom_contains(key, bitmap, k, mLog2)")
+    def intLit(e: Expression, name: String): Int = {
+      require(e.foldable, s"bloom_contains $name must be a literal")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    BloomContains(children.head, children(1),
+      intLit(children(2), "k"), intLit(children(3), "mLog2"))
+  }
+}

@@ -247,7 +247,9 @@ object GraftFunctions {
     "cosine_sim_d" -> (children => CosineSimD(children.head, children(1))),
     "l2sq_q6" -> (children => L2SqQ6(children.head, children(1))),
     "dot_f" -> (children => DotF(children.head, children(1))),
-    "shingle_hash" -> (children => ShingleHash.fromArgs(children)))
+    "shingle_hash" -> (children => ShingleHash.fromArgs(children)),
+    "bloom_pos" -> (children => BloomPos(children.head, children(1), children(2))),
+    "bloom_contains" -> (children => BloomContains.fromArgs(children)))
 
   /** `graft_table_changes(path, mode, beginExclusive[, endInclusive])` —
     * the SQL table function mirroring the reference's `hudi_table_changes`
@@ -327,6 +329,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("shingle_hash"),
       new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
       children => ShingleHash.fromArgs(children)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_pos"),
+      new ExpressionInfo(classOf[BloomPos].getName, "bloom_pos"),
+      children => BloomPos(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      children => BloomContains.fromArgs(children)))
     ext.injectTableFunction((
       FunctionIdentifier("graft_table_changes"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_table_changes"),

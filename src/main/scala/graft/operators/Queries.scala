@@ -447,6 +447,62 @@ object Queries extends QueryRegistry {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_bloom_join: runtime bloom-filter join pruning — the pattern behind
+  // Spark's InjectRuntimeFilter, built explicitly so the filter can come
+  // from an ARBITRARY build-side plan. The selective dim side (urgent
+  // orders, ~1/5 of keys) is hashed into a compact bitmap (k=4 hashes,
+  // ~8 bits/key → ~2.4% false positives) that prefilters the fact scan
+  // INSIDE whole-stage codegen before the join shuffle — at 100 TB, where
+  // the dim is too big to broadcast and the join must shuffle both sides,
+  // this cuts ~4/5 of the fact shuffle for a bitmap that is kilobytes per
+  // executor. Exactness does not depend on the bloom: no false negatives by
+  // construction (same XXH64 top-bits addressing on build and probe,
+  // FunctionsSpec pins it), and the exact equi-join afterwards removes the
+  // false positives — the oracle states the plain join. The bitmap build is
+  // distributed (explode k positions, bit_or into 64-bit words, one shuffle
+  // whose output is ≤ m/64 rows); only the ≤(m/64)-word aggregate — bounded
+  // by the filter SIZE, not the data — reaches the driver, exactly like
+  // Spark's own bloom aggregate in runtime filtering.
+  private val BloomK = 4
+
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dim = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderdate")
+    // Size m to ~8 bits/key: ceil(log2(n*8)), clamped to [12, 26] (512 B to
+    // 8 MiB of bitmap). The count is one metadata-cheap job over the
+    // pushdown-filtered dim scan.
+    val nKeys = math.max(1L, dim.count())
+    val mLog2 = math.max(12, math.min(26,
+      64 - java.lang.Long.numberOfLeadingZeros(nKeys * 8 - 1)))
+    val words = dim
+      .select(explode(array((0 until BloomK).map(i =>
+        call_function("bloom_pos", col("o_orderkey"), lit(i), lit(mLog2))): _*)).as("p"))
+      .selectExpr("shiftright(p, 6) AS w", "shiftleft(1L, CAST(p % 64 AS INT)) AS b")
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val bitmap = new Array[Byte](1 << (mLog2 - 3))
+    words.foreach(r => graft.functions.BloomImpl.fill(bitmap, r.getLong(0), r.getLong(1)))
+    val pruned = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .filter(call_function("bloom_contains",
+        col("l_orderkey"), lit(bitmap), lit(BloomK), lit(mLog2)))
+    pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qBloomJoinSql =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- q_range_join: banded time-range join. The naive form is a cross join with a
   // range predicate (O(n*m)); banding by 10-minute buckets turns it into an
   // equi-join on (user_id, bucket) — each probe row explodes to 2 buckets, so
@@ -2125,6 +2181,7 @@ object Queries extends QueryRegistry {
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
+    QueryDef("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),

@@ -501,7 +501,58 @@ object Curation extends QueryRegistry {
       |  UNION ALL SELECT '5_embedded', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM st2 WHERE s_embedded
       |), t ORDER BY stage""".stripMargin
 
+  // --- c_dataset_card: the per-source dataset card a pipeline publishes
+  // with every training-data release — volume (docs/chars/tokens),
+  // exact-dup mass, language spread, and the dominant language — composed
+  // as two |sources|-sized aggregates joined at the end. The per-row work
+  // (md5 fingerprint, token count) is codegen'd; the shuffles carry only
+  // per-(source[,lang,fp]) partial aggregates, so at 100 TB the pass is
+  // scan-bound with map-side combine, and the final join is
+  // |sources|×|sources| — broadcast trivially.
+  def cDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = GraftSession.table(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(normText(col("text"))).as("fp"),
+        when(trim(col("text")) === "", 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("tok"))
+    val bySource = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(col("tok")).as("total_tokens"),
+      countDistinct(col("fp")).as("n_unique"),
+      countDistinct(col("lang")).as("n_langs"))
+    val w = Window.partitionBy("source").orderBy(desc("n"), asc("lang"))
+    val topLang = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n").as("top_lang_docs"))
+    bySource.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        (col("n_docs") - col("n_unique")).as("dup_docs"),
+        col("n_langs"), col("top_lang"), col("top_lang_docs"))
+      .orderBy("source")
+  }
+
+  private val cDatasetCardSql =
+    """WITH b AS (SELECT source, lang, n_chars,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS tok
+      |  FROM documents),
+      |a AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |    COUNT(DISTINCT fp) AS n_unique, COUNT(DISTINCT lang) AS n_langs
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT source, lang AS top_lang, n AS top_lang_docs FROM (
+      |    SELECT source, lang, COUNT(*) AS n,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn
+      |    FROM b GROUP BY source, lang) WHERE rn = 1)
+      |SELECT a.source, n_docs, total_chars, total_tokens,
+      |  n_docs - n_unique AS dup_docs, n_langs, top_lang, top_lang_docs
+      |FROM a JOIN t ON a.source = t.source ORDER BY a.source""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("c_dataset_card", cDatasetCard, Some(cDatasetCardSql)),
     QueryDef("c_funnel_stages", cFunnelStages, Some(cFunnelStagesSql)),
     QueryDef("c_incr_curation", cIncrCuration, Some(cCurationFunnelSql)),
     QueryDef("c_cluster_keeper", cClusterKeeper, Some(cClusterKeeperSql)),

@@ -115,6 +115,50 @@ object TextOps extends QueryRegistry {
       |  FROM s)
       |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- x_domain_route: lexicon-density domain routing — the cheap-classifier
+  // pass that splits a crawl into domain buckets before per-domain curation
+  // (the fastText-classifier slot in CCNet-style pipelines, here a
+  // transparent lexicon so the oracle can state it). Each doc scores three
+  // domain lexicons by codegen'd regex hit counts and routes to the argmax
+  // (fixed tie-break: relational > storage > streaming); output is the
+  // per-source routing table with the winning domain's hit mass. Pure
+  // per-row work + one |sources×domains|-sized aggregate — no shuffle
+  // carries document text, so the pass is scan-bound at 100 TB exactly
+  // like x_langid.
+  def xDomainRoute(s: SparkSession, dir: String): DataFrame = {
+    val lower0 = lower(col("text"))
+    def hits(pat: String): Column = size(regexp_extract_all(lower0, lit(pat))).cast("long")
+    val rel = hits("\\b(join|filter|merge|sort|agg|group|query|window)\\b")
+    val sto = hits("\\b(table|row|column|part|scan|key|value|batch)\\b")
+    val str = hits("\\b(stream|event|data|order|customer|line)\\b")
+    val m = greatest(rel, sto, str)
+    val domain = when(rel === m, "relational").when(sto === m, "storage")
+      .otherwise("streaming")
+    val routedHits = when(rel === m, rel).when(sto === m, sto).otherwise(str)
+    docs(s, dir)
+      .select(col("source"), domain.as("domain"), routedHits.as("h"))
+      .groupBy("source", "domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("domain_hits"))
+      .orderBy("source", "domain")
+  }
+
+  private val xDomainRouteSql =
+    """WITH s AS (SELECT source,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(join|filter|merge|sort|agg|group|query|window)\b')) AS BIGINT) AS h_rel,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(table|row|column|part|scan|key|value|batch)\b')) AS BIGINT) AS h_sto,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(stream|event|data|order|customer|line)\b')) AS BIGINT) AS h_str
+      |  FROM documents),
+      |p AS (SELECT source,
+      |  CASE WHEN h_rel = greatest(h_rel, h_sto, h_str) THEN 'relational'
+      |       WHEN h_sto = greatest(h_rel, h_sto, h_str) THEN 'storage'
+      |       ELSE 'streaming' END AS domain,
+      |  CASE WHEN h_rel = greatest(h_rel, h_sto, h_str) THEN h_rel
+      |       WHEN h_sto = greatest(h_rel, h_sto, h_str) THEN h_sto
+      |       ELSE h_str END AS h
+      |  FROM s)
+      |SELECT source, domain, COUNT(*) AS n_docs, CAST(SUM(h) AS BIGINT) AS domain_hits
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- x_vocab: corpus vocabulary with counts, top 100 (tokenizer prep).
   // One explode + one hash agg — map-side partial aggregation keeps the
   // shuffle at |vocab|, not |tokens|.
@@ -951,6 +995,7 @@ object TextOps extends QueryRegistry {
     QueryDef("x_tokens", xTokens, Some(xTokensSql)),
     QueryDef("x_quality", xQuality, Some(xQualitySql)),
     QueryDef("x_langid", xLangid, Some(xLangidSql)),
+    QueryDef("x_domain_route", xDomainRoute, Some(xDomainRouteSql)),
     QueryDef("x_vocab", xVocab, Some(xVocabSql)),
     QueryDef("x_zipf", xZipf, Some(xZipfSql)),
     QueryDef("x_shingle_curve", xShingleCurve, Some(xShingleCurveSql)),

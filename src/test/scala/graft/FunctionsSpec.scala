@@ -96,4 +96,69 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getDouble(0))
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
   }
+
+  test("bloom build/probe: no false negatives, honest FP rate, codegen parity") {
+    GraftFunctions.register(spark)
+    import graft.functions.BloomImpl
+    val k = 4
+    val mLog2 = 16 // 65536 bits for 2000 keys ≈ 8 bits/key
+    // build a bitmap from even keys 0,2,...,3998 through the DISTRIBUTED
+    // path (bloom_pos + word bit_or), exactly as q_bloom_join does
+    val keys = spark.range(0, 4000, 2).selectExpr("id AS key")
+    val words = keys
+      .select(explode(array((0 until k).map(i =>
+        call_function("bloom_pos", col("key"), lit(i), lit(mLog2))): _*)).as("p"))
+      .selectExpr("shiftright(p, 6) AS w", "shiftleft(1L, CAST(p % 64 AS INT)) AS b")
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val bitmap = new Array[Byte](1 << (mLog2 - 3))
+    words.foreach(r => BloomImpl.fill(bitmap, r.getLong(0), r.getLong(1)))
+    // probe through the codegen'd expression over all 4000 keys
+    val probed = spark.range(0, 4000)
+      .withColumn("hit", call_function("bloom_contains",
+        col("id"), lit(bitmap), lit(k), lit(mLog2)))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    // NO false negative is acceptable — that would break join exactness
+    val falseNeg = probed.filter { case (id, hit) => id % 2 == 0 && !hit }
+    assert(falseNeg.isEmpty, s"bloom false negatives: ${falseNeg.take(5).toSeq}")
+    // false positives exist but are rare (theory ~2.4% at 8 bits/key, k=4)
+    val fp = probed.count { case (id, hit) => id % 2 == 1 && hit }
+    assert(fp < 200, s"bloom FP rate implausibly high: $fp/2000")
+    // interpreted eval agrees with the codegen'd path bit-for-bit
+    probed.foreach { case (id, hit) =>
+      assert(BloomImpl.mightContain(id, bitmap, k, mLog2) == hit,
+        s"eval/codegen divergence at key $id")
+    }
+  }
+
+  test("q_bloom_join's prefilter prunes most non-matching fact rows") {
+    GraftFunctions.register(spark)
+    import graft.functions.BloomImpl
+    // replicate the op's build at sf0.001 and measure the prune: the dim is
+    // ~1/5 of orders keys, so bloom should pass ~20% + ~2.4% FP of lineitem
+    val dim = GraftSession.table(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val nKeys = math.max(1L, dim.count())
+    val mLog2 = math.max(12, math.min(26,
+      64 - java.lang.Long.numberOfLeadingZeros(nKeys * 8 - 1)))
+    val words = dim
+      .select(explode(array((0 until 4).map(i =>
+        call_function("bloom_pos", col("o_orderkey"), lit(i), lit(mLog2))): _*)).as("p"))
+      .selectExpr("shiftright(p, 6) AS w", "shiftleft(1L, CAST(p % 64 AS INT)) AS b")
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val bitmap = new Array[Byte](1 << (mLog2 - 3))
+    words.foreach(r => BloomImpl.fill(bitmap, r.getLong(0), r.getLong(1)))
+    val li = GraftSession.table(spark, sfDir, "lineitem").select("l_orderkey")
+    val total = li.count()
+    val kept = li.filter(call_function("bloom_contains",
+      col("l_orderkey"), lit(bitmap), lit(4), lit(mLog2))).count()
+    assert(kept < total / 2, s"bloom pruned too little: kept $kept of $total")
+    // every true match survives: semi-join count equals bloom∩exact count
+    val trueMatches = li.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val keptTrue = li.filter(call_function("bloom_contains",
+        col("l_orderkey"), lit(bitmap), lit(4), lit(mLog2)))
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(keptTrue == trueMatches, s"bloom dropped true matches: $keptTrue != $trueMatches")
+  }
 }

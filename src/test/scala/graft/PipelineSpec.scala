@@ -313,4 +313,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded == brute,
       s"banded=${banded.size} brute=${brute.size} diff=${(banded -- brute) ++ (brute -- banded)}")
   }
+
+  test("c_dataset_card / x_domain_route: partition the corpus exactly (no doc lost or doubled)") {
+    val total = GraftSession.table(spark, sfSmall, "documents").count()
+    val card = graft.pipeline.Curation.cDatasetCard(spark, sfSmall).collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum == total)
+    card.foreach { r =>
+      assert(r.getAs[Long]("dup_docs") >= 0L)
+      assert(r.getAs[Long]("top_lang_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") >= 1L)
+      assert(r.getAs[Long]("total_tokens") > 0L)
+    }
+    val route = graft.text.TextOps.xDomainRoute(spark, sfSmall).collect()
+    assert(route.map(_.getAs[Long]("n_docs")).sum == total)
+    val domains = route.map(_.getAs[String]("domain")).toSet
+    assert(domains.subsetOf(Set("relational", "storage", "streaming")), domains.toString)
+  }
 }

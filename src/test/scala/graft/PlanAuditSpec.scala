@@ -277,6 +277,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.sameElements(plain))
   }
 
+  test("q_bloom_join: bloom probe runs inside whole-stage codegen on the fact scan") {
+    val df = Queries.qBloomJoin(spark, sfDir)
+    df.collect() // execute THIS plan so AQE finalizes and codegen markers appear
+    val s = planString(df)
+    // the bloom_contains filter must sit fused (*) in the codegen stage that
+    // reads lineitem — a CodegenFallback here would pay interpreted eval per
+    // fact row, exactly the m_audio_windows disease
+    assert(s.linesIterator.exists(l =>
+      l.contains("bloom_contains") && """\*\(\d+\) Filter""".r.findFirstIn(l).isDefined),
+      s"bloom_contains not inside WholeStageCodegen:\n${s.take(4000)}")
+    assert(!s.contains("CodegenFallback"), s)
+    // and the exact join is still there to remove false positives
+    assert(s.contains("Join"), s)
+  }
+
   test("q6: every filter pushes to the scan; global agg is partial") {
     val s = planString(Queries.q6ForecastRevenue(spark, sfDir))
     // the plan string truncates the filter list — assert the pushdown of all
