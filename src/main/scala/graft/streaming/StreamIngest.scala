@@ -125,6 +125,39 @@ object StreamIngest {
         })
   }
 
+  final case class VersionedEvent(
+      user_id: Long, event_id: Long, ts_us: Long, event_type: String, k: Long)
+  final case class PlanState(k: Long)
+  final case class TemporalOut(event_id: Long, user_id: Long, ts_ms: Long, plan_k: Long)
+
+  /** Streaming event-time temporal-table join (flatMapGroupsWithState) —
+    * the stateful twin of StreamingOps.stTemporalJoin. Per-user state is
+    * ONE long (the latest dimension version), each probe row emits the
+    * version valid at its event time: O(1) state per key where a buffered
+    * stream-stream join would hold the whole dimension history. Signups
+    * sort before purchases at equal ts inside a batch (as-of "<="
+    * semantics, matching the batch twin's tag ordering); `k = -1` marks a
+    * version-less signup (missing JSON field) and updates nothing. */
+  def temporalJoin(events: Dataset[VersionedEvent]): Dataset[TemporalOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[VersionedEvent], state: GroupState[PlanState]) => {
+          val evs = it.toSeq.sortBy(e =>
+            (e.ts_us, if (e.event_type == "signup") 0 else 1, e.event_id))
+          var k = state.getOption.map(_.k).getOrElse(-1L)
+          val out = ListBuffer.empty[TemporalOut]
+          evs.foreach { e =>
+            if (e.event_type == "signup") { if (e.k >= 0L) k = e.k }
+            else if (e.event_type == "purchase")
+              out += TemporalOut(e.event_id, uid, e.ts_us / 1000, k)
+          }
+          state.update(PlanState(k))
+          out.iterator
+        })
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessId: Long, startUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(

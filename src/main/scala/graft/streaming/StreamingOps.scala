@@ -343,7 +343,52 @@ object StreamingOps extends QueryRegistry {
       |FROM x WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- st_temporal_join: event-time temporal-table join — Flink's
+  // versioned-dimension join (FOR SYSTEM_TIME AS OF), the semantics a
+  // stream-enrichment needs when the dimension is ITSELF a changelog:
+  // each purchase joins the signup "plan" version valid AT the purchase's
+  // event time (not the latest version — that would leak the future).
+  // Batch form: tag signups before purchases at equal ts, one user-keyed
+  // window pass carrying the last non-null version forward (one shuffle,
+  // no join at all — the dimension rides the same partitioning as the
+  // probe). Purchases before any signup report version -1. Streaming
+  // form: StreamIngest.temporalJoin holds one O(1) (latest version) state
+  // per user; StreamingSpec asserts stream == batch.
+  def stTemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup",
+          get_json_object(col("props"), "$.k").cast("long")).as("k"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("plan_k", last("k", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        coalesce(col("plan_k"), lit(-1L)).as("plan_k"))
+      .orderBy("event_id")
+  }
+
+  // engine-agnostic carry-forward: grp counts non-null versions up to the
+  // row, so each (user, grp) slice holds exactly the one signup that opened
+  // it — MAX over the slice recovers its k without IGNORE NULLS syntax
+  private val stTemporalJoinSql =
+    """WITH e AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN event_type = 'signup'
+      |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+      |    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tag
+      |  FROM events WHERE event_type IN ('signup', 'purchase')),
+      |g AS (SELECT *, COUNT(k) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM e),
+      |v AS (SELECT *, MAX(k) OVER (PARTITION BY user_id, grp) AS plan0 FROM g)
+      |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |  COALESCE(plan0, -1) AS plan_k
+      |FROM v WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("st_temporal_join", stTemporalJoin, Some(stTemporalJoinSql)),
     QueryDef("st_pattern", stPattern, Some(stPatternSql)),
     QueryDef("st_changelog_apply", stChangelogApply, Some(stChangelogApplySql)),
     QueryDef("st_anomaly", stAnomaly, Some(stAnomalySql)),

@@ -29,6 +29,25 @@ object Profile {
     val orders = GraftSession.table(spark, sfDir, "orders")
     time("warmup count")(orders.count())
 
+    if (args.headOption.contains("rli")) {
+      // phase profile of t_rli_compact (the battery's heaviest op)
+      val tbl = GraftTable(spark, GraftTableConfig(
+        "/tmp/graft_prof/t_rli", "o_orderkey", "o_orderkey",
+        recordIndexBuckets = 16))
+      tbl.dropIfExists()
+      time("rli insert 4 files")(tbl.insert(orders, numFiles = 4))
+      (1 to 2).foreach { i =>
+        time(s"rli upsert wave $i")(
+          tbl.upsert(orders.filter(col("o_orderkey") % 9 === i)
+            .withColumn("o_orderstatus", lit(s"W$i"))))
+      }
+      time("rli compactRecordIndex")(tbl.compactRecordIndex())
+      time("rli pointLookup")(
+        tbl.pointLookup(Seq(1L, 7L, 11L, 12L, 100L, 999L)).orderBy("o_orderkey").count())
+      spark.stop()
+      return
+    }
+
     val tbl = GraftTable(spark, GraftTableConfig(
       "/tmp/graft_prof/t_upsert", "o_orderkey", "o_orderkey"))
     tbl.dropIfExists()

@@ -136,6 +136,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pattern mismatch: got ${got.count()} users, want ${want.count()}")
   }
 
+  test("stateful temporal-table join matches the batch as-of window twin") {
+    import spark.implicits._
+    val dir = stage("temporal")
+    val evStream = readStreamOf(dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)).as("k"))
+      .as[StreamIngest.VersionedEvent]
+    val q = StreamIngest.temporalJoin(evStream)
+      .writeStream.format("memory").queryName("temporal_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("temporal_out")
+      .select("event_id", "user_id", "ts_ms", "plan_k")
+    val want = StreamingOps.stTemporalJoin(spark, sfDir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"temporal join mismatch: got ${got.count()} rows, want ${want.count()}")
+  }
+
   test("stateful latest-per-key stream converges to the batch q_latest_per_key") {
     import spark.implicits._
     // chunk by event_id % 3, NOT by time: most users then receive OLDER
