@@ -479,6 +479,35 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     else dropInternal(readFiles(files)).filter(col(column).between(lo, hi))
   }
 
+  /** Hudi-1.0-style PARTITION_STATS index: per-partition min/max of a
+    * stats column, rolled up from live-file footer stats already in
+    * TIMELINE metadata — O(#partitions) entries where the per-file
+    * col-stats index is O(#files). Built on demand from the cached
+    * timeline; nothing extra is written, exactly like Hudi's metadata
+    * partition that aggregates the column-stats partition. */
+  def partitionStats(column: String): Map[String, ColStat] =
+    timeline.liveFiles(None)
+      .flatMap(f => f.colStats.get(column).map(st => f.partition -> st))
+      .groupBy(_._1)
+      .map { case (p, sts) => p -> sts.map(_._2).reduce(_ merge _) }
+
+  /** Range scan pruned by the partition-stats index FIRST — whole
+    * partitions drop in O(#partitions) before any per-file metadata is
+    * consulted (the case path pruning cannot answer: a predicate on the
+    * RAW column when the partition path holds a derived value, e.g.
+    * p_month=1996-03 vs a timestamp range). Surviving partitions then
+    * prune per-file, and the residual filter re-applies the predicate.
+    * COW only, same reasoning as [[readBetween]]. */
+  def readBetweenPartitionStats(column: String, lo: Any, hi: Any): DataFrame = {
+    require(cfg.tableType == TableType.Cow,
+      "partition-stats read requires a COW table")
+    val liveParts = partitionStats(column).filter(_._2.overlaps(lo, hi)).keySet
+    val files = timeline.liveFiles(None).filter(f =>
+      liveParts(f.partition) && f.colStats.get(column).forall(_.overlaps(lo, hi)))
+    if (files.isEmpty) read().filter(lit(false))
+    else dropInternal(readFiles(files)).filter(col(column).between(lo, hi))
+  }
+
   /** Live files that may satisfy every given [[ColBound]], pruned purely
     * from timeline metadata (no directory listing, no file reads except
     * bloom footers for key equality):

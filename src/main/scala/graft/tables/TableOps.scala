@@ -849,6 +849,36 @@ object TableOps extends QueryRegistry {
     tbl.readBetween("value", 50.0, 60.0).orderBy("event_id")
   }
 
+  // --- t_partition_stats: Hudi-1.0 PARTITION_STATS index — per-partition
+  // min/max of a stats column rolled up from file footer stats held in
+  // timeline metadata. The table partitions by a DERIVED month string
+  // (p_month=1996-03), so a range predicate on the raw o_orderdate
+  // timestamp cannot be answered by partition-path pruning (the reader
+  // would have to know the derivation); the partition-stats index answers
+  // it in O(#partitions) and drops whole partitions before any per-file
+  // metadata is consulted — at millions of files the difference between a
+  // metadata scan and a lookup.
+  def tPartitionStats(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_partition_stats", dir), "o_orderkey", "o_orderkey",
+      keyGen = TimestampDayPartition("o_orderdate", "p_month", "yyyy-MM"),
+      statsCols = Seq("o_orderdate")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 2)
+    tbl.readBetweenPartitionStats("o_orderdate",
+      java.sql.Timestamp.valueOf("1996-03-15 00:00:00"),
+      java.sql.Timestamp.valueOf("1996-05-20 00:00:00"))
+      .select(orders.columns.map(col).toSeq: _*) // drop the synthetic p_month
+      .orderBy("o_orderkey")
+  }
+
+  private val tPartitionStatsSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-15 00:00:00' AND TIMESTAMP '1996-05-20 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- t_expr_index: Hudi-1.0 expression index — per-file min/max of
   // date_trunc('MONTH', o_orderdate), a derived value no parquet footer
   // stores. Date-clustering first localizes each calendar month into few
@@ -1269,6 +1299,7 @@ object TableOps extends QueryRegistry {
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE value BETWEEN 50.0 AND 60.0
         |ORDER BY event_id""".stripMargin)),
+    QueryDef("t_partition_stats", tPartitionStats, Some(tPartitionStatsSql)),
     QueryDef("t_insert_overwrite", tInsertOverwrite, Some(
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'W' ELSE o_orderstatus END AS o_orderstatus,

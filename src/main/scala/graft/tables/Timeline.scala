@@ -43,6 +43,20 @@ final case class ColStat(kind: String, min: String, max: String) {
       case _ => true
     }
 
+  /** Union of two ranges of the same kind — the partition-stats rollup
+    * (file stats → one per-partition ColStat). Lex compares as strings,
+    * every other kind in its numeric domain, keeping the original string
+    * encodings (no re-format drift). */
+  def merge(o: ColStat): ColStat = {
+    require(o.kind == kind, s"cannot merge ColStat kinds $kind/${o.kind}")
+    if (kind == ColStat.Lex)
+      ColStat(kind, if (min <= o.min) min else o.min, if (max >= o.max) max else o.max)
+    else
+      ColStat(kind,
+        if (min.toDouble <= o.min.toDouble) min else o.min,
+        if (max.toDouble >= o.max.toDouble) max else o.max)
+  }
+
   /** [[overlaps]] with optional (half-open) bounds: a None side is
     * unbounded, and a bound whose type doesn't convert is treated as
     * unbounded too (keep the file). */

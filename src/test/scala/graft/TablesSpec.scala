@@ -1528,4 +1528,31 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       tbl.dropIfExists()
     }
   }
+
+  test("partition-stats index prunes whole partitions a path-pruner cannot") {
+    import org.apache.spark.sql.functions.col
+    val orders = GraftSession.table(spark, sfDir, "orders")
+    val tbl = graft.tables.GraftTable(spark, graft.tables.GraftTableConfig(
+      "/tmp/graft_test/t_pstats", "o_orderkey", "o_orderkey",
+      keyGen = graft.tables.TimestampDayPartition("o_orderdate", "p_month", "yyyy-MM"),
+      statsCols = Seq("o_orderdate")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 2)
+    val stats = tbl.partitionStats("o_orderdate")
+    assert(stats.size > 12, s"expected many month partitions, got ${stats.size}")
+    val lo = java.sql.Timestamp.valueOf("1996-03-15 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-05-20 00:00:00")
+    // the raw-timestamp range spans parts of Mar plus Apr/May 1996: the
+    // index must keep EXACTLY those three month partitions (a path pruner
+    // sees opaque p_month=1996-03 strings and cannot answer this at all)
+    val live = stats.filter(_._2.overlaps(lo, hi)).keys.toSet
+    assert(live == Set("p_month=1996-03", "p_month=1996-04", "p_month=1996-05"), live.toString)
+    // and the pruned read equals the unpruned filter exactly
+    val got = tbl.readBetweenPartitionStats("o_orderdate", lo, hi)
+      .select(orders.columns.map(col).toSeq: _*)
+    val want = orders.filter(col("o_orderdate").between(lo, hi))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"pruned read diverged: got ${got.count()}, want ${want.count()}")
+    tbl.dropIfExists()
+  }
 }
