@@ -249,7 +249,9 @@ object GraftFunctions {
     "dot_f" -> (children => DotF(children.head, children(1))),
     "shingle_hash" -> (children => ShingleHash.fromArgs(children)),
     "bloom_pos" -> (children => BloomPos(children.head, children(1), children(2))),
-    "bloom_contains" -> (children => BloomContains.fromArgs(children)))
+    "bloom_contains" -> (children => BloomContains.fromArgs(children)),
+    "byte_sum" -> (children => ByteSum(children.head)),
+    "byte_sumsq" -> (children => ByteSumSq(children.head)))
 
   /** `graft_table_changes(path, mode, beginExclusive[, endInclusive])` —
     * the SQL table function mirroring the reference's `hudi_table_changes`
@@ -337,6 +339,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
       children => BloomContains.fromArgs(children)))
+    ext.injectFunction((
+      FunctionIdentifier("byte_sum"),
+      new ExpressionInfo(classOf[ByteSum].getName, "byte_sum"),
+      children => ByteSum(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("byte_sumsq"),
+      new ExpressionInfo(classOf[ByteSumSq].getName, "byte_sumsq"),
+      children => ByteSumSq(children.head)))
     ext.injectTableFunction((
       FunctionIdentifier("graft_table_changes"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_table_changes"),

@@ -522,7 +522,58 @@ object Multimodal extends QueryRegistry {
        |FROM p WHERE $hdExpr <= 3 ORDER BY 1, 2""".stripMargin
   }
 
+  // --- m_channel_stats: dataset normalization constants — the per-modality
+  // (n, Σx, Σx²) moments a training pipeline computes ONCE over the corpus
+  // to fix its normalize(mean, std) transform. The per-row kernel is the
+  // codegen'd byte_sum/byte_sumsq expression pair over the binary payload
+  // (a HOF chain here would be CodegenFallback and allocate per row — the
+  // m_audio_windows lesson); the shuffle carries one 4-long row per
+  // modality. Moments stay exact BIGINTs end-to-end; only the final
+  // presentation mean divides. The oracle states the same moments per
+  // character codepoint — identical to bytes on this all-ASCII corpus
+  // (verified at every sf), which is exactly the UTF-8 ⊇ ASCII identity.
+  def mChannelStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    GraftSession.table(s, dir, "documents")
+      .select(
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("modality"),
+        substring(col("text"), 1, 64).cast("binary").as("payload"))
+      .select(col("modality"),
+        length(col("payload")).cast("long").as("n"),
+        expr("byte_sum(payload)").as("s1"),
+        expr("byte_sumsq(payload)").as("s2"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_media"),
+        sum("n").as("n_samples"),
+        sum("s1").as("sum_val"),
+        sum("s2").as("sum_sq"))
+      .select(col("modality"), col("n_media"), col("n_samples"),
+        col("sum_val"), col("sum_sq"),
+        round(col("sum_val").cast("double") / col("n_samples").cast("double"), 6)
+          .as("mean_val"))
+      .orderBy("modality")
+  }
+
+  private val mChannelStatsSql =
+    """WITH m AS (SELECT
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    substr(text, 1, 64) AS p
+      |  FROM documents),
+      |b AS (SELECT modality, CAST(length(p) AS BIGINT) AS n,
+      |    CASE WHEN p = '' THEN 0
+      |         ELSE CAST(list_sum(list_transform(string_split(p, ''), x -> unicode(x))) AS BIGINT) END AS s1,
+      |    CASE WHEN p = '' THEN 0
+      |         ELSE CAST(list_sum(list_transform(string_split(p, ''), x -> unicode(x) * unicode(x))) AS BIGINT) END AS s2
+      |  FROM m)
+      |SELECT modality, COUNT(*) AS n_media, CAST(SUM(n) AS BIGINT) AS n_samples,
+      |  CAST(SUM(s1) AS BIGINT) AS sum_val, CAST(SUM(s2) AS BIGINT) AS sum_sq,
+      |  round(CAST(SUM(s1) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS mean_val
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("m_channel_stats", mChannelStats, Some(mChannelStatsSql)),
     QueryDef("m_modality_mix", mModalityMix, Some(mModalityMixSql)),
     QueryDef("m_audio_windows", mAudioWindows, Some(mAudioWindowsSql)),
     QueryDef("m_caption_pairs", mCaptionPairs, Some(mCaptionPairsSql)),

@@ -131,6 +131,28 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("byte_sum/byte_sumsq match the reference fold and run inside codegen") {
+    GraftFunctions.register(spark)
+    import graft.functions.ByteMomentsImpl
+    val docs = GraftSession.table(spark, sfDir, "documents").limit(300)
+      .selectExpr("doc_id", "CAST(substring(text, 1, 64) AS BINARY) AS p")
+    val rows = docs.selectExpr("p", "byte_sum(p) AS s1", "byte_sumsq(p) AS s2").collect()
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](0)
+      assert(r.getLong(1) == ByteMomentsImpl.sum(bytes))
+      assert(r.getLong(2) == ByteMomentsImpl.sumSq(bytes))
+      assert(r.getLong(1) == bytes.map(b => (b & 0xff).toLong).sum)
+      assert(r.getLong(2) == bytes.map(b => { val v = (b & 0xff).toLong; v * v }).sum)
+    }
+    // unsigned semantics: a 0xFF byte counts 255, not -1
+    val hi = spark.sql("SELECT byte_sum(unhex('FF00FF')) AS s, byte_sumsq(unhex('FF00FF')) AS q").head()
+    assert(hi.getLong(0) == 510L && hi.getLong(1) == 2 * 255L * 255L)
+    // fused into the whole-stage-codegen scan stage
+    val plan = docs.selectExpr("byte_sum(p) AS s").queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("byte_sum")).getOrElse("")
+    assert("""\*\(\d+\)""".r.findFirstIn(line).isDefined, s"byte_sum not codegen'd:\n$plan")
+  }
+
   test("q_bloom_join's prefilter prunes most non-matching fact rows") {
     GraftFunctions.register(spark)
     import graft.functions.BloomImpl
