@@ -138,6 +138,53 @@ object Dedup extends QueryRegistry {
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin
 
+  // --- d_seen_filter: incremental EXACT-key dedup against the standing
+  // history through a bloom prefilter — the seen-set pattern of crawl
+  // ingestion (seen-URL / seen-fingerprint filters): the history's
+  // fingerprint set is hashed into a compact bitmap (BloomBuild, ~8
+  // bits/key); today's batch probes it inside whole-stage codegen, and
+  // ONLY bloom-positive candidates pay the exact semi/anti join against
+  // history. No false negatives by construction, so a bloom-negative row
+  // is PROVABLY fresh and never shuffles — at 100 TB the join's probe side
+  // shrinks from |batch| to |actual dups| + ~2.4% FP mass while the bitmap
+  // stays megabytes regardless of corpus size. Exactness is not
+  // bloom-dependent (the FP branch resolves to seen=false via the exact
+  // anti-join); the oracle states the plain correlated EXISTS. The seen-key
+  // is the canonical PREFIX fingerprint (first 40 normalized chars) — the
+  // URL-/head-key analogue a crawl filter actually keys on (full-text
+  // equality is d_exact's job), and the form whose collisions exist in the
+  // corpus at every scale, so both branches stay exercised at the gate.
+  def dSeenFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fp = docs(s, dir)
+      .select(col("doc_id"), md5(substring(normText(col("text")), 1, 40)).as("fp"))
+    val history = fp.filter(col("doc_id") % 5 =!= 0)
+    val batch = fp.filter(col("doc_id") % 5 === 0)
+    val hKeys = history.select(xxhash64(col("fp")).as("k"))
+    val mLog2 = graft.functions.BloomBuild.sizeLog2(hKeys.count())
+    val bitmap = graft.functions.BloomBuild.build(hKeys, col("k"), 4, mLog2)
+    val probed = batch.withColumn("maybe_seen",
+      call_function("bloom_contains",
+        xxhash64(col("fp")), lit(bitmap), lit(4), lit(mLog2)))
+    val fresh = probed.filter(!col("maybe_seen"))
+      .select(col("doc_id"), lit(false).as("seen"))
+    val cand = probed.filter(col("maybe_seen")).select("doc_id", "fp")
+    val hDistinct = history.select("fp").distinct()
+    val seenTrue = cand.join(hDistinct, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("seen"))
+    val fpFalse = cand.join(hDistinct, Seq("fp"), "left_anti")
+      .select(col("doc_id"), lit(false).as("seen"))
+    fresh.unionAll(seenTrue).unionAll(fpFalse).orderBy("doc_id")
+  }
+
+  private val dSeenFilterSql =
+    """SELECT b.doc_id,
+      |  EXISTS (SELECT 1 FROM documents h
+      |          WHERE h.doc_id % 5 <> 0
+      |            AND substr(lower(trim(regexp_replace(h.text, '\s+', ' ', 'g'))), 1, 40)
+      |              = substr(lower(trim(regexp_replace(b.text, '\s+', ' ', 'g'))), 1, 40)) AS seen
+      |FROM documents b WHERE b.doc_id % 5 = 0 ORDER BY b.doc_id""".stripMargin
+
   // --- d_incr_dedup: INCREMENTAL near-dup dedup — the production arrival
   // pattern at 100 TB: today's batch (doc_id odd — a deterministic split)
   // is deduplicated against the standing HISTORY (doc_id even) plus
@@ -1352,6 +1399,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_cross_source", dCrossSource, Some(dCrossSourceSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_incr_dedup", dIncrDedup, Some(dIncrDedupSql)),
+    QueryDef("d_seen_filter", dSeenFilter, Some(dSeenFilterSql)),
     QueryDef("d_edit_distance", dEditDistance, Some(dEditDistanceSql)),
     QueryDef("d_neardup_clusters", dNeardupClusters, Some(dNeardupClustersSql)),
     QueryDef("d_containment", dContainment, Some(dContainmentSql)),

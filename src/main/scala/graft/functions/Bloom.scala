@@ -101,3 +101,32 @@ object BloomContains {
       intLit(children(2), "k"), intLit(children(3), "mLog2"))
   }
 }
+
+/** The shared distributed bitmap build + sizing, used by every bloom-probe
+  * operator (q_bloom_join, d_seen_filter). */
+object BloomBuild {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{array, call_function, col, explode, expr, lit}
+
+  /** ~`bitsPerKey` bits per expected key: mLog2 = ceil(log2(n·bits)),
+    * clamped to [12, 26] (512 B to 8 MiB of bitmap). */
+  def sizeLog2(nKeys: Long, bitsPerKey: Int = 8): Int =
+    math.max(12, math.min(26,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nKeys) * bitsPerKey - 1)))
+
+  /** Build the bitmap from a LongType key column: explode the k positions,
+    * bit_or into 64-bit words (one shuffle whose output is ≤ m/64 rows —
+    * bounded by the FILTER size, not the data), fill driver-side. This is
+    * the same aggregate shape Spark's own InjectRuntimeFilter uses. */
+  def build(keys: DataFrame, keyCol: Column, k: Int, mLog2: Int): Array[Byte] = {
+    val words = keys
+      .select(explode(array((0 until k).map(i =>
+        call_function("bloom_pos", keyCol, lit(i), lit(mLog2))): _*)).as("p"))
+      .selectExpr("shiftright(p, 6) AS w", "shiftleft(1L, CAST(p % 64 AS INT)) AS b")
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val bitmap = new Array[Byte](1 << (mLog2 - 3))
+    words.foreach(r => BloomImpl.fill(bitmap, r.getLong(0), r.getLong(1)))
+    bitmap
+  }
+}

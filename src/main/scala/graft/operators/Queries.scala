@@ -470,20 +470,10 @@ object Queries extends QueryRegistry {
     val dim = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey", "o_orderdate")
-    // Size m to ~8 bits/key: ceil(log2(n*8)), clamped to [12, 26] (512 B to
-    // 8 MiB of bitmap). The count is one metadata-cheap job over the
-    // pushdown-filtered dim scan.
-    val nKeys = math.max(1L, dim.count())
-    val mLog2 = math.max(12, math.min(26,
-      64 - java.lang.Long.numberOfLeadingZeros(nKeys * 8 - 1)))
-    val words = dim
-      .select(explode(array((0 until BloomK).map(i =>
-        call_function("bloom_pos", col("o_orderkey"), lit(i), lit(mLog2))): _*)).as("p"))
-      .selectExpr("shiftright(p, 6) AS w", "shiftleft(1L, CAST(p % 64 AS INT)) AS b")
-      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
-      .collect()
-    val bitmap = new Array[Byte](1 << (mLog2 - 3))
-    words.foreach(r => graft.functions.BloomImpl.fill(bitmap, r.getLong(0), r.getLong(1)))
+    // Size m to ~8 bits/key (the count is one metadata-cheap job over the
+    // pushdown-filtered dim scan), then the shared distributed build.
+    val mLog2 = graft.functions.BloomBuild.sizeLog2(dim.count())
+    val bitmap = graft.functions.BloomBuild.build(dim, col("o_orderkey"), BloomK, mLog2)
     val pruned = t(s, dir, "lineitem")
       .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
       .filter(call_function("bloom_contains",
