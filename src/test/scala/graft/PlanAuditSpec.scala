@@ -292,6 +292,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("Join"), s)
   }
 
+  test("st_temporal_join: the as-of join is ONE window shuffle, no join operator") {
+    val df = graft.streaming.StreamingOps.stTemporalJoin(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("Join"), s) // the dimension rides the probe's partitioning
+    assert(countShuffles(df) == 1, s"expected 1 hash shuffle:\n$s")
+  }
+
+  test("d_seen_filter: no cartesian; joins touch only bloom-positive candidates") {
+    val df = graft.dedup.Dedup.dSeenFilter(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the bloom prefilter must survive into the physical plan (candidates
+    // reach the semi/anti joins only through it)
+    assert(s.contains("bloom_contains"), s)
+  }
+
   test("q6: every filter pushes to the scan; global agg is partial") {
     val s = planString(Queries.q6ForecastRevenue(spark, sfDir))
     // the plan string truncates the filter list — assert the pushdown of all
