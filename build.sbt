@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 228-op battery JIT-compiles hundreds of generated-codegen classes
+  // in one JVM; the JDK-17 default 240m code cache fills mid-run and the
+  // compiler shuts off, running the battery tail interpreted (~2x) — seen
+  // as late-alphabet table ops costing double their fresh-JVM time
+  "-XX:ReservedCodeCacheSize=512m",
 )
