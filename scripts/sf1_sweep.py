@@ -83,7 +83,9 @@ def op_list(argv):
 def bench(ops, sfdir):
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": sfdir, "SPARK_GRAFT_CPUS": "16"}
     cmd = (["java"] + ADD_OPENS +
-           ["-Xmx24g", "-cp",
+           # match build.sbt: BATCH-sized op runs won't normally fill the
+           # default 240m code cache, but keep measurement JVMs identical
+           ["-Xmx24g", "-XX:ReservedCodeCacheSize=512m", "-cp",
             "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*",
             "graft.tools.BenchSome"] + list(ops))
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
