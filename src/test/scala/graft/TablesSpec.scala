@@ -1529,6 +1529,37 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ColStat.merge: commutative, associative, and never loses a member range") {
+    import graft.tables.ColStat
+    val rnd = new scala.util.Random(42)
+    def numStat(): ColStat = {
+      val a = rnd.nextInt(1000) - 500
+      ColStat(ColStat.Num, a.toString, (a + rnd.nextInt(100)).toString)
+    }
+    def lexStat(): ColStat = {
+      val a = f"k${rnd.nextInt(900) + 100}"
+      val b = f"k${rnd.nextInt(900) + 100}"
+      if (a <= b) ColStat(ColStat.Lex, a, b) else ColStat(ColStat.Lex, b, a)
+    }
+    (1 to 500).foreach { _ =>
+      for (mk <- Seq(numStat _, lexStat _)) {
+        val (x, y, z) = (mk(), mk(), mk())
+        assert(x.merge(y) == y.merge(x))
+        assert(x.merge(y).merge(z) == x.merge(y.merge(z)))
+        val m = x.merge(y)
+        // soundness for pruning: any probe overlapping a MEMBER range must
+        // overlap the merged range (else partition-stats could drop a
+        // partition that holds matching files)
+        val probe: Any =
+          if (x.kind == ColStat.Num) Double.box((rnd.nextInt(1400) - 700).toDouble)
+          else f"k${rnd.nextInt(1100)}"
+        if (x.overlaps(probe, probe) || y.overlaps(probe, probe))
+          assert(m.overlaps(probe, probe), s"merge lost $probe: $x + $y = $m")
+      }
+    }
+    intercept[IllegalArgumentException](numStat().merge(lexStat()))
+  }
+
   test("partition-stats index prunes whole partitions a path-pruner cannot") {
     import org.apache.spark.sql.functions.col
     val orders = GraftSession.table(spark, sfDir, "orders")
