@@ -97,8 +97,14 @@ object BloomContains {
       require(e.foldable, s"bloom_contains $name must be a literal")
       e.eval().asInstanceOf[Number].intValue()
     }
-    BloomContains(children.head, children(1),
-      intLit(children(2), "k"), intLit(children(3), "mLog2"))
+    val k = intLit(children(2), "k")
+    val mLog2 = intLit(children(3), "mLog2")
+    // mLog2 outside [1, 30] would make the top-bits shift degenerate (a
+    // 64-bit shift is a no-op on the JVM) or the byte array unaddressable
+    require(k >= 1 && k <= 16, s"bloom_contains k out of range [1,16]: $k")
+    require(mLog2 >= 3 && mLog2 <= 30,
+      s"bloom_contains mLog2 out of range [3,30]: $mLog2")
+    BloomContains(children.head, children(1), k, mLog2)
   }
 }
 
@@ -119,6 +125,8 @@ object BloomBuild {
     * bounded by the FILTER size, not the data), fill driver-side. This is
     * the same aggregate shape Spark's own InjectRuntimeFilter uses. */
   def build(keys: DataFrame, keyCol: Column, k: Int, mLog2: Int): Array[Byte] = {
+    require(k >= 1 && k <= 16 && mLog2 >= 3 && mLog2 <= 30,
+      s"bloom build parameters out of range: k=$k mLog2=$mLog2")
     val words = keys
       .select(explode(array((0 until k).map(i =>
         call_function("bloom_pos", keyCol, lit(i), lit(mLog2))): _*)).as("p"))
