@@ -493,6 +493,71 @@ object Queries extends QueryRegistry {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q_pagerank: 5 damped PageRank iterations over the co-purchase part
+  // graph — the iterative-graph-compute pattern beyond connected
+  // components (influence/centrality ranking over an item graph). All
+  // arithmetic is INTEGER-EXACT on a 1e9 fixed-point rank scale: per-edge
+  // contribution is `rank div out_degree`, damping is `* 85 div 100` —
+  // floor division and long sums are order-independent, so the result is
+  // bit-stable under any partitioning and the DuckDB oracle can state all
+  // five iterations verbatim (floating-point PageRank cannot be
+  // hash-compared across engines). Every node has out-degree >= 1 by
+  // construction (the co-purchase graph is symmetric), so no dangling-mass
+  // term. Edges materialize ONCE via localCheckpoint — five iterations
+  // re-shuffle the edge list against the rank vector, exactly the
+  // Pregel-style schedule that scales (per-iteration cost is O(|E|), plan
+  // depth bounded, no driver-side graph). Long-overflow headroom: total
+  // rank mass is n*1e9, so a single node absorbing ALL mass stays ~1e17
+  // < 2^63 even at 100x the test scale.
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val edges = li.toDF("k", "src")
+      .join(li.toDF("k2", "dst"), col("k") === col("k2") && col("src") =!= col("dst"))
+      .select("src", "dst")
+      .localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var ranks = nodes.withColumn("r", lit(1000000000L))
+    (1 to 5).foreach { _ =>
+      val inflow = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000000L) + expr("coalesce(inflow, 0L) * 85 div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(desc("r"), asc("node"))
+      .limit(100)
+      .select(col("node").as("l_partkey"), col("r").as("rank_e9"))
+  }
+
+  private val qPagerankSql = {
+    // one iteration: node inflow = Σ over in-edges of rank(src) div deg(src)
+    def iter(prev: String, out: String): String =
+      s"""$out AS (SELECT n.node,
+         |    150000000 + CAST(COALESCE((SELECT SUM($prev.r // d.deg)
+         |      FROM e JOIN $prev ON $prev.node = e.src JOIN d ON d.src = e.src
+         |      WHERE e.dst = n.node), 0) AS BIGINT) * 85 // 100 AS r
+         |  FROM n)""".stripMargin
+    s"""WITH e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |    FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |${iter("r3", "r4")},
+       |${iter("r4", "r5")}
+       |SELECT node AS l_partkey, r AS rank_e9 FROM r5
+       |ORDER BY r DESC, node LIMIT 100""".stripMargin
+  }
+
   // --- q_range_join: banded time-range join. The naive form is a cross join with a
   // range predicate (O(n*m)); banding by 10-minute buckets turns it into an
   // equi-join on (user_id, bucket) — each probe row explodes to 2 buckets, so
@@ -2172,6 +2237,7 @@ object Queries extends QueryRegistry {
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
     QueryDef("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
+    QueryDef("q_pagerank", qPagerank, Some(qPagerankSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
