@@ -138,6 +138,62 @@ object Dedup extends QueryRegistry {
       |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY 1, 2""".stripMargin
 
+  // --- d_prefix_filter: EXACT set-similarity self-join via prefix
+  // filtering — the PPJoin/AllPairs family (Xiao et al., WWW'08; Bayardo
+  // et al., WWW'07), the deterministic alternative to MinHash-LSH: zero
+  // recall loss at the same candidate-pruning idea. Tokens sort by ONE
+  // global order (ascending document frequency, ties by hash); a doc's
+  // PREFIX is its first |x| - ceil(t·|x|) + 1 tokens, and the pigeonhole
+  // theorem guarantees any pair with Jaccard ≥ t shares a prefix token —
+  // so candidates come from equi-joining prefixes only (rare tokens, tiny
+  // buckets) instead of all shared tokens, and the exact verify
+  // (jaccardPairs' candidate path, full sets) decides membership. The
+  // threshold test is integer-exact: J ≥ 7/10 ⟺ 17·|A∩B| ≥ 7·(|A|+|B|).
+  // At 100 TB the frequency ordering is what makes this work: hot tokens
+  // rank LAST and never enter prefixes, so candidate buckets stay small
+  // exactly where the naive shared-token join explodes.
+  private val PrefixT10 = 7 // Jaccard threshold in tenths (0.7)
+
+  def dPrefixFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh0 = shingles(s, dir)
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("sh")
+    // the capped token universe defines BOTH the prefixes and the Jaccard
+    val sh = sh0.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh").cache()
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("f", "sh")
+    val prefix = sh.join(freq, "sh")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= col("n") - expr(s"($PrefixT10 * n + 9) div 10") + 1)
+      .select("doc_id", "sh")
+    val cand = prefix.toDF("da", "sh")
+      .join(prefix.toDF("db", "sh2"), col("sh") === col("sh2") && col("da") < col("db"))
+      .select("da", "db").distinct()
+    jaccardPairs(sh, Some(cand))
+      .filter(lit(10 + PrefixT10) * col("c") >= lit(PrefixT10) * (col("na") + col("nb")))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("c").as("n_shared"), (col("na") + col("nb") - col("c")).as("n_union"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dPrefixFilterSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM d),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (
+      |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b, c AS n_shared, sa.n + sb.n - c AS n_union
+      |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |WHERE 17*c >= 7*(sa.n + sb.n) ORDER BY 1, 2""".stripMargin
+
   // --- d_seen_filter: incremental EXACT-key dedup against the standing
   // history through a bloom prefilter — the seen-set pattern of crawl
   // ingestion (seen-URL / seen-fingerprint filters): the history's
@@ -1400,6 +1456,7 @@ object Dedup extends QueryRegistry {
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_incr_dedup", dIncrDedup, Some(dIncrDedupSql)),
     QueryDef("d_seen_filter", dSeenFilter, Some(dSeenFilterSql)),
+    QueryDef("d_prefix_filter", dPrefixFilter, Some(dPrefixFilterSql)),
     QueryDef("d_edit_distance", dEditDistance, Some(dEditDistanceSql)),
     QueryDef("d_neardup_clusters", dNeardupClusters, Some(dNeardupClustersSql)),
     QueryDef("d_containment", dContainment, Some(dContainmentSql)),

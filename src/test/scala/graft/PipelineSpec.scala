@@ -314,6 +314,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"banded=${banded.size} brute=${brute.size} diff=${(banded -- brute) ++ (brute -- banded)}")
   }
 
+  test("d_prefix_filter: prefix candidates are far fewer than shared-token pairs") {
+    // the oracle already proves exhaustiveness (prefix output == full-join
+    // output at both scales); this pins the point of the algorithm — the
+    // candidate stream is a small fraction of the naive shared-token pair
+    // stream, because rare-token prefixes make tiny join buckets
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val sh0 = GraftSession.table(spark, sfSmall, "documents")
+      .select(col("doc_id"), explode(expr("shingle_hash(lower(text), 3)")).as("sh"))
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100).select("sh")
+    val sh = sh0.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh").cache()
+    val allPairs = sh.toDF("da", "sh").join(sh.toDF("db", "sh2"),
+        col("sh") === col("sh2") && col("da") < col("db"))
+      .select("da", "db").distinct().count()
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("f", "sh")
+    val prefix = sh.join(freq, "sh")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= col("n") - expr("(7 * n + 9) div 10") + 1)
+      .select("doc_id", "sh")
+    val prefixPairs = prefix.toDF("da", "sh").join(prefix.toDF("db", "sh2"),
+        col("sh") === col("sh2") && col("da") < col("db"))
+      .select("da", "db").distinct().count()
+    assert(prefixPairs * 4 < allPairs,
+      s"prefix filtering pruned too little: $prefixPairs of $allPairs candidate pairs")
+    sh.unpersist()
+  }
+
   test("c_dataset_card / x_domain_route: partition the corpus exactly (no doc lost or doubled)") {
     val total = GraftSession.table(spark, sfSmall, "documents").count()
     val card = graft.pipeline.Curation.cDatasetCard(spark, sfSmall).collect()
