@@ -37,6 +37,35 @@ object StreamingOps extends QueryRegistry {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- st_hop_window: SLIDING event-time windows (1-hour length, 15-minute
+  // hop) — the HOP/dashboard-refresh mechanic tumbling windows can't
+  // express: every event belongs to exactly 4 overlapping windows. Spark's
+  // window(ts, len, slide) expands the memberships engine-side (epoch-
+  // aligned starts); the oracle states the same expansion as an explicit
+  // 4-offset cross of 15-minute buckets. Usable verbatim under readStream
+  // + watermark like stWindowAgg; state per key is bounded by len/slide
+  // open windows, which is why the hop count — not the event rate — sizes
+  // streaming memory at 100 TB/day.
+  def stHopWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("win_start_ms", "event_type")
+
+  private val stHopWindowSql =
+    """WITH x AS (SELECT event_type, value,
+      |    make_timestamp(epoch_us(ts) // 900000000 * 900000000) AS b
+      |  FROM events),
+      |e AS (SELECT event_type, value,
+      |    b - INTERVAL (15 * j.j) MINUTE AS win_start
+      |  FROM x, (VALUES (0), (1), (2), (3)) j(j))
+      |SELECT epoch_ms(win_start) AS win_start_ms, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- st_sessionize: 30-minute-gap sessionization. Batch form: windowed
   // gap detection + cumulative session numbering (one shuffle on user_id).
   // Streaming form: flatMapGroupsWithState in StreamingSpec.
@@ -394,6 +423,7 @@ object StreamingOps extends QueryRegistry {
     QueryDef("st_anomaly", stAnomaly, Some(stAnomalySql)),
     QueryDef("st_window_topk", stWindowTopk, Some(stWindowTopkSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
+    QueryDef("st_hop_window", stHopWindow, Some(stHopWindowSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),

@@ -52,6 +52,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming sliding (hop) window agg equals the batch twin") {
+    val dir = stage("hop")
+    val stream = readStreamOf(dir).withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = stream.writeStream
+      .format("memory").queryName("hop_agg")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("hop_agg")
+    val want = StreamingOps.stHopWindow(spark, sfDir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"hop window mismatch: got ${got.count()}, want ${want.count()}")
+  }
+
   test("streaming hourly counts feed the anomaly detector identically to batch") {
     val dir = stage("anomaly")
     val hourly = readStreamOf(dir).withWatermark("ts", "2 hours")
