@@ -292,6 +292,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("Join"), s)
   }
 
+  test("q_pagerank: no cartesian product; iterations build on checkpointed edges") {
+    val df = Queries.qPagerank(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the final plan must read the checkpointed rank RDD, not re-derive the
+    // full 5-iteration lineage (localCheckpoint bounds plan depth per round)
+    assert(s.contains("Scan ExistingRDD") || s.contains("LogicalRDD"), s)
+  }
+
   test("st_temporal_join: the as-of join is ONE window shuffle, no join operator") {
     val df = graft.streaming.StreamingOps.stTemporalJoin(spark, sfDir)
     val s = planString(df)
