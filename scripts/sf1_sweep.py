@@ -52,8 +52,8 @@ EXPLAINED = {
         "single-level block count k=sqrt(n) (Ann.scala header): 10x "
         "vectors = ~31x pair work by the standard bound. The round-9 fix "
         "removed the QUADRATIC fixed-k variant (was x34 and worsening); "
-        "tightening past n^1.5 needs NN-descent/multi-level blocking, "
-        "whose iteration-dependent output has no reviewable exact oracle",
+        "s_nn_descent is the LINEAR tier past this bound (deterministic "
+        "NN-descent, fully oracled) with the crossover near 1M vectors",
     "d_substring":
         "exact shared-substring detection is linear in TOTAL CHARS with "
         "one full shuffle of the stride-1 probe stream (Dedup.scala "

@@ -687,9 +687,10 @@ object Ann extends QueryRegistry {
   // (measured ×34 for 10× data on the round-9 sweep before this fix);
   // k ≈ √n is the optimum of the single-level blocked cost n·k + n²/k,
   // giving the standard Θ(n^1.5) blocked-kNN bound — super-linear by
-  // nature (the sweep's EXPLAINED entry), which multi-level blocking or
-  // NN-descent would tighten at the price of an oracle no reviewer could
-  // check. The pair dedupe shuffles only (id, id, score) triples, never
+  // nature (the sweep's EXPLAINED entry). [[sNnDescent]] is the LINEAR
+  // tier past this bound (deterministic NN-descent, fully oracled); the
+  // crossover sits near 10^6 vectors, so both tiers earn their keep.
+  // The pair dedupe shuffles only (id, id, score) triples, never
   // embeddings; ranking uses the salted two-phase top-k so no task sorts
   // a whole vector's candidate set.
   def sKnnGraph(s: SparkSession, dir: String): DataFrame = {
