@@ -99,11 +99,13 @@ object BloomContains {
     }
     val k = intLit(children(2), "k")
     val mLog2 = intLit(children(3), "mLog2")
-    // mLog2 outside [1, 30] would make the top-bits shift degenerate (a
-    // 64-bit shift is a no-op on the JVM) or the byte array unaddressable
+    // mLog2 < 6 would make the bitmap smaller than one 64-bit word (fill
+    // writes 8 bytes per word → out-of-bounds); > 30 makes the byte array
+    // unaddressable and the top-bits shift degenerate (a 64-bit shift is a
+    // no-op on the JVM)
     require(k >= 1 && k <= 16, s"bloom_contains k out of range [1,16]: $k")
-    require(mLog2 >= 3 && mLog2 <= 30,
-      s"bloom_contains mLog2 out of range [3,30]: $mLog2")
+    require(mLog2 >= 6 && mLog2 <= 30,
+      s"bloom_contains mLog2 out of range [6,30]: $mLog2")
     BloomContains(children.head, children(1), k, mLog2)
   }
 }
@@ -125,7 +127,10 @@ object BloomBuild {
     * bounded by the FILTER size, not the data), fill driver-side. This is
     * the same aggregate shape Spark's own InjectRuntimeFilter uses. */
   def build(keys: DataFrame, keyCol: Column, k: Int, mLog2: Int): Array[Byte] = {
-    require(k >= 1 && k <= 16 && mLog2 >= 3 && mLog2 <= 30,
+    // mLog2 >= 6: the bitmap must hold at least one full 64-bit word,
+    // since fill unconditionally writes 8 bytes per word (sizeLog2 already
+    // clamps to [12,26]; this guards the direct public-API path)
+    require(k >= 1 && k <= 16 && mLog2 >= 6 && mLog2 <= 30,
       s"bloom build parameters out of range: k=$k mLog2=$mLog2")
     val words = keys
       .select(explode(array((0 until k).map(i =>

@@ -530,8 +530,11 @@ object Multimodal extends QueryRegistry {
   // m_audio_windows lesson); the shuffle carries one 4-long row per
   // modality. Moments stay exact BIGINTs end-to-end; only the final
   // presentation mean divides. The oracle states the same moments per
-  // character codepoint — identical to bytes on this all-ASCII corpus
-  // (verified at every sf), which is exactly the UTF-8 ⊇ ASCII identity.
+  // character codepoint — identical to bytes only while every payload is
+  // ASCII (the UTF-8 ⊇ ASCII identity). That invariant is CHECKED, not
+  // assumed: the assert_true filter below fails the job on the first
+  // non-ASCII prefix (char count ≠ byte count) instead of silently
+  // drifting from the oracle's per-codepoint moments.
   def mChannelStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     GraftSession.table(s, dir, "documents")
@@ -539,7 +542,14 @@ object Multimodal extends QueryRegistry {
         when(pmod(col("doc_id"), lit(3)) === 0, "image")
           .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
           .otherwise("video").as("modality"),
-        substring(col("text"), 1, 64).cast("binary").as("payload"))
+        substring(col("text"), 1, 64).as("prefix"))
+      // assert_true yields NULL on pass (isNull keeps every row) and
+      // THROWS on a non-ASCII prefix; as a filter it cannot be pruned
+      .where(assert_true(
+        length(col("prefix")) === octet_length(col("prefix")),
+        lit("m_channel_stats: non-ASCII payload — byte moments no longer " +
+          "equal the oracle's codepoint moments")).isNull)
+      .select(col("modality"), col("prefix").cast("binary").as("payload"))
       .select(col("modality"),
         length(col("payload")).cast("long").as("n"),
         expr("byte_sum(payload)").as("s1"),

@@ -126,7 +126,8 @@ object StreamIngest {
   }
 
   final case class VersionedEvent(
-      user_id: Long, event_id: Long, ts_us: Long, event_type: String, k: Long)
+      user_id: Long, event_id: Long, ts_us: Long, event_type: String,
+      k: Option[Long])
   final case class PlanState(k: Long)
   final case class TemporalOut(event_id: Long, user_id: Long, ts_ms: Long, plan_k: Long)
 
@@ -136,8 +137,13 @@ object StreamIngest {
     * version valid at its event time: O(1) state per key where a buffered
     * stream-stream join would hold the whole dimension history. Signups
     * sort before purchases at equal ts inside a batch (as-of "<="
-    * semantics, matching the batch twin's tag ordering); `k = -1` marks a
-    * version-less signup (missing JSON field) and updates nothing. */
+    * semantics, matching the batch twin's tag ordering). A version-less
+    * signup (missing JSON field) is `k = None` and updates nothing; any
+    * PRESENT version — negative included — carries, exactly like the
+    * batch twin's ignore-nulls window, so the twins agree by construction
+    * rather than by an all-versions-nonnegative assumption. Purchases
+    * before any versioned signup report -1, the batch twin's COALESCE
+    * default. */
   def temporalJoin(events: Dataset[VersionedEvent]): Dataset[TemporalOut] = {
     import events.sparkSession.implicits._
     events
@@ -149,7 +155,7 @@ object StreamIngest {
           var k = state.getOption.map(_.k).getOrElse(-1L)
           val out = ListBuffer.empty[TemporalOut]
           evs.foreach { e =>
-            if (e.event_type == "signup") { if (e.k >= 0L) k = e.k }
+            if (e.event_type == "signup") e.k.foreach(v => k = v)
             else if (e.event_type == "purchase")
               out += TemporalOut(e.event_id, uid, e.ts_us / 1000, k)
           }

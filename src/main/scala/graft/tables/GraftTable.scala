@@ -497,13 +497,26 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * RAW column when the partition path holds a derived value, e.g.
     * p_month=1996-03 vs a timestamp range). Surviving partitions then
     * prune per-file, and the residual filter re-applies the predicate.
-    * COW only, same reasoning as [[readBetween]]. */
+    * COW only, same reasoning as [[readBetween]].
+    *
+    * Conservatism matches [[filesBetween]]: a partition is prunable only
+    * when EVERY live file in it carries a stat for the column AND the
+    * merged [min,max] misses [lo,hi]. A stat-less file (written before
+    * the column joined statsCols, or with an unsupported-type stat) could
+    * hold matching rows, so its partition must survive the partition-level
+    * cut — the per-file pass below then keeps that file too (forall on a
+    * missing stat is true). */
   def readBetweenPartitionStats(column: String, lo: Any, hi: Any): DataFrame = {
     require(cfg.tableType == TableType.Cow,
       "partition-stats read requires a COW table")
-    val liveParts = partitionStats(column).filter(_._2.overlaps(lo, hi)).keySet
-    val files = timeline.liveFiles(None).filter(f =>
-      liveParts(f.partition) && f.colStats.get(column).forall(_.overlaps(lo, hi)))
+    val live = timeline.liveFiles(None)
+    val prunedParts = live.groupBy(_.partition).collect {
+      case (p, fs) if fs.forall(_.colStats.contains(column)) &&
+          !fs.flatMap(_.colStats.get(column)).reduce(_ merge _)
+            .overlaps(lo, hi) => p
+    }.toSet
+    val files = live.filter(f =>
+      !prunedParts(f.partition) && f.colStats.get(column).forall(_.overlaps(lo, hi)))
     if (files.isEmpty) read().filter(lit(false))
     else dropInternal(readFiles(files)).filter(col(column).between(lo, hi))
   }
@@ -1307,7 +1320,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // kept conservatively ("unknown", never "no match"): a write path whose
     // config lacked the index cols, a commit whose schema lacked the column,
     // or bootstrapped external files would otherwise be silently dropped.
-    val indexedInstants = instants.map(p => new Path(p).getName).toSet
+    // A merged dir (compactSecondaryIndex) stands for the original commit
+    // instants in its _covered manifest; a manifest-less merged dir covers
+    // nothing (its commits' files scan — conservative, never a mis-prune).
+    val indexedInstants = instants.flatMap { p =>
+      val pp = new Path(p)
+      if (pp.getName.startsWith("merged-")) siCoveredInstants(pp)
+      else Seq(pp.getName)
+    }.toSet
     def mapped(f: FileMeta): Boolean = f.path.split("/") match {
       case Array("data", instant, _*) => indexedInstants.contains(instant)
       case _ => false // ext:/unrecognized layout — always scan
@@ -1342,39 +1362,165 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
   }
 
-  /** Fold every per-commit record-index directory into ONE, dropping
-    * mappings whose data file is no longer live — the index-maintenance
-    * analogue of [[checkpointTimeline]] for years-lived tables (a lookup
-    * otherwise reads O(#commits) index dirs). Crash-safe without a lock:
-    * the merged dir is written FIRST (duplicate mappings across dirs are
-    * harmless — lookups take the distinct union), old dirs are deleted
-    * after. */
-  def compactRecordIndex(): Int = {
+  /** Fold per-commit record-index directories into ONE merged dir,
+    * dropping folded mappings whose data file is no longer live — the
+    * index-maintenance analogue of [[checkpointTimeline]] for years-lived
+    * tables (a lookup otherwise reads O(#commits) index dirs).
+    *
+    * INCREMENTAL by default (the Hudi metadata-compaction shape): only
+    * commits SINCE the last compaction are read, shuffled, and
+    * liveness-filtered; an existing merged base is ADOPTED by renaming its
+    * per-bucket files into the new merged dir — O(#buckets) filesystem
+    * metadata ops, zero data movement. At 100 TB this is the difference
+    * between a compaction that costs O(new commits) and one that re-reads
+    * and re-shuffles the table's whole live key set every time. The price:
+    * adopted base files keep mappings to since-replaced data files (the
+    * lookup's liveness filter already discards those, so correctness is
+    * unaffected); pass `full = true` periodically to re-fold everything
+    * and purge them.
+    *
+    * Crash-safe without a lock, lossless at every step: the delta fold is
+    * written FIRST (crash → one extra dir, duplicate mappings are harmless
+    * — lookups take the distinct union); base files then MOVE (rename, not
+    * copy — a partial move leaves every file in exactly one of the two
+    * dirs, still all visible to lookups); source dirs are deleted LAST.
+    *
+    * @return the number of source dirs consumed (folded deltas + adopted
+    *         base), 0 when there is nothing to do. */
+  def compactRecordIndex(full: Boolean = false): Int = {
     require(cfg.recordIndexBuckets > 0, s"table ${cfg.path} has no record index")
     val rli = new Path(s"${cfg.path}/_graft/rli")
     if (!fs.exists(rli)) return 0
     val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
-    // fold EVERYTHING (including earlier merged-* dirs) except the target
-    // name itself — re-running with no new commits is a no-op
+    // every source dir except the target name itself — re-running with no
+    // new commits is a no-op
     val old = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName == mergedName)
-    if (old.length <= 1) return 0
-    val live = timeline.liveFiles(None).map(_.path)
-    val liveDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType))))
-    // recursive lookup: skips partition inference across the per-commit
-    // roots (the bucket is recomputed from the key below anyway)
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(old.map(_.toString).toSeq: _*)
-      .join(liveDf, Seq("f"), "leftsemi")
-      .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
-      // by-bucket shuffle, not repartition(1): the fold covers the LIVE
-      // KEY SET of the whole table — the one index job that must scale
-      .repartition(col("b"))
-      .write.mode("overwrite").partitionBy("b")
-      .parquet(s"${cfg.path}/_graft/rli/$mergedName")
+    if (old.length <= 1 && !(full && old.length == 1)) return 0
+    val (adopt, foldSrc) =
+      if (full) (Array.empty[Path], old)
+      else old.partition(_.getName.startsWith("merged-"))
+    val mergedDir = new Path(s"${cfg.path}/_graft/rli/$mergedName")
+    if (foldSrc.nonEmpty) {
+      val live = timeline.liveFiles(None).map(_.path)
+      val liveDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType))))
+      // recursive lookup: skips partition inference across the per-commit
+      // roots (the bucket is recomputed from the key below anyway)
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(foldSrc.map(_.toString).toSeq: _*)
+        .join(liveDf, Seq("f"), "leftsemi")
+        .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
+        // by-bucket shuffle, not repartition(1): a full fold covers the
+        // LIVE KEY SET of the whole table — the one index job that must
+        // scale (the incremental path only ever shuffles the new commits)
+        .repartition(col("b"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(mergedDir.toString)
+    }
+    // adopt the previous merged base: move each bucket file under the new
+    // merged dir, name-prefixed by its origin so delta part files can
+    // never collide with it. An already-adopted file keeps its name (its
+    // part-file UUID is unique) — re-prefixing would grow filenames by
+    // ~20 chars per compaction, unbounded over a table's life
+    adopt.foreach { base =>
+      fs.listStatus(base).filter(_.isDirectory).foreach { bucket =>
+        val destBucket = new Path(mergedDir, bucket.getPath.getName)
+        fs.mkdirs(destBucket)
+        fs.listStatus(bucket.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val n = f.getPath.getName
+            val dest = if (n.startsWith("adopt-")) n
+              else s"adopt-${base.getName}-$n"
+            fs.rename(f.getPath, new Path(destBucket, dest))
+          }
+      }
+    }
+    old.foreach(p => fs.delete(p, true))
+    old.length
+  }
+
+  /** Name of the coverage manifest inside a merged secondary-index dir:
+    * one ORIGINAL commit instant per line. The lookup's "is this file's
+    * commit mapped?" conservatism test needs the original instant names
+    * after compaction deletes their per-commit dirs; the underscore
+    * prefix keeps parquet readers from treating it as data. */
+  private val siCoveredManifest = "_covered"
+
+  private def siCoveredInstants(dir: Path): Seq[String] = {
+    val m = new Path(dir, siCoveredManifest)
+    if (!fs.exists(m)) return Seq.empty
+    val in = fs.open(m)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Fold per-commit secondary-index dirs for `column` into ONE merged
+    * dir — [[compactRecordIndex]]'s exact analogue for the value index,
+    * closing the same O(#commits)-dirs lookup degradation. Incremental by
+    * default: only commit dirs since the last compaction are read and
+    * liveness-filtered; an existing merged base is adopted by rename
+    * (zero data movement); `full = true` re-folds everything, purging
+    * adopted dead mappings. The merged dir carries a `_covered` manifest
+    * of the original commit instants it stands for, so
+    * [[secondaryIndexFiles]] still knows which commits are mapped (files
+    * from unmapped commits stay conservatively scanned). Crash-safe in
+    * the same write-first / rename / delete-last order.
+    *
+    * @return source dirs consumed (folded + adopted), 0 when nothing to
+    *         do. */
+  def compactSecondaryIndex(column: String, full: Boolean = false): Int = {
+    require(cfg.secondaryIndexCols.contains(column),
+      s"column $column is not secondary-indexed on ${cfg.path}")
+    val siDir = new Path(s"${cfg.path}/_graft/si/$column")
+    if (!fs.exists(siDir)) return 0
+    val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
+    val old = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath)
+      .filterNot(_.getName == mergedName)
+    if (old.length <= 1 && !(full && old.length == 1)) return 0
+    val (adopt, foldSrc) =
+      if (full) (Array.empty[Path], old)
+      else old.partition(_.getName.startsWith("merged-"))
+    // coverage union FIRST (the manifests are deleted with their dirs):
+    // merged dirs contribute their manifest, per-commit dirs their name
+    val covered = old.flatMap(p =>
+      if (p.getName.startsWith("merged-")) siCoveredInstants(p)
+      else Seq(p.getName)).distinct.sorted
+    val mergedDir = new Path(siDir, mergedName)
+    if (foldSrc.nonEmpty) {
+      val live = timeline.liveFiles(None).map(_.path)
+      val liveDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType))))
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(foldSrc.map(_.toString).toSeq: _*)
+        .join(liveDf, Seq("f"), "leftsemi")
+        .write.mode("overwrite").parquet(mergedDir.toString)
+    } else fs.mkdirs(mergedDir)
+    adopt.foreach { base =>
+      fs.listStatus(base)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          // keep already-adopted names (UUID-unique) — see compactRecordIndex
+          val n = f.getPath.getName
+          val dest = if (n.startsWith("adopt-")) n
+            else s"adopt-${base.getName}-$n"
+          fs.rename(f.getPath, new Path(mergedDir, dest))
+        }
+    }
+    locally {
+      val out = fs.create(new Path(mergedDir, siCoveredManifest), true)
+      try out.write(covered.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     old.foreach(p => fs.delete(p, true))
     old.length
   }

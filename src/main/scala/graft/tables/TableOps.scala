@@ -326,11 +326,16 @@ object TableOps extends QueryRegistry {
   // --- t_rli_compact: record-index COMPACTION — the index-maintenance
   // service behind t_record_index. Every commit appends its own (key →
   // file) index dir, so a long-running table's point lookup degrades to
-  // O(#commits) small index reads; compaction folds all per-commit dirs
-  // into one merged, liveness-filtered index (the same small-file disease
-  // and cure as data compaction, applied to the index). Two upsert waves
-  // build three index dirs; the fold must keep lookups exact across the
-  // replaced-file mappings it drops.
+  // O(#commits) small index reads; compaction folds per-commit dirs into
+  // one merged, liveness-filtered index (the same small-file disease and
+  // cure as data compaction, applied to the index). The op exercises BOTH
+  // tiers: a full fold of the bulk-insert commit establishes the merged
+  // base, then two upsert waves land and the second compaction runs
+  // INCREMENTALLY — it reads and shuffles only the two new commit dirs
+  // and adopts the base by rename (O(#buckets) metadata ops, no data
+  // movement), which is what keeps compaction O(new commits) instead of
+  // O(live key set) on a years-lived table. Lookups must stay exact
+  // across the replaced-file mappings the fold drops.
   def tRliCompact(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val tbl = GraftTable(s, GraftTableConfig(
@@ -338,11 +343,12 @@ object TableOps extends QueryRegistry {
       recordIndexBuckets = 16))
     tbl.dropIfExists()
     tbl.insert(orders, numFiles = 4)
+    require(tbl.compactRecordIndex(full = true) > 0, "no base fold")
     (1 to 2).foreach { i =>
       tbl.upsert(orders.filter(col("o_orderkey") % 9 === i)
         .withColumn("o_orderstatus", lit(s"W$i")))
     }
-    require(tbl.compactRecordIndex() > 0, "no index dirs folded")
+    require(tbl.compactRecordIndex() == 3, "expected base + 2 new commits")
     tbl.pointLookup(Seq(1L, 7L, 11L, 12L, 100L, 999L)).orderBy("o_orderkey")
   }
 

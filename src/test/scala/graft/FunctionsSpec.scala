@@ -129,6 +129,10 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(BloomImpl.mightContain(id, bitmap, k, mLog2) == hit,
         s"eval/codegen divergence at key $id")
     }
+    // mLog2 < 6 means a sub-word bitmap: fill writes 8 bytes per word, so
+    // the build must reject it up front rather than AIOOBE mid-job
+    intercept[IllegalArgumentException](
+      graft.functions.BloomBuild.build(keys, col("key"), k, 5))
   }
 
   test("byte_sum/byte_sumsq match the reference fold and run inside codegen") {

@@ -164,7 +164,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("event_type").isin("signup", "purchase"))
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"),
-        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)).as("k"))
+        // a missing $.k stays NULL -> None: the sentinel-free missing-field
+        // marker (a real negative version would carry, like the batch twin)
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
       .as[StreamIngest.VersionedEvent]
     val q = StreamIngest.temporalJoin(evStream)
       .writeStream.format("memory").queryName("temporal_out")

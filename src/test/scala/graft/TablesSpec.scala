@@ -768,6 +768,41 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.secondaryIndexFiles("o_orderstatus", Seq("F")).isEmpty)
     // a value the index has never seen: empty result, not a read error
     assert(tbl.readBySecondary("o_orderpriority", Seq("9-NONE")).count() == 0)
+
+    // SI COMPACTION: fold the per-commit dirs (insert + cluster = 2) into
+    // one merged dir; the _covered manifest preserves the "which commits
+    // are mapped" test, so pruning power and results are unchanged
+    val siDir = new java.io.File(
+      "/tmp/graft_spec/secondary_index/_graft/si/o_orderpriority")
+    assert(siDir.listFiles().count(_.isDirectory) == 2)
+    assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
+    val dirs = siDir.listFiles().filter(_.isDirectory)
+    assert(dirs.length == 1 && dirs(0).getName.startsWith("merged-"))
+    val prunedAfter = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
+    assert(prunedAfter.map(_.path).toSet == pruned.map(_.path).toSet,
+      "compaction changed the pruned file set")
+    assert(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect().sameElements(viaScan))
+    // INCREMENTAL second round: a new commit lands, the fold consumes
+    // {merged base} ∪ {new commit} — the base is adopted by rename
+    tbl.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderpriority", lit("1-URGENT")))
+    assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
+    val dirs2 = siDir.listFiles().filter(_.isDirectory)
+    assert(dirs2.length == 1)
+    assert(dirs2(0).listFiles().map(_.getName)
+      .exists(n => n.startsWith("adopt-merged-") && n.endsWith(".parquet")),
+      "no adopted base files after incremental SI compaction")
+    val viaIndex2 = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect()
+    val viaScan2 = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").collect()
+    assert(viaIndex2.sameElements(viaScan2))
+    assert(viaIndex2.exists(_.getAs[Long]("o_orderkey") == 7L))
+    // and the index still PRUNES (coverage intact — nothing degraded to
+    // scan-everything conservatism)
+    val prunedInc = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
+    assert(prunedInc.size < tbl.timeline.liveFiles(None).size)
   }
 
   test("secondary index on MOR never returns rows superseded by a delta") {
@@ -1342,6 +1377,33 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.upsert(orders.filter(col("o_orderkey") === 100L)
       .withColumn("o_orderstatus", lit("Z")))
     assert(tbl.pointLookup(Seq(100L)).collect()(0).getAs[String]("o_orderstatus") == "Z")
+
+    // INCREMENTAL compaction: the fold's input set is exactly
+    // {merged base} ∪ {new commits} — the base is adopted by RENAME
+    // (its bucket files appear under the new merged dir with the adopt-
+    // prefix, never re-read or re-shuffled), only the new commit's dir
+    // is folded. Consumed dirs = base + 1 new commit = 2.
+    assert(tbl.compactRecordIndex() == 2)
+    val dirs2 = rliDir.listFiles().filter(_.isDirectory)
+    assert(dirs2.length == 1 && dirs2(0).getName.startsWith("merged-"),
+      dirs2.map(_.getName).mkString(","))
+    def parquetNames(d: java.io.File): Seq[String] =
+      d.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+        .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(parquetNames(dirs2(0)).exists(_.startsWith("adopt-merged-")),
+      s"no adopted base files under ${dirs2(0)}")
+    assert(tbl.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    assert(tbl.pointLookup(Seq(100L)).collect()(0).getAs[String]("o_orderstatus") == "Z")
+    // a FULL fold re-reads everything, purging adopted (possibly-stale)
+    // base files; lookups unchanged
+    tbl.upsert(orders.filter(col("o_orderkey") === 200L)
+      .withColumn("o_orderstatus", lit("F")))
+    assert(tbl.compactRecordIndex(full = true) == 2)
+    val dirs3 = rliDir.listFiles().filter(_.isDirectory)
+    assert(dirs3.length == 1 && parquetNames(dirs3(0)).forall(!_.startsWith("adopt-")),
+      "full fold must not carry adopted files forward")
+    assert(tbl.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    assert(tbl.pointLookup(Seq(200L)).collect()(0).getAs[String]("o_orderstatus") == "F")
   }
 
   test("prunedLiveFiles prunes by key range, partition path, and column stats") {
@@ -1579,6 +1641,36 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val live = stats.filter(_._2.overlaps(lo, hi)).keys.toSet
     assert(live == Set("p_month=1996-03", "p_month=1996-04", "p_month=1996-05"), live.toString)
     // and the pruned read equals the unpruned filter exactly
+    val got = tbl.readBetweenPartitionStats("o_orderdate", lo, hi)
+      .select(orders.columns.map(col).toSeq: _*)
+    val want = orders.filter(col("o_orderdate").between(lo, hi))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"pruned read diverged: got ${got.count()}, want ${want.count()}")
+    tbl.dropIfExists()
+  }
+
+  test("partition-stats read keeps partitions with stat-less files (statsCols evolution)") {
+    import org.apache.spark.sql.functions.col
+    val orders = GraftSession.table(spark, sfDir, "orders")
+    val path = "/tmp/graft_test/t_pstats_evolve"
+    val keyGen = graft.tables.TimestampDayPartition(
+      "o_orderdate", "p_month", "yyyy-MM")
+    // epoch 1: o_orderdate is NOT a stats column — files land stat-less
+    val pre = graft.tables.GraftTable(spark, graft.tables.GraftTableConfig(
+      path, "o_orderkey", "o_orderkey", keyGen = keyGen))
+    pre.dropIfExists()
+    pre.insert(orders.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    // epoch 2: the column becomes a stats column; later files carry stats
+    val tbl = graft.tables.GraftTable(spark, graft.tables.GraftTableConfig(
+      path, "o_orderkey", "o_orderkey", keyGen = keyGen,
+      statsCols = Seq("o_orderdate")))
+    tbl.insert(orders.filter(col("o_orderkey") % 2 =!= 0), numFiles = 2)
+    val lo = java.sql.Timestamp.valueOf("1996-03-15 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-05-20 00:00:00")
+    // every month partition now holds stat-less epoch-1 files, so NO
+    // partition may prune away; the read must equal the plain filter —
+    // before the conservatism fix the partition-level cut dropped every
+    // epoch-1 row (partitions absent from partitionStats never survived)
     val got = tbl.readBetweenPartitionStats("o_orderdate", lo, hi)
       .select(orders.columns.map(col).toSeq: _*)
     val want = orders.filter(col("o_orderdate").between(lo, hi))
