@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must reach stdout VERBATIM: sbt's default logger
+// prefixes lines with "[info] ", which corrupts the one-JSON-line
+// contract Bench/Verify print for the driver (round 9's bench artifact
+// carried the summary line as `[info] {...}` — unparseable).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

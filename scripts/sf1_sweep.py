@@ -55,12 +55,13 @@ EXPLAINED = {
         "s_nn_descent is the LINEAR tier past this bound (deterministic "
         "NN-descent, fully oracled) with the crossover near 1M vectors",
     "d_substring":
-        "exact shared-substring detection is linear in TOTAL CHARS with "
-        "one full shuffle of the stride-1 probe stream (Dedup.scala "
-        "header, the Lee-et-al suffix-array analogue); the ratio rides "
-        "chars x10 plus shuffle-spill constants, marginally over the "
-        "13.0 flag - no quadratic term exists (candidates are "
-        "hash-verified grid matches, O(matches))",
+        "exact shared-substring detection is linear in TOTAL CHARS "
+        "(Dedup.scala header, the Lee-et-al suffix-array analogue); "
+        "round 10 halved the dominant probe shuffle (stride-2 probe + "
+        "paired stride-10 grid, 8 B/char) and dropped shingle strings "
+        "from the grid shuffle, buying margin under the 13.0 flag - no "
+        "quadratic term exists (candidates are hash-verified grid "
+        "matches, O(matches))",
 }
 
 ADD_OPENS = [f"--add-opens=java.base/{p}=ALL-UNNAMED" for p in [

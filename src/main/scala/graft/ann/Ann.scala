@@ -1264,21 +1264,55 @@ object Ann extends QueryRegistry {
       .select("v", "w")
   }
 
+  /** One NN-descent refine round: propose the 2-hop neighborhood of the
+    * undirected current graph plus the current edges, keep the exact top-K.
+    * The union with current edges makes each node's kept distances
+    * NON-INCREASING across rounds, and a true top-K member can only ever
+    * be displaced by another true top-K member — so graph quality (and
+    * recall vs the exact graph) improves monotonically. */
+  private def nndRound(e: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select("v", "w")
+      .unionAll(edges.select(col("w").as("v"), col("v").as("w"))).distinct()
+    val twoHop = und.toDF("v", "u")
+      .join(und.toDF("u2", "w"), col("u") === col("u2") && col("v") =!= col("w"))
+      .select("v", "w")
+    val cand = twoHop.unionAll(edges.select("v", "w")).distinct()
+    nndTopK(e, cand).localCheckpoint()
+  }
+
+  /** Production NN-descent: the same deterministic seeds and refine round
+    * as the graded op, but iteration stops the standard way (Dong et al.
+    * WWW'11 §2.3) — when a round replaces fewer than `delta`·n·K edges,
+    * the graph has converged and further 2-hop rounds are wasted work.
+    * An already-good corpus stops after one cheap round; a cold one runs
+    * up to `maxIters`. The per-round update count is one anti-join over
+    * the O(n·K) edge sets — noise against the round's own candidate
+    * generation. Returns the final (v, w, d) edges and the rounds run.
+    * The graded sNnDescent keeps FIXED rounds so its DuckDB oracle can
+    * restate the computation verbatim; PipelineSpec pins that this
+    * variant's recall is equal-or-better than the fixed-3 graph's. */
+  private[graft] def nnDescentConverged(e: DataFrame, n: Long,
+      maxIters: Int = 10, delta: Double = 0.01): (DataFrame, Int) = {
+    var edges = nndTopK(e, nndSeeds(e, n)).localCheckpoint()
+    var iters = 0
+    var done = false
+    while (iters < maxIters && !done) {
+      val next = nndRound(e, edges)
+      val updates = next.join(edges.select("v", "w"), Seq("v", "w"), "left_anti").count()
+      edges = next
+      iters += 1
+      if (updates < delta * n * NndK) done = true
+    }
+    (edges, iters)
+  }
+
   def sNnDescent(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("ve"))
       .localCheckpoint() // materialize the double cast once for all rounds
     val n = e.count()
     var edges = nndTopK(e, nndSeeds(e, n)).localCheckpoint()
-    (1 to NndIters).foreach { _ =>
-      val und = edges.select("v", "w")
-        .unionAll(edges.select(col("w").as("v"), col("v").as("w"))).distinct()
-      val twoHop = und.toDF("v", "u")
-        .join(und.toDF("u2", "w"), col("u") === col("u2") && col("v") =!= col("w"))
-        .select("v", "w")
-      val cand = twoHop.unionAll(edges.select("v", "w")).distinct()
-      edges = nndTopK(e, cand).localCheckpoint()
-    }
+    (1 to NndIters).foreach(_ => edges = nndRound(e, edges))
     val wRank = Window.partitionBy("v").orderBy(asc("d"), asc("w"))
     edges.withColumn("rank", row_number().over(wRank).cast("long"))
       .select(col("v").as("vec_id"), col("rank"), col("w").as("nbr_id"), col("d").as("l2_q6"))

@@ -544,16 +544,21 @@ object Dedup extends QueryRegistry {
   // --- d_substring: exact SUBSTRING-level dedup (Lee et al. 2022's
   // "Deduplicating Training Data Makes Language Models Better") — flag every
   // doc whose normalized text shares a long verbatim span with an earlier
-  // doc. The COUNTED side takes 40-char shingles on a stride-20 grid; the
-  // PROBE side takes stride-1 shingles, so a shared span is detected at ANY
-  // relative alignment: a >=59-char common substring always contains a full
-  // grid shingle of one doc, and the other doc's stride-1 set contains
-  // every 40-char substring it has. (Grid-vs-grid would only match spans
-  // whose offsets are congruent mod 20 — misaligned copies, the common case
-  // for quoted boilerplate, would be missed entirely.) On the O(total
-  // chars) PROBE side shingles travel as xxhash64 — 8-byte join keys,
-  // never 40-char strings; the sparse grid side carries the string, and
-  // every hash match is then VERIFIED by an `instr` containment check
+  // doc. The COUNTED side takes 40-char shingles in ADJACENT PAIRS on a
+  // stride-10 grid (offsets ≡ 0,1 mod 10); the PROBE side takes stride-2
+  // shingles, so a shared span is detected at ANY relative alignment: a
+  // >=50-char common substring contains a full grid PAIR of one doc
+  // (offsets p, p+1), the same two shingles sit at adjacent offsets q, q+1
+  // in the other doc, and one of any two adjacent offsets is even — i.e.
+  // on the stride-2 probe. (Grid-vs-grid would only match spans whose
+  // offsets are congruent mod the stride — misaligned copies, the common
+  // case for quoted boilerplate, would be missed entirely.) Shuffle
+  // economics at 100 TB, per corpus char: the probe stream (the O(total
+  // chars) term) ships 8-byte hash + 8-byte doc at stride 2 = 8 B/char —
+  // HALF the round-9 stride-1 cost; the grid ships (doc, hash, offset) =
+  // 24 B at chars/5 = 4.8 B/char, never 40-char strings (the shingle
+  // string is re-derived by a doc_id join for the SPARSE candidate set
+  // only). Every hash match is VERIFIED by an `instr` containment check
   // against the probing doc's text, so a 64-bit collision (statistically
   // certain at ~1e14 probe shingles / 100 TB) can never surface a false
   // shared span — the result stays string-exact at any corpus size, like
@@ -563,26 +568,33 @@ object Dedup extends QueryRegistry {
   // detector.
   def dSubstring(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), normText(col("text")).as("tn"))
-    def shingleHashes(stride: Int): DataFrame =
-      base.select(col("doc_id"), col("tn"),
-          explode(expr(s"sequence(0, greatest(length(tn) - 40, 0), $stride)")).as("p"))
-        .filter(length(col("tn")) - col("p") >= 40)
-        .select(col("doc_id"), xxhash64(expr("substring(tn, p + 1, 40)")).as("h"),
-          expr("substring(tn, p + 1, 40)").as("sh"))
-    val grid = shingleHashes(20).select("doc_id", "h", "sh").distinct()
-    // probe side is NOT distinct'd: that would shuffle the whole O(chars)
-    // stream once more, and duplicate (doc, h) probes cannot change the
-    // min(other) aggregate below — only inflate the (pre-agg, map-side
-    // combined) join output
-    val probe = shingleHashes(1).select(col("h"), col("doc_id").as("other"))
+    // probe: stride-2 shingle hashes, NOT distinct'd — that would shuffle
+    // the whole O(chars) stream once more, and duplicate (doc, h) probes
+    // cannot change the min(other) aggregate below
+    val probe = base.select(col("doc_id").as("other"), col("tn"),
+        explode(expr("sequence(0, greatest(length(tn) - 40, 0), 2)")).as("p"))
+      .filter(length(col("tn")) - col("p") >= 40)
+      .select(xxhash64(expr("substring(tn, p + 1, 40)")).as("h"), col("other"))
+    // grid: adjacent-pair shingles every 10 chars, deduped per (doc, h)
+    // keeping one representative offset
+    val grid = base.select(col("doc_id"), col("tn"),
+        explode(expr("flatten(transform(" +
+          "sequence(0, greatest(length(tn) - 40, 0), 10), q -> array(q, q + 1)))")).as("p"))
+      .filter(length(col("tn")) - col("p") >= 40)
+      .select(col("doc_id"), xxhash64(expr("substring(tn, p + 1, 40)")).as("h"), col("p"))
+      .groupBy("doc_id", "h").agg(min("p").as("p"))
     val candidates = grid.join(probe, "h")
       .filter(col("other") =!= col("doc_id"))
-      .select("doc_id", "h", "sh", "other").distinct()
+      .select("doc_id", "h", "p", "other").distinct()
     // collision fence: a hash match only counts if `other` really contains
-    // the grid shingle (probe stride 1 == "appears at any offset", which is
-    // exactly what `instr > 0` tests). Only the sparse candidate set pays
-    // this join + scan, never the O(chars) probe stream.
+    // the grid shingle (probe stride 2 + paired grid == "appears at any
+    // offset", which is exactly what `instr > 0` tests). Only the sparse
+    // candidate set pays the string re-derivation joins + scan, never the
+    // O(chars) probe stream.
     candidates
+      .join(base, "doc_id")
+      .select(col("doc_id"), col("h"), col("other"),
+        expr("substring(tn, p + 1, 40)").as("sh"))
       .join(base.select(col("doc_id").as("other"), col("tn").as("tn_other")), "other")
       .filter(instr(col("tn_other"), col("sh")) > 0)
       .groupBy(col("doc_id"), col("h"))
@@ -597,18 +609,19 @@ object Dedup extends QueryRegistry {
     """WITH d AS (SELECT doc_id,
       |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tn
       |  FROM documents),
-      |s20 AS (SELECT DISTINCT doc_id, sh FROM (
+      |sg AS (SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_transform(
-      |      range(0, greatest(length(tn) - 40, 0) + 1, 20),
+      |      flatten(list_transform(
+      |        range(0, greatest(length(tn) - 40, 0) + 1, 10), q -> [q, q + 1])),
       |      p -> substr(tn, p + 1, 40))) AS sh
       |    FROM d) WHERE length(sh) = 40),
-      |s1 AS (SELECT DISTINCT doc_id, sh FROM (
+      |sp AS (SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_transform(
-      |      range(0, greatest(length(tn) - 40, 0) + 1, 1),
+      |      range(0, greatest(length(tn) - 40, 0) + 1, 2),
       |      p -> substr(tn, p + 1, 40))) AS sh
       |    FROM d) WHERE length(sh) = 40),
       |m AS (SELECT g.doc_id, g.sh, MIN(o.doc_id) AS min_other
-      |  FROM s20 g JOIN s1 o ON o.sh = g.sh AND o.doc_id <> g.doc_id
+      |  FROM sg g JOIN sp o ON o.sh = g.sh AND o.doc_id <> g.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_id, COUNT(*) AS n_shared_spans
       |FROM m WHERE min_other < doc_id GROUP BY 1 ORDER BY 1""".stripMargin

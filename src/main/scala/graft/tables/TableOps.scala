@@ -368,6 +368,33 @@ object TableOps extends QueryRegistry {
     tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).orderBy("o_orderkey")
   }
 
+  // --- t_si_compact: secondary-index COMPACTION — t_rli_compact's exact
+  // analogue for the value index. Per-commit (value → file) dirs degrade
+  // an equality lookup to O(#commits) index reads; the fold merges them
+  // liveness-filtered, and the merged dir's _covered manifest preserves
+  // the which-commits-are-mapped conservatism test. Exercises BOTH tiers:
+  // a full fold of insert+cluster establishes the merged base, an upsert
+  // wave lands, and the second compaction runs INCREMENTALLY (reads only
+  // the new commit dir, adopts the base by rename). The lookup must stay
+  // exact across the stale mappings the fold drops and the re-priced rows
+  // the upsert re-priorities.
+  def tSiCompact(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_si_compact", dir), "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.cluster(Seq("o_orderpriority"), numFiles = 5)
+    require(tbl.compactSecondaryIndex("o_orderpriority", full = true) == 2,
+      "no base fold")
+    tbl.upsert(orders.filter(col("o_orderkey") % 37 === 0)
+      .withColumn("o_orderpriority", lit("1-URGENT")))
+    require(tbl.compactSecondaryIndex("o_orderpriority") == 2,
+      "expected base + 1 new commit")
+    tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).orderBy("o_orderkey")
+  }
+
   // --- t_consistent_hash: consistent-hashing bucket resize (flink/sql/
   // consistent_hashing.sql) — a 4-bucket table doubles to 8 via PER-BUCKET
   // incremental splits (each hot bucket rewrites locally; lookups stay
@@ -1214,6 +1241,15 @@ object TableOps extends QueryRegistry {
     QueryDef("t_secondary_index", tSecondaryIndex, Some(
       s"""SELECT $ordersCols FROM orders
          |WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin)),
+    // the upsert re-priorities key%37==0 rows to 1-URGENT before the lookup
+    QueryDef("t_si_compact", tSiCompact, Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderkey % 37 = 0 THEN '1-URGENT'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |WHERE CASE WHEN o_orderkey % 37 = 0 THEN '1-URGENT'
+        |           ELSE o_orderpriority END = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin)),
     // the upsert re-stamps key%10==0 rows before the rebucket+lookup
     QueryDef("t_consistent_hash", tConsistentHash, Some(
       s"""$upsertedSql

@@ -392,4 +392,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val domains = route.map(_.getAs[String]("domain")).toSet
     assert(domains.subsetOf(Set("relational", "storage", "streaming")), domains.toString)
   }
+
+  test("NN-descent convergence stop: recall equal-or-better than the fixed-3-round graph") {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 8 // == Ann.NndK
+    val e = GraftSession.table(spark, sfSmall, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("ve"))
+      .localCheckpoint()
+    val n = e.count()
+    // exact kNN graph by brute force (500 vectors -> 250k pairs, fine here)
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(asc("d"), asc("w"))
+    val exact = e.toDF("v", "ev").crossJoin(e.toDF("w", "ew"))
+      .filter(col("v") =!= col("w"))
+      .withColumn("d", expr("l2sq_q6(ev, ew)"))
+      .withColumn("rn", row_number().over(wR)).filter(col("rn") <= k)
+      .select("v", "w").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      (pairs & exact).size.toDouble / exact.size
+    val fixed3 = Ann.sNnDescent(spark, sfSmall).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val (convEdges, iters) = Ann.nnDescentConverged(e, n)
+    val conv = convEdges.select("v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (rFixed, rConv) = (recallOf(fixed3), recallOf(conv))
+    // each round's top-K keeps the union's best, so quality is monotone in
+    // rounds; the delta-stop only ends iteration once a round changes <1%
+    // of edges — it must never land BELOW the fixed-3 graph
+    assert(rConv >= rFixed,
+      s"converged recall $rConv < fixed-3 recall $rFixed (iters=$iters)")
+    assert(iters >= 1 && iters <= 10, s"implausible iteration count $iters")
+    // and the stop actually fires: on 500 vectors the graph converges well
+    // before the 10-round cap
+    assert(iters < 10, s"convergence stop never fired (iters=$iters)")
+  }
 }
