@@ -1762,10 +1762,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * table's current rows-per-file so rewrites neither explode small files
     * (a 4-file rewrite must not emit 36 shuffle-partition-sized shards —
     * the small-file blowup the reference's glue bench measures) nor build
-    * jumbo files. */
+    * jumbo files.
+    *
+    * The per-file target is FLOORED: sizing purely by the current average
+    * is a positive feedback loop — fragmentation lowers the average,
+    * which fragments the next rewrite further (the 1000-commit aging
+    * stress measured the runaway: 2.8-row files and 107-file rewrites of
+    * 300-row batches by commit 200, +43 files/commit and accelerating).
+    * With the floor, a small rewrite CONSOLIDATES its key range into few
+    * files instead of splintering it, so churn self-heals; healthy tables
+    * (average above the floor) are unaffected. */
   private def rewriteFileCount(live: Seq[FileMeta], rows: Long): Int = {
     val avg = math.max(1L, live.map(_.rows).sum / math.max(1, live.size))
-    math.max(1, math.ceil(rows.toDouble / avg).toInt)
+    val target = math.max(avg, GraftTable.RewriteMinRowsPerFile)
+    math.max(1, math.ceil(rows.toDouble / target).toInt)
   }
 
   /** Sort spec for COW rewrites (upsert/delete/changelog): KEY-RANGE the
@@ -2501,6 +2511,12 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 object GraftTable {
   def apply(spark: SparkSession, cfg: GraftTableConfig): GraftTable =
     new GraftTable(spark, cfg)
+
+  /** Floor for [[GraftTable.rewriteFileCount]]'s per-file row target. Low
+    * enough that any healthy table's average dominates it (a 128 MB file
+    * of 100 B rows holds ~1.3M rows); high enough that a fragmented
+    * table's rewrites consolidate instead of splinter. */
+  private[tables] val RewriteMinRowsPerFile = 1000L
 
   /** Table-relative form of an `input_file_name()`-style absolute name.
     * input_file_name() returns a URI-encoded string (spaces as %20 etc.);

@@ -1357,6 +1357,11 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replaced * 3 <= liveN,
       s"locality lost: upsert of 1/50th of the key space replaced " +
         s"$replaced of $liveN files")
+    // and no fragmentation runaway: sizing rewrites purely by the current
+    // rows-per-file average was a positive feedback loop (the aging stress
+    // measured +43 files/commit by commit 200); with the floored target,
+    // 21 upserts on a 20-file table must not balloon the file count
+    assert(liveN <= 40, s"file-count runaway: $liveN live files after 21 upserts")
     // content stays exact through all the rewrites
     assert(tbl.read().count() == orders.count())
     tbl.dropIfExists()
