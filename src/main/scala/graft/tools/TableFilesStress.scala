@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.tables._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** FILES-dimension scale stress for the lakehouse table core — the
+  * companion of [[TableScaleStress]] (the commits dimension; rewrite
+  * consolidation self-heals file counts there, so the files axis needs
+  * its own sweep). For each file count, builds a fresh indexed table at
+  * that granularity and times every metadata operation whose cost rides
+  * #files:
+  *   - insert (includes the per-file footer key-stats harvest and the
+  *     record/secondary index writes);
+  *   - cold snapshot resolution (fresh handle → liveFiles: commit JSON
+  *     parse is O(#files));
+  *   - RLI point lookup / secondary-index equality lookup;
+  *   - expression-index create (one scan job, bucket-sharded by file)
+  *     and a pruned range read through it.
+  * Emits one JSON line per file count and writes the run to
+  * BENCH_SF100_FILES.json. Flag rule: each metric's growth between
+  * consecutive points should not exceed the file-count ratio
+  * (super-linear in #files = a driver loop or metadata blowup).
+  *
+  * Usage: TableFilesStress [sfDir] [counts,csv] [outJson]
+  * (defaults /root/testdata/sf0.1, 256,1024,4096,10000). */
+object TableFilesStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val counts = args.lift(1).getOrElse("256,1024,4096,10000")
+      .split(",").map(_.trim.toInt).toSeq
+    val outPath = args.lift(2).getOrElse("/root/repo/BENCH_SF100_FILES.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val orders = GraftSession.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").cache()
+    val nOrders = orders.count()
+    def timeMs[T](body: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = body
+      ((System.nanoTime() - t0) / 1e6, r)
+    }
+    def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    val probeKeys = Seq(1L, 7L, 100L, 999L, nOrders / 2)
+
+    val rows = counts.map { nf =>
+      val path = s"/tmp/graft_files_stress_$nf"
+      val cfgT = GraftTableConfig(path, "o_orderkey", "o_orderkey",
+        recordIndexBuckets = 16,
+        secondaryIndexCols = Seq("o_orderpriority"))
+      val tbl = GraftTable(spark, cfgT)
+      tbl.dropIfExists()
+      val (insertMs, _) = timeMs(tbl.insert(orders, numFiles = nf))
+      val (coldMs, nFiles) = {
+        val t = GraftTable(spark, cfgT)
+        val (ms, fs) = timeMs(t.timeline.liveFiles(None))
+        (ms, fs.size)
+      }
+      val (rliMs, _) = timeMs(tbl.pointLookup(probeKeys).count())
+      val (siMs, _) =
+        timeMs(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).count())
+      val (exprCreateMs, _) =
+        timeMs(tbl.createExpressionIndex("om", "month(o_orderdate)"))
+      val (exprReadMs, _) = timeMs {
+        val files = tbl.exprIndexFiles("om", 3, 3)
+        files.size
+      }
+      val line =
+        s"""{"num_files":$nFiles,"rows":$nOrders,"insert_ms":${f1(insertMs)},""" +
+        s""""cold_livefiles_ms":${f1(coldMs)},"rli_lookup_ms":${f1(rliMs)},""" +
+        s""""si_lookup_ms":${f1(siMs)},"expr_create_ms":${f1(exprCreateMs)},""" +
+        s""""expr_prune_ms":${f1(exprReadMs)}}"""
+      println(s"[files-stress] $line")
+      tbl.dropIfExists()
+      line
+    }
+    val summary = s"""{"sf":"$sfDir","points":[${rows.mkString(",")}]}"""
+    println(s"[files-stress-summary] $summary")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), summary + "\n")
+    catch { case _: Exception => () }
+    spark.stop()
+  }
+}
