@@ -783,4 +783,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("InMemoryTableScan"), s)
     df.sparkSession.catalog.clearCache()
   }
+
+  test("d_substring: the O(chars) probe shuffle carries hashes only — no text, no shingles") {
+    val df = graft.dedup.Dedup.dSubstring(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    // every hash-partitioned exchange in the candidate join moves 8-byte
+    // columns (xxhash64 h + ids + the int offset) — a `tn` or a 40-char
+    // shingle string in any exchange means the stringless-grid contract
+    // broke and the dominant shuffle is paying 5x its bytes
+    val exchanges = s.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s)
+    assert(exchanges.forall(l => !l.contains("tn#") && !l.contains("sh#")),
+      exchanges.mkString("\n"))
+    df.sparkSession.catalog.clearCache()
+  }
 }
