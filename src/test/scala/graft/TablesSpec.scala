@@ -1464,6 +1464,43 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.pointLookup(Seq(200L)).collect()(0).getAs[String]("o_orderstatus") == "F")
   }
 
+  test("index compaction crash leftovers: duplicate merged dirs stay correct and re-fold") {
+    // the fold's crash order (write first, rename, delete last) can leave
+    // an EXTRA merged dir holding duplicate mappings; lookups must stay
+    // exact over the union and the next compaction must consume the
+    // leftover rather than wedge
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/rli_crash", "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 8))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(orders.filter(col("o_orderkey") === 42L)
+      .withColumn("o_orderstatus", lit("R")))
+    assert(tbl.compactRecordIndex() == 2)
+    val rli = new java.io.File("/tmp/graft_spec/rli_crash/_graft/rli")
+    val merged = rli.listFiles().filter(_.isDirectory).head
+    // simulate a crashed earlier fold: a second merged dir with the SAME
+    // mappings under an older instant name
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles().foreach(f =>
+        copyTree(f, new java.io.File(dst, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copyTree(merged, new java.io.File(rli, "merged-000000001"))
+    // duplicate mappings are harmless: lookups take the distinct union
+    assert(tbl.lookupFiles(Seq(42L)).size == 1)
+    assert(tbl.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    // a new commit arrives; the next fold consumes BOTH merged dirs (the
+    // real base adopted, the leftover adopted too) plus the new commit
+    tbl.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderstatus", lit("X")))
+    assert(tbl.compactRecordIndex() == 3)
+    assert(rli.listFiles().count(_.isDirectory) == 1)
+    assert(tbl.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    assert(tbl.pointLookup(Seq(7L)).collect()(0).getAs[String]("o_orderstatus") == "X")
+    tbl.dropIfExists()
+  }
+
   test("prunedLiveFiles prunes by key range, partition path, and column stats") {
     val events = GraftSession.table(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type", "value", "ts")
