@@ -33,10 +33,32 @@ OUT = "/root/repo/BENCH_TRIAGE.json"
 
 
 def load(src):
-    qs = json.loads(src)["queries"]
+    doc = json.loads(src)
+    qs = doc["queries"]
     # pre-r8 files carry plain seconds, not {sec, gc_ms, lease_retries}
-    return {o: (v if isinstance(v, dict) else {"sec": float(v)})
-            for o, v in qs.items()}
+    ops = {o: (v if isinstance(v, dict) else {"sec": float(v)})
+           for o, v in qs.items()}
+    # r11+ files carry a start/mid/end machine-load sentinel
+    return ops, doc.get("sentinel")
+
+
+def sentinel_factors(prev_s, curr_s):
+    """Median curr/prev ratio of the fixed sentinel micro-ops across the
+    start/mid/end samples — the machine-load swing measured by identical
+    code on both epochs. None when either epoch predates the sentinel."""
+    if not prev_s or not curr_s:
+        return None
+    tags = sorted(set(prev_s) & set(curr_s))
+    if not tags:
+        return None
+    return {
+        "cpu": round(statistics.median(
+            curr_s[t]["cpu_sec"] / max(prev_s[t]["cpu_sec"], 1e-3) for t in tags), 3),
+        "fs": round(statistics.median(
+            curr_s[t]["fs_sec"] / max(prev_s[t]["fs_sec"], 1e-3) for t in tags), 3),
+        "prev_loadavg": [prev_s[t].get("loadavg", "") for t in tags],
+        "curr_loadavg": [curr_s[t].get("loadavg", "") for t in tags],
+    }
 
 
 def main():
@@ -50,17 +72,18 @@ def main():
     if args and args[0] == "--git":
         rev = args[1]
         prev_id = rev
-        prev = load(subprocess.run(
+        prev, prev_sent = load(subprocess.run(
             ["git", "show", f"{rev}:BENCH_SELF.json"], capture_output=True,
             text=True, cwd="/root/repo", check=True).stdout)
         curr_path = args[2] if len(args) > 2 else "/root/repo/BENCH_SELF.json"
     elif len(args) == 2:
         prev_id = args[0]
-        prev = load(open(args[0]).read())
+        prev, prev_sent = load(open(args[0]).read())
         curr_path = args[1]
     else:
         sys.exit(__doc__)
-    curr = load(open(curr_path).read())
+    curr, curr_sent = load(open(curr_path).read())
+    sent = sentinel_factors(prev_sent, curr_sent)
 
     shared = sorted(set(prev) & set(curr))
     if not shared:
@@ -87,12 +110,19 @@ def main():
         elif lease_delta > 0:
             row["verdict"] = "explained: lease retries"
             explained.append(row)
+        elif sent is not None and adj <= 1.15 * max(sent["cpu"], sent["fs"]) / factor:
+            # the sentinel (identical code both epochs) swelled at least as
+            # much as this op did beyond the global factor: machine load,
+            # not code — the artifact-only attribution the sentinel exists for
+            row["verdict"] = "explained: machine load (sentinel)"
+            explained.append(row)
         else:
             row["verdict"] = "suspect a code change"
             flagged.append(row)
 
     result = {"global_factor": round(factor, 3), "thresh": THRESH,
               "n_shared": len(shared), "prev": prev_id,
+              **({"sentinel": sent} if sent else {}),
               **({"note": note} if note else {}),
               "flagged": sorted(flagged, key=lambda r: -r["adj_ratio"]),
               "explained_by_load": explained}

@@ -75,7 +75,46 @@ object Bench {
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
     final case class OpStat(sec: Double, gcMs: Long, leaseRetries: Long)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    // MACHINE-LOAD SENTINEL: a fixed pair of reference micro-ops — one
+    // CPU/shuffle-bound, one FS/commit-shaped (small parquet write + read,
+    // the table family's cost profile) — timed at battery start, middle,
+    // and end, plus /proc/loadavg at each point. A cross-epoch family
+    // swing is then attributable FROM THE ARTIFACT ALONE (sentinel ratio
+    // swells with the family -> machine load; flat sentinel -> code),
+    // instead of costing a 233-op isolated rerun cycle (bench_triage.py
+    // consumes these fields).
+    def loadavg: String =
+      try {
+        val s = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        s.trim.split(" ").take(3).mkString(",")
+      } catch { case _: Exception => "" }
+    def sentinelOnce(): (Double, Double) = {
+      import org.apache.spark.sql.functions.sum
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k").agg(sum("v")).collect()
+      val cpuSec = (System.nanoTime() - t0) / 1e9
+      val dir = "/tmp/graft_bench_sentinel"
+      val t1 = System.nanoTime()
+      spark.range(50000L).selectExpr("id AS k", "cast(id AS string) AS v")
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).count()
+      val fsSec = (System.nanoTime() - t1) / 1e9
+      (cpuSec, fsSec)
+    }
+    val sentinels = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, String)]
+    def snapSentinel(tag: String): Unit = {
+      val la = loadavg
+      val (c, f) = sentinelOnce()
+      sentinels(tag) = (c, f, la)
+    }
+
+    snapSentinel("start")
+    val allOps = SparkEntry.queries.toSeq.sortBy(_._1)
+    val mid = allOps.size / 2
+    val results = allOps.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == mid) snapSentinel("mid")
       val gc0 = gcMillis
       val lr0 = graft.tables.Timeline.lockRetries.get()
       val t0 = System.nanoTime()
@@ -100,6 +139,7 @@ object Bench {
       System.gc()
       name -> stat
     }
+    snapSentinel("end")
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v.sec) }
       .mkString("{", ",", "}")
@@ -114,19 +154,36 @@ object Bench {
     val fullLine =
       s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}"""
     println(fullLine)
+    // Artifacts land beside the checkout actually running the bench — an
+    // env override first, then the working directory (NOT a hardcoded
+    // /root/repo: any other checkout or machine would silently write to
+    // the wrong place). Failures are LOGGED, not swallowed.
+    val artifactDir = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+      System.getProperty("user.dir"))
+    def writeArtifact(name: String, line: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(artifactDir, name), line + "\n")
+      catch {
+        case e: Exception =>
+          System.err.println(s"[bench] FAILED to write $artifactDir/$name: $e")
+      }
     // BENCH_SELF.json carries the attribution detail: {sec, gc_ms,
-    // lease_retries} per op. Interpretation rule (SURVEY §5): a sec swing
-    // with proportionally swollen gc_ms is machine/GC pressure; nonzero
-    // lease_retries is commit-lock contention; neither = code.
+    // lease_retries} per op plus the start/mid/end machine-load sentinel.
+    // Interpretation rule (SURVEY §5): a sec swing with proportionally
+    // swollen gc_ms is machine/GC pressure; nonzero lease_retries is
+    // commit-lock contention; a swollen fs/cpu sentinel is machine load;
+    // none of those = code.
     val detail = results.map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + f3(v.sec) + ",\"gc_ms\":" + v.gcMs +
         ",\"lease_retries\":" + v.leaseRetries + "}"
     }.mkString("{", ",", "}")
+    val sentinelJson = sentinels.map { case (tag, (c, f, la)) =>
+      "\"" + tag + "\":{\"cpu_sec\":" + f3(c) + ",\"fs_sec\":" + f3(f) +
+        ",\"loadavg\":\"" + la + "\"}"
+    }.mkString("{", ",", "}")
     val selfLine =
-      s"""{"queries":$detail,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"), selfLine + "\n")
-    catch { case _: Exception => () } // repo may be elsewhere; the line printed
+      s"""{"queries":$detail,"sentinel":$sentinelJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}"""
+    writeArtifact("BENCH_SELF.json", selfLine)
     val families = Seq(
       "tables" -> "t_", "query" -> "q", "dedup" -> "d_", "text" -> "x_",
       "ann" -> "s_", "stream" -> "st_", "media" -> "m_", "curation" -> "c_")
@@ -145,9 +202,7 @@ object Bench {
     // the slim line also lands at a fixed path: stdout can be re-prefixed
     // by launchers (sbt's logger wrote `[info] {...}` in round 9, which no
     // JSON parser accepts), so the artifact must not depend on tail luck
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_SLIM.json"), slim + "\n")
-    catch { case _: Exception => () }
+    writeArtifact("BENCH_SLIM.json", slim)
     println(slim)
     spark.stop()
   }

@@ -1290,9 +1290,15 @@ object Ann extends QueryRegistry {
     * generation. Returns the final (v, w, d) edges and the rounds run.
     * The graded sNnDescent keeps FIXED rounds so its DuckDB oracle can
     * restate the computation verbatim; PipelineSpec pins that this
-    * variant's recall is equal-or-better than the fixed-3 graph's. */
+    * variant's recall is equal-or-better than the fixed-3 graph's — a
+    * STRUCTURAL guarantee, not a statistical one: the delta-stop is only
+    * consulted from round `minIters` (= the graded op's round count) on,
+    * and each round's kept top-K takes the best of {current edges ∪ 2-hop
+    * candidates}, so per-slot distances are non-increasing in rounds and
+    * the converged graph can never land below the fixed-`minIters` one. */
   private[graft] def nnDescentConverged(e: DataFrame, n: Long,
-      maxIters: Int = 10, delta: Double = 0.01): (DataFrame, Int) = {
+      maxIters: Int = 10, delta: Double = 0.01,
+      minIters: Int = NndIters): (DataFrame, Int) = {
     var edges = nndTopK(e, nndSeeds(e, n)).localCheckpoint()
     var iters = 0
     var done = false
@@ -1301,7 +1307,7 @@ object Ann extends QueryRegistry {
       val updates = next.join(edges.select("v", "w"), Seq("v", "w"), "left_anti").count()
       edges = next
       iters += 1
-      if (updates < delta * n * NndK) done = true
+      if (iters >= minIters && updates < delta * n * NndK) done = true
     }
     (edges, iters)
   }

@@ -1163,7 +1163,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
     }
     import scala.collection.parallel.CollectionConverters._
-    files.par.flatMap { p =>
+    val parFiles = files.par
+    // dedicated bounded pool — never the JVM-global one the executors and
+    // other libraries share (see GraftTable.footerHarvestPool)
+    parFiles.tasksupport = GraftTable.footerHarvestPool
+    parFiles.flatMap { p =>
       footerKeyStats(p) match {
         case None => // empty part file (no row groups): drop it, not a data file
           fs.delete(p, false)
@@ -1386,6 +1390,48 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
   }
 
+  /** Crash recovery for the index folds: a dir already named
+    * merged-<target> is a leftover from a run that crashed between its
+    * fold/adopt writes and the delete-last step, and may hold the ONLY
+    * copy of base mappings renamed out of the previous merged dir — a
+    * blind `overwrite` on that path would destroy them (point lookups
+    * would then silently miss rows; the SI's rebuilt `_covered` manifest
+    * would mis-prune). Rename it aside under a unique name that KEEPS the
+    * `merged-` prefix, so the caller adopts (incremental) or re-folds
+    * (full) it like any other merged source. Safe against a partially
+    * WRITTEN leftover too: Spark parks uncommitted task output under the
+    * hidden `_temporary` dir, which both the fold read (hidden-path
+    * filter) and the adopt renames (non-hidden/.parquet filters) already
+    * skip, while committed task files are complete parquet. */
+  private def recoverLeftoverMerged(mergedDir: Path): Unit = {
+    if (!fs.exists(mergedDir)) return
+    var k = 0
+    var aside = new Path(mergedDir.getParent, s"${mergedDir.getName}.recovered-$k")
+    while (fs.exists(aside)) {
+      k += 1
+      aside = new Path(mergedDir.getParent, s"${mergedDir.getName}.recovered-$k")
+    }
+    fs.rename(mergedDir, aside)
+  }
+
+  /** True when any fold-source dir holds at least one COMMITTED parquet
+    * file (hidden path segments — `_temporary`, `_SUCCESS` — excluded,
+    * matching Spark's own listing filter). Guards the fold's parquet read:
+    * a recovered leftover can legitimately be empty (crash right after
+    * mkdirs), and schema inference over only-empty dirs would throw. */
+  private def visibleParquetExists(dirs: Seq[Path]): Boolean = dirs.exists { d =>
+    val base = d.toUri.getPath
+    val it = fs.listFiles(d, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && f.getName.endsWith(".parquet")) found = true
+    }
+    found
+  }
+
   /** Fold per-commit record-index directories into ONE merged dir,
     * dropping folded mappings whose data file is no longer live — the
     * index-maintenance analogue of [[checkpointTimeline]] for years-lived
@@ -1408,6 +1454,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * — lookups take the distinct union); base files then MOVE (rename, not
     * copy — a partial move leaves every file in exactly one of the two
     * dirs, still all visible to lookups); source dirs are deleted LAST.
+    * A re-run that targets the SAME latest instant as the crashed run
+    * first renames the leftover merged dir aside and consumes it as a
+    * source ([[recoverLeftoverMerged]]) — never overwrites it, since it
+    * can hold the only copy of previously-adopted base mappings.
     *
     * @return the number of source dirs consumed (folded deltas + adopted
     *         base), 0 when there is nothing to do. */
@@ -1416,6 +1466,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val rli = new Path(s"${cfg.path}/_graft/rli")
     if (!fs.exists(rli)) return 0
     val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
+    recoverLeftoverMerged(new Path(rli, mergedName))
     // every source dir except the target name itself — re-running with no
     // new commits is a no-op
     val old = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
@@ -1425,7 +1476,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       if (full) (Array.empty[Path], old)
       else old.partition(_.getName.startsWith("merged-"))
     val mergedDir = new Path(s"${cfg.path}/_graft/rli/$mergedName")
-    if (foldSrc.nonEmpty) {
+    if (foldSrc.nonEmpty && visibleParquetExists(foldSrc)) {
       val live = timeline.liveFiles(None).map(_.path)
       val liveDf = spark.createDataFrame(
         spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
@@ -1450,7 +1501,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // part-file UUID is unique) — re-prefixing would grow filenames by
     // ~20 chars per compaction, unbounded over a table's life
     adopt.foreach { base =>
-      fs.listStatus(base).filter(_.isDirectory).foreach { bucket =>
+      // hidden dirs (an uncommitted _temporary from a crashed fold write in
+      // a recovered leftover) are not bucket dirs — never adopt from them
+      fs.listStatus(base).filter(d => d.isDirectory &&
+          !d.getPath.getName.startsWith("_") && !d.getPath.getName.startsWith("."))
+        .foreach { bucket =>
         val destBucket = new Path(mergedDir, bucket.getPath.getName)
         fs.mkdirs(destBucket)
         fs.listStatus(bucket.getPath)
@@ -1505,6 +1560,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val siDir = new Path(s"${cfg.path}/_graft/si/$column")
     if (!fs.exists(siDir)) return 0
     val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
+    recoverLeftoverMerged(new Path(siDir, mergedName))
     val old = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName == mergedName)
     if (old.length <= 1 && !(full && old.length == 1)) return 0
@@ -1517,7 +1573,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       if (p.getName.startsWith("merged-")) siCoveredInstants(p)
       else Seq(p.getName)).distinct.sorted
     val mergedDir = new Path(siDir, mergedName)
-    if (foldSrc.nonEmpty) {
+    if (foldSrc.nonEmpty && visibleParquetExists(foldSrc)) {
       val live = timeline.liveFiles(None).map(_.path)
       val liveDf = spark.createDataFrame(
         spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
@@ -2525,6 +2581,22 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 }
 
 object GraftTable {
+  /** Dedicated bounded pool for the parallel footer harvest. The default
+    * parallel-collections task support rides the JVM-global pool, which
+    * under load competes with the local[N] executor threads (and anything
+    * else in the process) for the same cores — the one code-environment
+    * interaction that could make the FS-heavy table family swell under a
+    * loaded machine while every other family stays flat. 16 threads keep
+    * the IO-bound footer reads (~16 ms each) fully overlapped without
+    * ever stealing more than half the box; on a real cluster the harvest
+    * runs as an executor map instead. */
+  private[tables] lazy val footerHarvestPool =
+    new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(
+        math.min(16, Runtime.getRuntime.availableProcessors()),
+        java.util.concurrent.ForkJoinPool.defaultForkJoinWorkerThreadFactory,
+        null, true))
+
   def apply(spark: SparkSession, cfg: GraftTableConfig): GraftTable =
     new GraftTable(spark, cfg)
 

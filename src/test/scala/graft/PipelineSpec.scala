@@ -417,12 +417,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val conv = convEdges.select("v", "w").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val (rFixed, rConv) = (recallOf(fixed3), recallOf(conv))
-    // each round's top-K keeps the union's best, so quality is monotone in
-    // rounds; the delta-stop only ends iteration once a round changes <1%
-    // of edges — it must never land BELOW the fixed-3 graph
+    // STRUCTURAL dominance: the delta-stop is only consulted from round
+    // minIters (= the graded op's 3) on, and each round's top-K keeps the
+    // union's best, so per-slot distances are non-increasing in rounds —
+    // the converged graph can never land below the fixed-3 graph
     assert(rConv >= rFixed,
       s"converged recall $rConv < fixed-3 recall $rFixed (iters=$iters)")
-    assert(iters >= 1 && iters <= 10, s"implausible iteration count $iters")
+    assert(iters >= 3 && iters <= 10, s"implausible iteration count $iters")
     // and the stop actually fires: on 500 vectors the graph converges well
     // before the 10-round cap
     assert(iters < 10, s"convergence stop never fired (iters=$iters)")

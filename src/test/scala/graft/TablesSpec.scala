@@ -1501,6 +1501,93 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.dropIfExists()
   }
 
+  test("RLI fold crash at the SAME latest instant: leftover merged dir is recovered, not overwritten") {
+    // the dangerous crash window: a fold targeting merged-<latest> finished
+    // its adopt RENAMES (the leftover holds the ONLY copy of the previous
+    // base's mappings) but died before delete-last. A re-run with no new
+    // commits targets the SAME dir name — it must adopt the leftover, never
+    // mode(overwrite) it.
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/rli_crash_same", "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 8))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(orders.filter(col("o_orderkey") === 42L)
+      .withColumn("o_orderstatus", lit("R")))
+    assert(tbl.compactRecordIndex() == 2)
+    val rli = new java.io.File("/tmp/graft_spec/rli_crash_same/_graft/rli")
+    val base = rli.listFiles().filter(_.isDirectory).head
+    // new commit, so the crashed run's target instant is newer than base's
+    tbl.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderstatus", lit("X")))
+    val latest = tbl.timeline.latestInstant().get
+    // simulate the crashed run: adopt-renames from base into merged-<latest>
+    // completed, base left as drained husk, per-commit dir + delete-last
+    // never reached
+    val leftover = new java.io.File(rli, s"merged-$latest")
+    base.listFiles().filter(_.isDirectory).foreach { bucket =>
+      val dst = new java.io.File(leftover, bucket.getName)
+      dst.mkdirs()
+      bucket.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        assert(f.renameTo(new java.io.File(dst, s"adopt-${base.getName}-${f.getName}")))
+      }
+    }
+    // key 42's ONLY index mapping now lives inside the leftover; lookups
+    // over the union stay exact even before the re-run
+    assert(tbl.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    // re-run: consumes the drained husk + the new commit dir + the
+    // recovered leftover (3 sources), and 42's mapping survives
+    assert(tbl.compactRecordIndex() == 3)
+    assert(rli.listFiles().count(_.isDirectory) == 1)
+    assert(tbl.lookupFiles(Seq(42L)).nonEmpty, "crash recovery lost the adopted base mapping")
+    assert(tbl.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    assert(tbl.pointLookup(Seq(7L)).collect()(0).getAs[String]("o_orderstatus") == "X")
+    tbl.dropIfExists()
+  }
+
+  test("SI fold crash at the SAME latest instant: recovered leftover keeps results and coverage exact") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/si_crash_same", "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    // clustering localizes each priority so the index has pruning power
+    // to lose if recovery mishandles coverage
+    tbl.cluster(Seq("o_orderpriority"), numFiles = 5)
+    assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
+    val siDir = new java.io.File(
+      "/tmp/graft_spec/si_crash_same/_graft/si/o_orderpriority")
+    val base = siDir.listFiles().filter(_.isDirectory).head
+    tbl.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderpriority", lit("1-URGENT")))
+    val latest = tbl.timeline.latestInstant().get
+    // simulate the crashed run: fold output skipped (ok — the per-commit
+    // dir survives), adopt renames done, _covered manifest written
+    // claiming BOTH instants, delete-last never reached
+    val leftover = new java.io.File(siDir, s"merged-$latest")
+    leftover.mkdirs()
+    base.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      assert(f.renameTo(new java.io.File(leftover, s"adopt-${base.getName}-${f.getName}")))
+    }
+    java.nio.file.Files.writeString(new java.io.File(leftover, "_covered").toPath,
+      java.nio.file.Files.readString(new java.io.File(base, "_covered").toPath) + "\n" + latest)
+    val expect = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").collect()
+    // re-run at the same latest instant: before the fix, mode(overwrite)
+    // destroyed the adopted mappings while the rebuilt manifest still
+    // claimed the insert instant was mapped -> silent mis-prune
+    assert(tbl.compactSecondaryIndex("o_orderpriority") == 3)
+    assert(siDir.listFiles().count(_.isDirectory) == 1)
+    val got = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect()
+    assert(got.sameElements(expect),
+      s"SI crash recovery lost mappings: got ${got.length} rows, want ${expect.length}")
+    // pruning power intact: the recovered coverage didn't degrade to scan-all
+    val prunedCrash = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
+    assert(prunedCrash.size < tbl.timeline.liveFiles(None).size)
+    tbl.dropIfExists()
+  }
+
   test("prunedLiveFiles prunes by key range, partition path, and column stats") {
     val events = GraftSession.table(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type", "value", "ts")
