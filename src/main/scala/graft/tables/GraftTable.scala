@@ -1338,12 +1338,28 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     if (!stable) return None
     val siDir = new Path(s"${cfg.path}/_graft/si/$column")
     if (!fs.exists(siDir)) return None
-    val instants = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath.toString)
-    if (instants.isEmpty) return None
+    val instantDirs = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath)
+    if (instantDirs.isEmpty) return None
     val wanted = values.map(v => String.valueOf(v))
-    val hits = spark.read.parquet(instants.toSeq: _*)
-      .filter(col("v").isin(wanted: _*))
-      .select("f").distinct().collect().map(_.getString(0)).toSet
+    // VALUE-BUCKETED merged dirs (compactSecondaryIndex partitions the fold
+    // by pmod(xxhash64(v), B), recorded in the `_buckets` manifest) are
+    // opened O(selectivity): only the vb= buckets the wanted values hash to
+    // are read. Flat per-commit dirs — few, bounded by compaction cadence —
+    // and legacy un-bucketed merged dirs are read whole. Without this the
+    // equality read was linear in INDEX size even for a value matching one
+    // file (files-axis stress: si_lookup 1.2 s -> 24.3 s over 256 -> 10k
+    // files, all of it spent scanning unmatched index rows).
+    val leafDirs = instantDirs.flatMap { d =>
+      val b = siBucketCount(d)
+      if (b <= 0) Seq(d.toString)
+      else wanted.map(v => siValueBucket(v, b)).distinct
+        .map(x => new Path(d, s"vb=$x")).filter(fs.exists(_)).map(_.toString)
+    }
+    val hits =
+      if (leafDirs.isEmpty) Set.empty[String] // values hash to no written bucket
+      else spark.read.parquet(leafDirs.toSeq: _*)
+        .filter(col("v").isin(wanted: _*))
+        .select("f").distinct().collect().map(_.getString(0)).toSet
     // Live files from commits that produced NO index dir for this column are
     // kept conservatively ("unknown", never "no match"): a write path whose
     // config lacked the index cols, a commit whose schema lacked the column,
@@ -1351,8 +1367,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // A merged dir (compactSecondaryIndex) stands for the original commit
     // instants in its _covered manifest; a manifest-less merged dir covers
     // nothing (its commits' files scan — conservative, never a mis-prune).
-    val indexedInstants = instants.flatMap { p =>
-      val pp = new Path(p)
+    val indexedInstants = instantDirs.flatMap { pp =>
       if (pp.getName.startsWith("merged-")) siCoveredInstants(pp)
       else Seq(pp.getName)
     }.toSet
@@ -1446,8 +1461,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * and re-shuffles the table's whole live key set every time. The price:
     * adopted base files keep mappings to since-replaced data files (the
     * lookup's liveness filter already discards those, so correctness is
-    * unaffected); pass `full = true` periodically to re-fold everything
-    * and purge them.
+    * unaffected). That dead weight is BOUNDED: when footer row counts
+    * prove the base majority-dead (base rows > 2x live rows), the fold
+    * auto-escalates to `full = true` and purges — merged-dir size stays
+    * within 2x the live mapping set under any churn pattern, without
+    * anyone having to remember periodic full folds.
     *
     * Crash-safe without a lock, lossless at every step: the delta fold is
     * written FIRST (crash → one extra dir, duplicate mappings are harmless
@@ -1475,6 +1493,18 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val (adopt, foldSrc) =
       if (full) (Array.empty[Path], old)
       else old.partition(_.getName.startsWith("merged-"))
+    // DEAD-WEIGHT escalation: adopt-by-rename carries mappings to since-
+    // replaced files forever — without a bound, the liveness filter's input
+    // grows without limit over a table's life (the disease the fold cures,
+    // one level up). Every live row has AT MOST one live mapping in the
+    // base, so base rows > 2x live rows proves the base is majority-dead;
+    // escalate to a full fold, which re-reads and purges. Row counts come
+    // from parquet FOOTERS (driver-side, no job), so the check is free.
+    if (adopt.nonEmpty) {
+      val baseRows = committedParquetRows(adopt.toSeq)
+      val liveRows = timeline.liveFiles(None).map(_.rows).sum
+      if (baseRows > 2L * math.max(liveRows, 1L)) return compactRecordIndex(full = true)
+    }
     val mergedDir = new Path(s"${cfg.path}/_graft/rli/$mergedName")
     if (foldSrc.nonEmpty && visibleParquetExists(foldSrc)) {
       val live = timeline.liveFiles(None).map(_.path)
@@ -1540,21 +1570,115 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  /** Name of the value-bucket-count manifest inside a merged secondary-index
+    * dir: the B its `vb=` layout was hashed with. Self-describing — a reader
+    * never depends on the writing handle's config, and a dir without the
+    * manifest (per-commit dirs, legacy merged dirs, a fold still in flight)
+    * is simply read whole, conservatively. */
+  private val siBucketsManifest = "_buckets"
+
+  private def siBucketCount(dir: Path): Int = {
+    val m = new Path(dir, siBucketsManifest)
+    if (!fs.exists(m)) return 0
+    val in = fs.open(m)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    scala.util.Try(txt.trim.toInt).getOrElse(0)
+  }
+
+  /** Bucket id of one index value under B value-buckets — the DRIVER-LOCAL
+    * twin of the engine expression the fold writes with
+    * (`pmod(xxhash64(v), B)`: XxHash64 seed 42 over the UTF-8 string), so
+    * an equality lookup computes its target buckets without a Spark job.
+    * Parity is pinned by TablesSpec against the engine-computed ids. */
+  private[graft] def siValueBucket(v: String, b: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal.create(v,
+      org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long]
+    ((h % b) + b) % b
+  }
+
+  /** Total size of COMMITTED parquet under the dirs (hidden segments
+    * excluded) — sizes the merged fold's value-bucket count without an
+    * extra Spark job. */
+  private def visibleParquetBytes(dirs: Seq[Path]): Long = dirs.map { d =>
+    val base = d.toUri.getPath
+    val it = fs.listFiles(d, true)
+    var sum = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && f.getPath.getName.endsWith(".parquet")) sum += f.getLen
+    }
+    sum
+  }.sum
+
+  private def visibleParquetFiles(dirs: Seq[Path]): Seq[Path] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    dirs.foreach { d =>
+      val base = d.toUri.getPath
+      val it = fs.listFiles(d, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = f.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+        if (!hidden && f.getName.endsWith(".parquet")) out += f
+      }
+    }
+    out.toSeq
+  }
+
+  /** Row count of the COMMITTED parquet under the dirs from footers alone
+    * (driver-side, parallel on the bounded harvest pool — the same cost
+    * profile as the commit-time stats harvest; no data read, no Spark
+    * job). Feeds the incremental folds' dead-weight escalation check. */
+  private def committedParquetRows(dirs: Seq[Path]): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.collection.parallel.CollectionConverters._
+    val files = visibleParquetFiles(dirs)
+    if (files.isEmpty) return 0L
+    val pc = files.par
+    pc.tasksupport = GraftTable.footerHarvestPool
+    pc.map { p =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
+      try {
+        var n = 0L
+        r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+        n
+      } finally r.close()
+    }.sum
+  }
+
   /** Fold per-commit secondary-index dirs for `column` into ONE merged
     * dir — [[compactRecordIndex]]'s exact analogue for the value index,
     * closing the same O(#commits)-dirs lookup degradation. Incremental by
     * default: only commit dirs since the last compaction are read and
     * liveness-filtered; an existing merged base is adopted by rename
     * (zero data movement); `full = true` re-folds everything, purging
-    * adopted dead mappings. The merged dir carries a `_covered` manifest
+    * adopted dead mappings (auto-escalated when a column-pruned count
+    * proves the base majority-dead, so dead weight stays bounded without
+    * scheduled full folds). The merged dir is PARTITIONED BY VALUE BUCKET
+    * (`vb = pmod(xxhash64(v), B)`, B recorded in a `_buckets` manifest),
+    * so an equality lookup opens O(selectivity) of the index instead of
+    * scanning it whole. It also carries a `_covered` manifest
     * of the original commit instants it stands for, so
     * [[secondaryIndexFiles]] still knows which commits are mapped (files
     * from unmapped commits stay conservatively scanned). Crash-safe in
     * the same write-first / rename / delete-last order.
     *
+    * @param buckets explicit value-bucket count for the merged layout
+    *                (0 = auto-size from the fold's bytes at ~8 MB per
+    *                bucket); a base recorded under a different count is
+    *                re-folded, not adopted
     * @return source dirs consumed (folded + adopted), 0 when nothing to
     *         do. */
-  def compactSecondaryIndex(column: String, full: Boolean = false): Int = {
+  def compactSecondaryIndex(column: String, full: Boolean = false,
+      buckets: Int = 0): Int = {
     require(cfg.secondaryIndexCols.contains(column),
       s"column $column is not secondary-indexed on ${cfg.path}")
     val siDir = new Path(s"${cfg.path}/_graft/si/$column")
@@ -1564,15 +1688,55 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val old = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName == mergedName)
     if (old.length <= 1 && !(full && old.length == 1)) return 0
+    val mergedOld = old.filter(_.getName.startsWith("merged-"))
+    // A merged base is adopted by rename ONLY when every base records the
+    // same value-bucket count (bucket ids must agree file-for-file with the
+    // new fold); legacy un-bucketed or mixed-B bases are re-folded instead,
+    // so the merged dir always ends with ONE consistent vb= layout.
+    val baseB = mergedOld.map(siBucketCount).distinct
+    val adoptable = !full && mergedOld.nonEmpty && baseB.length == 1 &&
+      baseB.head >= 1 && (buckets <= 0 || buckets == baseB.head)
+    // DEAD-WEIGHT escalation (compactRecordIndex's twin): SI rows are
+    // distinct (value, file) pairs, so live data rows can't bound them —
+    // instead ONE column-pruned leftsemi count of the base against the
+    // live file set measures dead weight exactly. When the base is
+    // majority-dead, fall through to a full re-fold, which purges it. The
+    // count reads the f column only (dictionary-encoded, no shuffle — the
+    // tiny live list broadcasts) and runs once per compaction.
+    val escalate = adoptable && {
+      val baseRows = committedParquetRows(mergedOld.toSeq)
+      baseRows > 0L && {
+        val live = timeline.liveFiles(None).map(_.path)
+        val liveDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType))))
+        val baseLive = spark.read.option("recursiveFileLookup", "true")
+          .parquet(mergedOld.map(_.toString).toSeq: _*)
+          .select("f").join(broadcast(liveDf), Seq("f"), "leftsemi").count()
+        baseRows > 2L * math.max(baseLive, 1L)
+      }
+    }
+    if (escalate) return compactSecondaryIndex(column, full = true, buckets)
     val (adopt, foldSrc) =
-      if (full) (Array.empty[Path], old)
-      else old.partition(_.getName.startsWith("merged-"))
+      if (adoptable) old.partition(_.getName.startsWith("merged-"))
+      else (Array.empty[Path], old)
     // coverage union FIRST (the manifests are deleted with their dirs):
     // merged dirs contribute their manifest, per-commit dirs their name
     val covered = old.flatMap(p =>
       if (p.getName.startsWith("merged-")) siCoveredInstants(p)
       else Seq(p.getName)).distinct.sorted
     val mergedDir = new Path(siDir, mergedName)
+    // value-bucket count: an adopted base's is REUSED (its files keep their
+    // bucket ids); otherwise sized from the fold's committed bytes at ~8 MB
+    // per bucket — a small index folds to one bucket (no per-commit file
+    // blowup, the parquet-bloom lesson), a 10k-file table's index spreads so
+    // an equality lookup opens O(selectivity) of it
+    val bCount =
+      if (adoptable) baseB.head
+      else if (buckets > 0) buckets
+      else math.min(256L, math.max(1L,
+        (visibleParquetBytes(old.toSeq) + (8L << 20) - 1) / (8L << 20))).toInt
     if (foldSrc.nonEmpty && visibleParquetExists(foldSrc)) {
       val live = timeline.liveFiles(None).map(_.path)
       val liveDf = spark.createDataFrame(
@@ -1582,18 +1746,37 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       spark.read.option("recursiveFileLookup", "true")
         .parquet(foldSrc.map(_.toString).toSeq: _*)
         .join(liveDf, Seq("f"), "leftsemi")
-        .write.mode("overwrite").parquet(mergedDir.toString)
+        .withColumn("vb", pmod(xxhash64(col("v")), lit(bCount)))
+        // by-bucket shuffle: a full fold covers the table's whole value
+        // set and must parallelize across buckets, like the RLI fold
+        .repartition(col("vb"))
+        .write.mode("overwrite").partitionBy("vb")
+        .parquet(mergedDir.toString)
     } else fs.mkdirs(mergedDir)
     adopt.foreach { base =>
       fs.listStatus(base)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .foreach { f =>
-          // keep already-adopted names (UUID-unique) — see compactRecordIndex
-          val n = f.getPath.getName
-          val dest = if (n.startsWith("adopt-")) n
-            else s"adopt-${base.getName}-$n"
-          fs.rename(f.getPath, new Path(mergedDir, dest))
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("vb="))
+        .foreach { bucket =>
+          val destBucket = new Path(mergedDir, bucket.getPath.getName)
+          fs.mkdirs(destBucket)
+          fs.listStatus(bucket.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .foreach { f =>
+              // keep already-adopted names (UUID-unique) — see compactRecordIndex
+              val n = f.getPath.getName
+              val dest = if (n.startsWith("adopt-")) n
+                else s"adopt-${base.getName}-$n"
+              fs.rename(f.getPath, new Path(destBucket, dest))
+            }
         }
+    }
+    // bucket manifest BEFORE coverage: a lookup racing the fold either sees
+    // no _buckets (reads the dir whole — conservative) or the final layout
+    locally {
+      val out = fs.create(new Path(mergedDir, siBucketsManifest), true)
+      try out.write(bCount.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     locally {
       val out = fs.create(new Path(mergedDir, siCoveredManifest), true)

@@ -85,7 +85,48 @@ object MorAgingStress {
       println(s"[mor-stress] $line")
       rows += line
     }
-    val summary = s"""{"commits":$done,"sf":"$sfDir","points":[${rows.mkString(",")}]}"""
+    // ---- PHASE 2: the same aging, but compaction is ASYNC — the
+    // DeltaStreamer continuous-mode posture the reference demonstrates
+    // (compaction.async.enabled=true, trigger NUM_OR_TIME with
+    // delta_commits=5). NO manual compact() between points: the background
+    // service must keep snapshot reads bounded on its own while upserts
+    // keep landing. Flag rule: read/lookup time at EVERY point stays
+    // within a small factor of the fresh-table cost (never grows with
+    // total commits), and the service's compaction count grows with age.
+    val asyncPath = "/tmp/graft_mor_stress_async"
+    val aCfg = GraftTableConfig(asyncPath, "o_orderkey", "o_orderkey",
+      tableType = TableType.Mor)
+    val aTbl = GraftTable(spark, aCfg)
+    aTbl.dropIfExists()
+    aTbl.insert(orders, numFiles = 64)
+    val services = new graft.streaming.AsyncServices(
+      aTbl, targetRows = 10000000L, deltaCommits = 5, deltaSeconds = 600L).start()
+    val aRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    var aDone = 0
+    points.foreach { target =>
+      while (aDone < target) { aDone += 1; aTbl.upsert(batch(aDone)) }
+      val nLive = aTbl.timeline.liveFiles(None).size
+      val (readMs, n1) = timeMs(aTbl.read().count())
+      val (lookupMs, _) = timeMs(aTbl.pointLookup(probeKeys).count())
+      require(n1 == nOrders, s"row count drifted under async compaction: $n1")
+      val line =
+        s"""{"commits":$aDone,"live_files":$nLive,"read_ms":${f1(readMs)},""" +
+        s""""lookup_ms":${f1(lookupMs)},"compactions":${services.compactionsRun}}"""
+      println(s"[mor-stress-async] $line")
+      aRows += line
+    }
+    services.close()
+    // the service must have carried the compaction load (one per ~5 delta
+    // commits modulo in-flight timing), or phase 2 silently measured the
+    // same unbounded growth as phase 1's pre-compaction numbers
+    require(services.compactionsRun >= points.size,
+      s"async compactor barely ran: ${services.compactionsRun} compactions over $aDone commits")
+    val (readFinalMs, _) = timeMs(aTbl.read().count())
+    aTbl.dropIfExists()
+
+    val summary = s"""{"commits":$done,"sf":"$sfDir","points":[${rows.mkString(",")}],""" +
+      s""""async_trigger":"NUM_OR_TIME delta_commits=5","async_points":[${aRows.mkString(",")}],""" +
+      s""""async_read_final_ms":${f1(readFinalMs)}}"""
     println(s"[mor-stress-summary] $summary")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), summary + "\n")

@@ -790,9 +790,14 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
     val dirs2 = siDir.listFiles().filter(_.isDirectory)
     assert(dirs2.length == 1)
-    assert(dirs2(0).listFiles().map(_.getName)
+    // adopted base files live INSIDE the vb= value buckets (the merged dir
+    // is hash-partitioned by value so equality lookups open one bucket)
+    assert(dirs2(0).listFiles().filter(_.getName.startsWith("vb="))
+      .flatMap(_.listFiles()).map(_.getName)
       .exists(n => n.startsWith("adopt-merged-") && n.endsWith(".parquet")),
       "no adopted base files after incremental SI compaction")
+    assert(new java.io.File(dirs2(0), "_buckets").exists(),
+      "merged SI dir must record its value-bucket count")
     val viaIndex2 = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
       .orderBy("o_orderkey").collect()
     val viaScan2 = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
@@ -1562,13 +1567,20 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("o_orderpriority", lit("1-URGENT")))
     val latest = tbl.timeline.latestInstant().get
     // simulate the crashed run: fold output skipped (ok — the per-commit
-    // dir survives), adopt renames done, _covered manifest written
-    // claiming BOTH instants, delete-last never reached
+    // dir survives), adopt renames done (nested, per vb= value bucket),
+    // _buckets + _covered manifests written claiming BOTH instants,
+    // delete-last never reached
     val leftover = new java.io.File(siDir, s"merged-$latest")
     leftover.mkdirs()
-    base.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-      assert(f.renameTo(new java.io.File(leftover, s"adopt-${base.getName}-${f.getName}")))
+    base.listFiles().filter(_.getName.startsWith("vb=")).foreach { bucket =>
+      val dst = new java.io.File(leftover, bucket.getName)
+      dst.mkdirs()
+      bucket.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        assert(f.renameTo(new java.io.File(dst, s"adopt-${base.getName}-${f.getName}")))
+      }
     }
+    java.nio.file.Files.copy(new java.io.File(base, "_buckets").toPath,
+      new java.io.File(leftover, "_buckets").toPath)
     java.nio.file.Files.writeString(new java.io.File(leftover, "_covered").toPath,
       java.nio.file.Files.readString(new java.io.File(base, "_covered").toPath) + "\n" + latest)
     val expect = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
@@ -1586,6 +1598,154 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val prunedCrash = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
     assert(prunedCrash.size < tbl.timeline.liveFiles(None).size)
     tbl.dropIfExists()
+  }
+
+  test("RLI incremental fold auto-escalates to FULL once adopted dead weight crosses half") {
+    // full-churn cycles: every upsert rewrites every file, so each adopted
+    // base is 100% dead one cycle later. Without the bound, the merged dir
+    // grows +15k mappings per cycle forever; with it, the fold escalates
+    // the moment footer arithmetic proves majority-dead (base > 2x live)
+    // and the dir snaps back to the live set.
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/rli_deadweight", "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 8))
+    tbl.dropIfExists()
+    val n = orders.count()
+    tbl.insert(orders, numFiles = 4)
+    def churn(tag: String): Unit = tbl.upsert(orders.withColumn("o_orderstatus", lit(tag)))
+    val rli = new java.io.File("/tmp/graft_spec/rli_deadweight/_graft/rli")
+    def mergedParquet(): Seq[String] = {
+      val m = rli.listFiles().filter(_.isDirectory)
+      assert(m.length == 1)
+      m(0).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    }
+    def mergedRows(): Long = spark.read.option("recursiveFileLookup", "true")
+      .parquet(rli.listFiles().filter(_.isDirectory).head.getPath).count()
+    churn("A"); assert(tbl.compactRecordIndex() == 2)       // base: 15k live
+    churn("B"); assert(tbl.compactRecordIndex() == 2)       // adopt: 15k dead + 15k live
+    assert(mergedParquet().exists(_.startsWith("adopt-")), "cycle 2 should still adopt")
+    assert(mergedRows() == 2 * n)
+    churn("C"); assert(tbl.compactRecordIndex() == 2)       // adopt: 30k dead + 15k live
+    assert(mergedRows() == 3 * n)
+    churn("D"); assert(tbl.compactRecordIndex() == 2)       // base 45k > 2x15k -> FULL
+    assert(mergedParquet().forall(!_.startsWith("adopt-")),
+      "dead-weight escalation did not purge the adopted base")
+    assert(mergedRows() == n, s"expected $n live mappings after escalation")
+    assert(tbl.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "D")
+    tbl.dropIfExists()
+  }
+
+  test("SI incremental fold auto-escalates when the adopted base goes majority-dead") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/si_deadweight", "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.cluster(Seq("o_orderpriority"), numFiles = 5)
+    assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
+    // rewrite EVERY file (priorities unchanged): all base mappings dead
+    tbl.upsert(orders.withColumn("o_orderstatus", lit("Z")))
+    assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
+    val siDir = new java.io.File(
+      "/tmp/graft_spec/si_deadweight/_graft/si/o_orderpriority")
+    val merged = siDir.listFiles().filter(_.isDirectory)
+    assert(merged.length == 1)
+    val names = merged(0).listFiles().filter(_.getName.startsWith("vb="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
+    assert(names.forall(!_.startsWith("adopt-")),
+      "SI dead-weight escalation did not purge the dead base")
+    val viaIndex = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect()
+    val viaScan = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").collect()
+    assert(viaIndex.sameElements(viaScan))
+    tbl.dropIfExists()
+  }
+
+  test("multi-bucket SI: equality lookups open only the hashed vb= buckets, results exact") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/si_multibucket", "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.cluster(Seq("o_orderpriority"), numFiles = 5)
+    // force a 7-bucket layout (auto-sizing folds a KB-scale test index to
+    // one bucket, which would leave the multi-bucket read path untested)
+    assert(tbl.compactSecondaryIndex("o_orderpriority", buckets = 7) == 2)
+    val merged = new java.io.File(
+      "/tmp/graft_spec/si_multibucket/_graft/si/o_orderpriority")
+      .listFiles().filter(_.isDirectory).head
+    val vbDirs = merged.listFiles().filter(_.getName.startsWith("vb=")).map(_.getName).toSet
+    assert(vbDirs.size > 1, s"expected multiple value buckets, got $vbDirs")
+    // the 5 priorities hash to their recorded buckets
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    prios.foreach { p =>
+      assert(vbDirs.contains(s"vb=${tbl.siValueBucket(p, 7)}"),
+        s"$p's bucket missing from $vbDirs")
+      val viaIndex = tbl.readBySecondary("o_orderpriority", Seq(p))
+        .orderBy("o_orderkey").collect()
+      val viaScan = tbl.read().filter(col("o_orderpriority") === p)
+        .orderBy("o_orderkey").collect()
+      assert(viaIndex.sameElements(viaScan), s"bucketed lookup wrong for $p")
+    }
+    // multi-value lookup spanning buckets
+    assert(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT", "5-LOW")).count() ==
+      tbl.read().filter(col("o_orderpriority").isin("1-URGENT", "5-LOW")).count())
+    // a value hashing to a bucket with no dir: empty result, not an error
+    val missing = (0 until 100).map(i => s"9-NONE-$i")
+      .find(v => !vbDirs.contains(s"vb=${tbl.siValueBucket(v, 7)}"))
+    missing.foreach { v =>
+      assert(tbl.readBySecondary("o_orderpriority", Seq(v)).count() == 0)
+    }
+    // incremental fold ADOPTS the 7-bucket base (same B reused)
+    tbl.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderpriority", lit("1-URGENT")))
+    assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
+    val merged2 = new java.io.File(
+      "/tmp/graft_spec/si_multibucket/_graft/si/o_orderpriority")
+      .listFiles().filter(_.isDirectory).head
+    assert(merged2.listFiles().filter(_.getName.startsWith("vb="))
+      .flatMap(_.listFiles()).exists(_.getName.startsWith("adopt-")),
+      "same-B base was not adopted by rename")
+    val got = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect()
+    val want = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").collect()
+    assert(got.sameElements(want))
+    // a DIFFERENT explicit B re-folds instead of adopting (bucket ids
+    // must stay consistent within one merged dir)
+    tbl.upsert(orders.filter(col("o_orderkey") === 11L)
+      .withColumn("o_orderpriority", lit("5-LOW")))
+    assert(tbl.compactSecondaryIndex("o_orderpriority", buckets = 3) == 2)
+    val merged3 = new java.io.File(
+      "/tmp/graft_spec/si_multibucket/_graft/si/o_orderpriority")
+      .listFiles().filter(_.isDirectory).head
+    assert(merged3.listFiles().filter(_.getName.startsWith("vb="))
+      .flatMap(_.listFiles()).forall(!_.getName.startsWith("adopt-")),
+      "mismatched-B base must be re-folded, not adopted")
+    assert(tbl.readBySecondary("o_orderpriority", Seq("5-LOW")).count() ==
+      tbl.read().filter(col("o_orderpriority") === "5-LOW").count())
+    tbl.dropIfExists()
+  }
+
+  test("siValueBucket: driver-local bucket ids match the engine's pmod(xxhash64(v), B)") {
+    // the lookup computes its target vb= buckets WITHOUT a Spark job; the
+    // local XxHash64 eval must agree with the engine expression the fold
+    // writes with, or bucketed lookups silently miss
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/si_hash_parity", "o_orderkey", "o_orderkey"))
+    val vals = Seq("1-URGENT", "", "a b c", "00042", "δοκιμή-ünïcødé", "x" * 500)
+    for (b <- Seq(1, 7, 16, 256)) {
+      val engine = spark.createDataFrame(
+          spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+        .select(col("v"), pmod(xxhash64(col("v")), lit(b)).as("vb"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      vals.foreach(v => assert(tbl.siValueBucket(v, b) == engine(v),
+        s"bucket mismatch for '$v' at B=$b"))
+    }
   }
 
   test("prunedLiveFiles prunes by key range, partition path, and column stats") {
