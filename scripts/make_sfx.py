@@ -46,20 +46,20 @@ os.makedirs(OUT, exist_ok=True)
 amplify("region", None, single=True)
 amplify("nation", None, single=True)
 amplify("customer", lambda i:
-    f"c_custkey + {i}*10000000 AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment")
+    f"c_custkey + {i}::BIGINT*10000000 AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment")
 amplify("supplier", lambda i:
-    f"s_suppkey + {i}*100000 AS s_suppkey, s_name, s_nationkey, s_acctbal")
+    f"s_suppkey + {i}::BIGINT*100000 AS s_suppkey, s_name, s_nationkey, s_acctbal")
 amplify("part", lambda i:
-    f"p_partkey + {i}*1000000 AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice")
+    f"p_partkey + {i}::BIGINT*1000000 AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice")
 amplify("orders", lambda i:
-    f"o_orderkey + {i}*100000000 AS o_orderkey, o_custkey + {i}*10000000 AS o_custkey, "
+    f"o_orderkey + {i}::BIGINT*100000000 AS o_orderkey, o_custkey + {i}::BIGINT*10000000 AS o_custkey, "
     f"o_orderstatus, o_totalprice, o_orderdate, o_orderpriority")
 amplify("lineitem", lambda i:
-    f"l_orderkey + {i}*100000000 AS l_orderkey, l_partkey + {i}*1000000 AS l_partkey, "
-    f"l_suppkey + {i}*100000 AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+    f"l_orderkey + {i}::BIGINT*100000000 AS l_orderkey, l_partkey + {i}::BIGINT*1000000 AS l_partkey, "
+    f"l_suppkey + {i}::BIGINT*100000 AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
     f"l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate")
 amplify("events", lambda i:
-    f"event_id + {i}::BIGINT*1000000000 AS event_id, ts, user_id + {i}*10000000 AS user_id, "
+    f"event_id + {i}::BIGINT*1000000000 AS event_id, ts, user_id + {i}::BIGINT*10000000 AS user_id, "
     f"event_type, value, props")
 
 
@@ -71,7 +71,7 @@ def doc_text(i):
 
 
 amplify("documents", lambda i:
-    f"doc_id + {i}*100000000 AS doc_id, {doc_text(i)} AS text, lang, source, "
+    f"doc_id + {i}::BIGINT*100000000 AS doc_id, {doc_text(i)} AS text, lang, source, "
     f"CAST(length({doc_text(i)}) AS BIGINT) AS n_chars")
 
 
@@ -82,6 +82,6 @@ def emb(i):
 
 
 amplify("embeddings", lambda i:
-    f"vec_id + {i}*100000000 AS vec_id, CAST({emb(i)} AS FLOAT[]) AS embedding, label")
+    f"vec_id + {i}::BIGINT*100000000 AS vec_id, CAST({emb(i)} AS FLOAT[]) AS embedding, label")
 
 print("done ->", OUT)
