@@ -1251,6 +1251,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .repartition(col("b"))
       .write.mode("overwrite").partitionBy("b")
       .parquet(s"${cfg.path}/_graft/rli/$instant")
+    // self-describe the bucket count (like the SI's merged manifest): a
+    // reading handle whose recordIndexBuckets drifted from the writer's
+    // would otherwise probe the WRONG bucket and silently miss rows
+    writeBucketsManifest(new Path(s"${cfg.path}/_graft/rli/$instant"),
+      cfg.recordIndexBuckets)
   }
 
   /** Live data files mapped for the given padded keys by the record index;
@@ -1260,22 +1265,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   private def recordIndexLookup(padded: Seq[String]): Option[Set[String]] = {
     val rli = new Path(s"${cfg.path}/_graft/rli")
     if (!fs.exists(rli)) return None
-    val instants = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath.getName)
-    if (instants.isEmpty) return None
-    // bucket of each key — the same engine hash as the write side
-    val kdf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        padded.map(k => org.apache.spark.sql.Row(k)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
-    val bks = kdf.select(pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    val dirs = for {
-      i <- instants.toSeq
-      b <- bks
-      d = s"${cfg.path}/_graft/rli/$i/b=$b"
-      if fs.exists(new Path(d))
-    } yield d
+    val instantDirs = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
+    if (instantDirs.isEmpty) return None
+    // Bucket ids from each dir's OWN recorded count (the `_buckets`
+    // manifest; manifest-less legacy dirs fall back to this handle's
+    // config, the pre-manifest behavior) — a handle whose config drifted
+    // from the writer's can therefore never probe the wrong bucket. The
+    // driver-local hash twin replaces the old one-row Spark job per
+    // lookup (engine parity spec-pinned with the SI's).
+    val dirs = instantDirs.toSeq.flatMap { d =>
+      val m = siBucketCount(d)
+      val b = if (m > 0) m else cfg.recordIndexBuckets
+      padded.map(k => siValueBucket(k, b)).distinct
+        .map(x => new Path(d, s"b=$x")).filter(fs.exists(_)).map(_.toString)
+    }
     if (dirs.isEmpty) return Some(Set.empty)
     val hits = spark.read.parquet(dirs: _*)
       .filter(col("k").isin(padded: _*))
@@ -1490,9 +1493,15 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val old = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName == mergedName)
     if (old.length <= 1 && !(full && old.length == 1)) return 0
+    // adopt-by-rename is only sound when the base's recorded bucket count
+    // matches this fold's (bucket ids must agree file-for-file); a base
+    // written under a drifted/legacy count is re-folded instead — the
+    // fold recomputes b from k, so the merged dir always ends with ONE
+    // consistent layout under the current count
     val (adopt, foldSrc) =
       if (full) (Array.empty[Path], old)
-      else old.partition(_.getName.startsWith("merged-"))
+      else old.partition(p => p.getName.startsWith("merged-") &&
+        siBucketCount(p) == cfg.recordIndexBuckets)
     // DEAD-WEIGHT escalation: adopt-by-rename carries mappings to since-
     // replaced files forever — without a bound, the liveness filter's input
     // grows without limit over a table's life (the disease the fold cures,
@@ -1548,6 +1557,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           }
       }
     }
+    if (fs.exists(mergedDir))
+      writeBucketsManifest(mergedDir, cfg.recordIndexBuckets)
     old.foreach(p => fs.delete(p, true))
     old.length
   }
@@ -1586,6 +1597,12 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     scala.util.Try(txt.trim.toInt).getOrElse(0)
+  }
+
+  private def writeBucketsManifest(dir: Path, b: Int): Unit = {
+    val out = fs.create(new Path(dir, siBucketsManifest), true)
+    try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Bucket id of one index value under B value-buckets — the DRIVER-LOCAL
@@ -1772,12 +1789,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
     // bucket manifest BEFORE coverage: a lookup racing the fold either sees
     // no _buckets (reads the dir whole — conservative) or the final layout
-    locally {
-      val out = fs.create(new Path(mergedDir, siBucketsManifest), true)
-      try out.write(bCount.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    writeBucketsManifest(mergedDir, bCount)
     locally {
       val out = fs.create(new Path(mergedDir, siCoveredManifest), true)
       try out.write(covered.mkString("\n")

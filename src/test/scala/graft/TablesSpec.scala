@@ -1729,6 +1729,38 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.dropIfExists()
   }
 
+  test("record index survives a handle whose recordIndexBuckets drifted from the writer's") {
+    // each index dir self-describes its bucket count (_buckets manifest);
+    // before that, a handle configured with a different count probed the
+    // WRONG bucket and silently missed rows
+    val path = "/tmp/graft_spec/rli_drift"
+    val w = GraftTable(spark, GraftTableConfig(path, "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 8))
+    w.dropIfExists()
+    w.insert(orders, numFiles = 4)
+    w.upsert(orders.filter(col("o_orderkey") === 42L)
+      .withColumn("o_orderstatus", lit("R")))
+    val r = GraftTable(spark, GraftTableConfig(path, "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 4))
+    assert(r.lookupFiles(Seq(42L)).size == 1,
+      "drifted handle missed the key its config would mis-bucket")
+    assert(r.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    // the drifted handle's own writes land under ITS count, self-described;
+    // BOTH handles stay exact over the mixed-count dirs
+    r.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderstatus", lit("X")))
+    assert(r.pointLookup(Seq(7L)).collect()(0).getAs[String]("o_orderstatus") == "X")
+    assert(w.pointLookup(Seq(7L)).collect()(0).getAs[String]("o_orderstatus") == "X")
+    // compaction under either handle re-folds everything into ONE layout
+    // under its own count (mixed-count bases are never adopted), and both
+    // handles keep reading it exactly via the manifest
+    assert(r.compactRecordIndex() == 3)
+    assert(r.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    assert(w.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
+    assert(w.pointLookup(Seq(7L)).collect()(0).getAs[String]("o_orderstatus") == "X")
+    w.dropIfExists()
+  }
+
   test("siValueBucket: driver-local bucket ids match the engine's pmod(xxhash64(v), B)") {
     // the lookup computes its target vb= buckets WITHOUT a Spark job; the
     // local XxHash64 eval must agree with the engine expression the fold
