@@ -106,11 +106,21 @@ object TableScaleStress {
       val (siPostMs, _) =
         timeMs(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).count())
       val (exprRefreshMs, nIndexed) = timeMs(tbl.refreshExpressionIndex("om"))
+      // the dead-weight bound, measured: merged RLI rows vs live data
+      // rows at every age — the incremental fold's auto-escalation must
+      // keep merged_rows within ~2x live_rows under churn (the range-
+      // churn workload kills ~1/ranges of the base's mappings per
+      // commit, so without the bound this ratio would grow without
+      // limit over the table's life)
+      val liveRows = tbl.timeline.liveFiles(None).map(_.rows).sum
+      val mergedRows = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path/_graft/rli").count()
       def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       val line =
         s"""{"commits":$done,"live_files":$nFiles,"cold_livefiles_ms":${f1(coldMs)},""" +
         s""""rli_lookup_pre_ms":${f1(rliPreMs)},"rli_compact_ms":${f1(rliCompactMs)},""" +
         s""""rli_dirs_folded":$rliFolded,"rli_lookup_post_ms":${f1(rliPostMs)},""" +
+        s""""rli_index_rows":$mergedRows,"live_rows":$liveRows,""" +
         s""""si_lookup_pre_ms":${f1(siPreMs)},"si_compact_ms":${f1(siCompactMs)},""" +
         s""""si_dirs_folded":$siFolded,"si_lookup_post_ms":${f1(siPostMs)},""" +
         s""""expr_refresh_ms":${f1(exprRefreshMs)},"expr_files_indexed":$nIndexed}"""
