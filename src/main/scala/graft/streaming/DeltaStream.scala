@@ -149,7 +149,13 @@ final class AsyncServices(
     asyncCluster: Boolean = false,
     clusterSortCols: Seq[String] = Nil,
     clusterNumFiles: Int = 4,
-    clusterDeltaCommits: Int = 4) extends AutoCloseable
+    clusterDeltaCommits: Int = 4,
+    // async INDEX maintenance (the metadata-table-compaction posture):
+    // fold per-commit record/secondary index dirs once more than this
+    // many accumulate, so a years-lived streaming table's lookup cost
+    // stays O(indexFoldDirs) index dirs instead of O(total commits).
+    // A no-op for index-less tables; 0 disables.
+    indexFoldDirs: Int = 20) extends AutoCloseable
     with org.apache.spark.internal.Logging {
 
   require(table.cfg.tableType == graft.tables.TableType.Mor,
@@ -165,6 +171,7 @@ final class AsyncServices(
   private val nCompactions = new java.util.concurrent.atomic.AtomicInteger
   private val nClusterings = new java.util.concurrent.atomic.AtomicInteger
   private val nConflicts = new java.util.concurrent.atomic.AtomicInteger
+  private val nIndexFolds = new java.util.concurrent.atomic.AtomicInteger
   // latest timeline instant at the last clustering poll that declined to
   // act: a satisfied-but-unsplittable bucket trigger (every bucket under
   // splitThreshold) would otherwise re-run the full liveFiles replay
@@ -218,6 +225,21 @@ final class AsyncServices(
             s"compaction on ${table.cfg.path} (rolled back): $e")
         case e: Throwable => failureOpt = Some(e); stopped = true
       }
+      // index folds in their OWN failure domain: a fold racing a writer's
+      // abort/rollback can lose a listed source dir mid-read, and the fold
+      // is re-runnable by design (delete-last + same-target crash
+      // recovery) — transient, re-fires next poll; it never mutates
+      // committed data, so lookups stay exact (they read the unfolded
+      // dirs) even if folds keep deferring. Warn-logged, never silent.
+      if (indexFoldDirs > 0 && !stopped) {
+        try {
+          if (TableServices.maybeCompactIndexes(table, indexFoldDirs) > 0)
+            nIndexFolds.incrementAndGet()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"async index fold deferred on ${table.cfg.path}: $e")
+        }
+      }
       try Thread.sleep(pollMs) catch { case _: InterruptedException => () }
     }
   }, s"graft-async-services-${table.cfg.path}")
@@ -227,6 +249,7 @@ final class AsyncServices(
 
   def compactionsRun: Int = nCompactions.get
   def clusteringsRun: Int = nClusterings.get
+  def indexFoldsRun: Int = nIndexFolds.get
   /** Commit races lost (and retried) so far — observable, never silent. */
   def conflictsRetried: Int = nConflicts.get
   def failure: Option[Throwable] = failureOpt

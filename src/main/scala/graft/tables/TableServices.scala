@@ -71,6 +71,33 @@ object TableServices {
     }
   }
 
+  /** Index-maintenance trigger: fold the per-commit record/secondary
+    * index dirs once more than `maxDirs` of them accumulate — the index
+    * analogue of the NUM compaction trigger, so a continuously-ingesting
+    * table maintains its own lookup cost (O(maxDirs) index dirs per
+    * probe, amortized fold cost O(new commits)) without scheduled
+    * maintenance. Safe to run concurrently with ingest in the same
+    * process: a fold lists its sources once (a commit landing later just
+    * waits for the next trigger), consumed dirs are deleted LAST, and
+    * the same-target crash recovery makes a fold interrupted at any
+    * point re-runnable. Returns source dirs consumed across all indexes
+    * (0 = below every threshold). */
+  def maybeCompactIndexes(table: GraftTable, maxDirs: Int = 20): Int = {
+    val fs = new Path(table.cfg.path).getFileSystem(
+      table.spark.sparkContext.hadoopConfiguration)
+    def dirCount(p: Path): Int =
+      if (!fs.exists(p)) 0 else fs.listStatus(p).count(_.isDirectory)
+    var consumed = 0
+    if (table.cfg.recordIndexBuckets > 0 &&
+        dirCount(new Path(s"${table.cfg.path}/_graft/rli")) > maxDirs)
+      consumed += table.compactRecordIndex()
+    table.cfg.secondaryIndexCols.foreach { c =>
+      if (dirCount(new Path(s"${table.cfg.path}/_graft/si/$c")) > maxDirs)
+        consumed += table.compactSecondaryIndex(c)
+    }
+    consumed
+  }
+
   /** Consistent-hashing split planner (the analogue of the reference's
     * flink helpers/FindBucketNumber.java: a clustering plan driven by
     * `hoodie.bucket.index.split.threshold`): buckets whose live rows exceed

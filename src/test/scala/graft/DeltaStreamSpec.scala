@@ -271,6 +271,45 @@ class DeltaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().filter(col("o_orderstatus") === "C8").count() == 40)
   }
 
+  test("async index maintenance: index dirs stay bounded under live ingest, lookups exact") {
+    // a continuously-ingesting table accumulates one RLI + one SI dir per
+    // commit; the service's index-fold trigger must keep the dir counts
+    // (= per-lookup index reads) bounded WITHOUT manual compaction, while
+    // lookups stay exact across {merged ∪ unfolded} at every moment
+    val out = "/tmp/graft_spec/async_index_fold"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      out, "o_orderkey", "o_orderkey", tableType = TableType.Mor,
+      recordIndexBuckets = 4, secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    val orders = GraftSession.table(spark, "/root/testdata/sf0.001", "orders")
+    tbl.insert(orders, numFiles = 2)
+
+    val services = new AsyncServices(
+      tbl, targetRows = 0L, pollMs = 25L, indexFoldDirs = 4).start()
+    try {
+      (1 to 12).foreach { i =>
+        tbl.upsert(orders.limit(40).withColumn("o_orderstatus", lit(s"F$i")))
+        Thread.sleep(40L)
+      }
+      val deadline = System.currentTimeMillis() + 300000L
+      while (services.indexFoldsRun == 0 && services.failure.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25L)
+    } finally services.close()
+
+    assert(services.indexFoldsRun >= 1, "index-fold trigger never fired")
+    // 13 commits landed; without folds each index would hold 13 dirs
+    val rli = new java.io.File(s"$out/_graft/rli").listFiles().count(_.isDirectory)
+    val si = new java.io.File(s"$out/_graft/si/o_orderpriority")
+      .listFiles().count(_.isDirectory)
+    assert(rli <= 10, s"RLI dirs unbounded under ingest: $rli")
+    assert(si <= 10, s"SI dirs unbounded under ingest: $si")
+    // exactness across merged + since-fold dirs
+    assert(tbl.pointLookup(Seq(1L)).count() == 1)
+    assert(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).count() ==
+      tbl.read().filter(col("o_orderpriority") === "1-URGENT").count())
+    assert(tbl.read().filter(col("o_orderstatus") === "F12").count() == 40)
+  }
+
   test("async clustering: consistent-hash bucket split under live ingest (online resize)") {
     val out = "/tmp/graft_spec/async_cluster_bkt"
     val tbl = GraftTable(spark, GraftTableConfig(
