@@ -229,8 +229,12 @@ final class AsyncServices(
       // abort/rollback can lose a listed source dir mid-read, and the fold
       // is re-runnable by design (delete-last + same-target crash
       // recovery) — transient, re-fires next poll; it never mutates
-      // committed data, so lookups stay exact (they read the unfolded
-      // dirs) even if folds keep deferring. Warn-logged, never silent.
+      // committed data. Concurrent lookups are protected by the fold
+      // marker protocol (GraftTable.foldMarkerName): a lookup that races
+      // a fold's mutation span retries or falls back to its non-index
+      // path, and a fold aborted here leaves the marker set, degrading
+      // lookups (correctly) until the next successful fold clears it.
+      // Warn-logged, never silent.
       if (indexFoldDirs > 0 && !stopped) {
         try {
           if (TableServices.maybeCompactIndexes(table, indexFoldDirs) > 0)

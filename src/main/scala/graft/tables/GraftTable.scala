@@ -1265,6 +1265,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   private def recordIndexLookup(padded: Seq[String]): Option[Set[String]] = {
     val rli = new Path(s"${cfg.path}/_graft/rli")
     if (!fs.exists(rli)) return None
+    // fold guard: a compaction's adopt phase renames mappings between
+    // visible dirs — unguarded, a concurrent read can miss one entirely
+    // (silent row loss, since callers trust Some(hits)). Rejected/failed
+    // attempts retry on a fresh listing; exhaustion returns None and the
+    // caller's range/bucket/bloom pruning takes over (exact, unpruned).
+    withFoldGuard(rli) { recordIndexLookupOnce(rli, padded) }
+  }
+
+  private def recordIndexLookupOnce(rli: Path,
+      padded: Seq[String]): Option[Set[String]] = {
     val instantDirs = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
     if (instantDirs.isEmpty) return None
     // Bucket ids from each dir's OWN recorded count (the `_buckets`
@@ -1341,6 +1351,15 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     if (!stable) return None
     val siDir = new Path(s"${cfg.path}/_graft/si/$column")
     if (!fs.exists(siDir)) return None
+    // fold guard: same adopt-phase rename race as the record index — here
+    // an unguarded miss is a silent MIS-PRUNE (the `_covered` manifest
+    // still claims the mapping's commit). Exhaustion returns None and the
+    // caller scans the candidate files unpruned — always correct.
+    withFoldGuard(siDir) { secondaryIndexFilesOnce(siDir, values) }
+  }
+
+  private def secondaryIndexFilesOnce(siDir: Path,
+      values: Seq[Any]): Option[Seq[FileMeta]] = {
     val instantDirs = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath)
     if (instantDirs.isEmpty) return None
     val wanted = values.map(v => String.valueOf(v))
@@ -1432,6 +1451,75 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     fs.rename(mergedDir, aside)
   }
 
+  /** Name of the fold-in-progress marker inside an index ROOT dir
+    * (`_graft/rli` or `_graft/si/<col>`). Present for the fold's entire
+    * mutation span — written before the first rename/write, deleted only
+    * on SUCCESSFUL completion — so a concurrent lookup can tell "a fold
+    * is moving mappings between the dirs I just listed" apart from stable
+    * state. Without it the adopt phase is a silent-miss window: adoption
+    * RENAMES files from the old merged base into the new merged dir, both
+    * visible, so a reader can list the destination before the move and
+    * the source after it and see the mapping in NEITHER — for the record
+    * index that is silent row loss (lookups trust `Some(hits)`), for the
+    * secondary index a mis-prune (`_covered` still claims the commit).
+    * A crash mid-fold leaves the marker behind ON PURPOSE: the dirs
+    * themselves are in the all-visible crash-safe state, but lookups can
+    * no longer prove a read raced nothing, so they fall back to their
+    * always-correct non-index paths until the next successful fold (the
+    * async service re-fires one every poll) clears it. */
+  private val foldMarkerName = "_folding"
+
+  private def writeFoldMarker(indexRoot: Path): Unit =
+    fs.create(new Path(indexRoot, foldMarkerName), true).close()
+
+  private def clearFoldMarker(indexRoot: Path): Unit = {
+    fs.delete(new Path(indexRoot, foldMarkerName), false); ()
+  }
+
+  private def foldInProgress(indexRoot: Path): Boolean =
+    fs.exists(new Path(indexRoot, foldMarkerName))
+
+  /** Runs one index-read body under fold-race detection; the body must
+    * list `indexRoot` fresh on every evaluation. An attempt is ACCEPTED
+    * only when no fold marker was visible on either side of the read AND
+    * the root's directory listing is unchanged across it — any fold
+    * overlapping the read trips one of the three checks (its marker spans
+    * all its mutations; a fold that ran START-TO-END inside the read has
+    * already deleted its source dirs, changing the listing). Rejected
+    * attempts — including a read that crashed on a source dir deleted
+    * mid-flight — retry against the fold's crash-safe on-disk state.
+    * After `attempts` rejected tries (a long fold in flight, or a crashed
+    * fold's leftover marker) returns None: every caller falls back to its
+    * non-index path, which is always correct, just unpruned. */
+  private[tables] def withFoldGuard[T](indexRoot: Path, attempts: Int = 4)
+      (body: => Option[T]): Option[T] = {
+    var i = 0
+    while (i < attempts) {
+      i += 1
+      if (!foldInProgress(indexRoot)) {
+        val before = fs.listStatus(indexRoot).filter(_.isDirectory)
+          .map(_.getPath.getName).toSet
+        val out: Option[Option[T]] =
+          try Some(body)
+          catch {
+            case _: java.io.FileNotFoundException => None
+            case _: org.apache.spark.sql.AnalysisException => None
+            case e: org.apache.spark.SparkException if GraftTable.causedByFnf(e) => None
+          }
+        val after = fs.listStatus(indexRoot).filter(_.isDirectory)
+          .map(_.getPath.getName).toSet
+        out match {
+          case Some(v) if before == after && !foldInProgress(indexRoot) => return v
+          case _ => () // raced a fold (or its crash): retry on a fresh listing
+        }
+      }
+      // adopt phases are driver-side renames (ms): a short pause usually
+      // outlives the race without ceding the lookup to the fallback path
+      try Thread.sleep(50L * i) catch { case _: InterruptedException => return None }
+    }
+    None
+  }
+
   /** True when any fold-source dir holds at least one COMMITTED parquet
     * file (hidden path segments — `_temporary`, `_SUCCESS` — excluded,
     * matching Spark's own listing filter). Guards the fold's parquet read:
@@ -1487,12 +1575,21 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val rli = new Path(s"${cfg.path}/_graft/rli")
     if (!fs.exists(rli)) return 0
     val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
+    // the leftover recovery RENAME is already a mutation concurrent
+    // lookups must not race unguarded — marker first (see foldMarkerName)
+    if (fs.exists(new Path(rli, mergedName))) writeFoldMarker(rli)
     recoverLeftoverMerged(new Path(rli, mergedName))
     // every source dir except the target name itself — re-running with no
     // new commits is a no-op
     val old = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName == mergedName)
-    if (old.length <= 1 && !(full && old.length == 1)) return 0
+    if (old.length <= 1 && !(full && old.length == 1)) {
+      // stable state (any recovery rename above has completed; a stale
+      // marker from a crashed fold guards nothing anymore): lookups may
+      // resume using the index
+      clearFoldMarker(rli)
+      return 0
+    }
     // adopt-by-rename is only sound when the base's recorded bucket count
     // matches this fold's (bucket ids must agree file-for-file); a base
     // written under a drifted/legacy count is re-folded instead — the
@@ -1514,6 +1611,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val liveRows = timeline.liveFiles(None).map(_.rows).sum
       if (baseRows > 2L * math.max(liveRows, 1L)) return compactRecordIndex(full = true)
     }
+    // marker spans every mutation below (fold write, adopt renames,
+    // manifest, source deletes); cleared only on the success path
+    writeFoldMarker(rli)
     val mergedDir = new Path(s"${cfg.path}/_graft/rli/$mergedName")
     if (foldSrc.nonEmpty && visibleParquetExists(foldSrc)) {
       val live = timeline.liveFiles(None).map(_.path)
@@ -1560,6 +1660,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     if (fs.exists(mergedDir))
       writeBucketsManifest(mergedDir, cfg.recordIndexBuckets)
     old.foreach(p => fs.delete(p, true))
+    clearFoldMarker(rli)
     old.length
   }
 
@@ -1701,10 +1802,17 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val siDir = new Path(s"${cfg.path}/_graft/si/$column")
     if (!fs.exists(siDir)) return 0
     val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
+    // the leftover recovery RENAME is already a mutation concurrent
+    // lookups must not race unguarded — marker first (see foldMarkerName)
+    if (fs.exists(new Path(siDir, mergedName))) writeFoldMarker(siDir)
     recoverLeftoverMerged(new Path(siDir, mergedName))
     val old = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName == mergedName)
-    if (old.length <= 1 && !(full && old.length == 1)) return 0
+    if (old.length <= 1 && !(full && old.length == 1)) {
+      // stable state (any recovery rename has completed): lookups resume
+      clearFoldMarker(siDir)
+      return 0
+    }
     val mergedOld = old.filter(_.getName.startsWith("merged-"))
     // A merged base is adopted by rename ONLY when every base records the
     // same value-bucket count (bucket ids must agree file-for-file with the
@@ -1735,6 +1843,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       }
     }
     if (escalate) return compactSecondaryIndex(column, full = true, buckets)
+    // marker spans every mutation below (fold write, adopt renames,
+    // manifests, source deletes); cleared only on the success path
+    writeFoldMarker(siDir)
     val (adopt, foldSrc) =
       if (adoptable) old.partition(_.getName.startsWith("merged-"))
       else (Array.empty[Path], old)
@@ -1797,6 +1908,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       finally out.close()
     }
     old.foreach(p => fs.delete(p, true))
+    clearFoldMarker(siDir)
     old.length
   }
 
@@ -2785,6 +2897,20 @@ object GraftTable {
     * the IO-bound footer reads (~16 ms each) fully overlapped without
     * ever stealing more than half the box; on a real cluster the harvest
     * runs as an executor map instead. */
+  /** True when a FileNotFoundException appears anywhere in the cause
+    * chain — how a Spark job surfaces a file deleted between listing and
+    * scan (a lookup racing a fold's delete-last step). */
+  private[tables] def causedByFnf(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 12) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+
   private[tables] lazy val footerHarvestPool =
     new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(

@@ -289,6 +289,12 @@ class DeltaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       (1 to 12).foreach { i =>
         tbl.upsert(orders.limit(40).withColumn("o_orderstatus", lit(s"F$i")))
+        // lookups CONCURRENT with the service's folds: the fold-marker
+        // guard must keep every answer exact whether a fold's adopt
+        // renames are mid-flight or not (a raced read retries or falls
+        // back — it never trusts a half-moved index)
+        assert(tbl.pointLookup(Seq(1L)).count() == 1,
+          s"point lookup lost a row while folds ran (iteration $i)")
         Thread.sleep(40L)
       }
       val deadline = System.currentTimeMillis() + 300000L

@@ -1729,6 +1729,99 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.dropIfExists()
   }
 
+  test("fold marker: RLI lookups fall back (exact) while a fold is in flight, resume after") {
+    // a fold's adopt phase RENAMES mappings between two visible dirs — a
+    // concurrent lookup can see the mapping in NEITHER. The `_folding`
+    // marker spans every fold mutation; lookups that observe it must use
+    // the non-index fallback (exact, just unpruned). Simulate the mid-
+    // adopt state deterministically: marker present + a mapping hidden
+    // from the index (its bucket dir renamed aside = "in flight").
+    val root = "/tmp/graft_spec/fold_marker_rli"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      root, "o_orderkey", "o_orderkey", recordIndexBuckets = 4))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 6)
+    assert(tbl.pointLookup(Seq(42L)).count() == 1)
+    assert(tbl.lookupFiles(Seq(42L)).size == 1)
+
+    val rli = new java.io.File(s"$root/_graft/rli")
+    val instant = rli.listFiles().filter(_.isDirectory).head
+    // mid-adopt snapshot: every bucket's mappings "in flight" (visible in
+    // no probed dir), marker up — the exact state a lookup racing the
+    // adopt renames can observe
+    assert(new java.io.File(rli, "_folding").createNewFile())
+    val buckets = instant.listFiles().filter(_.getName.startsWith("b="))
+    buckets.foreach(b => assert(
+      b.renameTo(new java.io.File(instant, s"inflight-${b.getName}"))))
+    // the index now CANNOT answer — the marker must force the fallback,
+    // which still finds the row (and still excludes missing keys)
+    assert(tbl.pointLookup(Seq(42L)).count() == 1,
+      "lookup trusted an index whose mappings are mid-rename")
+    assert(tbl.pointLookup(Seq(999999999L)).count() == 0)
+    // fold "completes": mappings land, marker clears — index path resumes
+    buckets.foreach(b => assert(new java.io.File(instant,
+      s"inflight-${b.getName}").renameTo(new java.io.File(instant, b.getName))))
+    assert(new java.io.File(rli, "_folding").delete())
+    assert(tbl.lookupFiles(Seq(42L)).size == 1)
+    assert(tbl.pointLookup(Seq(42L)).count() == 1)
+
+    // marker lifecycle around a REAL fold: set by the fold, cleared only
+    // on success; a stale crash leftover is cleared by the next run
+    tbl.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderstatus", lit("M")))
+    assert(tbl.compactRecordIndex() >= 2)
+    assert(!new java.io.File(rli, "_folding").exists(),
+      "successful fold must clear its marker")
+    assert(new java.io.File(rli, "_folding").createNewFile()) // "crashed fold"
+    assert(tbl.compactRecordIndex() == 0) // no-op run: state stable
+    assert(!new java.io.File(rli, "_folding").exists(),
+      "no-op fold over stable state must clear a stale marker")
+    assert(tbl.pointLookup(Seq(7L)).collect()(0)
+      .getAs[String]("o_orderstatus") == "M")
+    tbl.dropIfExists()
+  }
+
+  test("fold marker: SI lookups fall back (exact) while a fold is in flight") {
+    // the SI twin: with mappings mid-rename and no marker the lookup
+    // would mis-prune (the merged dir's _covered manifest still claims
+    // the commits) — under the marker it must scan unpruned instead
+    val root = "/tmp/graft_spec/fold_marker_si"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      root, "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(orders.filter(col("o_orderkey") === 11L)
+      .withColumn("o_orderpriority", lit("5-LOW")))
+    assert(tbl.compactSecondaryIndex("o_orderpriority", buckets = 5) == 2)
+    val siDir = new java.io.File(s"$root/_graft/si/o_orderpriority")
+    assert(!new java.io.File(siDir, "_folding").exists())
+    val want = tbl.read().filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(want > 0)
+    assert(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).count() == want)
+
+    // mid-adopt snapshot: vb= buckets renamed aside under the marker
+    assert(new java.io.File(siDir, "_folding").createNewFile())
+    val merged = siDir.listFiles().filter(_.isDirectory).head
+    val vbs = merged.listFiles().filter(_.getName.startsWith("vb="))
+    vbs.foreach(b => assert(
+      b.renameTo(new java.io.File(merged, s"inflight-${b.getName}"))))
+    assert(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).count() == want,
+      "SI lookup mis-pruned against an index whose mappings are mid-rename")
+    // fold "completes": buckets restored, marker cleared — pruning resumes
+    vbs.foreach(b => assert(new java.io.File(merged,
+      s"inflight-${b.getName}").renameTo(new java.io.File(merged, b.getName))))
+    assert(new java.io.File(siDir, "_folding").delete())
+    assert(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).count() == want)
+    // lifecycle around a real fold
+    tbl.upsert(orders.filter(col("o_orderkey") === 13L)
+      .withColumn("o_orderpriority", lit("5-LOW")))
+    assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
+    assert(!new java.io.File(siDir, "_folding").exists(),
+      "successful SI fold must clear its marker")
+    tbl.dropIfExists()
+  }
+
   test("record index survives a handle whose recordIndexBuckets drifted from the writer's") {
     // each index dir self-describes its bucket count (_buckets manifest);
     // before that, a handle configured with a different count probed the
