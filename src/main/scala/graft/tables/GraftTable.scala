@@ -1479,6 +1479,19 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   private def foldInProgress(indexRoot: Path): Boolean =
     fs.exists(new Path(indexRoot, foldMarkerName))
 
+  /** Serializes folds per index root WITHIN this JVM: the async service's
+    * thread and a direct compact call (a maintenance op, a test) would
+    * otherwise interleave two folds — the first finisher clears the
+    * marker while the second is still renaming, breaking the marker
+    * invariant lookups depend on. Reentrant (the dead-weight escalation
+    * recurses into `full = true` on the same thread). Cross-PROCESS
+    * maintenance is a single-driver contract, like Hudi's requirement of
+    * a lock provider for multi-writer table services. */
+  private def withFoldLock[T](indexRoot: Path)(body: => T): T =
+    GraftTable.foldLocks
+      .computeIfAbsent(indexRoot.toString, _ => new Object)
+      .synchronized(body)
+
   /** Runs one index-read body under fold-race detection; the body must
     * list `indexRoot` fresh on every evaluation. An attempt is ACCEPTED
     * only when no fold marker was visible on either side of the read AND
@@ -1574,9 +1587,28 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     require(cfg.recordIndexBuckets > 0, s"table ${cfg.path} has no record index")
     val rli = new Path(s"${cfg.path}/_graft/rli")
     if (!fs.exists(rli)) return 0
+    withFoldLock(rli)(compactRecordIndexLocked(rli, full))
+  }
+
+  private def compactRecordIndexLocked(rli: Path, full: Boolean): Int = {
     val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
-    // the leftover recovery RENAME is already a mutation concurrent
-    // lookups must not race unguarded — marker first (see foldMarkerName)
+    // a lone merged-<latest> with NO other source dirs is the completed
+    // result of a previous fold, not a crash leftover — re-running with
+    // no new commits must leave it untouched (and skip the recovery
+    // rename below, which would needlessly shuffle its name). A marker
+    // left by a fold that crashed between its source deletes and its
+    // marker clear guards nothing here — clear it so lookups resume.
+    // (`full = true` still re-folds a lone merged base: that is the
+    // documented purge, and the dead-weight escalation recurses into it.)
+    if (!full && !fs.listStatus(rli).exists(s =>
+        s.isDirectory && s.getPath.getName != mergedName)) {
+      clearFoldMarker(rli)
+      return 0
+    }
+    // a merged-<target> NEXT TO other sources is a leftover from a run
+    // that crashed before its delete-last step; the recovery RENAME is
+    // already a mutation concurrent lookups must not race unguarded —
+    // marker first (see foldMarkerName)
     if (fs.exists(new Path(rli, mergedName))) writeFoldMarker(rli)
     recoverLeftoverMerged(new Path(rli, mergedName))
     // every source dir except the target name itself — re-running with no
@@ -1801,7 +1833,21 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       s"column $column is not secondary-indexed on ${cfg.path}")
     val siDir = new Path(s"${cfg.path}/_graft/si/$column")
     if (!fs.exists(siDir)) return 0
+    withFoldLock(siDir)(compactSecondaryIndexLocked(siDir, column, full, buckets))
+  }
+
+  private def compactSecondaryIndexLocked(siDir: Path, column: String,
+      full: Boolean, buckets: Int): Int = {
     val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
+    // a lone merged-<latest> with no other sources is a previous fold's
+    // completed result — leave it in place (unless `full`, the documented
+    // purge); clear any stale crash marker so lookups resume (see
+    // compactRecordIndexLocked)
+    if (!full && !fs.listStatus(siDir).exists(s =>
+        s.isDirectory && s.getPath.getName != mergedName)) {
+      clearFoldMarker(siDir)
+      return 0
+    }
     // the leftover recovery RENAME is already a mutation concurrent
     // lookups must not race unguarded — marker first (see foldMarkerName)
     if (fs.exists(new Path(siDir, mergedName))) writeFoldMarker(siDir)
@@ -2897,6 +2943,12 @@ object GraftTable {
     * the IO-bound footer reads (~16 ms each) fully overlapped without
     * ever stealing more than half the box; on a real cluster the harvest
     * runs as an executor map instead. */
+  /** One monitor per index-root path: serializes same-JVM folds (see
+    * [[GraftTable.withFoldLock]]). Keyed by absolute root string so two
+    * handles on the same table share the lock. */
+  private[tables] val foldLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** True when a FileNotFoundException appears anywhere in the cause
     * chain — how a Spark job surfaces a file deleted between listing and
     * scan (a lookup racing a fold's delete-last step). */

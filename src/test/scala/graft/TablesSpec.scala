@@ -1822,6 +1822,48 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.dropIfExists()
   }
 
+  test("concurrent fold calls serialize: one merged result, no marker left, exact lookups") {
+    // the async service's thread and a direct compact call can race the
+    // same index; the per-root JVM lock must serialize them (unlocked,
+    // the first finisher would clear the marker while the second is
+    // still renaming — and recoverLeftoverMerged would rename a fold's
+    // IN-PROGRESS target out from under it)
+    val root = "/tmp/graft_spec/fold_concurrent"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      root, "o_orderkey", "o_orderkey", recordIndexBuckets = 4))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    (1 to 4).foreach(i => tbl.upsert(orders.filter(col("o_orderkey") === i.toLong)
+      .withColumn("o_orderstatus", lit(s"C$i"))))
+    // 5 commits = 5 RLI dirs; 4 threads race the fold
+    val consumed = new java.util.concurrent.atomic.AtomicInteger
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 4).map(_ => new Thread(() =>
+      try { consumed.addAndGet(tbl.compactRecordIndex()); () }
+      catch { case t: Throwable => errs.add(t); () }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent folds failed: ${errs.peek()}")
+    assert(consumed.get == 5,
+      s"exactly one racer must consume all 5 dirs (the rest no-op against " +
+        s"its completed result), got ${consumed.get}")
+    val rli = new java.io.File(s"$root/_graft/rli")
+    assert(rli.listFiles().count(_.isDirectory) == 1)
+    assert(!new java.io.File(rli, "_folding").exists())
+    (1 to 4).foreach(i => assert(tbl.pointLookup(Seq(i.toLong)).collect()(0)
+      .getAs[String]("o_orderstatus") == s"C$i"))
+    // a lone completed merged dir is left in place by a re-run (its name
+    // is not shuffled through recovered- aliases), and full=true still
+    // re-folds it (the documented purge)
+    val nameBefore = rli.listFiles().filter(_.isDirectory).head.getName
+    assert(tbl.compactRecordIndex() == 0)
+    assert(rli.listFiles().filter(_.isDirectory).head.getName == nameBefore)
+    assert(tbl.compactRecordIndex(full = true) == 1)
+    assert(tbl.pointLookup(Seq(1L)).collect()(0)
+      .getAs[String]("o_orderstatus") == "C1")
+    tbl.dropIfExists()
+  }
+
   test("record index survives a handle whose recordIndexBuckets drifted from the writer's") {
     // each index dir self-describes its bucket count (_buckets manifest);
     // before that, a handle configured with a different count probed the
