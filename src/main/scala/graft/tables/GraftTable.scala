@@ -633,7 +633,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       files: Seq[FileMeta]): DataFrame = {
     if (files.isEmpty) return emptyExprEntries()
     readFiles(files)
-      .select(GraftTable.relativizeCol(input_file_name(), rootStr).as("path"),
+      .select(GraftTable.relativizeCol(col("_metadata.file_path"), rootStr).as("path"),
         expr(exprSql).as("_gv"))
       .groupBy("path").agg(min("_gv").as("_mn"), max("_gv").as("_mx"))
       .filter(col("_mn").isNotNull && col("_mx").isNotNull)
@@ -960,12 +960,37 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * read; otherwise key-range stats + bucket index + bloom filters prune. */
   def lookupFiles(keys: Seq[Any]): Seq[FileMeta] = {
     val padded = keys.map(padKey)
+    // RECORD-INDEX path: exact only when the timeline was QUIET across
+    // the read — hits ∩ live must pair an index state with the live set
+    // it describes. Ordering alone cannot give that under concurrent
+    // writers (both failure modes measured by ConcurrencyStress):
+    //   - live pinned BEFORE the index read: an index fold racing newer
+    //     commits purges mappings to files that died after the pin — the
+    //     intersection silently drops the key (pointLookup returned 0);
+    //   - live pinned AFTER: a commit landing between the reads leaves
+    //     its fresh rewrite live but unread in the index — same loss.
+    // So: accept only when latestInstant is unchanged across the whole
+    // read (then every live file's mapping is provably present: its
+    // commit dir landed before its commit, and any fold that purged it
+    // would contradict the file being live now); otherwise retry, and
+    // after churn-exhaustion fall through to range/bucket/bloom pruning,
+    // which is exact on any single consistent snapshot.
     if (cfg.recordIndexBuckets > 0) {
-      recordIndexLookup(padded) match {
-        case Some(paths) => return timeline.liveFiles(None).filter(f => paths.contains(f.path))
-        case None => () // no index data yet: fall back to pruning
+      var attempts = 0
+      while (attempts < 4) {
+        attempts += 1
+        val i0 = timeline.latestInstant()
+        recordIndexLookup(padded) match {
+          case Some(paths) =>
+            val live = timeline.liveFiles(None)
+            if (timeline.latestInstant() == i0)
+              return live.filter(f => paths.contains(f.path))
+          // a commit landed mid-read: retry against the new quiet point
+          case None => attempts = 4 // no index data yet: prune instead
+        }
       }
     }
+    val live = timeline.liveFiles(None)
     val buckets: Set[Int] =
       if (cfg.numBuckets <= 0) Set.empty
       else {
@@ -978,7 +1003,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         kdf.select(pmod(xxhash64(col("k").cast(keyType)), lit(cfg.numBuckets)).as("b"))
           .distinct().collect().map(_.getLong(0).toInt).toSet
       }
-    val ranged = timeline.liveFiles(None).filter { f =>
+    val ranged = live.filter { f =>
       // bucket pruning is only sound for files assigned under THIS handle's
       // modulus — after a rebucket, differently-bucketed files are kept
       val bucketOk = cfg.numBuckets <= 0 || f.bucketMod != cfg.numBuckets ||
@@ -1141,7 +1166,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val written = spark.read.option("recursiveFileLookup", "true").parquet(dir)
       val siCols = cfg.secondaryIndexCols.filter(written.columns.contains)
       val proj = written.select(
-        (Seq(keyStr(keyCol, written).as("_gik"), input_file_name().as("_gif")) ++
+        (Seq(keyStr(keyCol, written).as("_gik"), col("_metadata.file_path").as("_gif")) ++
           siCols.map(c => col(s"`$c`"))): _*).cache()
       try {
         if (cfg.recordIndexBuckets > 0) writeRecordIndex(instant, proj)
@@ -1611,10 +1636,25 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // marker first (see foldMarkerName)
     if (fs.exists(new Path(rli, mergedName))) writeFoldMarker(rli)
     recoverLeftoverMerged(new Path(rli, mergedName))
+    // NEVER consume a concurrent writer's IN-FLIGHT index dir (index dirs
+    // land BEFORE their commit): its files aren't live yet, so the
+    // liveness filter would drop every one of its mappings and the
+    // delete-last step would destroy them — the commit then lands with
+    // its keys permanently unindexed (ConcurrencyStress measured exactly
+    // this: every commit that raced a fold trigger lost its mappings and
+    // point lookups lost those rows). A dir is protected while its
+    // instant holds a live .inflight reservation; it becomes consumable
+    // at the next fold, after its commit lands (kept) or its crashed
+    // writer is fenced (correctly liveness-dropped). Listing the
+    // reservations BEFORE the sources keeps the race closed: a dir that
+    // commits in between is consumable, and the fold's later liveness
+    // list already sees its commit.
+    val inflight = timeline.inflightReservations().keySet
     // every source dir except the target name itself — re-running with no
     // new commits is a no-op
     val old = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName == mergedName)
+      .filterNot(d => inflight.contains(d.getName))
     if (old.length <= 1 && !(full && old.length == 1)) {
       // stable state (any recovery rename above has completed; a stale
       // marker from a crashed fold guards nothing anymore): lookups may
@@ -1852,8 +1892,15 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // lookups must not race unguarded — marker first (see foldMarkerName)
     if (fs.exists(new Path(siDir, mergedName))) writeFoldMarker(siDir)
     recoverLeftoverMerged(new Path(siDir, mergedName))
+    // skip in-flight commits' dirs — see compactRecordIndexLocked: the
+    // fold would liveness-drop and then destroy their not-yet-live
+    // mappings, leaving the landed commit permanently unindexed (for the
+    // SI that is a permanent mis-prune once a later fold's _covered
+    // claims the instant)
+    val inflight = timeline.inflightReservations().keySet
     val old = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName == mergedName)
+      .filterNot(d => inflight.contains(d.getName))
     if (old.length <= 1 && !(full && old.length == 1)) {
       // stable state (any recovery rename has completed): lookups resume
       clearFoldMarker(siDir)
@@ -2229,9 +2276,17 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val (hitFiles, affected) =
       if (cand.isEmpty) (Seq.empty[FileMeta], None)
       else {
-        // capture the file name BEFORE the join — input_file_name() is
-        // ambiguous once two scans are in the plan
-        val candDF = readFiles(cand).withColumn("_graft_file", input_file_name())
+        // capture the file name BEFORE the join (ambiguous once two scans
+        // are in the plan), and via _metadata.file_path, NEVER
+        // input_file_name(): the CacheManager substitutes any concurrently
+        // .cache()d identical scan into this query by canonical-plan match,
+        // and input_file_name() returns "" on cached rows — hit detection
+        // then attributes matches to no file and re-INSERTS existing keys
+        // (duplicate rows; ConcurrencyStress caught it as a whole slice
+        // duplicated under 2 OCC writers). _metadata.file_path is part of
+        // the scan's required output, so a cache entry lacking it can
+        // never be substituted in; pinned by FileAttributionSpec.
+        val candDF = readFiles(cand).withColumn("_graft_file", col("_metadata.file_path"))
         val hits = candDF
           .join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftsemi")
           .select(col("_graft_file")).distinct()
@@ -2307,7 +2362,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val live = timeline.liveFiles(None)
       val snap = readFiles(live)
       val hits = snap.filter(predicate)
-        .select(input_file_name().as("f")).distinct()
+        .select(col("_metadata.file_path").as("f")).distinct()
         .collect().map(r => relPath(r.getString(0))).toSet
       val hitFiles = live.filter(f => hits.contains(f.path))
       if (hitFiles.isEmpty) {
@@ -2364,7 +2419,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           val cand = live.filter(f => f.minKey <= bMax && bMin <= f.maxKey)
           val hits =
             if (cand.isEmpty) Set.empty[String]
-            else readFiles(cand).withColumn("_graft_file", input_file_name())
+            else readFiles(cand).withColumn("_graft_file", col("_metadata.file_path"))
               .join(kdf, Seq(cfg.keyField), "leftsemi")
               .select(col("_graft_file")).distinct()
               .collect().map(r => relPath(r.getString(0))).toSet
@@ -2437,7 +2492,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           val allKeys = last.select(keyCol).distinct()
           val hits =
             if (cand.isEmpty) Set.empty[String]
-            else readFiles(cand).withColumn("_graft_file", input_file_name())
+            else readFiles(cand).withColumn("_graft_file", col("_metadata.file_path"))
               .join(allKeys, Seq(cfg.keyField), "leftsemi")
               .select(col("_graft_file")).distinct()
               .collect().map(r => relPath(r.getString(0))).toSet

@@ -27,12 +27,25 @@ object TableProperties {
     val tmp = new Path(p.getParent, s".tmp-${p.getName}-${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p)) {
+    var attempts = 0
+    while (!fs.rename(tmp, p)) {
+      attempts += 1
+      // Losing the rename to an IDENTICAL concurrent write is success —
+      // e.g. N writer handles all persist the same config.json on their
+      // first commit (ConcurrencyStress hit the old single-shot
+      // delete+rename losing twice in a row at 8 writers and throwing).
+      val same =
+        try {
+          val in = fs.open(p)
+          val cur = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          java.util.Arrays.equals(cur, bytes)
+        } catch { case _: java.io.IOException => false }
+      if (same) { fs.delete(tmp, false); return }
+      if (attempts >= 5) {
         fs.delete(tmp, false)
         throw new IllegalStateException(s"could not atomically replace $p")
       }
+      fs.delete(p, false)
     }
   }
 

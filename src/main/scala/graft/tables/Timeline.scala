@@ -412,7 +412,16 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     val live = liveFiles(None).map(_.path).toSet
     val gone = c.removes.filterNot(live.contains)
     if (gone.nonEmpty) {
-      fs.delete(new Path(metaDir, s"${c.instant}.inflight"), false)
+      // Do NOT delete the .inflight marker here: an instant must be
+      // covered by at least one marker (.inflight / .commit.json /
+      // .rolledback) at every moment. Deleting it before the caller's
+      // abort() lands its tombstone opens a window where this instant —
+      // if it was the max — is re-derived and re-reserved by a CONCURRENT
+      // writer; this loser's cleanup then deletes data/<instant>, which
+      // now holds the new owner's (possibly committed) files: dangling
+      // adds, reader FileNotFound, silent row loss. Found by
+      // ConcurrencyStress; abort() removes the marker only after the
+      // tombstone exists.
       throw new CommitConflictException(
         s"write conflict at instant ${c.instant}: files already replaced: ${gone.take(3).mkString(", ")}")
     }

@@ -167,6 +167,22 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a commit claiming to replace a file that is no longer live must abort
     val bogus = Commit(i1, "upsert", Nil, Seq("data/99999/nonexistent.parquet"))
     assertThrows[IllegalStateException](t.commit(bogus))
+    // MARKER-COVERAGE INVARIANT: an instant is covered by at least one of
+    // {.inflight, .commit.json, .rolledback} at every moment. The conflict
+    // throw must NOT strip the .inflight marker — in the window before the
+    // loser's abort() lands its tombstone, an uncovered max instant would
+    // be re-derived and re-reserved by a concurrent writer, whose files
+    // the loser's cleanup then deletes (found by ConcurrencyStress as
+    // silent row loss under 2 OCC writers)
+    val meta = new java.io.File(s"/tmp/graft_spec/occ/_graft")
+    assert(new java.io.File(meta, s"$i1.inflight").exists(),
+      "conflict loser dropped its .inflight before the tombstone landed")
+    // covered: a racing reservation can never re-issue i1
+    assert(t.reserveInstant().toLong > i2.toLong)
+    t.abort(i1)
+    assert(new java.io.File(meta, s"$i1.rolledback").exists())
+    assert(!new java.io.File(meta, s"$i1.inflight").exists())
+    assert(t.reserveInstant() != i1)
     // a valid commit on the later reserved instant still succeeds
     t.commit(Commit(i2, "noop", Nil, Nil))
     assert(t.instants().contains(i2))
@@ -1819,6 +1835,50 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
     assert(!new java.io.File(siDir, "_folding").exists(),
       "successful SI fold must clear its marker")
+    tbl.dropIfExists()
+  }
+
+  test("index folds never consume an in-flight commit's index dir") {
+    // index dirs land BEFORE their commit. A fold that lists a concurrent
+    // writer's in-flight dir among its sources would liveness-drop every
+    // one of its mappings (files not live yet) and then DELETE the dir —
+    // the commit lands moments later with its keys permanently unindexed
+    // (ConcurrencyStress measured point lookups losing exactly the rows
+    // of commits that raced a fold trigger). Dirs of instants holding a
+    // live .inflight reservation must be skipped, and consumed only after
+    // the commit lands or the writer is fenced.
+    val root = "/tmp/graft_spec/fold_inflight"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      root, "o_orderkey", "o_orderkey", recordIndexBuckets = 4))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderstatus", lit("I")))
+    // simulate a writer mid-commit: instant reserved, index dir written,
+    // commit JSON not yet landed
+    val i = tbl.timeline.reserveInstant()
+    val rli = new java.io.File(s"$root/_graft/rli")
+    val donorBucket = rli.listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.getName.startsWith("b=")).head
+    val inflightBucket = new java.io.File(rli, s"$i/${donorBucket.getName}")
+    assert(inflightBucket.mkdirs())
+    donorBucket.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(inflightBucket, f.getName).toPath)
+    }
+    // the fold consumes the 2 committed dirs and MUST leave the in-flight one
+    assert(tbl.compactRecordIndex() == 2)
+    assert(new java.io.File(rli, i).exists(),
+      "fold consumed a live writer's in-flight index dir")
+    assert(tbl.pointLookup(Seq(7L)).collect()(0)
+      .getAs[String]("o_orderstatus") == "I")
+    // once the writer is gone (fenced/aborted), the dir becomes a normal
+    // fold source and is consumed
+    tbl.timeline.abort(i)
+    assert(tbl.compactRecordIndex() == 2) // merged base + the released dir
+    assert(!new java.io.File(rli, i).exists())
+    assert(tbl.pointLookup(Seq(7L)).collect()(0)
+      .getAs[String]("o_orderstatus") == "I")
     tbl.dropIfExists()
   }
 
