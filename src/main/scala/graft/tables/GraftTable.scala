@@ -794,12 +794,28 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val live = timeline.liveFiles(None)
     (ColStat.bound(kind, lo), ColStat.bound(kind, hi)) match {
       case (Some(l), Some(h)) =>
-        val liveDf = live.map(_.path).toDF("path")
-        val kept = liveDf
-          .join(readExprEntries(name).select("path", "mn", "mx"), Seq("path"), "left")
-          .filter(col("mn").isNull || exprOverlapCond(kind, l, h))
-          .select("path").collect().map(_.getString(0)).toSet
-        live.filter(f => kept(f.path))
+        // Retry a read torn by a concurrent refreshExpressionIndex
+        // (dynamic overwrite replaces bucket files; emptied buckets are
+        // deleted): a lost ENTRY is already conservative — the left join
+        // keeps entry-less files — so only a thrown FileNotFound needs
+        // handling, and the final fallback skips the index entirely.
+        var attempts = 0
+        while (attempts < 3) {
+          attempts += 1
+          try {
+            val liveDf = live.map(_.path).toDF("path")
+            val kept = liveDf
+              .join(readExprEntries(name).select("path", "mn", "mx"), Seq("path"), "left")
+              .filter(col("mn").isNull || exprOverlapCond(kind, l, h))
+              .select("path").collect().map(_.getString(0)).toSet
+            return live.filter(f => kept(f.path))
+          } catch {
+            case _: java.io.FileNotFoundException => ()
+            case _: org.apache.spark.sql.AnalysisException => ()
+            case e: org.apache.spark.SparkException if GraftTable.causedByFnf(e) => ()
+          }
+        }
+        live // refresh churn outlasted the retries: scan unpruned
       case _ => live // unanswerable bound type: keep all, skip the index read
     }
   }

@@ -1838,6 +1838,79 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.dropIfExists()
   }
 
+  test("OCC storm: concurrent writers + reader + index folds, no lost or phantom rows") {
+    // CI-sized ConcurrencyStress: 2 writers x 4 commits of globally
+    // disjoint mod-101 slices on shared FILES (first-committer-wins +
+    // retry exercised for real), a reader probing snapshot count and a
+    // point lookup, and the index-fold trigger racing both. Guards the
+    // four multi-writer bugs this shape found: instant-number reuse,
+    // cache-substituted file attribution, folds eating in-flight index
+    // dirs, and index/live snapshot tearing in lookups.
+    val root = "/tmp/graft_spec/occ_storm"
+    def handle() = GraftTable(spark, GraftTableConfig(
+      root, "o_orderkey", "o_orderkey", recordIndexBuckets = 4))
+    val tbl = handle()
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 8)
+    val n = orders.count()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val anomalies = new java.util.concurrent.atomic.AtomicInteger
+    val writing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val writers = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          val mine = handle()
+          (0 until 4).foreach { c =>
+            val b = orders.filter(col("o_orderkey") % 101 === (w * 4 + c))
+              .withColumn("o_orderstatus", lit(s"W$w-C$c"))
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try { mine.upsert(b); done = true }
+              catch {
+                case _: CommitConflictException | _: LockTimeoutException
+                    if attempts < 60 =>
+                  attempts += 1; Thread.sleep(50L)
+              }
+            }
+          }
+        } catch { case t: Throwable => errs.add(t); () }
+      }, s"storm-writer-$w")
+    }
+    val reader = new Thread(() => {
+      val mine = handle()
+      while (writing.get()) {
+        try {
+          if (mine.read().count() != n) anomalies.incrementAndGet()
+          if (mine.pointLookup(Seq(1L)).count() != 1) anomalies.incrementAndGet()
+        } catch { case scala.util.control.NonFatal(_) => anomalies.incrementAndGet() }
+        Thread.sleep(30L)
+      }
+    }, "storm-reader")
+    val maintenance = new Thread(() => {
+      val mine = handle()
+      while (writing.get()) {
+        try TableServices.maybeCompactIndexes(mine, 3)
+        catch { case scala.util.control.NonFatal(_) => () } // transient, re-fires
+        Thread.sleep(100L)
+      }
+    }, "storm-maintenance")
+    reader.start(); maintenance.start()
+    writers.foreach(_.start()); writers.foreach(_.join())
+    writing.set(false); reader.join(); maintenance.join()
+    assert(errs.isEmpty, s"writer died: ${errs.peek()}")
+    assert(anomalies.get == 0, s"${anomalies.get} reader anomalies during the storm")
+    val got = tbl.read()
+    assert(got.count() == n, "row count drifted under concurrent writers")
+    (0 until 2).foreach { w =>
+      val slice = w * 4 + 3
+      val want = orders.filter(col("o_orderkey") % 101 === slice).count()
+      assert(got.filter(col("o_orderstatus") === s"W$w-C3").count() == want,
+        s"lost update: writer $w's final slice")
+    }
+    tbl.dropIfExists()
+  }
+
   test("index folds never consume an in-flight commit's index dir") {
     // index dirs land BEFORE their commit. A fold that lists a concurrent
     // writer's in-flight dir among its sources would liveness-drop every
