@@ -1,0 +1,166 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.tables._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CROSS-PROCESS multi-writer stress — the one concurrency surface the
+  * same-JVM storms can never reach: inside one JVM the per-table lock
+  * (Timeline.commitLock) serializes reservation + commit before the
+  * file-based protocol is ever consulted, so `createExclusive`
+  * reservation races, the `.commit.lock` lease (acquire / holder
+  * renewal / stale break), and rename-fenced commits had NO live
+  * exercise. Here the parent builds the table, forks N real child JVMs
+  * (each with its own SparkSession, like independent spark-submit jobs
+  * sharing a table), each writing disjoint mod-101 slices with the
+  * standard conflict/lease retry loop, while the parent's reader probes
+  * snapshot count + a point lookup throughout. Then a hard gate: exact
+  * final tags per slice, unchanged row count, zero reader anomalies.
+  *
+  * Usage: MultiProcessStress [writers] [commitsPerWriter] [sfDir] [outJson]
+  * (defaults 2, 4, /root/testdata/sf0.01, BENCH_SF100_MULTIPROC.json in
+  * the working directory). Children are launched from
+  * target/scala-2.13/classes + /opt/spark/jars, the sbt-free classpath. */
+object MultiProcessStress {
+  def main(args: Array[String]): Unit = {
+    val writers = args.headOption.map(_.toInt).getOrElse(2)
+    val perWriter = args.lift(1).map(_.toInt).getOrElse(4)
+    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+    val outPath = args.lift(3).getOrElse(
+      new java.io.File(System.getProperty("user.dir"), "BENCH_SF100_MULTIPROC.json").getPath)
+    require(writers * perWriter <= 101, "mod-101 slices must stay disjoint")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val path = "/tmp/graft_multiproc_stress/table"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      path, "o_orderkey", "o_orderkey", recordIndexBuckets = 8))
+    tbl.dropIfExists()
+    val orders = GraftSession.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val nOrders = orders.count()
+    tbl.insert(orders, numFiles = 16)
+
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+    val lease0 = Timeline.lockRetries.get()
+    val t0 = System.nanoTime()
+    val procs = (0 until writers).map { w =>
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx3g", "-cp", s"$classesDir:/opt/spark/jars/*",
+        "graft.tools.MultiProcessWriterChild",
+        path, sfDir, w.toString, perWriter.toString)).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(s"/tmp/graft_multiproc_stress/child-$w.log"))
+      pb.start()
+    }
+
+    var probes = 0
+    var anomalies = 0
+    val reader = GraftTable(spark, GraftTableConfig(
+      path, "o_orderkey", "o_orderkey", recordIndexBuckets = 8))
+    while (procs.exists(_.isAlive)) {
+      try {
+        if (reader.read().count() != nOrders) anomalies += 1
+        if (reader.pointLookup(Seq(1L)).count() != 1) anomalies += 1
+        probes += 1
+      } catch { case scala.util.control.NonFatal(_) => anomalies += 1 }
+      Thread.sleep(100L)
+    }
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val exitCodes = procs.map(_.waitFor())
+    // lease contention in the CHILDREN is visible in their logs; the
+    // parent's counter only covers its own probes
+    val parentLease = Timeline.lockRetries.get() - lease0
+
+    require(exitCodes.forall(_ == 0),
+      s"child writers exited ${exitCodes.mkString(",")} — see /tmp/graft_multiproc_stress/child-*.log")
+    val got = tbl.read()
+    require(got.count() == nOrders, "row count drifted under cross-process writers")
+    (0 until writers).foreach { w =>
+      val slice = w * perWriter + (perWriter - 1)
+      val want = orders.filter(col("o_orderkey") % 101 === slice).count()
+      val tagged = got.filter(col("o_orderstatus") === s"P$w-C${perWriter - 1}").count()
+      require(tagged == want,
+        s"lost update: process $w final slice $slice has $tagged/$want rows")
+    }
+    require(anomalies == 0, s"$anomalies reader anomalies during the cross-process storm")
+
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val out =
+      s"""{"writers":$writers,"commits":${writers * perWriter},"wall_s":${f2(wallS)},""" +
+      s""""commits_per_s":${f2(writers * perWriter / wallS)},""" +
+      s""""reader_probes":$probes,"reader_anomalies":$anomalies,""" +
+      s""""parent_lease_retries":$parentLease,"child_exits":[${exitCodes.mkString(",")}],""" +
+      s""""correct":true,"note":"N real child JVMs (own SparkSessions) sharing one table: """ +
+      s"""exercises the cross-process reservation createExclusive, the .commit.lock lease, """ +
+      s"""and rename-fenced commits that the same-JVM storms never reach (the per-table JVM """ +
+      s"""lock serializes them first). Hard gate: exact per-slice tags, unchanged count, """ +
+      s"""zero reader anomalies."}"""
+    println(s"[multiproc] $out")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
+    catch { case e: Exception => System.err.println(s"[multiproc] FAILED to write $outPath: $e") }
+    tbl.dropIfExists()
+    spark.stop()
+  }
+}
+
+/** Child-JVM entry: `<tablePath> <sfDir> <writerId> <commits>` — the
+  * standard retrying writer (conflicts and lease timeouts are the two
+  * transient faces of contention) over this process's disjoint slices. */
+object MultiProcessWriterChild {
+  def main(args: Array[String]): Unit = {
+    val Array(path, sfDir, wStr, cStr) = args.take(4)
+    val (w, commits) = (wStr.toInt, cStr.toInt)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tbl = GraftTable(spark, GraftTableConfig(
+      path, "o_orderkey", "o_orderkey", recordIndexBuckets = 8))
+    val orders = GraftSession.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    (0 until commits).foreach { c =>
+      val b = orders.filter(col("o_orderkey") % 101 === (w * commits + c))
+        .withColumn("o_orderstatus", lit(s"P$w-C$c"))
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { tbl.upsert(b); done = true }
+        catch {
+          case _: CommitConflictException | _: LockTimeoutException if attempts < 60 =>
+            attempts += 1
+            println(s"[child-$w] retry $attempts at commit $c")
+            Thread.sleep(100L * math.min(attempts, 5))
+        }
+      }
+      println(s"[child-$w] commit $c done")
+    }
+    spark.stop()
+  }
+}
