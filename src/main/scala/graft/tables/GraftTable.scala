@@ -809,11 +809,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
               .filter(col("mn").isNull || exprOverlapCond(kind, l, h))
               .select("path").collect().map(_.getString(0)).toSet
             return live.filter(f => kept(f.path))
-          } catch {
-            case _: java.io.FileNotFoundException => ()
-            case _: org.apache.spark.sql.AnalysisException => ()
-            case e: org.apache.spark.SparkException if GraftTable.causedByFnf(e) => ()
-          }
+          } catch { case e if GraftTable.isTornRead(e) => () }
         }
         live // refresh churn outlasted the retries: scan unpruned
       case _ => live // unanswerable bound type: keep all, skip the index read
@@ -1555,11 +1551,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           .map(_.getPath.getName).toSet
         val out: Option[Option[T]] =
           try Some(body)
-          catch {
-            case _: java.io.FileNotFoundException => None
-            case _: org.apache.spark.sql.AnalysisException => None
-            case e: org.apache.spark.SparkException if GraftTable.causedByFnf(e) => None
-          }
+          catch { case e if GraftTable.isTornRead(e) => None }
         val after = fs.listStatus(indexRoot).filter(_.isDirectory)
           .map(_.getPath.getName).toSet
         out match {
@@ -1569,9 +1561,56 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       }
       // adopt phases are driver-side renames (ms): a short pause usually
       // outlives the race without ceding the lookup to the fallback path
-      try Thread.sleep(50L * i) catch { case _: InterruptedException => return None }
+      if (i < attempts)
+        try Thread.sleep(50L * i) catch { case _: InterruptedException => return None }
     }
     None
+  }
+
+  /** Shared fold prologue for both index compactions: decide the
+    * consumable source dirs under the marker protocol, or None for a
+    * no-op (stale crash markers cleared either way).
+    *   1. A lone merged-<latest> with NO other sources is a previous
+    *      fold's COMPLETED result, not a crash leftover — leave it in
+    *      place (unless `full`, the documented purge; the dead-weight
+    *      escalation recurses into that).
+    *   2. A merged-<target> NEXT TO other sources is a leftover from a
+    *      run that crashed before its delete-last step; its recovery
+    *      RENAME is already a mutation concurrent lookups must not race
+    *      unguarded — marker first (see [[foldMarkerName]]).
+    *   3. NEVER consume a concurrent writer's IN-FLIGHT index dir (index
+    *      dirs land BEFORE their commit): the liveness filter would drop
+    *      every one of its not-yet-live mappings and delete-last would
+    *      destroy them — the commit then lands permanently unindexed
+    *      (ConcurrencyStress measured point lookups losing exactly the
+    *      rows of commits that raced a fold trigger; for the SI it is a
+    *      permanent mis-prune once a later fold's _covered claims the
+    *      instant). A dir is protected while its instant holds a live
+    *      .inflight reservation; it becomes consumable at the next fold,
+    *      after its commit lands (kept) or its crashed writer is fenced
+    *      (correctly liveness-dropped). Listing the reservations BEFORE
+    *      the sources keeps the race closed: a dir that commits in
+    *      between is consumable, and the fold's later liveness list
+    *      already sees its commit. */
+  private def foldSources(root: Path, mergedName: String,
+      full: Boolean): Option[Array[Path]] = {
+    if (!full && !fs.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName != mergedName)) {
+      clearFoldMarker(root)
+      return None
+    }
+    if (fs.exists(new Path(root, mergedName))) writeFoldMarker(root)
+    recoverLeftoverMerged(new Path(root, mergedName))
+    val inflight = timeline.inflightReservations().keySet
+    val old = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(_.getName == mergedName)
+      .filterNot(d => inflight.contains(d.getName))
+    // re-running with no new commits is a no-op; stable state (any
+    // recovery rename above has completed), so lookups resume the index
+    if (old.length <= 1 && !(full && old.length == 1)) {
+      clearFoldMarker(root)
+      None
+    } else Some(old)
   }
 
   /** True when any fold-source dir holds at least one COMMITTED parquet
@@ -1633,50 +1672,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
   private def compactRecordIndexLocked(rli: Path, full: Boolean): Int = {
     val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
-    // a lone merged-<latest> with NO other source dirs is the completed
-    // result of a previous fold, not a crash leftover — re-running with
-    // no new commits must leave it untouched (and skip the recovery
-    // rename below, which would needlessly shuffle its name). A marker
-    // left by a fold that crashed between its source deletes and its
-    // marker clear guards nothing here — clear it so lookups resume.
-    // (`full = true` still re-folds a lone merged base: that is the
-    // documented purge, and the dead-weight escalation recurses into it.)
-    if (!full && !fs.listStatus(rli).exists(s =>
-        s.isDirectory && s.getPath.getName != mergedName)) {
-      clearFoldMarker(rli)
-      return 0
-    }
-    // a merged-<target> NEXT TO other sources is a leftover from a run
-    // that crashed before its delete-last step; the recovery RENAME is
-    // already a mutation concurrent lookups must not race unguarded —
-    // marker first (see foldMarkerName)
-    if (fs.exists(new Path(rli, mergedName))) writeFoldMarker(rli)
-    recoverLeftoverMerged(new Path(rli, mergedName))
-    // NEVER consume a concurrent writer's IN-FLIGHT index dir (index dirs
-    // land BEFORE their commit): its files aren't live yet, so the
-    // liveness filter would drop every one of its mappings and the
-    // delete-last step would destroy them — the commit then lands with
-    // its keys permanently unindexed (ConcurrencyStress measured exactly
-    // this: every commit that raced a fold trigger lost its mappings and
-    // point lookups lost those rows). A dir is protected while its
-    // instant holds a live .inflight reservation; it becomes consumable
-    // at the next fold, after its commit lands (kept) or its crashed
-    // writer is fenced (correctly liveness-dropped). Listing the
-    // reservations BEFORE the sources keeps the race closed: a dir that
-    // commits in between is consumable, and the fold's later liveness
-    // list already sees its commit.
-    val inflight = timeline.inflightReservations().keySet
-    // every source dir except the target name itself — re-running with no
-    // new commits is a no-op
-    val old = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
-      .filterNot(_.getName == mergedName)
-      .filterNot(d => inflight.contains(d.getName))
-    if (old.length <= 1 && !(full && old.length == 1)) {
-      // stable state (any recovery rename above has completed; a stale
-      // marker from a crashed fold guards nothing anymore): lookups may
-      // resume using the index
-      clearFoldMarker(rli)
-      return 0
+    val old = foldSources(rli, mergedName, full) match {
+      case None => return 0
+      case Some(dirs) => dirs
     }
     // adopt-by-rename is only sound when the base's recorded bucket count
     // matches this fold's (bucket ids must agree file-for-file); a base
@@ -1895,32 +1893,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   private def compactSecondaryIndexLocked(siDir: Path, column: String,
       full: Boolean, buckets: Int): Int = {
     val mergedName = s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
-    // a lone merged-<latest> with no other sources is a previous fold's
-    // completed result — leave it in place (unless `full`, the documented
-    // purge); clear any stale crash marker so lookups resume (see
-    // compactRecordIndexLocked)
-    if (!full && !fs.listStatus(siDir).exists(s =>
-        s.isDirectory && s.getPath.getName != mergedName)) {
-      clearFoldMarker(siDir)
-      return 0
-    }
-    // the leftover recovery RENAME is already a mutation concurrent
-    // lookups must not race unguarded — marker first (see foldMarkerName)
-    if (fs.exists(new Path(siDir, mergedName))) writeFoldMarker(siDir)
-    recoverLeftoverMerged(new Path(siDir, mergedName))
-    // skip in-flight commits' dirs — see compactRecordIndexLocked: the
-    // fold would liveness-drop and then destroy their not-yet-live
-    // mappings, leaving the landed commit permanently unindexed (for the
-    // SI that is a permanent mis-prune once a later fold's _covered
-    // claims the instant)
-    val inflight = timeline.inflightReservations().keySet
-    val old = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath)
-      .filterNot(_.getName == mergedName)
-      .filterNot(d => inflight.contains(d.getName))
-    if (old.length <= 1 && !(full && old.length == 1)) {
-      // stable state (any recovery rename has completed): lookups resume
-      clearFoldMarker(siDir)
-      return 0
+    val old = foldSources(siDir, mergedName, full) match {
+      case None => return 0
+      case Some(dirs) => dirs
     }
     val mergedOld = old.filter(_.getName.startsWith("merged-"))
     // A merged base is adopted by rename ONLY when every base records the
@@ -3032,6 +3007,17 @@ object GraftTable {
       depth += 1
     }
     false
+  }
+
+  /** The exception shapes of a read torn by concurrent index/file-layout
+    * mutation (a dir deleted between listing and scan, a path gone at
+    * resolution, schema inference over an emptied dir) — the retryable
+    * class every index-read retry loop shares. */
+  private[tables] def isTornRead(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case _: org.apache.spark.sql.AnalysisException => true
+    case se: org.apache.spark.SparkException => causedByFnf(se)
+    case _ => false
   }
 
   private[tables] lazy val footerHarvestPool =

@@ -96,7 +96,7 @@ object ConcurrencyStress {
               while (!done) {
                 try { mine.upsert(b); done = true }
                 catch {
-                  case e @ (_: CommitConflictException | _: LockTimeoutException)
+                  case _: CommitConflictException | _: LockTimeoutException
                       if attempts < 60 =>
                     attempts += 1
                     conflicts.incrementAndGet()
