@@ -107,17 +107,71 @@ object MultiProcessStress {
     }
     require(anomalies == 0, s"$anomalies reader anomalies during the cross-process storm")
 
+    // ---- HARD-KILL scenario: a child JVM destroyed mid-write (no abort
+    // hooks, no cleanup — the kill -9 case the in-JVM crash-injection
+    // spec cannot produce). The table must stay exact throughout, the
+    // reaper must FENCE the dead writer's reservation (tombstone under
+    // the commit lock, so a zombie could never commit) and reap its
+    // orphan files, and a fresh writer must proceed normally.
+    val killVictim = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx3g", "-cp", s"$classesDir:/opt/spark/jars/*",
+      "graft.tools.MultiProcessWriterChild",
+      path, sfDir, "9", "10")).toArray: _*)
+    killVictim.redirectErrorStream(true)
+    killVictim.redirectOutput(new java.io.File("/tmp/graft_multiproc_stress/child-kill.log"))
+    val victim = killVictim.start()
+    // kill it MID-WRITE: wait for an uncommitted reservation whose data
+    // dir already holds files (so the reaper has real orphans to fence
+    // and delete), not merely for landed commits
+    val commitsBefore = tbl.timeline.instants().size
+    val killDeadline = System.currentTimeMillis() + 300000L
+    def midWriteInstant(): Option[String] =
+      tbl.timeline.inflightReservations().keySet.find { i =>
+        val d = new java.io.File(s"$path/data/$i")
+        d.isDirectory && d.listFiles != null &&
+          d.listFiles.exists(_.getName.endsWith(".parquet"))
+      }
+    var killedAt: Option[String] = None
+    while (killedAt.isEmpty && System.currentTimeMillis() < killDeadline) {
+      if (tbl.timeline.instants().size >= commitsBefore + 2) {
+        killedAt = midWriteInstant()
+        if (killedAt.isDefined) { victim.destroyForcibly(); () }
+      }
+      if (killedAt.isEmpty) Thread.sleep(20L)
+    }
+    require(killedAt.isDefined, "never caught the victim mid-write")
+    victim.waitFor()
+    val nAfterKill = tbl.read().count()
+    require(nAfterKill == nOrders, s"kill corrupted the table: $nAfterKill rows")
+    require(tbl.pointLookup(Seq(1L)).count() == 1, "kill broke point lookups")
+    // fence + reap: the dead writer's reservation ages past the grace
+    // period, gets tombstoned, and its uncommitted files are deleted
+    Thread.sleep(2500L)
+    val reaped = tbl.cleanOrphans(olderThanMs = 2000L)
+    val inflightLeft = tbl.timeline.inflightReservations().size
+    require(inflightLeft == 0,
+      s"$inflightLeft stale reservations survived the reaper")
+    // the table moves on: a fresh writer lands normally
+    tbl.upsert(orders.filter(col("o_orderkey") === 3L)
+      .withColumn("o_orderstatus", lit("AFTER-KILL")))
+    require(tbl.read().count() == nOrders, "post-kill upsert drifted the count")
+    require(tbl.read().filter(col("o_orderstatus") === "AFTER-KILL").count() == 1)
+
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val out =
       s"""{"writers":$writers,"commits":${writers * perWriter},"wall_s":${f2(wallS)},""" +
       s""""commits_per_s":${f2(writers * perWriter / wallS)},""" +
       s""""reader_probes":$probes,"reader_anomalies":$anomalies,""" +
       s""""parent_lease_retries":$parentLease,"child_exits":[${exitCodes.mkString(",")}],""" +
+      s""""kill":{"orphans_reaped":$reaped,"stale_reservations_left":$inflightLeft,""" +
+      s""""post_kill_exact":true},""" +
       s""""correct":true,"note":"N real child JVMs (own SparkSessions) sharing one table: """ +
       s"""exercises the cross-process reservation createExclusive, the .commit.lock lease, """ +
       s"""and rename-fenced commits that the same-JVM storms never reach (the per-table JVM """ +
       s"""lock serializes them first). Hard gate: exact per-slice tags, unchanged count, """ +
-      s"""zero reader anomalies."}"""
+      s"""zero reader anomalies. The kill scenario destroyForcibly()s a child mid-write, """ +
+      s"""then requires an exact table, reaper fencing of the dead reservation, orphan """ +
+      s"""cleanup, and a normal next write."}"""
     println(s"[multiproc] $out")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
     catch { case e: Exception => System.err.println(s"[multiproc] FAILED to write $outPath: $e") }
