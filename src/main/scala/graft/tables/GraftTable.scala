@@ -286,16 +286,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * add-column write would install, just ahead of any data. Metadata-only:
     * no file is read or rewritten at any table size. */
   def addColumns(newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
-    val existing = TableProperties.loadSchema(spark, cfg.path).getOrElse(
-      throw new IllegalStateException(
-        s"table ${cfg.path} has no persisted schema yet; write data first"))
-    val dup = newCols.filter(f =>
-      existing.exists(_.name == f.name) || droppedCols.contains(f.name))
-    require(dup.isEmpty,
-      s"columns already exist (or were dropped): ${dup.map(_.name).mkString(", ")}")
-    TableProperties.saveSchema(spark, cfg.path,
-      org.apache.spark.sql.types.StructType(
-        existing.fields.toSeq ++ newCols.map(_.copy(nullable = true))))
+    // meta lock: this load-modify-save must not interleave with an
+    // ingest writer's schema union (or another DDL) — see withMetaLock
+    timeline.withMetaLock {
+      val existing = TableProperties.loadSchema(spark, cfg.path).getOrElse(
+        throw new IllegalStateException(
+          s"table ${cfg.path} has no persisted schema yet; write data first"))
+      val dup = newCols.filter(f =>
+        existing.exists(_.name == f.name) || droppedCols.contains(f.name))
+      require(dup.isEmpty,
+        s"columns already exist (or were dropped): ${dup.map(_.name).mkString(", ")}")
+      TableProperties.saveSchema(spark, cfg.path,
+        org.apache.spark.sql.types.StructType(
+          existing.fields.toSeq ++ newCols.map(_.copy(nullable = true))))
+    }
     invalidateReadSchema()
   }
 
@@ -310,10 +314,13 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     out.write(mapper.writeValueAsBytes(arr))
     out.close()
     droppedCache = Some(merged)
-    // keep the persisted streaming-source schema in sync
-    TableProperties.loadSchema(spark, cfg.path).foreach { sch =>
-      TableProperties.saveSchema(spark, cfg.path,
-        org.apache.spark.sql.types.StructType(sch.filterNot(f => merged.contains(f.name))))
+    // keep the persisted streaming-source schema in sync (meta lock: the
+    // load-filter-save must not interleave with an ingest writer's union)
+    timeline.withMetaLock {
+      TableProperties.loadSchema(spark, cfg.path).foreach { sch =>
+        TableProperties.saveSchema(spark, cfg.path,
+          org.apache.spark.sql.types.StructType(sch.filterNot(f => merged.contains(f.name))))
+      }
     }
     invalidateReadSchema()
   }
@@ -1142,15 +1149,21 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     if (savedSchemaJson != userSchema.json) {
       // ACCUMULATE the union of every written schema (latest type wins) so
       // readFiles' explicit schema covers older files after add-column
-      // evolution — a narrower later batch must not hide earlier columns
-      val merged = TableProperties.loadSchema(spark, cfg.path) match {
-        case Some(existing) =>
-          val updated = existing.fields.map(f => userSchema.find(_.name == f.name).getOrElse(f))
-          val extra = userSchema.filterNot(f => existing.exists(_.name == f.name))
-          org.apache.spark.sql.types.StructType((updated ++ extra).toSeq)
-        case None => userSchema
+      // evolution — a narrower later batch must not hide earlier columns.
+      // Under the META LOCK: load-merge-save is a read-modify-write, and
+      // two writers evolving DIFFERENT new columns concurrently would
+      // otherwise lose one column from schema.json while its data files
+      // already carry it — readers then hide it forever.
+      timeline.withMetaLock {
+        val merged = TableProperties.loadSchema(spark, cfg.path) match {
+          case Some(existing) =>
+            val updated = existing.fields.map(f => userSchema.find(_.name == f.name).getOrElse(f))
+            val extra = userSchema.filterNot(f => existing.exists(_.name == f.name))
+            org.apache.spark.sql.types.StructType((updated ++ extra).toSeq)
+          case None => userSchema
+        }
+        TableProperties.saveSchema(spark, cfg.path, merged)
       }
-      TableProperties.saveSchema(spark, cfg.path, merged)
       savedSchemaJson = userSchema.json
       invalidateReadSchema()
     }

@@ -397,6 +397,18 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     withCommitFileLock() { commitLocked(c) }
   }
 
+  /** Runs `body` under the table's JVM monitor AND the cross-process
+    * commit file lock — for metadata read-modify-writes that must not
+    * interleave with each other or with commits. The schema.json union
+    * is the canonical user: two writers evolving DIFFERENT new columns
+    * both do load-merge-save, and unlocked, the second save silently
+    * drops the first writer's column while its data files already carry
+    * it — readers then hide the column forever (readFiles reads with the
+    * explicit persisted schema). Cheap because callers only take it when
+    * the schema actually changes. */
+  def withMetaLock[T](body: => T): T =
+    Timeline.commitLock(fs, tableDir).synchronized { withCommitFileLock()(body) }
+
   private def commitLocked(c: Commit): Unit = {
     // A tombstoned instant must never commit: the orphan reaper (or an
     // explicit abort) may have fenced this writer off as presumed-dead and

@@ -1838,6 +1838,51 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.dropIfExists()
   }
 
+  test("concurrent schema evolution: two writers' different new columns both survive") {
+    // schema.json maintenance is a load-merge-save; unlocked, two writers
+    // evolving DIFFERENT columns at once lose one column from the union
+    // while its data files already carry it — readers then hide it
+    // forever (readFiles reads with the explicit persisted schema). The
+    // meta lock serializes the merge with other merges and with commits.
+    val root = "/tmp/graft_spec/schema_race"
+    def handle() = GraftTable(spark, GraftTableConfig(root, "o_orderkey", "o_orderkey"))
+    val tbl = handle()
+    tbl.dropIfExists()
+    tbl.insert(orders.limit(200), numFiles = 2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = Seq("alpha", "beta").zipWithIndex.map { case (cName, i) =>
+      new Thread(() => {
+        try {
+          val mine = handle()
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try {
+              // disjoint keys: the columns must coexist in the FINAL rows,
+              // not just in whichever writer's version won a shared key
+              mine.upsert(orders.filter(col("o_orderkey") % 2 === i).limit(50)
+                .withColumn(s"extra_$cName", lit(i).cast("long")))
+              done = true
+            } catch {
+              case _: CommitConflictException | _: LockTimeoutException
+                  if attempts < 30 =>
+                attempts += 1; Thread.sleep(50L)
+            }
+          }
+        } catch { case t: Throwable => errs.add(t); () }
+      }, s"schema-writer-$cName")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"schema-evolving writer died: ${errs.peek()}")
+    val cols = tbl.read().columns.toSet
+    assert(cols.contains("extra_alpha") && cols.contains("extra_beta"),
+      s"a concurrently-evolved column was lost from the union schema: $cols")
+    // every file reads under the union: rows lacking a column get nulls
+    assert(tbl.read().filter(col("extra_alpha").isNotNull).count() == 50)
+    assert(tbl.read().filter(col("extra_beta").isNotNull).count() == 50)
+    tbl.dropIfExists()
+  }
+
   test("OCC storm: concurrent writers + reader + index folds, no lost or phantom rows") {
     // CI-sized ConcurrencyStress: 2 writers x 4 commits of globally
     // disjoint mod-101 slices on shared FILES (first-committer-wins +
