@@ -306,17 +306,21 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   def dropColumns(colsToDrop: Seq[String]): Unit = {
     require(!colsToDrop.contains(cfg.keyField), "cannot drop the record key column")
     require(!colsToDrop.contains(cfg.precombineField), "cannot drop the precombine column")
-    val merged = (droppedCols ++ colsToDrop).distinct
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = mapper.createArrayNode()
-    merged.foreach(arr.add)
-    val out = fs.create(droppedPath, true)
-    out.write(mapper.writeValueAsBytes(arr))
-    out.close()
-    droppedCache = Some(merged)
-    // keep the persisted streaming-source schema in sync (meta lock: the
-    // load-filter-save must not interleave with an ingest writer's union)
+    // ONE meta-lock scope (never nest withMetaLock — the commit file lock
+    // is not reentrant) covering both read-modify-writes: the dropped
+    // list and the schema sync must not interleave with another handle's
+    // drop or an ingest writer's union
     timeline.withMetaLock {
+      droppedCache = None // fresh read under the lock: see cross-handle drops
+      val merged = (droppedCols ++ colsToDrop).distinct
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.createArrayNode()
+      merged.foreach(arr.add)
+      val out = fs.create(droppedPath, true)
+      out.write(mapper.writeValueAsBytes(arr))
+      out.close()
+      droppedCache = Some(merged)
+      // keep the persisted streaming-source schema in sync
       TableProperties.loadSchema(spark, cfg.path).foreach { sch =>
         TableProperties.saveSchema(spark, cfg.path,
           org.apache.spark.sql.types.StructType(sch.filterNot(f => merged.contains(f.name))))
@@ -875,11 +879,15 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * data. */
   def addPreCommitValidator(name: String, violationSql: String): Unit = {
     require(name.nonEmpty && violationSql.nonEmpty)
-    saveValidators(validators.filterNot(_._1 == name) :+ (name -> violationSql))
+    // meta lock: load-modify-save — two concurrent registrations would
+    // otherwise lose one (same class as the schema union race)
+    timeline.withMetaLock {
+      saveValidators(validators.filterNot(_._1 == name) :+ (name -> violationSql))
+    }
   }
 
   def dropPreCommitValidator(name: String): Unit =
-    saveValidators(validators.filterNot(_._1 == name))
+    timeline.withMetaLock { saveValidators(validators.filterNot(_._1 == name)) }
 
   /** Ops whose commits change table CONTENT and must be validated; layout
     * services are content-preserving by construction (asserted in specs). */

@@ -405,9 +405,19 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     * drops the first writer's column while its data files already carry
     * it — readers then hide the column forever (readFiles reads with the
     * explicit persisted schema). Cheap because callers only take it when
-    * the schema actually changes. */
+    * the schema actually changes. NEVER NEST these calls (and never call
+    * commit() inside one): the commit file lock is not reentrant — an
+    * inner acquire would wait out the holder's own healthy lease and
+    * throw LockTimeoutException. */
   def withMetaLock[T](body: => T): T =
-    Timeline.commitLock(fs, tableDir).synchronized { withCommitFileLock()(body) }
+    Timeline.commitLock(fs, tableDir).synchronized {
+      // metadata RMWs can legally run BEFORE the first write (a validator
+      // registered on an empty table): the lock file's parent must exist,
+      // or exclusive-create throws IOException on the missing dir — which
+      // reads as "lock held" and spins to a bogus LockTimeoutException
+      init()
+      withCommitFileLock()(body)
+    }
 
   private def commitLocked(c: Commit): Unit = {
     // A tombstoned instant must never commit: the orphan reaper (or an

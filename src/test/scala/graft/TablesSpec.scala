@@ -1838,6 +1838,28 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.dropIfExists()
   }
 
+  test("concurrent validator registrations: both survive the shared registry") {
+    // same read-modify-write class as the schema union: two concurrent
+    // addPreCommitValidator calls must not lose one registration
+    val tbl = freshTable("validator_race")
+    tbl.insert(orders.limit(100), numFiles = 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = Seq("no_nulls", "no_negatives").map { n =>
+      new Thread(() => {
+        try tbl.addPreCommitValidator(n,
+          s"SELECT 1 WHERE false -- $n")
+        catch { case t: Throwable => errs.add(t); () }
+      }, s"validator-$n")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"registration died: ${errs.peek()}")
+    val registered = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/tmp/graft_spec/validator_race/_graft/validators.json")), "UTF-8")
+    assert(registered.contains("no_nulls") && registered.contains("no_negatives"),
+      s"a concurrent registration was lost: $registered")
+    tbl.dropIfExists()
+  }
+
   test("concurrent schema evolution: two writers' different new columns both survive") {
     // schema.json maintenance is a load-merge-save; unlocked, two writers
     // evolving DIFFERENT columns at once lose one column from the union
