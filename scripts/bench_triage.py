@@ -11,17 +11,26 @@ Method:
   2. adjusted ratio = (curr/prev) / global factor;
   3. an op is FLAGGED when adjusted ratio > THRESH and the absolute
      delta > MIN_DELTA_S and neither a GC swing (gc_ms delta covering
-     most of the extra seconds) nor lease retries account for it.
+     most of the extra seconds) nor lease retries nor the machine-load
+     sentinel account for it. Sentinel attribution is FAMILY-LOCAL when
+     both epochs carry the r12+ `fam_*` boundary samples: an op is read
+     against the sentinel pair bracketing ITS OWN family (minutes away),
+     falling back to the global start/mid/end median otherwise — the r11
+     epoch's six open suspects were exactly a family-local load spike the
+     global sentinel bracketing could not see.
 
 Usage:
   python3 scripts/bench_triage.py PREV.json CURR.json
-  python3 scripts/bench_triage.py --git HEAD~1 [CURR.json]
+  python3 scripts/bench_triage.py --git HEAD~1 [CURR.json] [--embed]
     (PREV read as `git show <rev>:BENCH_SELF.json`; CURR defaults to the
-    working-copy BENCH_SELF.json)
+    working-copy BENCH_SELF.json). With --embed the triage result is also
+    written INTO CURR under a "triage" key — Bench calls this at battery
+    end so every epoch artifact arrives pre-attributed.
 
-Writes BENCH_TRIAGE.json beside BENCH_SELF.json.
+Writes BENCH_TRIAGE.json beside CURR.
 """
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -29,7 +38,17 @@ import sys
 THRESH = 1.25       # adjusted slowdown that earns a look
 MIN_DELTA_S = 0.5   # ignore sub-noise absolute swings
 GC_COVER = 0.5      # GC delta covering >= this share of the extra secs
-OUT = "/root/repo/BENCH_TRIAGE.json"
+SENT_TOL = 1.15     # sentinel ratio covering the op's adjusted ratio
+
+# keep in sync with Bench.scala's `families` (longest prefix wins)
+FAMILIES = [("tables", "t_"), ("query", "q"), ("dedup", "d_"),
+            ("text", "x_"), ("ann", "s_"), ("stream", "st_"),
+            ("media", "m_"), ("curation", "c_")]
+
+
+def family(op):
+    hits = [(name, p) for name, p in FAMILIES if op.startswith(p)]
+    return max(hits, key=lambda t: len(t[1]))[0] if hits else "other"
 
 
 def load(src):
@@ -38,32 +57,66 @@ def load(src):
     # pre-r8 files carry plain seconds, not {sec, gc_ms, lease_retries}
     ops = {o: (v if isinstance(v, dict) else {"sec": float(v)})
            for o, v in qs.items()}
-    # r11+ files carry a start/mid/end machine-load sentinel
+    # r11+ files carry a machine-load sentinel (r12+: per-family samples)
     return ops, doc.get("sentinel")
 
 
-def sentinel_factors(prev_s, curr_s):
-    """Median curr/prev ratio of the fixed sentinel micro-ops across the
-    start/mid/end samples — the machine-load swing measured by identical
-    code on both epochs. None when either epoch predates the sentinel."""
+def tag_ratio(prev_s, curr_s, tag):
+    """max(cpu, fs) curr/prev ratio of one sentinel sample shared by both
+    epochs — identical code, so the ratio is pure machine state."""
+    p, c = prev_s[tag], curr_s[tag]
+    return max(c["cpu_sec"] / max(p["cpu_sec"], 1e-3),
+               c["fs_sec"] / max(p["fs_sec"], 1e-3))
+
+
+def sentinel_model(prev_s, curr_s):
+    """Global medians + a family -> local-max-ratio map. Family-local
+    ratios use the two samples bracketing the family in battery order
+    (the tag dict preserves insertion = battery order); available only
+    when BOTH epochs carry the fam_* tags."""
     if not prev_s or not curr_s:
         return None
-    tags = sorted(set(prev_s) & set(curr_s))
-    if not tags:
+    shared = [t for t in curr_s if t in prev_s]  # battery order
+    if not shared:
         return None
-    return {
+    model = {
         "cpu": round(statistics.median(
-            curr_s[t]["cpu_sec"] / max(prev_s[t]["cpu_sec"], 1e-3) for t in tags), 3),
+            curr_s[t]["cpu_sec"] / max(prev_s[t]["cpu_sec"], 1e-3)
+            for t in shared), 3),
         "fs": round(statistics.median(
-            curr_s[t]["fs_sec"] / max(prev_s[t]["fs_sec"], 1e-3) for t in tags), 3),
-        "prev_loadavg": [prev_s[t].get("loadavg", "") for t in tags],
-        "curr_loadavg": [curr_s[t].get("loadavg", "") for t in tags],
+            curr_s[t]["fs_sec"] / max(prev_s[t]["fs_sec"], 1e-3)
+            for t in shared), 3),
+        "prev_loadavg": {t: prev_s[t].get("loadavg", "") for t in shared},
+        "curr_loadavg": {t: curr_s[t].get("loadavg", "") for t in shared},
     }
+    fam_local = {}
+    order = shared  # battery order (dict insertion order, both epochs)
+    if any(t.startswith("fam_") for t in order):
+        # brackets: family F spans from its boundary tag to the next
+        # shared sample after it. The battery runs families in sorted-key
+        # order (c_ < d_ < m_ < q < s_ < st_ < t_ < x_), so the first
+        # family — curation — has no fam_ boundary tag; its span starts
+        # at the "start" sample. A family whose tag is missing from either
+        # epoch gets no local entry and falls back to the global median.
+        for name, _p in FAMILIES:
+            tag = "start" if name == "curation" else f"fam_{name}"
+            if tag not in order:
+                continue
+            i = order.index(tag)
+            bracket = [tag] + order[i + 1:i + 2]
+            fam_local[name] = round(
+                max(tag_ratio(prev_s, curr_s, t) for t in bracket), 3)
+    if fam_local:
+        model["family_local"] = fam_local
+    return model
 
 
 def main():
     args = sys.argv[1:]
-    note = None
+    note, embed = None, False
+    if "--embed" in args:
+        embed = True
+        args.remove("--embed")
     if "--note" in args:
         i = args.index("--note")
         note = args[i + 1]
@@ -72,10 +125,11 @@ def main():
     if args and args[0] == "--git":
         rev = args[1]
         prev_id = rev
+        curr_path = args[2] if len(args) > 2 else "BENCH_SELF.json"
+        repo_dir = os.path.dirname(os.path.abspath(curr_path)) or "."
         prev, prev_sent = load(subprocess.run(
             ["git", "show", f"{rev}:BENCH_SELF.json"], capture_output=True,
-            text=True, cwd="/root/repo", check=True).stdout)
-        curr_path = args[2] if len(args) > 2 else "/root/repo/BENCH_SELF.json"
+            text=True, cwd=repo_dir, check=True).stdout)
     elif len(args) == 2:
         prev_id = args[0]
         prev, prev_sent = load(open(args[0]).read())
@@ -83,7 +137,9 @@ def main():
     else:
         sys.exit(__doc__)
     curr, curr_sent = load(open(curr_path).read())
-    sent = sentinel_factors(prev_sent, curr_sent)
+    sent = sentinel_model(prev_sent, curr_sent)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(curr_path)), "BENCH_TRIAGE.json")
 
     shared = sorted(set(prev) & set(curr))
     if not shared:
@@ -104,17 +160,25 @@ def main():
                "adj_ratio": round(adj, 2), "extra_s": round(delta_s, 2),
                "gc_delta_s": round(gc_delta_s, 2),
                "lease_retry_delta": lease_delta}
+        local = (sent or {}).get("family_local", {}).get(family(o))
+        sent_ratio = local if local is not None else (
+            max(sent["cpu"], sent["fs"]) if sent else None)
         if gc_delta_s >= GC_COVER * delta_s:
             row["verdict"] = "explained: gc"
             explained.append(row)
         elif lease_delta > 0:
             row["verdict"] = "explained: lease retries"
             explained.append(row)
-        elif sent is not None and adj <= 1.15 * max(sent["cpu"], sent["fs"]) / factor:
+        elif sent_ratio is not None and adj <= SENT_TOL * sent_ratio / factor:
             # the sentinel (identical code both epochs) swelled at least as
             # much as this op did beyond the global factor: machine load,
-            # not code — the artifact-only attribution the sentinel exists for
-            row["verdict"] = "explained: machine load (sentinel)"
+            # not code — family-local sample when available, global median
+            # otherwise
+            row["verdict"] = ("explained: machine load (family sentinel)"
+                              if local is not None
+                              else "explained: machine load (sentinel)")
+            if local is not None:
+                row["family_sentinel_ratio"] = local
             explained.append(row)
         else:
             row["verdict"] = "suspect a code change"
@@ -126,10 +190,16 @@ def main():
               **({"note": note} if note else {}),
               "flagged": sorted(flagged, key=lambda r: -r["adj_ratio"]),
               "explained_by_load": explained}
-    with open(OUT, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
-    print(f"wrote {OUT}: factor x{factor:.3f} over {len(shared)} ops; "
-          f"{len(flagged)} suspect, {len(explained)} load-explained")
+    if embed:
+        doc = json.load(open(curr_path))
+        doc["triage"] = result
+        with open(curr_path, "w") as f:
+            json.dump(doc, f)
+    print(f"wrote {out_path}: factor x{factor:.3f} over {len(shared)} ops; "
+          f"{len(flagged)} suspect, {len(explained)} load-explained"
+          + ("; embedded into " + curr_path if embed else ""))
     for r in flagged:
         print(f"  SUSPECT {r['op']:24s} {r['prev_s']:.2f}s -> "
               f"{r['curr_s']:.2f}s (adj x{r['adj_ratio']})")

@@ -19,6 +19,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // FS-CALL ACCOUNTING: route every file:// call through the counting
+      // filesystem (functionally LocalFileSystem; each list/open/rename/…
+      // bumps a LongAdder). Per-op deltas land as `fs` in BENCH_SELF rows
+      // — on an object store these counts ARE the metadata bill, and the
+      // reference's Glue suite benchmarks exactly this. Fresh JVM, so the
+      // Hadoop FS cache holds no pre-registered plain LocalFileSystem.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.CountingLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -74,7 +82,8 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
-    final case class OpStat(sec: Double, gcMs: Long, leaseRetries: Long)
+    final case class OpStat(sec: Double, gcMs: Long, leaseRetries: Long,
+        fsCalls: Map[String, Long])
 
     // MACHINE-LOAD SENTINEL: a fixed pair of reference micro-ops — one
     // CPU/shuffle-bound, one FS/commit-shaped (small parquet write + read,
@@ -110,13 +119,34 @@ object Bench {
       sentinels(tag) = (c, f, la)
     }
 
+    val families = Seq(
+      "tables" -> "t_", "query" -> "q", "dedup" -> "d_", "text" -> "x_",
+      "ann" -> "s_", "stream" -> "st_", "media" -> "m_", "curation" -> "c_")
+    // longest-prefix wins so q* doesn't swallow nothing and st_/s_ resolve
+    def family(name: String): String =
+      families.filter { case (_, p) => name.startsWith(p) }
+        .sortBy(-_._2.length).headOption.map(_._1).getOrElse("other")
+
     snapSentinel("start")
     val allOps = SparkEntry.queries.toSeq.sortBy(_._1)
     val mid = allOps.size / 2
+    var prevFamily = allOps.headOption.map(t => family(t._1)).getOrElse("")
     val results = allOps.zipWithIndex.map { case ((name, fn), idx) =>
+      // FAMILY-BOUNDARY sentinel: the r11 driver epoch's six unexplained
+      // suspects clustered in two families while the whole-battery
+      // start/mid/end sentinel missed the load spike that hit exactly
+      // those minutes. One extra sample per family boundary (~7 for the
+      // 8-family battery) lets bench_triage attribute a FAMILY-LOCAL
+      // swing from the artifact alone: each op is bracketed by the
+      // sentinel that ran minutes, not hundreds of seconds, away.
+      if (family(name) != prevFamily) {
+        snapSentinel(s"fam_${family(name)}")
+        prevFamily = family(name)
+      }
       if (idx == mid) snapSentinel("mid")
       val gc0 = gcMillis
       val lr0 = graft.tables.Timeline.lockRetries.get()
+      val fs0 = graft.sources.FsCalls.snapshot()
       val t0 = System.nanoTime()
       // Consume via the query's OWN physical plan (toRdd), not .count():
       // under count() Catalyst legally eliminates count-invariant suffixes
@@ -130,7 +160,8 @@ object Bench {
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       val stat = OpStat(dt, gcMillis - gc0,
-        graft.tables.Timeline.lockRetries.get() - lr0)
+        graft.tables.Timeline.lockRetries.get() - lr0,
+        graft.sources.FsCalls.delta(fs0))
       // untimed inter-query cleanup: queries are independent, so blocks a
       // query cached (or localCheckpointed) must not squeeze the next one's
       // execution memory — the GC lets the ContextCleaner drop orphaned
@@ -174,8 +205,10 @@ object Bench {
     // commit-lock contention; a swollen fs/cpu sentinel is machine load;
     // none of those = code.
     val detail = results.map { case (k, v) =>
+      val fsJson = v.fsCalls.toSeq.sortBy(_._1)
+        .map { case (op, n) => "\"" + op + "\":" + n }.mkString("{", ",", "}")
       "\"" + k + "\":{\"sec\":" + f3(v.sec) + ",\"gc_ms\":" + v.gcMs +
-        ",\"lease_retries\":" + v.leaseRetries + "}"
+        ",\"lease_retries\":" + v.leaseRetries + ",\"fs\":" + fsJson + "}"
     }.mkString("{", ",", "}")
     val sentinelJson = sentinels.map { case (tag, (c, f, la)) =>
       "\"" + tag + "\":{\"cpu_sec\":" + f3(c) + ",\"fs_sec\":" + f3(f) +
@@ -184,13 +217,28 @@ object Bench {
     val selfLine =
       s"""{"queries":$detail,"sentinel":$sentinelJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${f3(total)}}"""
     writeArtifact("BENCH_SELF.json", selfLine)
-    val families = Seq(
-      "tables" -> "t_", "query" -> "q", "dedup" -> "d_", "text" -> "x_",
-      "ann" -> "s_", "stream" -> "st_", "media" -> "m_", "curation" -> "c_")
-    // longest-prefix wins so q* doesn't swallow nothing and st_/s_ resolve
-    def family(name: String): String =
-      families.filter { case (_, p) => name.startsWith(p) }
-        .sortBy(-_._2.length).headOption.map(_._1).getOrElse("other")
+    // battery-embedded triage: compare this epoch against the COMMITTED
+    // one (git show HEAD:BENCH_SELF.json) and write the attribution into
+    // the artifact itself — a driver-run epoch then arrives pre-attributed
+    // (global factor, per-family sentinel ratios, flagged vs explained
+    // rows) instead of opening the next round with unattributed swings.
+    // Best-effort: a checkout without git/python or without a committed
+    // epoch logs and moves on; the epoch data above is already on disk.
+    try {
+      val pb = new ProcessBuilder("python3", "scripts/bench_triage.py",
+        "--git", "HEAD", "BENCH_SELF.json", "--embed")
+      pb.directory(new java.io.File(artifactDir))
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val done = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); () }
+      System.err.println(s"[bench] triage embed (exit ${
+        if (done) p.exitValue() else "timeout"}): ${out.trim.takeRight(400)}")
+    } catch {
+      case e: Exception => System.err.println(s"[bench] triage embed skipped: $e")
+    }
     val byFam = results.groupBy { case (k, _) => family(k) }
     val famJson = families.map(_._1).filter(byFam.contains).map { f =>
       val vs = byFam(f).map(_._2.sec)

@@ -1209,39 +1209,25 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
     // per-file key-range stats for upsert/lookup pruning, harvested from
     // the parquet FOOTERS the write just produced — no data is re-read.
-    // Harvested in PARALLEL: the reads are independent, IO-bound, and a
-    // sequential loop was the dominant insert cost at high file counts
-    // (the 10k-file sweep measured ~16 ms/footer — 163 s inserts, almost
-    // all of it this loop). Driver threads suffice; on a cluster the same
-    // map would run on executors.
+    // Two tiers by file count: a SMALL commit harvests on driver threads
+    // (the reads are independent and IO-bound; a sequential loop was the
+    // dominant insert cost at high file counts — the 10k-file sweep
+    // measured ~16 ms/footer, 163 s inserts, almost all of it this loop),
+    // while a commit above the threshold harvests in a SPARK JOB: at a
+    // 100 TB bulk load adding 1e5-1e6 files, even a pooled driver loop is
+    // the commit's bottleneck and its last O(#files) driver-side work.
+    // The stats are per-file and the merge is associative, so the job is
+    // a plain map + collect of #files small FileMeta rows.
     val it = fs.listFiles(new Path(dir), true)
     val files = scala.collection.mutable.ArrayBuffer.empty[Path]
     while (it.hasNext) {
       val f = it.next()
       if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
     }
-    import scala.collection.parallel.CollectionConverters._
-    val parFiles = files.par
-    // dedicated bounded pool — never the JVM-global one the executors and
-    // other libraries share (see GraftTable.footerHarvestPool)
-    parFiles.tasksupport = GraftTable.footerHarvestPool
-    parFiles.flatMap { p =>
-      footerKeyStats(p) match {
-        case None => // empty part file (no row groups): drop it, not a data file
-          fs.delete(p, false)
-          None
-        case Some((mn, mx, rows, cs)) =>
-          // Path.toUri handles spaces etc. without a lossy string round-trip
-          val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
-          val segs = rel.split("/").filter(_.contains("="))
-          val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "="))
-            .map(_.stripPrefix("_gp_")).mkString("/")
-          val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
-            .map(_.split("=")(1).toInt).getOrElse(0)
-          Some(FileMeta(rel, partition, bucket, mn, mx, rows, cs,
-            bucketMod = cfg.numBuckets))
-      }
-    }.seq.sortBy(_.path).toSeq // deterministic commit order under par harvest
+    GraftTable.harvestFileMetas(spark, files.toSeq, cfg.keyField,
+        cfg.statsCols.toSet, rootStr, cfg.numBuckets,
+        GraftTable.footerHarvestDriverMax(spark))
+      .sortBy(_.path) // deterministic commit order under par harvest
   }
 
   /** Reserve an instant and run `body` with it. On ANY failure after the
@@ -1583,7 +1569,13 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       // adopt phases are driver-side renames (ms): a short pause usually
       // outlives the race without ceding the lookup to the fallback path
       if (i < attempts)
-        try Thread.sleep(50L * i) catch { case _: InterruptedException => return None }
+        try Thread.sleep(50L * i) catch {
+          case _: InterruptedException =>
+            // re-assert the flag so a shutdown/stop aimed at this thread
+            // isn't silently swallowed by the guard's retry pause
+            Thread.currentThread().interrupt()
+            return None
+        }
     }
     None
   }
@@ -1609,10 +1601,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     *      instant). A dir is protected while its instant holds a live
     *      .inflight reservation; it becomes consumable at the next fold,
     *      after its commit lands (kept) or its crashed writer is fenced
-    *      (correctly liveness-dropped). Listing the reservations BEFORE
-    *      the sources keeps the race closed: a dir that commits in
-    *      between is consumable, and the fold's later liveness list
-    *      already sees its commit. */
+    *      (correctly liveness-dropped). Listing the SOURCES first and the
+    *      reservations after keeps the race closed: any dir visible in
+    *      the source listing provably reserved its instant EARLIER, so by
+    *      reservation-snapshot time that reservation is either still
+    *      inflight (dir protected) or resolved — committed (the fold's
+    *      later liveness list sees the commit) or fenced (correctly
+    *      liveness-dropped). The other order leaves a hole: a writer that
+    *      reserves after the reservation snapshot but whose index dir
+    *      lands before the source listing would be consumed mid-flight
+    *      and its commit would land permanently unindexed. */
   private def foldSources(root: Path, mergedName: String,
       full: Boolean): Option[Array[Path]] = {
     if (!full && !fs.listStatus(root).exists(s =>
@@ -1622,10 +1620,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
     if (fs.exists(new Path(root, mergedName))) writeFoldMarker(root)
     recoverLeftoverMerged(new Path(root, mergedName))
-    val inflight = timeline.inflightReservations().keySet
-    val old = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    val listed = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName == mergedName)
-      .filterNot(d => inflight.contains(d.getName))
+    val inflight = timeline.inflightReservations().keySet
+    val old = listed.filterNot(d => inflight.contains(d.getName))
     // re-running with no new commits is a no-op; stable state (any
     // recovery rename above has completed), so lookups resume the index
     if (old.length <= 1 && !(full && old.length == 1)) {
@@ -1857,26 +1855,47 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
   }
 
   /** Row count of the COMMITTED parquet under the dirs from footers alone
-    * (driver-side, parallel on the bounded harvest pool — the same cost
-    * profile as the commit-time stats harvest; no data read, no Spark
-    * job). Feeds the incremental folds' dead-weight escalation check. */
+    * — no data read. Small dir sets (the common fold-time shape: one
+    * merged base of O(#buckets) files) count on the bounded driver pool;
+    * above the harvest threshold the count runs as a Spark job with
+    * map-side partial sums, the same two-tier rule as the commit-time
+    * stats harvest. Feeds the incremental folds' dead-weight escalation
+    * check. */
   private def committedParquetRows(dirs: Seq[Path]): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.collection.parallel.CollectionConverters._
     val files = visibleParquetFiles(dirs)
     if (files.isEmpty) return 0L
-    val pc = files.par
-    pc.tasksupport = GraftTable.footerHarvestPool
-    pc.map { p =>
-      val r = ParquetFileReader.open(
-        HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
-      try {
-        var n = 0L
-        r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
-        n
-      } finally r.close()
-    }.sum
+    if (files.size <= GraftTable.footerHarvestDriverMax(spark)) {
+      import scala.collection.parallel.CollectionConverters._
+      val pc = files.par
+      pc.tasksupport = GraftTable.footerHarvestPool
+      pc.map { p =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
+        try {
+          var n = 0L
+          r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+          n
+        } finally r.close()
+      }.sum
+    } else {
+      val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val slices = math.min(files.size,
+        math.max(spark.sparkContext.defaultParallelism * 4, 32))
+      spark.sparkContext.parallelize(files.map(_.toString), slices)
+        .mapPartitions { ps =>
+          val conf = sconf.value
+          var n = 0L
+          ps.foreach { s =>
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new Path(s), conf))
+            try r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+            finally r.close()
+          }
+          Iterator.single(n)
+        }.fold(0L)(_ + _)
+    }
   }
 
   /** Fold per-commit secondary-index dirs for `column` into ONE merged
@@ -2017,144 +2036,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     old.length
   }
 
-  /** (minKey, maxKey, rowCount, colStats) of one data file from its parquet
-    * footer — None for an empty file (no row groups); keys normalized to the
-    * padded-string form used for pruning. `colStats` covers cfg.statsCols
-    * (data skipping): numeric columns as double bounds, strings lexically;
-    * unsupported types or all-null chunks record no stat (file is kept by
-    * every skip check). */
-  private def footerKeyStats(p: Path): Option[(String, String, Long, Map[String, ColStat])] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
-    try {
-      val blocks = reader.getFooter.getBlocks
-      var rows = 0L
-      var mn: String = null
-      var mx: String = null
-      val wantStats = cfg.statsCols.toSet
-      // per stats col: (kind, min, max) merged across row groups; `poisoned`
-      // marks a column whose parquet type can't be harvested soundly or that
-      // has a statless chunk — no stat is recorded, so the file is kept by
-      // every skip check
-      val colAgg = scala.collection.mutable.LinkedHashMap.empty[String, (String, Any, Any)]
-      val poisoned = scala.collection.mutable.HashSet.empty[String]
-      blocks.forEach { b =>
-        rows += b.getRowCount
-        b.getColumns.forEach { c =>
-          val name = c.getPath.toDotString
-          if (name == cfg.keyField) {
-            val st = c.getStatistics
-            require(st != null && st.hasNonNullValue,
-              s"no key statistics in footer of $p — unsupported key type?")
-            val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
-              case (l: java.lang.Number, h: java.lang.Number)
-                  if !l.isInstanceOf[java.lang.Double] && !l.isInstanceOf[java.lang.Float] =>
-                // zero-padded string order == numeric order only for
-                // non-negative keys; reject violations at write time rather
-                // than silently mis-pruning later
-                require(l.longValue() >= 0,
-                  s"graft requires non-negative integral record keys; got ${l.longValue()} in $p")
-                (f"${l.longValue()}%020d", f"${h.longValue()}%020d")
-              case (l: org.apache.parquet.io.api.Binary, h: org.apache.parquet.io.api.Binary) =>
-                (l.toStringUsingUTF8, h.toStringUsingUTF8)
-              case (l, h) => (l.toString, h.toString)
-            }
-            if (mn == null || lo < mn) mn = lo
-            if (mx == null || hi > mx) mx = hi
-          }
-          if (wantStats(name) && !poisoned(name)) {
-            val st = c.getStatistics
-            // Gate on the column's parquet primitive+logical type: footer
-            // min/max only equal the user-facing value for plain signed
-            // ints/floats, UTF8 strings, DATE and TIMESTAMP. A DECIMAL
-            // backed by INT32/INT64 stores the UNSCALED value (12.34 →
-            // 1234); binary decimals/INT96 compare as raw bytes — harvesting
-            // those would silently prune files that DO contain matches.
-            val kindOpt = statKindOf(c.getPrimitiveType)
-            val bounds: Option[(String, Any, Any)] =
-              if (st == null || !st.hasNonNullValue || kindOpt.isEmpty) None
-              else {
-                val kind = kindOpt.get
-                (st.genericGetMin, st.genericGetMax) match {
-                  case (l: java.lang.Number, h: java.lang.Number) if kind != ColStat.Lex =>
-                    val scale = tsScaleOf(c.getPrimitiveType) // 1.0 except TIMESTAMP
-                    Some((kind, l.doubleValue() * scale, h.doubleValue() * scale))
-                  case (l: org.apache.parquet.io.api.Binary,
-                        h: org.apache.parquet.io.api.Binary) if kind == ColStat.Lex =>
-                    Some((kind, l.toStringUsingUTF8, h.toStringUsingUTF8))
-                  case _ => None
-                }
-              }
-            bounds match {
-              case None => poisoned += name; colAgg.remove(name)
-              case Some((kind, lo, hi)) => colAgg.get(name) match {
-                case None => colAgg(name) = (kind, lo, hi)
-                case Some((k0, l0, h0)) if k0 == kind =>
-                  val isNum = kind != ColStat.Lex
-                  val lo2 = if (isNum) math.min(l0.asInstanceOf[Double], lo.asInstanceOf[Double])
-                    else Seq(l0.toString, lo.toString).min
-                  val hi2 = if (isNum) math.max(h0.asInstanceOf[Double], hi.asInstanceOf[Double])
-                    else Seq(h0.toString, hi.toString).max
-                  colAgg(name) = (k0, lo2, hi2)
-                case Some(_) => // kind drifted across row groups: unanswerable
-                  poisoned += name; colAgg.remove(name)
-              }
-            }
-          }
-        }
-      }
-      if (rows == 0) None
-      else {
-        require(mn != null, s"key column ${cfg.keyField} not found in footer of $p")
-        val cs = colAgg.map { case (c, (kind, lo, hi)) =>
-          c -> ColStat(kind, lo.toString, hi.toString)
-        }.toMap
-        Some((mn, mx, rows, cs))
-      }
-    } finally reader.close()
-  }
-
-  /** The ColStat kind a parquet column can be harvested as, or None when no
-    * sound interpretation of its footer min/max exists (DECIMAL, unsigned
-    * ints, INT96, FIXED, enums, …) — those columns are poisoned per-file. */
-  private def statKindOf(pt: org.apache.parquet.schema.PrimitiveType): Option[String] = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val logical = pt.getLogicalTypeAnnotation
-    pt.getPrimitiveTypeName match {
-      case FLOAT | DOUBLE => Some(ColStat.Num)
-      case INT32 | INT64 => logical match {
-        case null => Some(ColStat.Num)
-        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned =>
-          Some(ColStat.Num) // INT(8/16/32/64, signed): value == intValue
-        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some(ColStat.Date)
-        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(ColStat.Ts)
-        case _ => None // DECIMAL (unscaled!), unsigned, TIME, …
-      }
-      case BINARY => logical match {
-        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some(ColStat.Lex)
-        case _ => None // binary decimals, raw bytes: lexical order is wrong
-      }
-      case _ => None // INT96, FIXED_LEN_BYTE_ARRAY, BOOLEAN
-    }
-  }
-
-  /** Multiplier normalizing a TIMESTAMP column's footer values to epoch
-    * micros (MILLIS → ×1000, NANOS → ÷1000); 1.0 for everything else. */
-  private def tsScaleOf(pt: org.apache.parquet.schema.PrimitiveType): Double = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-    pt.getLogicalTypeAnnotation match {
-      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
-        case TimeUnit.MILLIS => 1000.0
-        case TimeUnit.MICROS => 1.0
-        case TimeUnit.NANOS => 0.001
-      }
-      case _ => 1.0
-    }
-  }
+  /** Instance form of [[GraftTable.footerKeyStatsOf]] bound to this
+    * table's key/stats config — the driver-side call sites. */
+  private def footerKeyStats(p: Path): Option[(String, String, Long, Map[String, ColStat])] =
+    GraftTable.footerKeyStatsOf(p, spark.sparkContext.hadoopConfiguration,
+      cfg.keyField, cfg.statsCols.toSet)
 
   private def writeCdc(df: DataFrame, instant: String): Unit =
     if (cfg.writeChangelog) {
@@ -3033,10 +2919,18 @@ object GraftTable {
   /** The exception shapes of a read torn by concurrent index/file-layout
     * mutation (a dir deleted between listing and scan, a path gone at
     * resolution, schema inference over an emptied dir) — the retryable
-    * class every index-read retry loop shares. */
+    * class every index-read retry loop shares. AnalysisException is NOT
+    * blanket-retryable: only its path-shaped conditions (path vanished at
+    * resolution, schema inference over a dir a fold just emptied) are torn
+    * reads; anything else (corrupt index schema, a bad expression-index
+    * exprSql after a column change) is a genuine analysis error that must
+    * propagate, not silently degrade every lookup to the fallback path. */
   private[tables] def isTornRead(e: Throwable): Boolean = e match {
     case _: java.io.FileNotFoundException => true
-    case _: org.apache.spark.sql.AnalysisException => true
+    case ae: org.apache.spark.sql.AnalysisException =>
+      val cond = Option(ae.getCondition).getOrElse("")
+      cond == "PATH_NOT_FOUND" || cond == "UNABLE_TO_INFER_SCHEMA" ||
+        causedByFnf(ae)
     case se: org.apache.spark.SparkException => causedByFnf(se)
     case _ => false
   }
@@ -3092,5 +2986,242 @@ object GraftTable {
     val decoded = if (p == null || p.isEmpty) absFileName else p
     if (decoded.startsWith(rootStr + "/")) decoded.stripPrefix(rootStr).stripPrefix("/")
     else "ext:" + decoded // bootstrapped external file
+  }
+
+  /** Default ceiling for DRIVER-side commit-time footer harvesting; above
+    * it the harvest runs as a Spark job (see the call sites). Overridable
+    * via `spark.graft.footerHarvest.driverMaxFiles` — tests use a tiny
+    * value to exercise the executor path at sandbox scale. */
+  private[tables] val FooterHarvestDriverMaxDefault = 1024
+
+  private[tables] def footerHarvestDriverMax(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.footerHarvest.driverMaxFiles")
+      .map(_.toInt).getOrElse(FooterHarvestDriverMaxDefault)
+
+  /** The commit-time footer→[[FileMeta]] harvest, two-tiered by file
+    * count. At or under `driverMax` files it runs on the bounded driver
+    * pool (the reads are independent and IO-bound; for the small commits
+    * that dominate steady-state ingest a Spark job's scheduling latency
+    * would dwarf the work). ABOVE the threshold it runs as a Spark job —
+    * at a 100 TB bulk load adding 1e5-1e6 files, a driver loop (even a
+    * pooled one) is the commit's bottleneck and its last O(#files)
+    * driver-side work; the stats are per-file, so the job is a plain map
+    * + collect of #files small rows, and the driver's own wall share
+    * stays flat in #files. Empty part files (no row groups) are deleted,
+    * not recorded. `private[graft]` so the scale-stress tools can time
+    * both tiers on identical inputs. */
+  private[graft] def harvestFileMetas(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[Path], keyField: String, statsCols: Set[String],
+      rootStr: String, numBuckets: Int, driverMax: Int): Seq[FileMeta] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (files.size <= driverMax) {
+      import scala.collection.parallel.CollectionConverters._
+      val parFiles = files.par
+      // dedicated bounded pool — never the JVM-global one the executors
+      // and other libraries share (see GraftTable.footerHarvestPool)
+      parFiles.tasksupport = footerHarvestPool
+      parFiles.flatMap { p =>
+        footerKeyStatsOf(p, hconf, keyField, statsCols) match {
+          case None => // empty part file (no row groups): drop it, not a data file
+            p.getFileSystem(hconf).delete(p, false)
+            None
+          case Some((mn, mx, rows, cs)) =>
+            Some(fileMetaOf(p, rootStr, numBuckets, mn, mx, rows, cs))
+        }
+      }.seq.toSeq
+    } else {
+      val sconf = new SerializableHadoopConf(hconf)
+      val slices = math.min(files.size,
+        math.max(spark.sparkContext.defaultParallelism * 4, 32))
+      spark.sparkContext.parallelize(files.map(_.toString), slices)
+        .mapPartitions { ps =>
+          val conf = sconf.value
+          ps.flatMap { s =>
+            val p = new Path(s)
+            footerKeyStatsOf(p, conf, keyField, statsCols) match {
+              case None => // empty part file: drop it, not a data file
+                p.getFileSystem(conf).delete(p, false)
+                None
+              case Some((mn, mx, rows, cs)) =>
+                Some(fileMetaOf(p, rootStr, numBuckets, mn, mx, rows, cs))
+            }
+          }
+        }.collect().toSeq
+    }
+  }
+
+  /** (minKey, maxKey, rowCount, colStats) of one data file from its parquet
+    * footer — None for an empty file (no row groups); keys normalized to the
+    * padded-string form used for pruning. `colStats` covers `statsCols`
+    * (data skipping): numeric columns as double bounds, strings lexically;
+    * unsupported types or all-null chunks record no stat (file is kept by
+    * every skip check). */
+  private[tables] def footerKeyStatsOf(p: Path,
+      conf: org.apache.hadoop.conf.Configuration, keyField: String,
+      statsCols: Set[String]): Option[(String, String, Long, Map[String, ColStat])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var rows = 0L
+      var mn: String = null
+      var mx: String = null
+      val wantStats = statsCols
+      // per stats col: (kind, min, max) merged across row groups; `poisoned`
+      // marks a column whose parquet type can't be harvested soundly or that
+      // has a statless chunk — no stat is recorded, so the file is kept by
+      // every skip check
+      val colAgg = scala.collection.mutable.LinkedHashMap.empty[String, (String, Any, Any)]
+      val poisoned = scala.collection.mutable.HashSet.empty[String]
+      blocks.forEach { b =>
+        rows += b.getRowCount
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          if (name == keyField) {
+            val st = c.getStatistics
+            require(st != null && st.hasNonNullValue,
+              s"no key statistics in footer of $p — unsupported key type?")
+            val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+              case (l: java.lang.Number, h: java.lang.Number)
+                  if !l.isInstanceOf[java.lang.Double] && !l.isInstanceOf[java.lang.Float] =>
+                // zero-padded string order == numeric order only for
+                // non-negative keys; reject violations at write time rather
+                // than silently mis-pruning later
+                require(l.longValue() >= 0,
+                  s"graft requires non-negative integral record keys; got ${l.longValue()} in $p")
+                (f"${l.longValue()}%020d", f"${h.longValue()}%020d")
+              case (l: org.apache.parquet.io.api.Binary, h: org.apache.parquet.io.api.Binary) =>
+                (l.toStringUsingUTF8, h.toStringUsingUTF8)
+              case (l, h) => (l.toString, h.toString)
+            }
+            if (mn == null || lo < mn) mn = lo
+            if (mx == null || hi > mx) mx = hi
+          }
+          if (wantStats(name) && !poisoned(name)) {
+            val st = c.getStatistics
+            // Gate on the column's parquet primitive+logical type: footer
+            // min/max only equal the user-facing value for plain signed
+            // ints/floats, UTF8 strings, DATE and TIMESTAMP. A DECIMAL
+            // backed by INT32/INT64 stores the UNSCALED value (12.34 →
+            // 1234); binary decimals/INT96 compare as raw bytes — harvesting
+            // those would silently prune files that DO contain matches.
+            val kindOpt = statKindOf(c.getPrimitiveType)
+            val bounds: Option[(String, Any, Any)] =
+              if (st == null || !st.hasNonNullValue || kindOpt.isEmpty) None
+              else {
+                val kind = kindOpt.get
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (l: java.lang.Number, h: java.lang.Number) if kind != ColStat.Lex =>
+                    val scale = tsScaleOf(c.getPrimitiveType) // 1.0 except TIMESTAMP
+                    Some((kind, l.doubleValue() * scale, h.doubleValue() * scale))
+                  case (l: org.apache.parquet.io.api.Binary,
+                        h: org.apache.parquet.io.api.Binary) if kind == ColStat.Lex =>
+                    Some((kind, l.toStringUsingUTF8, h.toStringUsingUTF8))
+                  case _ => None
+                }
+              }
+            bounds match {
+              case None => poisoned += name; colAgg.remove(name)
+              case Some((kind, lo, hi)) => colAgg.get(name) match {
+                case None => colAgg(name) = (kind, lo, hi)
+                case Some((k0, l0, h0)) if k0 == kind =>
+                  val isNum = kind != ColStat.Lex
+                  val lo2 = if (isNum) math.min(l0.asInstanceOf[Double], lo.asInstanceOf[Double])
+                    else Seq(l0.toString, lo.toString).min
+                  val hi2 = if (isNum) math.max(h0.asInstanceOf[Double], hi.asInstanceOf[Double])
+                    else Seq(h0.toString, hi.toString).max
+                  colAgg(name) = (k0, lo2, hi2)
+                case Some(_) => // kind drifted across row groups: unanswerable
+                  poisoned += name; colAgg.remove(name)
+              }
+            }
+          }
+        }
+      }
+      if (rows == 0) None
+      else {
+        require(mn != null, s"key column $keyField not found in footer of $p")
+        val cs = colAgg.map { case (c, (kind, lo, hi)) =>
+          c -> ColStat(kind, lo.toString, hi.toString)
+        }.toMap
+        Some((mn, mx, rows, cs))
+      }
+    } finally reader.close()
+  }
+
+  /** The ColStat kind a parquet column can be harvested as, or None when no
+    * sound interpretation of its footer min/max exists (DECIMAL, unsigned
+    * ints, INT96, FIXED, enums, …) — those columns are poisoned per-file. */
+  private def statKindOf(pt: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val logical = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case FLOAT | DOUBLE => Some(ColStat.Num)
+      case INT32 | INT64 => logical match {
+        case null => Some(ColStat.Num)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned =>
+          Some(ColStat.Num) // INT(8/16/32/64, signed): value == intValue
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some(ColStat.Date)
+        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(ColStat.Ts)
+        case _ => None // DECIMAL (unscaled!), unsigned, TIME, …
+      }
+      case BINARY => logical match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some(ColStat.Lex)
+        case _ => None // binary decimals, raw bytes: lexical order is wrong
+      }
+      case _ => None // INT96, FIXED_LEN_BYTE_ARRAY, BOOLEAN
+    }
+  }
+
+  /** Multiplier normalizing a TIMESTAMP column's footer values to epoch
+    * micros (MILLIS → ×1000, NANOS → ÷1000); 1.0 for everything else. */
+  private def tsScaleOf(pt: org.apache.parquet.schema.PrimitiveType): Double = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    pt.getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
+        case TimeUnit.MILLIS => 1000.0
+        case TimeUnit.MICROS => 1.0
+        case TimeUnit.NANOS => 0.001
+      }
+      case _ => 1.0
+    }
+  }
+
+  /** Build one [[FileMeta]] from a harvested footer — pure and static, so
+    * the driver-pool and executor-job harvest paths share it exactly. */
+  private[tables] def fileMetaOf(p: Path, rootStr: String, numBuckets: Int,
+      mn: String, mx: String, rows: Long, cs: Map[String, ColStat]): FileMeta = {
+    // Path.toUri handles spaces etc. without a lossy string round-trip
+    val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+    val segs = rel.split("/").filter(_.contains("="))
+    val partition = segs.filterNot(_.startsWith(GraftMeta.Bucket + "="))
+      .map(_.stripPrefix("_gp_")).mkString("/")
+    val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
+      .map(_.split("=")(1).toInt).getOrElse(0)
+    FileMeta(rel, partition, bucket, mn, mx, rows, cs, bucketMod = numBuckets)
+  }
+
+}
+
+/** Java-serializable Hadoop `Configuration` carrier for executor-side
+  * filesystem/footer work (the Configuration class itself is Writable but
+  * not Serializable). Same shape as Spark's private[spark]
+  * SerializableConfiguration, reimplemented here because that class is not
+  * public API. */
+private[tables] final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }

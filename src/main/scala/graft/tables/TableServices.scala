@@ -87,12 +87,20 @@ object TableServices {
       table.spark.sparkContext.hadoopConfiguration)
     def dirCount(p: Path): Int =
       if (!fs.exists(p)) 0 else fs.listStatus(p).count(_.isDirectory)
+    // A leftover `_folding` marker (a fold crashed mid-mutation) degrades
+    // EVERY point/SI lookup to the unpruned fallback plus the guard's
+    // retry pauses until a fold clears it — and on a read-mostly table the
+    // dir count may never cross `maxDirs` again. So the marker itself is a
+    // fold trigger: the fold re-runs the crash recovery (or no-ops) and
+    // clears the marker either way, restoring index-pruned lookups.
+    def needsFold(p: Path): Boolean =
+      dirCount(p) > maxDirs || fs.exists(new Path(p, "_folding"))
     var consumed = 0
     if (table.cfg.recordIndexBuckets > 0 &&
-        dirCount(new Path(s"${table.cfg.path}/_graft/rli")) > maxDirs)
+        needsFold(new Path(s"${table.cfg.path}/_graft/rli")))
       consumed += table.compactRecordIndex()
     table.cfg.secondaryIndexCols.foreach { c =>
-      if (dirCount(new Path(s"${table.cfg.path}/_graft/si/$c")) > maxDirs)
+      if (needsFold(new Path(s"${table.cfg.path}/_graft/si/$c")))
         consumed += table.compactSecondaryIndex(c)
     }
     consumed

@@ -157,6 +157,88 @@ object MultiProcessStress {
     require(tbl.read().count() == nOrders, "post-kill upsert drifted the count")
     require(tbl.read().filter(col("o_orderstatus") === "AFTER-KILL").count() == 1)
 
+    // ---- SERVICES-ISOLATED arm: maintenance in its OWN process — a
+    // child JVM running ONLY AsyncServices (compaction + index folds) —
+    // while two FOREIGN writer processes append MOR deltas. This is the
+    // deployment shape the reference's async story implies (async
+    // compaction as a separate concern from ingest), and the one the
+    // same-JVM storms cannot reach: the fold marker, the in-flight-
+    // reservation source filter, and the commit lease have no shared JVM
+    // lock to hide behind here — rename visibility is real.
+    val morPath = "/tmp/graft_multiproc_stress/mor_table"
+    val morCfg = GraftTableConfig(morPath, "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 8, tableType = TableType.Mor)
+    val morTbl = GraftTable(spark, morCfg)
+    morTbl.dropIfExists()
+    morTbl.insert(orders, numFiles = 8)
+    val stopFile = "/tmp/graft_multiproc_stress/services.stop"
+    val svcOut = "/tmp/graft_multiproc_stress/services.json"
+    new java.io.File(stopFile).delete()
+    new java.io.File(svcOut).delete()
+    def spawn(cls: String, extra: Seq[String], log: String) = {
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g", "-cp",
+        s"$classesDir:/opt/spark/jars/*", cls) ++ extra).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(log))
+      pb.start()
+    }
+    val svcProc = spawn("graft.tools.MultiProcessServicesChild",
+      Seq(morPath, stopFile, svcOut),
+      "/tmp/graft_multiproc_stress/services.log")
+    val morWriters = 2
+    val morProcs = (0 until morWriters).map { w =>
+      spawn("graft.tools.MultiProcessWriterChild",
+        Seq(morPath, sfDir, w.toString, perWriter.toString, TableType.Mor),
+        s"/tmp/graft_multiproc_stress/mor-child-$w.log")
+    }
+    var morProbes = 0
+    var morAnomalies = 0
+    val morReader = GraftTable(spark, morCfg)
+    while (morProcs.exists(_.isAlive)) {
+      try {
+        if (morReader.read().count() != nOrders) morAnomalies += 1
+        if (morReader.pointLookup(Seq(1L)).count() != 1) morAnomalies += 1
+        morProbes += 1
+      } catch { case scala.util.control.NonFatal(_) => morAnomalies += 1 }
+      Thread.sleep(100L)
+    }
+    val morExits = morProcs.map(_.waitFor())
+    // give the services child a few more polls over the FINAL timeline
+    // (a last compaction/fold pass) before asking it to stop
+    Thread.sleep(1500L)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stopFile), "stop")
+    val svcExit = svcProc.waitFor()
+    require(morExits.forall(_ == 0),
+      s"MOR writers exited ${morExits.mkString(",")} — see mor-child-*.log")
+    require(svcExit == 0,
+      "services child failed (its close() rethrows service-thread errors) — see services.log")
+    val svcJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(svcOut))).trim
+    def svcCount(k: String): Int =
+      ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(svcJson)
+        .map(_.group(1).toInt).getOrElse(0)
+    require(svcCount("index_folds") > 0,
+      s"services child ran zero index folds: $svcJson")
+    val morGot = morTbl.read()
+    require(morGot.count() == nOrders,
+      "MOR row count drifted under the services-isolated storm")
+    (0 until morWriters).foreach { w =>
+      val slice = w * perWriter + (perWriter - 1)
+      val want = orders.filter(col("o_orderkey") % 101 === slice).count()
+      val tagged = morGot.filter(
+        col("o_orderstatus") === s"P$w-C${perWriter - 1}").count()
+      require(tagged == want,
+        s"lost update (services arm): process $w slice $slice has $tagged/$want rows")
+    }
+    require(morAnomalies == 0,
+      s"$morAnomalies reader anomalies during the services-isolated storm")
+    // point lookups stay exact through whatever index state the foreign
+    // process's folds left behind
+    require(morTbl.pointLookup(Seq(1L, 7L, 100L)).count() == 3,
+      "post-storm point lookup missed rows through the folded index")
+
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val out =
       s"""{"writers":$writers,"commits":${writers * perWriter},"wall_s":${f2(wallS)},""" +
@@ -165,27 +247,40 @@ object MultiProcessStress {
       s""""parent_lease_retries":$parentLease,"child_exits":[${exitCodes.mkString(",")}],""" +
       s""""kill":{"orphans_reaped":$reaped,"stale_reservations_left":$inflightLeft,""" +
       s""""post_kill_exact":true},""" +
+      s""""services_isolated":{"writers":$morWriters,"commits":${morWriters * perWriter},""" +
+      s""""reader_probes":$morProbes,"reader_anomalies":$morAnomalies,""" +
+      s""""services":$svcJson,"writer_exits":[${morExits.mkString(",")}],""" +
+      s""""services_exit":$svcExit,"correct":true},""" +
       s""""correct":true,"note":"N real child JVMs (own SparkSessions) sharing one table: """ +
       s"""exercises the cross-process reservation createExclusive, the .commit.lock lease, """ +
       s"""and rename-fenced commits that the same-JVM storms never reach (the per-table JVM """ +
       s"""lock serializes them first). Hard gate: exact per-slice tags, unchanged count, """ +
       s"""zero reader anomalies. The kill scenario destroyForcibly()s a child mid-write, """ +
       s"""then requires an exact table, reaper fencing of the dead reservation, orphan """ +
-      s"""cleanup, and a normal next write."}"""
+      s"""cleanup, and a normal next write. The services_isolated arm runs ONLY """ +
+      s"""AsyncServices (compaction + index folds) in its own child JVM against a MOR """ +
+      s"""table two foreign writer processes append to: cross-process rename visibility """ +
+      s"""for the fold-marker + lease protocol, gated on zero anomalies, exact slices, """ +
+      s"""exact point lookups, and index_folds > 0."}"""
     println(s"[multiproc] $out")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
     catch { case e: Exception => System.err.println(s"[multiproc] FAILED to write $outPath: $e") }
     tbl.dropIfExists()
+    morTbl.dropIfExists()
     spark.stop()
   }
 }
 
-/** Child-JVM entry: `<tablePath> <sfDir> <writerId> <commits>` — the
-  * standard retrying writer (conflicts and lease timeouts are the two
-  * transient faces of contention) over this process's disjoint slices. */
+/** Child-JVM entry: `<tablePath> <sfDir> <writerId> <commits> [tableType]`
+  * — the standard retrying writer (conflicts and lease timeouts are the
+  * two transient faces of contention) over this process's disjoint
+  * slices. `tableType` defaults to COW; the services-isolated arm passes
+  * `mor` so the writers append deltas the foreign services child
+  * compacts. */
 object MultiProcessWriterChild {
   def main(args: Array[String]): Unit = {
     val Array(path, sfDir, wStr, cStr) = args.take(4)
+    val tableType = args.lift(4).getOrElse(TableType.Cow)
     val (w, commits) = (wStr.toInt, cStr.toInt)
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -195,7 +290,8 @@ object MultiProcessWriterChild {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val tbl = GraftTable(spark, GraftTableConfig(
-      path, "o_orderkey", "o_orderkey", recordIndexBuckets = 8))
+      path, "o_orderkey", "o_orderkey", recordIndexBuckets = 8,
+      tableType = tableType))
     val orders = GraftSession.table(spark, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
@@ -215,6 +311,45 @@ object MultiProcessWriterChild {
       }
       println(s"[child-$w] commit $c done")
     }
+    spark.stop()
+  }
+}
+
+/** Child-JVM entry running ONLY the table services — the deployment
+  * shape the reference's async story implies (DeltaStreamerExample's
+  * async compaction as a separate concern): maintenance in its OWN
+  * process racing FOREIGN writers it cannot see through any JVM lock.
+  * The fold-marker protocol, the in-flight-reservation source filter,
+  * and the commit lease all claim cross-process safety; this is where
+  * rename visibility is real. Args: `<tablePath> <stopFile> <outJson>` —
+  * polls until `stopFile` appears, then closes (which rethrows any
+  * service failure → nonzero exit) and writes its counters to
+  * `outJson`. */
+object MultiProcessServicesChild {
+  def main(args: Array[String]): Unit = {
+    val Array(path, stopFile, outFile) = args.take(3)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tbl = GraftTable(spark, GraftTableConfig(
+      path, "o_orderkey", "o_orderkey", recordIndexBuckets = 8,
+      tableType = TableType.Mor))
+    // tight triggers so the sandbox run exercises both services many
+    // times: compact every 3 delta commits, fold past 3 index dirs
+    val svc = new graft.streaming.AsyncServices(tbl,
+      targetRows = 2000000L, deltaCommits = 3, deltaSeconds = 600L,
+      pollMs = 200L, indexFoldDirs = 3).start()
+    while (!new java.io.File(stopFile).exists()) Thread.sleep(100L)
+    svc.close() // throws (→ exit 1) if the service thread ever failed
+    val json =
+      s"""{"compactions":${svc.compactionsRun},"index_folds":${svc.indexFoldsRun},""" +
+      s""""conflicts_retried":${svc.conflictsRetried}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    println(s"[services] $json")
     spark.stop()
   }
 }

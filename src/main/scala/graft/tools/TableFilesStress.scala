@@ -84,13 +84,44 @@ object TableFilesStress {
         val files = tbl.exprIndexFiles("om", 3, 3)
         files.size
       }
+      // COMMIT STAT-HARVEST tiers on identical inputs: the data files of
+      // this table's bulk-load commit, harvested (a) on the bounded
+      // driver pool — the sub-threshold tier — and (b) as a Spark job —
+      // the above-threshold tier a 1e5-file bulk load takes, where the
+      // driver's own share is a collect of #files small rows. Stats must
+      // be identical; the job tier is what keeps DRIVER wall time from
+      // owning the commit at 100 TB file counts.
+      val dataFiles = {
+        val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val it = fsys.listFiles(new org.apache.hadoop.fs.Path(s"$path/data"), true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+        }
+        buf.toSeq
+      }
+      val rootStr = {
+        val rp = new org.apache.hadoop.fs.Path(path)
+        rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(rp).toUri.getPath
+      }
+      def harvest(driverMax: Int) = GraftTable.harvestFileMetas(spark,
+        dataFiles, "o_orderkey", Set.empty, rootStr, 0, driverMax)
+      val (harvDrvMs, metaDrv) = timeMs(harvest(Int.MaxValue))
+      val (harvJobMs, metaJob) = timeMs(harvest(-1))
+      require(metaDrv.sortBy(_.path) == metaJob.sortBy(_.path),
+        s"harvest tiers disagree at $nf files")
       val line =
         s"""{"num_files":$nFiles,"rows":$nOrders,"insert_ms":${f1(insertMs)},""" +
         s""""cold_livefiles_ms":${f1(coldMs)},"rli_lookup_ms":${f1(rliMs)},""" +
         s""""si_lookup_ms":${f1(siMs)},"si_compact_ms":${f1(siCompactMs)},""" +
         s""""si_selective_ms":${f1(siSelMs)},"si_selective_rows":$nSel,""" +
         s""""expr_create_ms":${f1(exprCreateMs)},""" +
-        s""""expr_prune_ms":${f1(exprReadMs)}}"""
+        s""""expr_prune_ms":${f1(exprReadMs)},""" +
+        s""""harvest_driver_ms":${f1(harvDrvMs)},""" +
+        s""""harvest_job_ms":${f1(harvJobMs)},"harvest_files":${dataFiles.size}}"""
       println(s"[files-stress] $line")
       tbl.dropIfExists()
       line

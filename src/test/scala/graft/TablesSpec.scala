@@ -1797,6 +1797,73 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     tbl.dropIfExists()
   }
 
+  test("footer harvest: executor-job path yields stats identical to the driver pool") {
+    // Above spark.graft.footerHarvest.driverMaxFiles the commit-time
+    // footer harvest runs as a Spark job instead of driver threads — the
+    // 100 TB path for bulk loads adding 1e5+ files, where even a pooled
+    // driver loop is the commit's bottleneck. Two identical tables, one
+    // per path (threshold forced to 1 file), must end with byte-identical
+    // key ranges, row counts, buckets, and data-skipping column stats.
+    val rootA = "/tmp/graft_spec/harvest_drv"
+    val rootB = "/tmp/graft_spec/harvest_exec"
+    def cfgFor(r: String) = GraftTableConfig(r, "o_orderkey", "o_orderkey",
+      numBuckets = 4, statsCols = Seq("o_totalprice", "o_orderstatus"),
+      recordIndexBuckets = 4)
+    val ta = GraftTable(spark, cfgFor(rootA)); ta.dropIfExists()
+    val tb = GraftTable(spark, cfgFor(rootB)); tb.dropIfExists()
+    val patch = orders.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderstatus", lit("Z"))
+    ta.insert(orders, numFiles = 3)
+    ta.upsert(patch)
+    spark.conf.set("spark.graft.footerHarvest.driverMaxFiles", "1")
+    try {
+      tb.insert(orders, numFiles = 3)
+      tb.upsert(patch) // rewrite-path commits harvest through the job too
+    } finally spark.conf.unset("spark.graft.footerHarvest.driverMaxFiles")
+    def metas(t: GraftTable) = t.timeline.liveFiles(None)
+      .map(m => (m.partition, m.bucket, m.bucketMod, m.minKey, m.maxKey,
+        m.rows, m.colStats.toSeq.sortBy(_._1)))
+      .sortBy(_.toString())
+    assert(metas(ta) == metas(tb),
+      "executor-harvested FileMetas must match the driver pool's exactly")
+    // and the harvested stats must actually WORK: pruned lookups + reads
+    assert(tb.pointLookup(Seq(26L)).count() == 1)
+    assert(tb.read().count() == orders.count())
+    assert(tb.read().filter(col("o_orderstatus") === "Z").count() == patch.count())
+    ta.dropIfExists(); tb.dropIfExists()
+  }
+
+  test("maintenance treats a stale fold marker as a trigger, below the dir threshold") {
+    // A fold that crashes late (after delete-last, or on a read-mostly
+    // table) can leave `_folding` with the dir count under maxDirs — the
+    // NUM trigger alone would then never fire again, and every lookup
+    // would pay the guard's rejected attempts + the unpruned fallback
+    // forever. maybeCompactIndexes must fire on the marker itself.
+    val root = "/tmp/graft_spec/marker_trigger"
+    val tbl = GraftTable(spark, GraftTableConfig(
+      root, "o_orderkey", "o_orderkey", recordIndexBuckets = 4,
+      secondaryIndexCols = Seq("o_orderstatus")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    val rli = new java.io.File(s"$root/_graft/rli")
+    val si = new java.io.File(s"$root/_graft/si/o_orderstatus")
+    assert(rli.listFiles().count(_.isDirectory) <= 20 &&
+      si.listFiles().count(_.isDirectory) <= 20, "test wants sub-threshold dirs")
+    // no marker, sub-threshold: maintenance is a no-op
+    assert(TableServices.maybeCompactIndexes(tbl) == 0)
+    // crashed-fold leftovers on both indexes
+    assert(new java.io.File(rli, "_folding").createNewFile())
+    assert(new java.io.File(si, "_folding").createNewFile())
+    TableServices.maybeCompactIndexes(tbl)
+    assert(!new java.io.File(rli, "_folding").exists(),
+      "marker must trigger an RLI fold that clears it, below the dir threshold")
+    assert(!new java.io.File(si, "_folding").exists(),
+      "marker must trigger an SI fold that clears it, below the dir threshold")
+    // index-pruned lookups resume (no marker → guard accepts first try)
+    assert(tbl.pointLookup(Seq(42L)).count() == 1)
+    tbl.dropIfExists()
+  }
+
   test("fold marker: SI lookups fall back (exact) while a fold is in flight") {
     // the SI twin: with mappings mid-rename and no marker the lookup
     // would mis-prune (the merged dir's _covered manifest still claims

@@ -1,0 +1,142 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FsCalls
+
+/** Filesystem-CALL pins for the hot paths — the glue-S3-benchmark parity
+  * metric (reference glue_benchmark: counting metadata calls is the whole
+  * point; on an object store each list/open is a billed round-trip and
+  * the real scale cost). Wall-clock benchmarks on a local SSD cannot see
+  * a LIST storm; these counts can. Every pin is a FLATNESS or big-O
+  * assertion — calls ride the probe's selectivity or the commit's own
+  * file count, never the table's age or total file count — with ~2×
+  * headroom over measured values (small4f/big32f measured 2026-08:
+  * point lookup 39/39 calls, single-key commit 133/114, 2-source fold
+  * 121/121, snapshot read 47/152, SI broad 72/177) so legitimate drifts
+  * don't flake while an accidental O(#files) loop (hundreds of extra
+  * calls) trips immediately.
+  *
+  * The counting `file://` implementation is registered for THIS suite and
+  * restored after (Spark's own SharedSparkSession does the same with
+  * DebugFilesystem): the Hadoop FS cache is flushed on both edges so
+  * neither this suite nor its successors see a stale instance. */
+class FsCallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = {
+    val s = graft.GraftSession.builder("graft-fscall-test", "4").getOrCreate()
+    s.sparkContext.hadoopConfiguration.set("fs.file.impl",
+      classOf[graft.sources.CountingLocalFileSystem].getName)
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    s
+  }
+
+  override def afterAll(): Unit = {
+    spark.sparkContext.hadoopConfiguration.unset("fs.file.impl")
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    spark.stop()
+  }
+
+  private def calls[T](body: => T): (Map[String, Long], T) = {
+    val before = FsCalls.snapshot()
+    val r = body
+    (FsCalls.delta(before), r)
+  }
+  private def total(m: Map[String, Long]): Long = m.values.sum
+
+  private def freshTable(name: String, nFiles: Int, commits: Int): GraftTable = {
+    val root = s"/tmp/graft_spec/fscall_$name"
+    val tbl = GraftTable(spark, GraftTableConfig(root, "id", "id",
+      recordIndexBuckets = 4, secondaryIndexCols = Seq("grp"),
+      statsCols = Seq("v")))
+    tbl.dropIfExists()
+    val base = spark.range(20000L).selectExpr("id", "id % 50 AS grp",
+      "cast(id AS double) AS v")
+    tbl.insert(base, numFiles = nFiles)
+    (1 until commits).foreach { i =>
+      tbl.upsert(base.filter(col("id") % 500 === i).withColumn("v", lit(i.toDouble)))
+    }
+    tbl.compactRecordIndex()
+    tbl.compactSecondaryIndex("grp")
+    tbl
+  }
+
+  /** One pass of every probed hot path, in a fixed order (the commit and
+    * fold mutate, so order is part of the measurement contract). */
+  private case class Probes(snap: Long, snapFiles: Int, cold: Long,
+      point: Long, si: Long, siLive: Int, commit: Long, fold: Long)
+
+  private def probe(t: GraftTable): Probes = {
+    val (cSnap, n) = calls(t.read().count())
+    assert(n == 20000L)
+    val liveBefore = t.timeline.liveFiles(None).size
+    val (cCold, _) = calls {
+      GraftTable(spark, t.cfg).timeline.liveFiles(None).size
+    }
+    val (cPoint, np) = calls(t.pointLookup(Seq(777L)).count())
+    assert(np == 1L)
+    val (cSi, ns) = calls(t.readBySecondary("grp", Seq(7L)).count())
+    assert(ns == 400L)
+    val siLive = t.timeline.liveFiles(None).size
+    val (cCommit, _) = calls(t.upsert(spark.range(770L, 771L)
+      .selectExpr("id", "id % 50 AS grp", "cast(9.9 AS double) AS v")))
+    val (cFold, k) = calls(t.compactRecordIndex())
+    assert(k >= 1, "fold must consume the commit's index dir + the base")
+    Probes(total(cSnap), liveBefore, total(cCold), total(cPoint),
+      total(cSi), siLive, total(cCommit), total(cFold))
+  }
+
+  test("hot-path FS calls ride selectivity, not table size") {
+    val small = freshTable("small", 4, 3)
+    val big = freshTable("big", 32, 10)
+    val ps = probe(small)
+    val pb = probe(big)
+    println(s"[fscall] small=$ps")
+    println(s"[fscall] big=$pb")
+
+    // POINT LOOKUP through the compacted record index: FLAT — the bucket
+    // is computed driver-locally and the probe opens one index bucket +
+    // one data file, however many files or commits the table has
+    // (measured identical, 39 calls, on both tables).
+    assert(pb.point <= ps.point * 3 / 2 + 10,
+      s"point lookup calls grew with table size: ${ps.point} -> ${pb.point}")
+    assert(pb.point <= 100, s"point lookup made ${pb.point} FS calls")
+
+    // SINGLE-KEY COMMIT: calls ride the files the commit TOUCHES (one
+    // rewritten file + timeline append + index dirs), not the table's
+    // file count — the 32-file table must not cost more than the 4-file
+    // one (measured 133 vs 114: the big table is actually cheaper since
+    // its rewritten file is smaller).
+    assert(pb.commit <= ps.commit * 3 / 2 + 30,
+      s"single-key commit calls grew with table size: ${ps.commit} -> ${pb.commit}")
+    assert(pb.commit <= 300, s"single-key commit made ${pb.commit} FS calls")
+
+    // INCREMENTAL FOLD of 2 source dirs (the fresh commit + the merged
+    // base): O(sources + buckets), independent of table size (measured
+    // identical, 121 calls, on both tables).
+    assert(pb.fold <= ps.fold * 3 / 2 + 30,
+      s"2-source fold calls grew with table size: ${ps.fold} -> ${pb.fold}")
+    assert(pb.fold <= 300, s"2-source fold made ${pb.fold} FS calls")
+
+    // SNAPSHOT READ: honestly linear — it reads every live file — but
+    // never super-linear (no per-file re-list; measured ~3.7 calls/file
+    // at 32 files, pinned at 8/file + 60).
+    assert(pb.snap <= 8L * pb.snapFiles + 60,
+      s"snapshot read made ${pb.snap} calls over ${pb.snapFiles} files")
+
+    // COLD TIMELINE RESOLUTION (fresh handle): O(#commits) JSON reads,
+    // no data-file probing (4 & 11 commits here; ~6 calls/commit covers
+    // the json + crc + listing; super-linear = a per-commit re-list).
+    assert(pb.cold <= 6L * 11 + 40, s"cold resolve made ${pb.cold} calls")
+
+    // BROAD SI equality (value in every file): bounded-linear in live
+    // files — the index probe itself is bucketed; the data scan is the
+    // honest linear part (measured 177 calls over ~40 live files).
+    assert(pb.si <= 12L * pb.siLive + 100,
+      s"SI lookup made ${pb.si} calls over ${pb.siLive} live files")
+
+    small.dropIfExists(); big.dropIfExists()
+  }
+}
