@@ -187,9 +187,13 @@ object MultiProcessStress {
       Seq(morPath, stopFile, svcOut),
       "/tmp/graft_multiproc_stress/services.log")
     val morWriters = 2
+    // 2x the COW arm's commits per writer: the window has to be wide
+    // enough that the foreign services child's compaction + fold run
+    // WHILE these writers are still committing (the overlap is the test)
+    val morPer = perWriter * 2
     val morProcs = (0 until morWriters).map { w =>
       spawn("graft.tools.MultiProcessWriterChild",
-        Seq(morPath, sfDir, w.toString, perWriter.toString, TableType.Mor),
+        Seq(morPath, sfDir, w.toString, morPer.toString, TableType.Mor),
         s"/tmp/graft_multiproc_stress/mor-child-$w.log")
     }
     var morProbes = 0
@@ -204,9 +208,28 @@ object MultiProcessStress {
       Thread.sleep(100L)
     }
     val morExits = morProcs.map(_.waitFor())
-    // give the services child a few more polls over the FINAL timeline
-    // (a last compaction/fold pass) before asking it to stop
-    Thread.sleep(1500L)
+    // Wait — bounded — until the services child's work is VISIBLE ON
+    // DISK before asking it to stop: a compaction commit on the timeline
+    // and the RLI folded to within the trigger threshold. A fixed grace
+    // is a race by construction (the first run of this arm stopped the
+    // child mid-compaction after a 1.5 s grace: writers finished inside
+    // its final polls and close() rolled the in-flight compaction back —
+    // zero services work despite armed triggers). The deadline keeps a
+    // wedged service from hanging the stress; the folds gate below still
+    // fails loudly in that case.
+    val svcDeadline = System.currentTimeMillis() + 180000L
+    def compacted(): Boolean = {
+      val t = morTbl.timeline
+      t.instants().exists(i => t.readCommit(i).op == "compact")
+    }
+    def rliDirs(): Int = {
+      val d = new java.io.File(s"$morPath/_graft/rli")
+      if (!d.isDirectory) 0
+      else d.listFiles().count(f => f.isDirectory)
+    }
+    while ((!compacted() || rliDirs() > 3) &&
+        System.currentTimeMillis() < svcDeadline)
+      Thread.sleep(500L)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(stopFile), "stop")
     val svcExit = svcProc.waitFor()
@@ -225,10 +248,10 @@ object MultiProcessStress {
     require(morGot.count() == nOrders,
       "MOR row count drifted under the services-isolated storm")
     (0 until morWriters).foreach { w =>
-      val slice = w * perWriter + (perWriter - 1)
+      val slice = w * morPer + (morPer - 1)
       val want = orders.filter(col("o_orderkey") % 101 === slice).count()
       val tagged = morGot.filter(
-        col("o_orderstatus") === s"P$w-C${perWriter - 1}").count()
+        col("o_orderstatus") === s"P$w-C${morPer - 1}").count()
       require(tagged == want,
         s"lost update (services arm): process $w slice $slice has $tagged/$want rows")
     }
@@ -247,7 +270,7 @@ object MultiProcessStress {
       s""""parent_lease_retries":$parentLease,"child_exits":[${exitCodes.mkString(",")}],""" +
       s""""kill":{"orphans_reaped":$reaped,"stale_reservations_left":$inflightLeft,""" +
       s""""post_kill_exact":true},""" +
-      s""""services_isolated":{"writers":$morWriters,"commits":${morWriters * perWriter},""" +
+      s""""services_isolated":{"writers":$morWriters,"commits":${morWriters * morPer},""" +
       s""""reader_probes":$morProbes,"reader_anomalies":$morAnomalies,""" +
       s""""services":$svcJson,"writer_exits":[${morExits.mkString(",")}],""" +
       s""""services_exit":$svcExit,"correct":true},""" +
@@ -334,7 +357,9 @@ object MultiProcessServicesChild {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // WARN, not ERROR: the service warn-logs deferred folds and lost
+    // commit races — the child's log is the only window into them
+    spark.sparkContext.setLogLevel("WARN")
     val tbl = GraftTable(spark, GraftTableConfig(
       path, "o_orderkey", "o_orderkey", recordIndexBuckets = 8,
       tableType = TableType.Mor))
@@ -343,7 +368,16 @@ object MultiProcessServicesChild {
     val svc = new graft.streaming.AsyncServices(tbl,
       targetRows = 2000000L, deltaCommits = 3, deltaSeconds = 600L,
       pollMs = 200L, indexFoldDirs = 3).start()
-    while (!new java.io.File(stopFile).exists()) Thread.sleep(100L)
+    var lastBeat = 0L
+    while (!new java.io.File(stopFile).exists()) {
+      Thread.sleep(100L)
+      if (System.currentTimeMillis() - lastBeat > 2000L) {
+        lastBeat = System.currentTimeMillis()
+        println(s"[services-beat] instants=${tbl.timeline.instants().size} " +
+          s"compactions=${svc.compactionsRun} folds=${svc.indexFoldsRun} " +
+          s"conflicts=${svc.conflictsRetried} failure=${svc.failure.isDefined}")
+      }
+    }
     svc.close() // throws (→ exit 1) if the service thread ever failed
     val json =
       s"""{"compactions":${svc.compactionsRun},"index_folds":${svc.indexFoldsRun},""" +
