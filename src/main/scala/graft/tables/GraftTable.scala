@@ -1236,7 +1236,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * instant's data, changelog, and record-index output are deleted and the
     * reservation tombstoned, so a failed mutation leaks neither orphan
     * files nor an `.inflight` marker. */
-  private def withReservedInstant[T](body: String => T): T = {
+  private[tables] def withReservedInstant[T](body: String => T): T = {
     val instant = timeline.reserveInstant()
     // Renew the reservation while the write runs, so the orphan reaper's
     // staleness clock measures writer SILENCE, not write duration — a
@@ -1258,12 +1258,25 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     renewer.start()
     try body(instant)
     catch {
-      case scala.util.control.NonFatal(e) =>
+      // InterruptedException is NOT NonFatal, but an interrupt mid-write
+      // (a service's close(), a shutdown hook) is precisely an abandoned
+      // attempt: without cleanup here the reservation leaks its .inflight
+      // — no tombstone, renewer dead — and every lookup/fold treats the
+      // ghost as a live writer until an orphan reaper fences it (observed
+      // live: the multiproc services child interrupted mid-compaction
+      // left 000000005.inflight behind). Truly fatal errors (VM errors)
+      // still propagate uncleaned — attempting IO under them risks more
+      // damage than the reaper path.
+      case e if scala.util.control.NonFatal(e) ||
+          e.isInstanceOf[InterruptedException] =>
         fs.delete(new Path(s"${cfg.path}/data/$instant"), true)
         fs.delete(new Path(s"${cfg.path}/_graft/cdc/$instant"), true)
         fs.delete(new Path(s"${cfg.path}/_graft/rli/$instant"), true)
         deleteSecondaryIndexDirs(instant)
         timeline.abort(instant)
+        // catching the InterruptedException cleared the thread's flag so
+        // the cleanup IO above could run; re-assert it for the caller
+        if (e.isInstanceOf[InterruptedException]) Thread.currentThread().interrupt()
         throw e
     } finally renewer.interrupt()
   }
