@@ -38,6 +38,11 @@ object TableFilesStress {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // count FS calls alongside wall time: on an object store the call
+      // count IS the metadata bill, and call-count flatness across the
+      // file axis is the glue-benchmark chart wall-clock can't draw
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.CountingLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -48,6 +53,14 @@ object TableFilesStress {
     def timeMs[T](body: => T): (Double, T) = {
       val t0 = System.nanoTime(); val r = body
       ((System.nanoTime() - t0) / 1e6, r)
+    }
+    // wall ms + total FS calls for one op — the files-axis lookups must
+    // be flat in BOTH dimensions (flat wall on a local SSD can hide a
+    // LIST storm an object store would bill for)
+    def timedCalls[T](body: => T): (Double, Long, T) = {
+      val before = graft.sources.FsCalls.snapshot()
+      val (ms, r) = timeMs(body)
+      (ms, graft.sources.FsCalls.delta(before).values.sum, r)
     }
     def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val probeKeys = Seq(1L, 7L, 100L, 999L, nOrders / 2)
@@ -65,7 +78,7 @@ object TableFilesStress {
         val (ms, fs) = timeMs(t.timeline.liveFiles(None))
         (ms, fs.size)
       }
-      val (rliMs, _) = timeMs(tbl.pointLookup(probeKeys).count())
+      val (rliMs, rliCalls, _) = timedCalls(tbl.pointLookup(probeKeys).count())
       val (siMs, _) =
         timeMs(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).count())
       // SELECTIVE equality through the VALUE-BUCKETED merged index: a
@@ -76,8 +89,8 @@ object TableFilesStress {
       tbl.upsert(orders.limit(100))
       val (siCompactMs, _) =
         timeMs(tbl.compactSecondaryIndex("o_custkey", buckets = 16))
-      val (siSelMs, nSel) =
-        timeMs(tbl.readBySecondary("o_custkey", Seq(0L)).count())
+      val (siSelMs, siSelCalls, nSel) =
+        timedCalls(tbl.readBySecondary("o_custkey", Seq(0L)).count())
       val (exprCreateMs, _) =
         timeMs(tbl.createExpressionIndex("om", "month(o_orderdate)"))
       val (exprReadMs, _) = timeMs {
@@ -116,8 +129,10 @@ object TableFilesStress {
       val line =
         s"""{"num_files":$nFiles,"rows":$nOrders,"insert_ms":${f1(insertMs)},""" +
         s""""cold_livefiles_ms":${f1(coldMs)},"rli_lookup_ms":${f1(rliMs)},""" +
+        s""""rli_lookup_fs_calls":$rliCalls,""" +
         s""""si_lookup_ms":${f1(siMs)},"si_compact_ms":${f1(siCompactMs)},""" +
         s""""si_selective_ms":${f1(siSelMs)},"si_selective_rows":$nSel,""" +
+        s""""si_selective_fs_calls":$siSelCalls,""" +
         s""""expr_create_ms":${f1(exprCreateMs)},""" +
         s""""expr_prune_ms":${f1(exprReadMs)},""" +
         s""""harvest_driver_ms":${f1(harvDrvMs)},""" +
