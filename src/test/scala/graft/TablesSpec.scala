@@ -1831,6 +1831,28 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tb.read().count() == orders.count())
     assert(tb.read().filter(col("o_orderstatus") === "Z").count() == patch.count())
     ta.dropIfExists(); tb.dropIfExists()
+
+    // PARTITIONED twin: the executor path must parse the hive-style
+    // partition segments (and keep partition-pruned reads exact) the
+    // same way the driver pool does — the `_gp_`/bucket segment parse is
+    // shared code (fileMetaOf), but only a partitioned table exercises it
+    val pa = GraftTable(spark, GraftTableConfig(s"${rootA}_p", "o_orderkey",
+      "o_orderkey", keyGen = FieldPartition("o_orderpriority")))
+    val pb = GraftTable(spark, GraftTableConfig(s"${rootB}_p", "o_orderkey",
+      "o_orderkey", keyGen = FieldPartition("o_orderpriority")))
+    pa.dropIfExists(); pb.dropIfExists()
+    pa.insert(orders, numFiles = 2)
+    spark.conf.set("spark.graft.footerHarvest.driverMaxFiles", "1")
+    try pb.insert(orders, numFiles = 2)
+    finally spark.conf.unset("spark.graft.footerHarvest.driverMaxFiles")
+    assert(metas(pa) == metas(pb),
+      "executor harvest must parse partition segments identically")
+    assert(pa.timeline.liveFiles(None).map(_.partition).distinct.sorted ==
+      orders.select("o_orderpriority").distinct().collect()
+        .map(r => s"o_orderpriority=${r.getString(0)}").toSeq.sorted)
+    val want1u = orders.filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(pb.read().filter(col("o_orderpriority") === "1-URGENT").count() == want1u)
+    pa.dropIfExists(); pb.dropIfExists()
   }
 
   test("maintenance treats a stale fold marker as a trigger, below the dir threshold") {
