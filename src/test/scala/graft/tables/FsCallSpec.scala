@@ -139,4 +139,39 @@ class FsCallSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     small.dropIfExists(); big.dropIfExists()
   }
+
+  test("bloom/range-tier point lookup rides candidate files, not table size") {
+    // The NON-indexed lookup tier (no record index): key-range stats +
+    // bucket hash prune from the timeline (zero FS calls — in-memory
+    // metadata), then one parquet bloom-footer probe per SURVIVING
+    // candidate. Calls must ride the candidate count. Keys are written
+    // in insertion ranges here, so a single key's range survives in
+    // O(1) files however many files the table has.
+    def build(name: String, nFiles: Int): GraftTable = {
+      val root = s"/tmp/graft_spec/fscall_bloom_$name"
+      val tbl = GraftTable(spark, GraftTableConfig(root, "id", "id"))
+      tbl.dropIfExists()
+      // range-partitioned write → each file owns a contiguous key range
+      // (numFiles=0 keeps the incoming partitioning; numFiles>0 would
+      // round-robin it away and every file would span the whole range)
+      val df = spark.range(20000L).selectExpr("id")
+        .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("id"))
+      tbl.insert(df)
+      tbl
+    }
+    val small = build("small", 4)
+    val big = build("big", 32)
+    def probe(t: GraftTable): Long = {
+      val (c, n) = calls(t.pointLookup(Seq(777L)).count())
+      assert(n == 1L)
+      total(c)
+    }
+    val ps = probe(small)
+    val pb = probe(big)
+    println(s"[fscall] bloom-tier small=$ps big=$pb")
+    assert(pb <= ps * 3 / 2 + 10,
+      s"bloom-tier lookup calls grew with table size: $ps -> $pb")
+    assert(pb <= 80, s"bloom-tier lookup made $pb FS calls")
+    small.dropIfExists(); big.dropIfExists()
+  }
 }
