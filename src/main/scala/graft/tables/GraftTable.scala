@@ -1008,10 +1008,18 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         attempts += 1
         val i0 = timeline.latestInstant()
         recordIndexLookup(padded) match {
-          case Some(paths) =>
+          case Some((paths, indexed)) =>
             val live = timeline.liveFiles(None)
+            // live files of UNCOVERED instants stay candidates: their
+            // mappings may have been liveness-purged by a fold while they
+            // were dead and then resurrected by rollback/restore — the
+            // pointLookup's key filter keeps the result exact either way
+            def mapped(f: FileMeta): Boolean = f.path.split("/") match {
+              case Array("data", i, _*) => indexed.contains(i)
+              case _ => false // ext:/unrecognized layout — always scan
+            }
             if (timeline.latestInstant() == i0)
-              return live.filter(f => paths.contains(f.path))
+              return live.filter(f => paths.contains(f.path) || !mapped(f))
           // a commit landed mid-read: retry against the new quiet point
           case None => attempts = 4 // no index data yet: prune instead
         }
@@ -1319,7 +1327,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * None when the index has no committed data yet (caller falls back to
     * range/bucket/bloom pruning). Reads only the index buckets the keys
     * hash to. */
-  private def recordIndexLookup(padded: Seq[String]): Option[Set[String]] = {
+  private def recordIndexLookup(padded: Seq[String]): Option[(Set[String], Set[String])] = {
     val rli = new Path(s"${cfg.path}/_graft/rli")
     if (!fs.exists(rli)) return None
     // fold guard: a compaction's adopt phase renames mappings between
@@ -1330,10 +1338,22 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     withFoldGuard(rli) { recordIndexLookupOnce(rli, padded) }
   }
 
+  /** One guarded attempt: (mapped file hits, COVERED instants). Coverage
+    * mirrors the secondary index's: a per-commit dir covers its instant,
+    * a merged dir what its `_covered` manifest claims (manifest-less:
+    * nothing — conservative). The caller must treat live files of
+    * UNCOVERED instants as candidates: a fold liveness-purges mappings to
+    * files that are dead AT FOLD TIME, and a later rollback/restore can
+    * resurrect exactly those files — trusting the merged dir for them
+    * would silently lose their rows. */
   private def recordIndexLookupOnce(rli: Path,
-      padded: Seq[String]): Option[Set[String]] = {
+      padded: Seq[String]): Option[(Set[String], Set[String])] = {
     val instantDirs = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
     if (instantDirs.isEmpty) return None
+    val indexed = instantDirs.toSeq.flatMap { d =>
+      if (d.getName.startsWith("merged-")) siCoveredInstants(d)
+      else Seq(d.getName)
+    }.toSet
     // Bucket ids from each dir's OWN recorded count (the `_buckets`
     // manifest; manifest-less legacy dirs fall back to this handle's
     // config, the pre-manifest behavior) — a handle whose config drifted
@@ -1346,11 +1366,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       padded.map(k => siValueBucket(k, b)).distinct
         .map(x => new Path(d, s"b=$x")).filter(fs.exists(_)).map(_.toString)
     }
-    if (dirs.isEmpty) return Some(Set.empty)
+    if (dirs.isEmpty) return Some((Set.empty, indexed))
     val hits = spark.read.parquet(dirs: _*)
       .filter(col("k").isin(padded: _*))
       .select("f").distinct().collect().map(_.getString(0)).toSet
-    Some(hits)
+    Some((hits, indexed))
   }
 
   /** Append this commit's (secondary-key value → data file) mappings — the
@@ -1775,8 +1795,21 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           }
       }
     }
-    if (fs.exists(mergedDir))
+    if (fs.exists(mergedDir)) {
       writeBucketsManifest(mergedDir, cfg.recordIndexBuckets)
+      // coverage manifest, union of the consumed dirs' coverage (per-commit
+      // dirs contribute their instant name, merged bases their manifest).
+      // The point lookup treats files of UNCOVERED instants as permanent
+      // candidates — the contract that keeps rollback/restore sound: a
+      // fold liveness-purges mappings to dead files, and a rollback that
+      // RESURRECTS those files must be able to un-claim their instants
+      // (fuzz-found: restore after compact+fold silently lost the
+      // resurrected base rows from indexed lookups).
+      val covered = old.flatMap(p =>
+        if (p.getName.startsWith("merged-")) siCoveredInstants(p)
+        else Seq(p.getName)).distinct.sorted
+      writeCoveredManifest(mergedDir, covered.toSeq)
+    }
     old.foreach(p => fs.delete(p, true))
     clearFoldMarker(rli)
     old.length
@@ -1798,6 +1831,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** (Re)write a merged index dir's coverage manifest. Every failure mode
+    * of a racing reader is conservative: a missing/empty/torn manifest
+    * claims less coverage, and uncovered files are always scanned. */
+  private def writeCoveredManifest(dir: Path, covered: Seq[String]): Unit = {
+    val out = fs.create(new Path(dir, siCoveredManifest), true)
+    try out.write(covered.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Name of the value-bucket-count manifest inside a merged secondary-index
@@ -2038,12 +2081,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // bucket manifest BEFORE coverage: a lookup racing the fold either sees
     // no _buckets (reads the dir whole — conservative) or the final layout
     writeBucketsManifest(mergedDir, bCount)
-    locally {
-      val out = fs.create(new Path(mergedDir, siCoveredManifest), true)
-      try out.write(covered.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    writeCoveredManifest(mergedDir, covered)
     old.foreach(p => fs.delete(p, true))
     clearFoldMarker(siDir)
     old.length
@@ -2625,6 +2663,36 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     fs.delete(new Path(s"${cfg.path}/_graft/rli/$instant"), true)
     deleteSecondaryIndexDirs(instant)
     fs.delete(new Path(s"${cfg.path}/_graft/$instant.commit.json"), false)
+    // Deleting the commit RESURRECTS every file it had replaced — and any
+    // index fold that ran while the commit was live liveness-purged those
+    // files' mappings from its merged dir (they were dead at fold time).
+    // A merged dir still CLAIMING their instants would make indexed
+    // lookups silently miss the resurrected rows (fuzz-found: restore
+    // after compact+fold lost the original base rows from SI equality).
+    // Un-claim the resurrected instants from every merged coverage
+    // manifest: their files then scan conservatively (exact, unpruned)
+    // until normal churn rewrites them under indexed instants. A torn
+    // manifest read races conservative, so no lock is needed.
+    val resurrected = c.removes.flatMap(_.split("/") match {
+      case Array("data", i, _*) => Some(i)
+      case _ => None
+    }).toSet
+    if (resurrected.nonEmpty) {
+      val siRoot = new Path(s"${cfg.path}/_graft/si")
+      val roots = Seq(new Path(s"${cfg.path}/_graft/rli")) ++
+        (if (fs.exists(siRoot))
+          fs.listStatus(siRoot).filter(_.isDirectory).map(_.getPath).toSeq
+        else Nil)
+      roots.filter(fs.exists(_)).foreach { root =>
+        fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("merged-"))
+          .foreach { m =>
+            val cov = siCoveredInstants(m.getPath)
+            val kept = cov.filterNot(resurrected)
+            if (kept.size != cov.size) writeCoveredManifest(m.getPath, kept)
+          }
+      }
+    }
     // tombstone: the instant number is never reused, so commits cached by
     // other table handles can never be re-bound to different data
     timeline.abort(instant)

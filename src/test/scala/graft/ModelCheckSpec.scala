@@ -3,8 +3,9 @@ package graft
 import scala.collection.mutable
 import scala.util.Random
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row => SqlRow, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -13,14 +14,21 @@ import graft.tables._
 /** Model-based differential fuzz of the table core: a seeded random
   * sequence of the PUBLIC mutations (upsert with in-batch duplicate
   * keys, predicate and keyed deletes, compaction, index folds, rollback,
-  * timeline checkpoint) is applied in lockstep to the real table and to
-  * a trivial in-memory map, and the two are compared — full snapshot,
-  * point lookups (hit and miss), secondary-index equality, and
-  * time-travel against remembered historical snapshots. The scenario
-  * specs pin behaviors someone thought of; this spec exists for the
-  * interleavings nobody did (the round-11/12 write-path bugs — fold
-  * source races, ghost reservations — were all "legal op sequences
-  * nobody had composed"). Seeded, so a failure replays exactly. */
+  * savepoint/restore, timeline checkpoint, ALTER-style add/drop column)
+  * is applied in lockstep to the real table and to a trivial in-memory
+  * map, and the two are compared — full snapshot, point lookups (hit and
+  * miss), secondary-index equality, and time-travel against remembered
+  * historical snapshots. The scenario specs pin behaviors someone
+  * thought of; this spec exists for the interleavings nobody did (the
+  * round-11/12 write-path bugs — fold source races, ghost reservations —
+  * were all "legal op sequences nobody had composed"). Seeded, so a
+  * failure replays exactly.
+  *
+  * Schema semantics under test (and mirrored by the comparator): adds
+  * and drops are metadata-only and TABLE-WIDE — a dropped column
+  * vanishes from every read including time travel, an added column reads
+  * as NULL for rows written before it — so both sides are always
+  * compared over the CURRENT live column set. */
 class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession =
@@ -30,10 +38,13 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val KeySpace = 3000L
   private val Groups = 20
 
-  private case class Row3(ver: Long, grp: Long, v: String)
+  /** extras: only the values a write actually carried; columns the row
+    * never saw read back as NULL and are normalized at compare time. */
+  private case class RowM(ver: Long, grp: Long, v: String,
+      extras: Map[String, Long])
 
   private def runScenario(name: String, tableType: String, rounds: Int,
-      seed: Long): Unit = {
+      seed: Long, schemaOps: Boolean): Unit = {
     val rng = new Random(seed)
     val root = s"/tmp/graft_spec/modelcheck_$name"
     val tbl = GraftTable(spark, GraftTableConfig(root, "id", "ver",
@@ -41,19 +52,29 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       secondaryIndexCols = Seq("grp"), statsCols = Seq("grp")))
     tbl.dropIfExists()
 
-    val model = mutable.Map.empty[Long, Row3]
+    val model = mutable.Map.empty[Long, RowM]
     // committed history since the last checkpoint: instant -> snapshot
-    // (rollback pops it; readAsOf replays into it)
-    val history = mutable.ArrayBuffer.empty[(String, Map[Long, Row3])]
+    // (rollback pops it; restore truncates into it; readAsOf replays it)
+    val history = mutable.ArrayBuffer.empty[(String, Map[Long, RowM])]
+    val liveExtras = mutable.ArrayBuffer.empty[String] // add/drop columns
+    var nextExtra = 0
+    var savepointAt: Option[String] = None
     var opSeq = 0L
 
-    def batchDf(rows: Seq[(Long, Row3)]): DataFrame = {
-      import spark.implicits._
-      rows.map { case (k, r) => (k, r.ver, r.grp, r.v) }
-        .toDF("id", "ver", "grp", "v")
+    def batchDf(rows: Seq[(Long, RowM)]): DataFrame = {
+      val schema = StructType(
+        Seq(StructField("id", LongType), StructField("ver", LongType),
+          StructField("grp", LongType), StructField("v", StringType)) ++
+          liveExtras.map(c => StructField(c, LongType, nullable = true)))
+      val data = rows.map { case (k, r) =>
+        SqlRow.fromSeq(Seq(k, r.ver, r.grp, r.v) ++
+          liveExtras.map(c => r.extras.get(c).map(Long.box).orNull))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 2), schema)
     }
 
-    def freshRows(n: Int): Seq[(Long, Row3)] = {
+    def freshRows(n: Int): Seq[(Long, RowM)] = {
       opSeq += 1
       val base = opSeq * 100000L
       val picked = Seq.fill(n)(rng.nextLong(KeySpace))
@@ -61,11 +82,14 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the highest ver must win
       val dups = picked.take(n / 4)
       (picked ++ dups).zipWithIndex.map { case (k, i) =>
-        k -> Row3(base + i, k % Groups, s"$name-$opSeq-$i")
+        val extras = liveExtras
+          .filter(_ => rng.nextDouble() < 0.7)
+          .map(c => c -> rng.nextLong(1000L)).toMap
+        k -> RowM(base + i, k % Groups, s"$name-$opSeq-$i", extras)
       }
     }
 
-    def applyBatchToModel(rows: Seq[(Long, Row3)]): Unit =
+    def applyBatchToModel(rows: Seq[(Long, RowM)]): Unit =
       rows.groupBy(_._1).foreach { case (k, vs) =>
         model(k) = vs.map(_._2).maxBy(_.ver) // precombine: max ver wins
       }
@@ -73,65 +97,69 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     def record(instant: String): Unit =
       history += instant -> model.toMap
 
-    def snapshotOf(df: DataFrame): Map[Long, Row3] =
-      df.select("id", "ver", "grp", "v").collect()
-        .map(r => r.getLong(0) -> Row3(r.getLong(1), r.getLong(2), r.getString(3)))
-        .toMap
+    // normalized comparable form over the CURRENT live columns
+    type Norm = Map[Long, (Long, Long, String, Seq[Option[Long]])]
+    def normModel(m: Map[Long, RowM]): Norm =
+      m.map { case (k, r) =>
+        k -> (r.ver, r.grp, r.v, liveExtras.toSeq.map(r.extras.get))
+      }
+    def normDf(df: DataFrame): Norm = {
+      val cols = Seq("id", "ver", "grp", "v") ++ liveExtras
+      df.select(cols.map(c => col(s"`$c`")): _*).collect().map { r =>
+        val extras = liveExtras.indices.map { i =>
+          if (r.isNullAt(4 + i)) None else Some(r.getLong(4 + i))
+        }
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), extras.toSeq)
+      }.toMap
+    }
+
+    def diffMsg(round: Int, what: String, got: Norm, want: Norm): String = {
+      val extra = got.keySet -- want.keySet
+      val missing = want.keySet -- got.keySet
+      val drift = got.keySet.intersect(want.keySet)
+        .filter(k => got(k) != want(k)).take(3)
+      s"[$name r$round seed=$seed] $what drift: extra=${extra.take(3)} " +
+        s"missing=${missing.take(3)} " +
+        s"changed=${drift.map(k => (k, got(k), want(k)))}"
+    }
 
     def verify(round: Int): Unit = {
-      val got = snapshotOf(tbl.read())
-      assert(got.size == model.size,
-        s"[$name r$round seed=$seed] size ${got.size} != model ${model.size}")
-      assert(got == model.toMap, {
-        val extra = got.keySet -- model.keySet
-        val missing = model.keySet -- got.keySet
-        val drift = got.keySet.intersect(model.keySet)
-          .filter(k => got(k) != model(k)).take(5)
-        s"[$name r$round seed=$seed] snapshot drift: extra=${extra.take(5)} " +
-          s"missing=${missing.take(5)} changed=${drift.map(k => (k, got(k), model(k)))}"
-      })
+      val got = normDf(tbl.read())
+      val want = normModel(model.toMap)
+      assert(got == want, diffMsg(round, "snapshot", got, want))
       // point lookups: 3 present + 2 absent keys
-      val present = rng.shuffle(model.keys.toSeq).take(3)
-      present.foreach { k =>
+      rng.shuffle(model.keys.toSeq).take(3).foreach { k =>
         val hit = tbl.pointLookup(Seq(k)).collect()
-        assert(hit.length == 1 &&
-          hit(0).getAs[Long]("ver") == model(k).ver,
+        assert(hit.length == 1 && hit(0).getAs[Long]("ver") == model(k).ver,
           s"[$name r$round seed=$seed] pointLookup($k) wrong")
       }
-      val absent = Iterator.continually(rng.nextLong(KeySpace) + KeySpace)
-        .take(2)
-      absent.foreach(k => assert(tbl.pointLookup(Seq(k)).count() == 0))
+      Seq.fill(2)(rng.nextLong(KeySpace) + KeySpace)
+        .foreach(k => assert(tbl.pointLookup(Seq(k)).count() == 0))
       // secondary-index equality on a random group
       val g = rng.nextLong(Groups)
-      val wantG = model.filter(_._2.grp == g)
-      val gotG = snapshotOf(tbl.readBySecondary("grp", Seq(g)))
-      assert(gotG == wantG.toMap,
-        s"[$name r$round seed=$seed] SI lookup grp=$g drift " +
-          s"(got ${gotG.size}, want ${wantG.size})")
+      val gotG = normDf(tbl.readBySecondary("grp", Seq(g)))
+      val wantG = normModel(model.filter(_._2.grp == g).toMap)
+      assert(gotG == wantG, diffMsg(round, s"SI grp=$g", gotG, wantG))
       // time travel against one remembered historical snapshot
       if (history.size > 1) {
         val (inst, snap) = history(rng.nextInt(history.size))
-        val gotAsOf = snapshotOf(tbl.readAsOf(inst))
-        assert(gotAsOf == snap,
-          s"[$name r$round seed=$seed] readAsOf($inst) drift " +
-            s"(got ${gotAsOf.size}, want ${snap.size})")
+        val gotAsOf = normDf(tbl.readAsOf(inst))
+        assert(gotAsOf == normModel(snap),
+          diffMsg(round, s"readAsOf($inst)", gotAsOf, normModel(snap)))
       }
     }
 
     // seed the table
     val seedRows = freshRows(400)
-    record(tbl.insert(batchDf(seedRows), numFiles = 4))
     applyBatchToModel(seedRows)
-    // re-record with the model applied (record() above captured pre-state)
-    history(history.size - 1) = history.last._1 -> model.toMap
+    record(tbl.insert(batchDf(seedRows), numFiles = 4))
 
     (1 to rounds).foreach { round =>
-      rng.nextInt(10) match {
+      rng.nextInt(if (schemaOps) 14 else 10) match {
         case 0 | 1 | 2 | 3 => // upsert (the common op)
           val rows = freshRows(20 + rng.nextInt(180))
-          val inst = tbl.upsert(batchDf(rows))
           applyBatchToModel(rows)
-          record(inst)
+          record(tbl.upsert(batchDf(rows)))
         case 4 => // keyed delete: mix of present and absent keys
           val keys = Seq.fill(30)(rng.nextLong(KeySpace * 2))
           import spark.implicits._
@@ -154,6 +182,7 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
           history.remove(history.size - 1)
           model.clear()
           model ++= history.last._2
+          savepointAt = savepointAt.filter(s => history.exists(_._1 == s))
         case 9 if history.size > 2 => // checkpoint: archives the replay
           tbl.checkpointTimeline()
           // archived instants fail loudly on readAsOf and can't be rolled
@@ -161,11 +190,29 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
           val keep = history.last
           history.clear()
           history += keep
-        case _ => // rollback/checkpoint not applicable yet: cheap upsert
+          savepointAt = None
+        case 10 => // ALTER TABLE ADD COLUMNS (metadata-only)
+          val c = s"x$nextExtra"; nextExtra += 1
+          tbl.addColumns(Seq(StructField(c, LongType, nullable = true)))
+          liveExtras += c
+        case 11 if liveExtras.nonEmpty => // ALTER TABLE DROP COLUMN
+          val c = liveExtras.remove(rng.nextInt(liveExtras.size))
+          tbl.dropColumns(Seq(c))
+        case 12 => // savepoint the current snapshot
+          savepointAt = Some(history.last._1)
+          tbl.savepoint(history.last._1)
+        case 13 if savepointAt.exists(s => history.exists(_._1 == s)) =>
+          // restore: every commit after the savepoint rolls back
+          val s = savepointAt.get
+          tbl.restore(s)
+          val idx = history.indexWhere(_._1 == s)
+          history.remove(idx + 1, history.size - idx - 1)
+          model.clear()
+          model ++= history.last._2
+        case _ => // chosen op not applicable yet: cheap upsert
           val rows = freshRows(10)
-          val inst = tbl.upsert(batchDf(rows))
           applyBatchToModel(rows)
-          record(inst)
+          record(tbl.upsert(batchDf(rows)))
       }
       if (round % 3 == 0 || round == rounds) verify(round)
     }
@@ -173,11 +220,23 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("COW: 36 random op rounds match the in-memory model exactly") {
-    runScenario("cow", TableType.Cow, rounds = 36, seed = 0xC0FFEE)
+    runScenario("cow", TableType.Cow, rounds = 36, seed = 0xC0FFEE,
+      schemaOps = false)
   }
 
   test("MOR: 30 random op rounds match the in-memory model exactly") {
-    runScenario("mor", TableType.Mor, rounds = 30, seed = 0xBEEF42)
+    runScenario("mor", TableType.Mor, rounds = 30, seed = 0xBEEF42,
+      schemaOps = false)
+  }
+
+  test("COW + schema evolution/savepoints: 36 rounds match the model") {
+    runScenario("cow_ddl", TableType.Cow, rounds = 36, seed = 0x5EED01,
+      schemaOps = true)
+  }
+
+  test("MOR + schema evolution/savepoints: 30 rounds match the model") {
+    runScenario("mor_ddl", TableType.Mor, rounds = 30, seed = 0x5EED02,
+      schemaOps = true)
   }
 
   // Deeper sweeps on demand: -DmodelcheckSeeds=7,11,13 runs extra seeds
@@ -185,10 +244,12 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
   sys.props.get("modelcheckSeeds").toSeq
     .flatMap(_.split(",")).map(_.trim.toLong).foreach { s =>
       test(s"COW sweep seed=$s") {
-        runScenario(s"cow_$s", TableType.Cow, rounds = 30, seed = s)
+        runScenario(s"cow_$s", TableType.Cow, rounds = 30, seed = s,
+          schemaOps = true)
       }
       test(s"MOR sweep seed=$s") {
-        runScenario(s"mor_$s", TableType.Mor, rounds = 30, seed = s)
+        runScenario(s"mor_$s", TableType.Mor, rounds = 30, seed = s,
+          schemaOps = true)
       }
     }
 }

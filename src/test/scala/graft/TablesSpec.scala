@@ -1855,6 +1855,44 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     pa.dropIfExists(); pb.dropIfExists()
   }
 
+  test("restore after compact+fold: resurrected files stay visible to indexed lookups") {
+    // A fold liveness-purges merged-index mappings to files that are dead
+    // AT FOLD TIME. restore/rollback can RESURRECT exactly those files
+    // (undoing the compact that replaced them) — found by the model fuzz
+    // as silently missing rows from SI equality (and the RLI had the same
+    // hole without even a coverage manifest to repair). Contract: merged
+    // dirs carry `_covered`; rollback un-claims resurrected instants;
+    // lookups treat files of uncovered instants as always-candidates.
+    val root = "/tmp/graft_spec/restore_fold"
+    val tbl = GraftTable(spark, GraftTableConfig(root, "o_orderkey",
+      "o_orderkey", recordIndexBuckets = 4,
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    val i1 = tbl.insert(orders, numFiles = 4)
+    tbl.savepoint(i1)
+    // a second commit, then compact: the insert's base files die
+    tbl.upsert(orders.limit(50).withColumn("o_orderstatus", lit("Z")))
+    tbl.compact(targetRows = 1000000L)
+    // folds built AFTER the compact purge the dead base files' mappings
+    assert(tbl.compactRecordIndex() >= 1)
+    assert(tbl.compactSecondaryIndex("o_orderpriority") >= 1)
+    // restore resurrects the insert-time base files
+    tbl.restore(i1)
+    assert(tbl.read().count() == orders.count())
+    // indexed lookups must still see every resurrected row
+    assert(tbl.pointLookup(Seq(1L, 7L, 42L)).count() == 3,
+      "RLI lookup lost resurrected rows after restore")
+    val want = orders.filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).count() == want,
+      "SI equality lost resurrected rows after restore")
+    // and the table keeps working: further writes + folds stay exact
+    tbl.upsert(orders.limit(20).withColumn("o_orderstatus", lit("W")))
+    tbl.compactRecordIndex(); tbl.compactSecondaryIndex("o_orderpriority")
+    assert(tbl.pointLookup(Seq(1L, 7L, 42L)).count() == 3)
+    assert(tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).count() == want)
+    tbl.dropIfExists()
+  }
+
   test("maintenance treats a stale fold marker as a trigger, below the dir threshold") {
     // A fold that crashes late (after delete-last, or on a read-mostly
     // table) can leave `_folding` with the dir count under maxDirs — the
