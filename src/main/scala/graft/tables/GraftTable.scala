@@ -1752,9 +1752,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // marker spans every mutation below (fold write, adopt renames,
     // manifest, source deletes); cleared only on the success path
     writeFoldMarker(rli)
+    // Liveness snapshot taken BEFORE the merged dir exists: the coverage
+    // recheck at the manifest write compares a fresh timeline read against
+    // exactly this set, which closes the cross-process rollback race in
+    // every interleaving (see the manifest-write note below).
+    val liveAtFold = timeline.liveFiles(None).map(_.path)
     val mergedDir = new Path(s"${cfg.path}/_graft/rli/$mergedName")
     if (foldSrc.nonEmpty && visibleParquetExists(foldSrc)) {
-      val live = timeline.liveFiles(None).map(_.path)
+      val live = liveAtFold
       val liveDf = spark.createDataFrame(
         spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
         org.apache.spark.sql.types.StructType(Seq(
@@ -1797,18 +1802,40 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     }
     if (fs.exists(mergedDir)) {
       writeBucketsManifest(mergedDir, cfg.recordIndexBuckets)
-      // coverage manifest, union of the consumed dirs' coverage (per-commit
-      // dirs contribute their instant name, merged bases their manifest).
-      // The point lookup treats files of UNCOVERED instants as permanent
-      // candidates — the contract that keeps rollback/restore sound: a
-      // fold liveness-purges mappings to dead files, and a rollback that
-      // RESURRECTS those files must be able to un-claim their instants
-      // (fuzz-found: restore after compact+fold silently lost the
-      // resurrected base rows from indexed lookups).
-      val covered = old.flatMap(p =>
-        if (p.getName.startsWith("merged-")) siCoveredInstants(p)
-        else Seq(p.getName)).distinct.sorted
-      writeCoveredManifest(mergedDir, covered.toSeq)
+      // Coverage manifest. The point lookup treats files of UNCOVERED
+      // instants as permanent candidates — the contract that keeps
+      // rollback/restore sound: a fold liveness-purges mappings to dead
+      // files, and a rollback that RESURRECTS those files must be able to
+      // un-claim their instants (fuzz-found: restore after compact+fold
+      // silently lost the resurrected base rows from indexed lookups).
+      //
+      // INCREMENTAL folds claim the union of the consumed dirs' coverage
+      // (per-commit dirs their instant name, merged bases their manifest),
+      // read HERE — after the fold writes, right before this manifest
+      // write — never from an earlier snapshot: a rollback completing
+      // anywhere before this point has already rewritten the source
+      // manifests, and the union then reflects its un-claims. FULL folds
+      // recompute coverage from first principles instead (every mapping is
+      // in `mergedDir`, so per-file mapping counts vs footer row counts
+      // PROVE which instants' live files are fully mapped) — which also
+      // heals pre-manifest legacy merged dirs and rollback-un-claimed
+      // instants that the union could only carry forward conservatively.
+      val claimed =
+        if (full) provenRecordIndexCoverage(mergedDir)
+        else old.toSeq.flatMap(p =>
+          if (p.getName.startsWith("merged-")) siCoveredInstants(p)
+          else Seq(p.getName))
+      // RECHECK + write, as the last two steps before source deletion: a
+      // rollback whose merged-dir scan could MISS this mergedDir listed
+      // dirs before the fold created it, so its commit-file delete is
+      // visible to this fresh timeline read (program order) — files live
+      // NOW but dead in the fold's liveness snapshot are exactly the
+      // resurrected ones whose mappings this fold filtered out; their
+      // instants must not be claimed. A rollback starting after this write
+      // sees mergedDir in its scan and un-claims it itself.
+      val covered = claimed.distinct.sorted
+        .filterNot(resurrectedSince(liveAtFold.toSet))
+      writeCoveredManifest(mergedDir, covered)
     }
     old.foreach(p => fs.delete(p, true))
     clearFoldMarker(rli)
@@ -1841,6 +1868,49 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     try out.write(covered.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Instants of files live NOW but NOT live in `liveAtFold` — files a
+    * rollback/restore resurrected while a fold was in flight. A fold's
+    * liveness filter (taken at `liveAtFold`) dropped exactly those files'
+    * mappings, so claiming their instants would be the silent-row-loss
+    * bug the coverage manifest exists to prevent; every fold calls this
+    * with a FRESH timeline read immediately before its manifest write
+    * (the interleaving proof lives at the RLI fold's write site). New
+    * concurrent COMMITS also add never-before-live files, but their fresh
+    * instants are never in a fold's claim set, so they are unaffected. */
+  private def resurrectedSince(liveAtFold: Set[String]): Set[String] =
+    timeline.liveFiles(None).map(_.path).filterNot(liveAtFold)
+      .flatMap(_.split("/") match {
+        case Array("data", i, _*) => Some(i)
+        case _ => None
+      }).toSet
+
+  /** Exact coverage of a FULLY refolded record index, proven from the
+    * merged mappings themselves: an instant is covered iff EVERY live
+    * data file of it has one mapping per footer row in `mergedDir` (keys
+    * are unique within a data file — precombine dedups each commit's
+    * batch — so distinct-key count == row count proves completeness; any
+    * shortfall under-claims, which is conservative: uncovered files are
+    * always scanned). This is what lets a full fold HEAL coverage that
+    * only degrades under the union rule — pre-manifest legacy merged dirs
+    * (which claim nothing) and instants un-claimed by a rollback whose
+    * files have since been re-mapped. One aggregate over the just-written
+    * merged index (already O(live keys) — the full fold's own cost). */
+  private def provenRecordIndexCoverage(mergedDir: Path): Seq[String] = {
+    val mapped = spark.read.option("recursiveFileLookup", "true")
+      .parquet(mergedDir.toString)
+      .groupBy("f").agg(countDistinct("k").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    timeline.liveFiles(None)
+      .flatMap(f => f.path.split("/") match {
+        case Array("data", i, _*) => Some(i -> f)
+        case _ => None // ext:/unrecognized — never claimable, always scanned
+      })
+      .groupBy(_._1)
+      .collect { case (i, fm) if fm.forall { case (_, f) =>
+          mapped.getOrElse(f.path, 0L) >= f.rows } => i }
+      .toSeq
   }
 
   /** Name of the value-bucket-count manifest inside a merged secondary-index
@@ -2029,11 +2099,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val (adopt, foldSrc) =
       if (adoptable) old.partition(_.getName.startsWith("merged-"))
       else (Array.empty[Path], old)
-    // coverage union FIRST (the manifests are deleted with their dirs):
-    // merged dirs contribute their manifest, per-commit dirs their name
-    val covered = old.flatMap(p =>
-      if (p.getName.startsWith("merged-")) siCoveredInstants(p)
-      else Seq(p.getName)).distinct.sorted
+    // liveness snapshot BEFORE the merged dir exists — the coverage
+    // recheck below compares a fresh timeline read against exactly this
+    // set (interleaving proof at the RLI fold's manifest-write site)
+    val liveAtFold = timeline.liveFiles(None).map(_.path)
     val mergedDir = new Path(siDir, mergedName)
     // value-bucket count: an adopted base's is REUSED (its files keep their
     // bucket ids); otherwise sized from the fold's committed bytes at ~8 MB
@@ -2046,9 +2115,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       else math.min(256L, math.max(1L,
         (visibleParquetBytes(old.toSeq) + (8L << 20) - 1) / (8L << 20))).toInt
     if (foldSrc.nonEmpty && visibleParquetExists(foldSrc)) {
-      val live = timeline.liveFiles(None).map(_.path)
       val liveDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
+        spark.sparkContext.parallelize(liveAtFold.map(org.apache.spark.sql.Row(_)), 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType))))
       spark.read.option("recursiveFileLookup", "true")
@@ -2081,10 +2149,106 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // bucket manifest BEFORE coverage: a lookup racing the fold either sees
     // no _buckets (reads the dir whole — conservative) or the final layout
     writeBucketsManifest(mergedDir, bCount)
-    writeCoveredManifest(mergedDir, covered)
+    // coverage union read HERE — after the fold writes, right before the
+    // manifest write (sources are deleted only below, so their manifests
+    // are still on disk): a rollback completing anywhere before this point
+    // has already rewritten the source manifests. Then the resurrection
+    // RECHECK, last before the write (interleaving proof at the RLI fold's
+    // manifest-write site).
+    val covered = old.flatMap(p =>
+      if (p.getName.startsWith("merged-")) siCoveredInstants(p)
+      else Seq(p.getName)).distinct.sorted
+      .filterNot(resurrectedSince(liveAtFold.toSet))
+    writeCoveredManifest(mergedDir, covered.toSeq)
     old.foreach(p => fs.delete(p, true))
     clearFoldMarker(siDir)
     old.length
+  }
+
+  /** Rebuild `column`'s secondary index FROM THE LIVE DATA — the
+    * backfill/repair form of [[compactSecondaryIndex]] (Hudi's index
+    * backfill re-expressed). Consumes every existing index dir for the
+    * column (in-flight writers' dirs excluded, like the fold) and replaces
+    * them with ONE merged dir derived from a scan of the live data files
+    * themselves: distinct (value, file) pairs, value-bucketed like a fold.
+    * Because every live table-managed file is fully mapped by
+    * construction, the `_covered` manifest claims EVERY instant with live
+    * `data/` files — this is the SI's coverage-HEAL path. Coverage only
+    * degrades under the incremental fold's union rule (a pre-manifest
+    * legacy merged dir claims nothing; a rollback un-claims resurrected
+    * instants permanently), and unlike the record index — whose FULL fold
+    * proves coverage back from mapping-vs-row counts — a refold of SI
+    * dirs cannot prove per-value completeness, so the only exact repair
+    * is this re-derivation from data. O(live data) read of two columns:
+    * a scheduled-maintenance op, not a per-commit one.
+    *
+    * Also the BACKFILL path: a table whose `secondaryIndexCols` gained
+    * `column` after data already existed starts with zero index dirs and
+    * fully-conservative lookups; one rebuild indexes the whole history.
+    *
+    * @param buckets explicit value-bucket count (0 = auto-size from live
+    *                row count at ~2M rows per bucket, capped at 256)
+    * @return index dirs consumed and replaced by the rebuilt merged dir */
+  def rebuildSecondaryIndex(column: String, buckets: Int = 0): Int = {
+    require(cfg.secondaryIndexCols.contains(column),
+      s"column $column is not secondary-indexed on ${cfg.path}")
+    val siDir = new Path(s"${cfg.path}/_graft/si/$column")
+    fs.mkdirs(siDir)
+    withFoldLock(siDir) {
+      val mergedName =
+        s"merged-${timeline.latestInstant().getOrElse(Timeline.pad(0))}"
+      // same marker protocol as the folds: spans every mutation below, so
+      // concurrent lookups' fold guards retry/fall back instead of racing
+      // the source deletion; recover a crashed run's leftover first
+      writeFoldMarker(siDir)
+      recoverLeftoverMerged(new Path(siDir, mergedName))
+      // never consume an in-flight writer's index dir (lands before its
+      // commit — deleting it would leave that commit permanently unindexed)
+      val inflight = timeline.inflightReservations().keySet
+      val old = fs.listStatus(siDir).filter(_.isDirectory).map(_.getPath)
+        .filterNot(d => inflight.contains(d.getName))
+      val liveAtFold = timeline.liveFiles(None)
+      // ext: (bootstrapped) files are never coverage-claimable (their
+      // lookup conservatism is path-shape-based), so mapping them buys
+      // nothing — skip the read
+      val dataFiles = liveAtFold.filterNot(_.path.startsWith("ext:"))
+      val mergedDir = new Path(siDir, mergedName)
+      val bCount =
+        if (buckets > 0) buckets
+        else math.min(256L, math.max(1L,
+          dataFiles.map(_.rows).sum / (2L << 20) + 1)).toInt
+      if (dataFiles.nonEmpty) {
+        // mergeSchema: files written before a schema_add lack the column —
+        // their rows map to null, which no equality lookup matches, so
+        // claiming them covered is exact (no row in them can equal any
+        // looked-up value)
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(dataFiles.map(f => dataPath(f.path)): _*)
+        val vcol =
+          if (df.columns.contains(column)) col(s"`$column`").cast("string")
+          else lit(null).cast("string")
+        df.select(vcol.as("v"),
+            GraftTable.relativizeCol(col("_metadata.file_path"), rootStr).as("f"))
+          .distinct()
+          .withColumn("vb", pmod(xxhash64(col("v")), lit(bCount)))
+          .repartition(col("vb"))
+          .write.mode("overwrite").partitionBy("vb")
+          .parquet(mergedDir.toString)
+      } else fs.mkdirs(mergedDir)
+      writeBucketsManifest(mergedDir, bCount)
+      // claim every instant with live data files, minus any resurrected
+      // by a rollback racing this rebuild (same last-before-write recheck
+      // as the folds; proof at compactRecordIndexLocked's write site)
+      val covered = dataFiles.flatMap(_.path.split("/") match {
+          case Array("data", i, _*) => Some(i)
+          case _ => None
+        }).distinct.sorted
+        .filterNot(resurrectedSince(liveAtFold.map(_.path).toSet))
+      writeCoveredManifest(mergedDir, covered)
+      old.foreach(p => fs.delete(p, true))
+      clearFoldMarker(siDir)
+      old.length
+    }
   }
 
   /** Instance form of [[GraftTable.footerKeyStatsOf]] bound to this
@@ -2683,14 +2847,26 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         (if (fs.exists(siRoot))
           fs.listStatus(siRoot).filter(_.isDirectory).map(_.getPath).toSeq
         else Nil)
+      // Per-root fold lock: an IN-JVM fold (the async service's thread, a
+      // direct compact call) reads its sources' manifests and writes the
+      // merged claim under this same lock — rewriting them mid-fold here
+      // would let the fold's new merged dir re-claim exactly the instants
+      // this loop un-claims (the resurrected files' mappings were
+      // liveness-purged at fold time → silent row loss on indexed
+      // lookups). Cross-PROCESS folds are closed by the folds themselves:
+      // each re-reads source manifests and rechecks the timeline for
+      // resurrected files immediately before writing its claim (see the
+      // manifest-write note in compactRecordIndexLocked).
       roots.filter(fs.exists(_)).foreach { root =>
-        fs.listStatus(root)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("merged-"))
-          .foreach { m =>
-            val cov = siCoveredInstants(m.getPath)
-            val kept = cov.filterNot(resurrected)
-            if (kept.size != cov.size) writeCoveredManifest(m.getPath, kept)
-          }
+        withFoldLock(root) {
+          fs.listStatus(root)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("merged-"))
+            .foreach { m =>
+              val cov = siCoveredInstants(m.getPath)
+              val kept = cov.filterNot(resurrected)
+              if (kept.size != cov.size) writeCoveredManifest(m.getPath, kept)
+            }
+        }
       }
     }
     // tombstone: the instant number is never reused, so commits cached by

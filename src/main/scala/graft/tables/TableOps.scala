@@ -395,6 +395,40 @@ object TableOps extends QueryRegistry {
     tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).orderBy("o_orderkey")
   }
 
+  // --- t_si_rebuild: secondary-index REBUILD from the live data (Hudi's
+  // index backfill re-expressed) — the coverage-HEAL path. A pre-manifest
+  // legacy merged dir claims no coverage, so every equality lookup scans
+  // conservatively forever (incremental folds can only union existing
+  // claims forward, and an SI refold cannot prove per-value completeness
+  // the way the RLI's row counts can); the rebuild re-derives distinct
+  // (value → file) mappings from ONE two-column O(live data) scan and
+  // claims every instant with live files exactly. The lookup must prune
+  // again and still match a full scan.
+  def tSiRebuild(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val tbl = GraftTable(s, GraftTableConfig(
+      scratch("t_si_rebuild", dir), "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.cluster(Seq("o_orderpriority"), numFiles = 5)
+    require(tbl.compactSecondaryIndex("o_orderpriority") == 2, "no fold")
+    // simulate the pre-coverage-manifest legacy state
+    val root = new org.apache.hadoop.fs.Path(
+      s"${tbl.cfg.path}/_graft/si/o_orderpriority")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val merged = fs.listStatus(root).filter(_.isDirectory).head.getPath
+    fs.delete(new org.apache.hadoop.fs.Path(merged, "_covered"), false)
+    val live = tbl.timeline.liveFiles(None).size
+    val before = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
+    require(before.size == live, "legacy merged dir must scan conservatively")
+    require(tbl.rebuildSecondaryIndex("o_orderpriority") == 1,
+      "rebuild must consume the legacy dir")
+    val after = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
+    require(after.nonEmpty && after.size < live, "rebuild must restore pruning")
+    tbl.readBySecondary("o_orderpriority", Seq("1-URGENT")).orderBy("o_orderkey")
+  }
+
   // --- t_consistent_hash: consistent-hashing bucket resize (flink/sql/
   // consistent_hashing.sql) — a 4-bucket table doubles to 8 via PER-BUCKET
   // incremental splits (each hot bucket rewrites locally; lookups stay
@@ -1250,6 +1284,9 @@ object TableOps extends QueryRegistry {
         |WHERE CASE WHEN o_orderkey % 37 = 0 THEN '1-URGENT'
         |           ELSE o_orderpriority END = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("t_si_rebuild", tSiRebuild, Some(
+      s"""SELECT $ordersCols FROM orders
+         |WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin)),
     // the upsert re-stamps key%10==0 rows before the rebucket+lookup
     QueryDef("t_consistent_hash", tConsistentHash, Some(
       s"""$upsertedSql

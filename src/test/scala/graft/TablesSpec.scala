@@ -849,6 +849,65 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("o_orderkey") === k).count() == 1)
   }
 
+  test("rebuildSecondaryIndex re-derives the index from data and heals coverage") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/si_rebuild", "o_orderkey", "o_orderkey",
+      secondaryIndexCols = Seq("o_orderpriority")))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.cluster(Seq("o_orderpriority"), numFiles = 5)
+    assert(tbl.compactSecondaryIndex("o_orderpriority") == 2)
+    val siDir = new java.io.File(
+      "/tmp/graft_spec/si_rebuild/_graft/si/o_orderpriority")
+    val merged = siDir.listFiles().filter(_.isDirectory).head
+    // simulate a pre-manifest legacy merged dir: no _covered manifest —
+    // every live file must scan (conservative), and stay that way through
+    // incremental folds (the union rule can only carry claims forward)
+    assert(new java.io.File(merged, "_covered").delete())
+    val live = tbl.timeline.liveFiles(None)
+    val legacy = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
+    assert(legacy.size == live.size,
+      s"manifest-less merged dir must be fully conservative: ${legacy.size} of ${live.size}")
+    // rebuild from the live data: ONE merged dir, coverage healed exactly,
+    // pruning power restored, results identical to a scan
+    assert(tbl.rebuildSecondaryIndex("o_orderpriority") == 1)
+    val dirs = siDir.listFiles().filter(_.isDirectory)
+    assert(dirs.length == 1 && dirs(0).getName.startsWith("merged-"))
+    assert(new java.io.File(dirs(0), "_covered").exists())
+    val pruned = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
+    assert(pruned.nonEmpty && pruned.size < live.size,
+      s"rebuild must restore pruning: ${pruned.size} of ${live.size}")
+    val viaIndex = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect()
+    val viaScan = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").collect()
+    assert(viaIndex.sameElements(viaScan))
+  }
+
+  test("rebuildSecondaryIndex backfills a column indexed after the data existed") {
+    val base = GraftTableConfig(
+      "/tmp/graft_spec/si_backfill", "o_orderkey", "o_orderkey")
+    val t0 = GraftTable(spark, base)
+    t0.dropIfExists()
+    t0.insert(orders, numFiles = 4)
+    t0.cluster(Seq("o_orderpriority"), numFiles = 5)
+    // enable the index on an existing table: zero index dirs → lookups
+    // decline (None, full scan) until a rebuild backfills the history
+    val tbl = GraftTable(spark,
+      base.copy(secondaryIndexCols = Seq("o_orderpriority")))
+    assert(tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).isEmpty)
+    assert(tbl.rebuildSecondaryIndex("o_orderpriority") == 0)
+    val live = tbl.timeline.liveFiles(None)
+    val pruned = tbl.secondaryIndexFiles("o_orderpriority", Seq("1-URGENT")).get
+    assert(pruned.nonEmpty && pruned.size < live.size,
+      s"backfill must index the whole history: ${pruned.size} of ${live.size}")
+    val viaIndex = tbl.readBySecondary("o_orderpriority", Seq("1-URGENT"))
+      .orderBy("o_orderkey").collect()
+    val viaScan = tbl.read().filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").collect()
+    assert(viaIndex.sameElements(viaScan))
+  }
+
   test("secondary index refuses unstable-string types and falls back to a scan") {
     val tbl = GraftTable(spark, GraftTableConfig(
       "/tmp/graft_spec/secondary_index_ts", "o_orderkey", "o_orderkey",
@@ -1483,6 +1542,36 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "full fold must not carry adopted files forward")
     assert(tbl.pointLookup(Seq(42L)).collect()(0).getAs[String]("o_orderstatus") == "R")
     assert(tbl.pointLookup(Seq(200L)).collect()(0).getAs[String]("o_orderstatus") == "F")
+  }
+
+  test("a FULL record-index fold proves coverage back from the mappings (legacy heal)") {
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/rli_heal", "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 8))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(orders.filter(col("o_orderkey") === 42L)
+      .withColumn("o_orderstatus", lit("R")))
+    assert(tbl.compactRecordIndex() == 2)
+    val rli = new java.io.File("/tmp/graft_spec/rli_heal/_graft/rli")
+    val merged = rli.listFiles().filter(_.isDirectory).head
+    // simulate a pre-manifest legacy merged dir: claims nothing, so every
+    // live file is a permanent lookup candidate (correct but unpruned) —
+    // and incremental folds can only carry that forward (union rule)
+    assert(new java.io.File(merged, "_covered").delete())
+    val live = tbl.timeline.liveFiles(None)
+    assert(tbl.lookupFiles(Seq(42L)).size == live.size,
+      "manifest-less merged dir must be fully conservative")
+    assert(tbl.compactRecordIndex() == 0) // nothing new: no heal yet
+    // a FULL fold re-reads every mapping, so it can PROVE coverage from
+    // per-file mapping counts vs footer rows — the claim returns exactly
+    val consumed = tbl.compactRecordIndex(full = true)
+    assert(consumed == 1, s"full fold should consume the legacy dir, got $consumed")
+    val hits = tbl.lookupFiles(Seq(42L))
+    assert(hits.size == 1,
+      s"full fold must heal coverage: ${hits.size} of ${live.size} files")
+    assert(tbl.pointLookup(Seq(42L)).collect()(0)
+      .getAs[String]("o_orderstatus") == "R")
   }
 
   test("index compaction crash leftovers: duplicate merged dirs stay correct and re-fold") {
