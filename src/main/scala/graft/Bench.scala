@@ -116,7 +116,13 @@ object Bench {
     def snapSentinel(tag: String): Unit = {
       val la = loadavg
       val (c, f) = sentinelOnce()
-      sentinels(tag) = (c, f, la)
+      // suffix repeated tags (fam_other_2, …): overwriting one LinkedHashMap
+      // slot would leave a sample whose battery-order position no longer
+      // matches its capture time, misattributing family-local spikes
+      var t = tag
+      var k = 2
+      while (sentinels.contains(t)) { t = s"${tag}_$k"; k += 1 }
+      sentinels(t) = (c, f, la)
     }
 
     val families = Seq(
@@ -225,17 +231,80 @@ object Bench {
     // Best-effort: a checkout without git/python or without a committed
     // epoch logs and moves on; the epoch data above is already on disk.
     try {
-      val pb = new ProcessBuilder("python3", "scripts/bench_triage.py",
-        "--git", "HEAD", "BENCH_SELF.json", "--embed")
-      pb.directory(new java.io.File(artifactDir))
-      pb.redirectErrorStream(true)
-      val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val done = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) { p.destroyForcibly(); () }
-      System.err.println(s"[bench] triage embed (exit ${
-        if (done) p.exitValue() else "timeout"}): ${out.trim.takeRight(400)}")
+      def runChild(cmd: Seq[String], dir: java.io.File,
+          env: Map[String, String], timeoutSec: Long): (String, String) = {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.directory(dir)
+        env.foreach { case (k, v) => pb.environment().put(k, v) }
+        pb.redirectErrorStream(true)
+        // output to a FILE and waitFor FIRST: reading the child's stdout
+        // before waitFor blocks until the child closes it, which made the
+        // timeout + destroyForcibly below unreachable if the child hung
+        val outF = java.io.File.createTempFile("graft-child-", ".out")
+        pb.redirectOutput(outF)
+        val p = pb.start()
+        val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { p.destroyForcibly(); () }
+        val out = try java.nio.file.Files.readString(outF.toPath)
+          catch { case _: Exception => "" }
+        outF.delete()
+        (out, if (done) p.exitValue().toString else "timeout")
+      }
+      def runTriage(extra: Seq[String]): Unit = {
+        val (out, exit) = runChild(
+          Seq("python3", "scripts/bench_triage.py",
+            "--git", "HEAD", "BENCH_SELF.json") ++ extra,
+          new java.io.File(artifactDir), Map.empty, 120)
+        System.err.println(
+          s"[bench] triage ${extra.mkString(" ")} (exit $exit): ${out.trim.takeRight(400)}")
+      }
+      runTriage(Seq("--embed"))
+      // AUTO-FLOOR: any row the first pass still flags gets the judge's
+      // isolated protocol run right here — a fresh child JVM per op,
+      // 8 runs, best-warm floor — and a second triage pass embeds the
+      // floors so the artifact ships with a FINAL verdict on every row,
+      // never an unaccompanied "suspect a code change".
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val triage = mapper.readTree(
+        new java.io.File(artifactDir, "BENCH_TRIAGE.json"))
+      val flaggedOps = {
+        val it = triage.path("flagged").elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().path("op").asText()
+        b.result()
+      }
+      if (flaggedOps.nonEmpty) {
+        val toFloor = flaggedOps.take(10) // bound the battery tail
+        if (toFloor.size < flaggedOps.size)
+          System.err.println(
+            s"[bench] flooring only ${toFloor.size} of ${flaggedOps.size} flagged ops")
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val cp = System.getProperty("java.class.path")
+        val floors = toFloor.flatMap { op =>
+          val (out, exit) = runChild(
+            Seq(javaBin, "-Xmx32g", "-cp", cp, "graft.tools.BenchSome", op),
+            new java.io.File(artifactDir),
+            Map("SPARK_GRAFT_BENCH_RUNS" -> "8",
+              "SPARK_GRAFT_SF_DIR" -> sfDir, "SPARK_GRAFT_CPUS" -> cpus),
+            420)
+          // warm floor = best of runs 2.. (run1 pays cold codegen/FS init)
+          val warm = raw"\[benchsome\] \S+ run(\d+)\s+([0-9.]+) s".r
+            .findAllMatchIn(out)
+            .filter(_.group(1).toInt >= 2).map(_.group(2).toDouble).toSeq
+          if (warm.isEmpty) {
+            System.err.println(s"[bench] floor for $op: no warm runs (exit $exit)")
+            None
+          } else Some(op -> warm.min)
+        }
+        if (floors.nonEmpty) {
+          val fj = floors.map { case (o, s) => "\"" + o + "\":" + f3(s) }
+            .mkString("{", ",", "}")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(artifactDir, "BENCH_FLOORS.json"), fj)
+          runTriage(Seq("--floors", "BENCH_FLOORS.json", "--embed"))
+        }
+      }
     } catch {
       case e: Exception => System.err.println(s"[bench] triage embed skipped: $e")
     }
