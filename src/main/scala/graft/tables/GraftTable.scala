@@ -219,8 +219,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * base files — no delta involved, so the anti-join can't see them. With
     * multiple live base commits the full resolve runs instead (compaction
     * folds everything into one base commit and restores the fast path). */
-  private def snapshotWithMeta(asOf: Option[String]): DataFrame = {
-    val files = timeline.liveFiles(asOf)
+  private def snapshotWithMeta(asOf: Option[String],
+      allowArchived: Boolean = false): DataFrame = {
+    val files = timeline.liveFiles(asOf, allowArchived)
     // zero live files is a VALID snapshot (a delete can empty the table, a
     // crashed first write leaves config+schema only): an empty frame with
     // the persisted schema, not an error
@@ -378,8 +379,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * state — `hudi_table_changes(..., 'latest_state', begin, end)`
     * (quickstart.sql:83-90). A pure metadata filter on the snapshot. */
   def incremental(beginExclusive: String, endInclusive: String): DataFrame =
+    // allowArchived: this is the streaming source's getBatch — Spark's
+    // recovery contract replays the last WAL'd batch with the SAME offset
+    // range after a restart, and a timeline checkpoint that archived that
+    // range in between must not wedge the stream (archive renames commit
+    // files, so the replay is exact; interactive readAsOf keeps its loud
+    // refusal — only the incremental/recovery path pays the archive read)
     dropInternal(
-      snapshotWithMeta(Some(endInclusive))
+      snapshotWithMeta(Some(endInclusive), allowArchived = true)
         .filter(col(GraftMeta.CommitTime) > beginExclusive &&
           col(GraftMeta.CommitTime) <= endInclusive))
 

@@ -517,7 +517,8 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     * keeps a files index in its metadata table. Without a checkpoint the
     * full timeline is replayed (commit parses are cached per handle).
     */
-  def liveFiles(asOf: Option[String] = None): Seq[FileMeta] = {
+  def liveFiles(asOf: Option[String] = None,
+      allowArchived: Boolean = false): Seq[FileMeta] = {
     val committed = instants()
     val cps = checkpoints()
     val bound = asOf.getOrElse {
@@ -526,18 +527,30 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       all.maxBy(_.toLong)
     }
     val cp = cps.filter(_ <= bound).lastOption
-    // any archived commit inside the replay range (cp, bound] would be
-    // silently skipped — refuse rather than return a wrong snapshot
-    if (archivedInstants().exists(i => i <= bound && cp.forall(i > _)))
+    // archived commits inside the replay range (cp, bound] would be
+    // silently skipped. Default: refuse rather than return a wrong
+    // snapshot (interactive time travel past the archive horizon fails
+    // loudly). `allowArchived`: replay them from `_graft/archive/` —
+    // archive is a commit-file RENAME, so the replay is exact, just not
+    // O(commits since checkpoint). The streaming source needs this: the
+    // engine's recovery contract re-runs the last WAL'd-but-uncommitted
+    // batch with the SAME offsets after a restart, and a
+    // checkpointTimeline that archived the batch's range in between must
+    // not wedge the stream forever (fuzz-found: StreamReplaySpec).
+    val archivedInRange = archivedInstants()
+      .filter(i => i <= bound && cp.forall(i > _))
+    if (archivedInRange.nonEmpty && !allowArchived)
       throw new IllegalArgumentException(
         s"snapshot AS OF $bound is not reconstructable — commits in its replay range are archived")
     val live = mutable.LinkedHashMap.empty[String, FileMeta]
     cp.foreach(i => readCheckpoint(i).foreach(f => live.put(f.path, f)))
-    committed.filter(i => cp.forall(i > _) && i <= bound).foreach { i =>
-      val c = readCommit(i)
-      c.removes.foreach(live.remove)
-      c.adds.foreach(f => live.put(f.path, f))
-    }
+    (archivedInRange ++
+      committed.filter(i => cp.forall(i > _) && i <= bound))
+      .distinct.sorted.foreach { i =>
+        val c = readCommit(i)
+        c.removes.foreach(live.remove)
+        c.adds.foreach(f => live.put(f.path, f))
+      }
     live.values.toSeq
   }
 

@@ -59,6 +59,10 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     val liveExtras = mutable.ArrayBuffer.empty[String] // add/drop columns
     var nextExtra = 0
     var savepointAt: Option[String] = None
+    // a savepoint whose post-savepoint commits were ARCHIVED by a later
+    // checkpoint: restore() to it must reject loudly and mutate NOTHING
+    // (the archive x restore interaction pin, fuzz form)
+    var staleSavepoint: Option[String] = None
     var opSeq = 0L
 
     def batchDf(rows: Seq[(Long, RowM)]): DataFrame = {
@@ -155,7 +159,7 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     record(tbl.insert(batchDf(seedRows), numFiles = 4))
 
     (1 to rounds).foreach { round =>
-      rng.nextInt(if (schemaOps) 14 else 10) match {
+      rng.nextInt(if (schemaOps) 15 else 10) match {
         case 0 | 1 | 2 | 3 => // upsert (the common op)
           val rows = freshRows(20 + rng.nextInt(180))
           applyBatchToModel(rows)
@@ -184,6 +188,10 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
           model ++= history.last._2
           savepointAt = savepointAt.filter(s => history.exists(_._1 == s))
         case 9 if history.size > 2 => // checkpoint: archives the replay
+          // a savepoint older than the new checkpoint gets its follow-up
+          // commits archived — remember it as permanently un-restorable
+          staleSavepoint = savepointAt.filter(_ != history.last._1)
+            .orElse(staleSavepoint)
           tbl.checkpointTimeline()
           // archived instants fail loudly on readAsOf and can't be rolled
           // back — the model keeps only the latest (still-live) snapshot
@@ -198,7 +206,10 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 11 if liveExtras.nonEmpty => // ALTER TABLE DROP COLUMN
           val c = liveExtras.remove(rng.nextInt(liveExtras.size))
           tbl.dropColumns(Seq(c))
-        case 12 => // savepoint the current snapshot
+        case 12 if tbl.timeline.instants().contains(history.last._1) =>
+          // savepoint the current snapshot (hot commits only — archived
+          // instants are refused by the product, by contract; right after
+          // a checkpoint the kept history head is archived)
           savepointAt = Some(history.last._1)
           tbl.savepoint(history.last._1)
         case 13 if savepointAt.exists(s => history.exists(_._1 == s)) =>
@@ -209,6 +220,16 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
           history.remove(idx + 1, history.size - idx - 1)
           model.clear()
           model ++= history.last._2
+        case 14 if staleSavepoint.nonEmpty =>
+          // archive x restore pin: restoring to a savepoint whose
+          // follow-up commits were archived must REJECT loudly and
+          // mutate nothing — the model stays as-is and the next verify
+          // round catches any partial mutation
+          val ex = intercept[IllegalArgumentException](
+            tbl.restore(staleSavepoint.get))
+          assert(ex.getMessage.contains("archived"),
+            s"[$name seed=$seed] stale restore rejected for the wrong " +
+              s"reason: ${ex.getMessage}")
         case _ => // chosen op not applicable yet: cheap upsert
           val rows = freshRows(10)
           applyBatchToModel(rows)

@@ -1,0 +1,269 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row => SqlRow, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** Streaming-consistency fuzz — ModelCheckSpec's twin for the STREAM READ
+  * path. A real `readStream.format("graft")` consumer (checkpointed file
+  * sink, Trigger.AvailableNow per poll — exactly how a scheduled
+  * incremental job tails a table) consumes the table WHILE a seeded
+  * random mutation sequence runs: upserts, deletes, compaction, index
+  * folds, timeline checkpoint/archive, rollback, savepoint/restore — the
+  * op class whose interaction with folded index state produced a real
+  * silent-row-loss bug in round 12. Offsets are commit instants and
+  * restore/rollback REWRITES history, so this is exactly the interaction
+  * surface the fuzz must own.
+  *
+  * Contract asserted (both modes):
+  *   1. Steady state: the concatenated micro-batches replay to the model
+  *      snapshot at every poll — CDC images applied in `_commit` order,
+  *      incremental rows reduced latest-ver-per-key. Service commits
+  *      (compact) and index folds must never change what the stream sees.
+  *   2. A rollback/restore that removes only instants the consumer has
+  *      NOT yet consumed is invisible: the consumer continues WITHOUT
+  *      restart and stays exact.
+  *   3. A rollback/restore that destroys already-consumed instants is the
+  *      documented recovery case: the consumer restarts from offset zero
+  *      (fresh checkpoint) and the full re-consume must equal the current
+  *      model exactly.
+  * Seeded, so a failure replays exactly. */
+class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("graft-streamreplay", "4").getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private val KeySpace = 2000L
+  private val Groups = 12
+
+  /** model row: id -> (ver, grp, v) */
+  private type M = mutable.Map[Long, (Long, Long, String)]
+
+  private def runScenario(name: String, cdcMode: Boolean,
+      withDeletes: Boolean, rounds: Int, seed: Long): Unit = {
+    val rng = new Random(seed)
+    val root = s"/tmp/graft_spec/streamreplay_$name"
+    val tbl = GraftTable(spark, GraftTableConfig(root, "id", "ver",
+      recordIndexBuckets = 4, secondaryIndexCols = Seq("grp"),
+      writeChangelog = cdcMode))
+    tbl.dropIfExists()
+
+    val model: M = mutable.Map.empty
+    val opLog = mutable.ArrayBuffer.empty[String] // replay context on failure
+    // committed history since the last timeline checkpoint:
+    // instant -> snapshot (rollback pops, restore truncates)
+    val history = mutable.ArrayBuffer.empty[(String, Map[Long, (Long, Long, String)])]
+    var savepointAt: Option[String] = None
+    var opSeq = 0L
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ver", LongType),
+      StructField("grp", LongType), StructField("v", StringType)))
+    def batchDf(rows: Seq[(Long, (Long, Long, String))]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (k, (ver, g, v)) => SqlRow(k, ver, g, v) }, 2),
+        schema)
+    def freshRows(n: Int): Seq[(Long, (Long, Long, String))] = {
+      opSeq += 1
+      val base = opSeq * 100000L
+      Seq.tabulate(n) { i =>
+        val k = rng.nextLong(KeySpace)
+        k -> (base + i, k % Groups, s"$name-$opSeq-$i")
+      }
+    }
+    def applyToModel(rows: Seq[(Long, (Long, Long, String))]): Unit =
+      rows.groupBy(_._1).foreach { case (k, vs) =>
+        model(k) = vs.map(_._2).maxBy(_._1) // precombine: max ver wins
+      }
+    def record(instant: String): Unit = history += instant -> model.toMap
+
+    // ---- consumer: a real checkpointed streaming query, re-started per
+    // poll with AvailableNow (the scheduled-job shape from SourcesSpec)
+    var cpDir = java.nio.file.Files.createTempDirectory("sr_cp").toString
+    var outDir = java.nio.file.Files.createTempDirectory("sr_out").toString
+    var consumedUpTo = 0L
+    def restartConsumer(why: String): Unit = {
+      cpDir = java.nio.file.Files.createTempDirectory("sr_cp").toString
+      outDir = java.nio.file.Files.createTempDirectory("sr_out").toString
+      consumedUpTo = 0L
+    }
+
+    def replayOut(): Map[Long, (Long, Long, String)] = {
+      val outHasData = new java.io.File(outDir).listFiles() != null &&
+        new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".parquet"))
+      if (!outHasData) return Map.empty
+      val df = spark.read.parquet(outDir)
+      if (cdcMode) {
+        // apply change images in commit order: insert/update_postimage
+        // upsert the key, delete removes it, preimages are ignored
+        val st = mutable.Map.empty[Long, (Long, Long, String)]
+        df.select("_commit", "_change_type", "id", "ver", "grp", "v")
+          .collect()
+          .sortBy(r => (r.getString(0), r.getLong(3))) // commit, then ver
+          .foreach { r =>
+            r.getString(1) match {
+              case "insert" | "update_postimage" =>
+                st(r.getLong(2)) = (r.getLong(3), r.getLong(4), r.getString(5))
+              case "delete" => st.remove(r.getLong(2))
+              case _ => () // update_preimage
+            }
+          }
+        st.toMap
+      } else {
+        // incremental rows: latest version per key wins (a compaction may
+        // legally re-deliver rows — replay is idempotent by construction)
+        df.select("id", "ver", "grp", "v").collect()
+          .groupBy(_.getLong(0))
+          .map { case (k, rs) =>
+            val r = rs.maxBy(_.getLong(1))
+            k -> (r.getLong(1), r.getLong(2), r.getString(3))
+          }
+      }
+    }
+
+    def consume(round: Int): Unit = {
+      val head = tbl.timeline.latestInstant().map(_.toLong).getOrElse(0L)
+      if (head <= consumedUpTo) return
+      opLog += s"consume(upTo=$consumedUpTo head=$head)"
+      val q = spark.readStream.format("graft")
+        .option("graft.cdc", cdcMode.toString).load(root)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cpDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch { case e: Throwable =>
+        throw new AssertionError(
+          s"[$name seed=$seed] stream query failed after ops:\n  " +
+            opLog.mkString("\n  "), e)
+      }
+      consumedUpTo = head
+      val got = replayOut()
+      val want = model.toMap
+      assert(got == want, {
+        val extra = got.keySet -- want.keySet
+        val missing = want.keySet -- got.keySet
+        val drift = got.keySet.intersect(want.keySet)
+          .filter(k => got(k) != want(k)).take(3)
+        s"[$name r$round seed=$seed upTo=$consumedUpTo] stream replay " +
+          s"drift: extra=${extra.take(3)} missing=${missing.take(3)} " +
+          s"changed=${drift.map(k => (k, got(k), want(k)))}"
+      })
+    }
+
+    // destructive-op bookkeeping: removing an instant the consumer has
+    // already consumed orphans its replayed rows — the documented
+    // restart-from-scratch recovery; untouched consumers continue
+    def noteRemoved(instants: Seq[String]): Unit =
+      if (instants.exists(_.toLong <= consumedUpTo))
+        restartConsumer(s"consumed instants removed: $instants")
+
+    // seed the table and take the initial-snapshot batch
+    val seedRows = freshRows(300)
+    applyToModel(seedRows)
+    record(tbl.insert(batchDf(seedRows), numFiles = 4))
+    consume(0)
+
+    (1 to rounds).foreach { round =>
+      rng.nextInt(12) match {
+        case 0 | 1 | 2 | 3 | 4 => // upsert (the common op)
+          val rows = freshRows(20 + rng.nextInt(120))
+          applyToModel(rows)
+          record(tbl.upsert(batchDf(rows)))
+          opLog += s"upsert -> ${history.last._1}"
+        case 5 if withDeletes => // predicate delete on the indexed column
+          val g = rng.nextLong(Groups)
+          val inst = tbl.delete(col("grp") === g)
+          opLog += s"delete grp=$g -> $inst"
+          model.filterInPlace { case (_, r) => r._2 != g }
+          record(inst)
+        case 6 => // compaction: a service commit the stream must NOT re-see
+          record(tbl.compact(targetRows = 2000L))
+          opLog += s"compact -> ${history.last._1}"
+        case 7 => // index folds: no commit, stream-invisible
+          tbl.compactRecordIndex()
+          tbl.compactSecondaryIndex("grp")
+          opLog += "folds"
+        case 8 if history.size > 1 => // rollback the latest commit
+          val (inst, _) = history.last
+          tbl.rollback(inst)
+          opLog += s"rollback $inst"
+          history.remove(history.size - 1)
+          model.clear()
+          model ++= history.last._2
+          savepointAt = savepointAt.filter(s => history.exists(_._1 == s))
+          noteRemoved(Seq(inst))
+        case 9 if history.size > 2 => // checkpoint + archive the replay
+          opLog += s"checkpointTimeline @ ${history.last._1}"
+          tbl.checkpointTimeline()
+          val keep = history.last
+          history.clear()
+          history += keep
+          savepointAt = None
+        case 10 if tbl.timeline.instants().contains(history.last._1) =>
+          // savepoint the current snapshot (hot commits only — an archived
+          // instant is refused by the product, by contract)
+          savepointAt = Some(history.last._1)
+          tbl.savepoint(history.last._1)
+          opLog += s"savepoint ${history.last._1}"
+        case 11 if savepointAt.exists(s => history.exists(_._1 == s)) =>
+          // restore: every commit after the savepoint rolls back
+          val s = savepointAt.get
+          opLog += s"restore -> $s"
+          tbl.restore(s)
+          val idx = history.indexWhere(_._1 == s)
+          val removed = history.drop(idx + 1).map(_._1).toSeq
+          history.remove(idx + 1, history.size - idx - 1)
+          model.clear()
+          model ++= history.last._2
+          noteRemoved(removed)
+        case _ => // chosen op not applicable yet: cheap upsert
+          val rows = freshRows(10)
+          applyToModel(rows)
+          record(tbl.upsert(batchDf(rows)))
+      }
+      // poll most rounds so the consumer interleaves tightly with the
+      // mutations; skipping some rounds makes multi-commit batches common
+      if (rng.nextDouble() < 0.7 || round == rounds) consume(round)
+    }
+    // final full-restart audit: a brand-new consumer's initial snapshot
+    // batch must equal the model no matter what history the table endured
+    restartConsumer("final audit")
+    consume(rounds + 1)
+    tbl.dropIfExists()
+  }
+
+  test("CDC stream replay matches the model through 28 mutation rounds") {
+    runScenario("cdc", cdcMode = true, withDeletes = true,
+      rounds = 28, seed = 0x57E0401)
+  }
+
+  test("incremental stream replay matches the model through 28 rounds") {
+    runScenario("inc", cdcMode = false, withDeletes = false,
+      rounds = 28, seed = 0x57E0402)
+  }
+
+  // Deeper sweeps on demand: -DstreamReplaySeeds=7,11 adds seeds per mode
+  sys.props.get("streamReplaySeeds").toSeq
+    .flatMap(_.split(",")).map(_.trim.toLong).foreach { s =>
+      test(s"CDC stream sweep seed=$s") {
+        runScenario(s"cdc_$s", cdcMode = true, withDeletes = true,
+          rounds = 24, seed = s)
+      }
+      test(s"incremental stream sweep seed=$s") {
+        runScenario(s"inc_$s", cdcMode = false, withDeletes = false,
+          rounds = 24, seed = s)
+      }
+    }
+}
