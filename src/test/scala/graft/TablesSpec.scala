@@ -2432,6 +2432,39 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.readAsOf(i1).count() == orders.count())
   }
 
+  test("restore across an archived range rejects loudly and leaves state untouched") {
+    // savepoint → commits after it → checkpoint archives those commits →
+    // restore to the savepoint can no longer roll them back one by one.
+    // The contract: REJECT before mutating anything — never a partial
+    // restore (fuzz round 12 proved restore interacts with folded index
+    // state; this pins the archive interaction the same way)
+    val tbl = freshTable("restore_archived")
+    val i1 = tbl.insert(orders, numFiles = 4)
+    tbl.savepoint(i1)
+    tbl.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U")))
+    tbl.upsert(orders.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("o_orderstatus", lit("V")))
+    tbl.checkpointTimeline() // archives the two post-savepoint commits
+    assert(tbl.timeline.archivedInstants().exists(_ > i1),
+      "precondition: commits after the savepoint must be archived")
+    val rowsBefore = tbl.read().orderBy("o_orderkey").collect()
+    val filesBefore = tbl.timeline.liveFiles(None).map(_.path).toSet
+    val commitsBefore = tbl.timeline.instants()
+    val cpsBefore = tbl.timeline.checkpoints()
+    val ex = intercept[IllegalArgumentException](tbl.restore(i1))
+    assert(ex.getMessage.contains("archived"), ex.getMessage)
+    // NOTHING moved: same snapshot, same live files, same hot timeline,
+    // same checkpoints — the reject happened before any mutation
+    assert(tbl.timeline.liveFiles(None).map(_.path).toSet == filesBefore)
+    assert(tbl.timeline.instants() == commitsBefore)
+    assert(tbl.timeline.checkpoints() == cpsBefore)
+    assert(tbl.read().orderBy("o_orderkey").collect().sameElements(rowsBefore))
+    // and the savepointed snapshot itself is still readable (its commits
+    // were kept hot by archive's savepoint-needed rule)
+    assert(tbl.readAsOf(i1).count() == orders.count())
+  }
+
   test("filesMeta is served from the timeline and matches the physical layout") {
     val tbl = freshTable("files_meta", keyGen = FieldPartition("o_orderpriority"))
     tbl.insert(orders, numFiles = 2)

@@ -174,4 +174,69 @@ class FsCallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pb <= 80, s"bloom-tier lookup made $pb FS calls")
     small.dropIfExists(); big.dropIfExists()
   }
+
+  test("partition-pruned read and partition drop ride the touched partition") {
+    // the partition-cardinality axis (PartitionScaleStress is the sweep;
+    // this is the pin): reading ONE partition must touch exactly that
+    // partition's files, and dropping one is a metadata-only commit —
+    // both independent of how many OTHER partitions the table has
+    def build(name: String, np: Int): GraftTable = {
+      val root = s"/tmp/graft_spec/fscall_parts_$name"
+      val tbl = GraftTable(spark, GraftTableConfig(root, "id", "id",
+        keyGen = FieldPartition("part")))
+      tbl.dropIfExists()
+      tbl.insert(spark.range(20000L)
+        .selectExpr("id", s"cast(id % $np AS string) AS part"), numFiles = np)
+      tbl
+    }
+    val small = build("small", 16)
+    val big = build("big", 128)
+    def probe(t: GraftTable, np: Int): (Long, Long) = {
+      val partFiles = t.timeline.liveFiles(None).count(_.partition == "part=7")
+      assert(partFiles >= 1)
+      // pruned-scan FILE SET pin: exactly the target partition's files
+      val pruned = t.readWhere(_ == "part=7")
+      assert(pruned.inputFiles.length == partFiles &&
+        pruned.inputFiles.forall(_.contains("part=7")),
+        s"pruned scan read ${pruned.inputFiles.length} files " +
+          s"(${pruned.inputFiles.count(!_.contains("part=7"))} outside the " +
+          s"partition), expected $partFiles")
+      val (cRead, rows) = calls(
+        t.readWhere(_ == "part=7").filter(col("part") === "7").count())
+      assert(rows == (20000L - 8) / np + 1)
+      val (cDrop, _) = calls(t.dropPartitions(_ == "part=3"))
+      assert(t.timeline.liveFiles(None).forall(_.partition != "part=3"))
+      (total(cRead), total(cDrop))
+    }
+    val (rs, ds) = probe(small, 16)
+    val (rb, db) = probe(big, 128)
+    println(s"[fscall] parts pruned-read small=$rs big=$rb drop small=$ds big=$db")
+    assert(rb <= rs * 3 / 2 + 10,
+      s"pruned-read calls grew with partition count: $rs -> $rb")
+    assert(db <= ds * 3 / 2 + 10,
+      s"drop-partition calls grew with partition count: $ds -> $db")
+    assert(db <= 120, s"metadata-only partition drop made $db FS calls")
+    small.dropIfExists(); big.dropIfExists()
+  }
+
+  test("modeled S3 point-lookup cost stays flat in table size") {
+    // the S3CostModel gate: convert the point lookup's call delta into
+    // modeled object-store milliseconds (the serialized metadata bill)
+    // and pin it flat — same claim as the count pin above, but in the
+    // unit BENCH_SF100_S3MODEL.json publishes
+    val small = freshTable("s3m_small", 4, 3)
+    val big = freshTable("s3m_big", 32, 10)
+    def modeled(t: GraftTable): Double = {
+      val (c, n) = calls(t.pointLookup(Seq(777L)).count())
+      assert(n == 1L)
+      graft.tools.S3CostModel.modeledMs(c)
+    }
+    val ms = modeled(small)
+    val mb = modeled(big)
+    println(s"[fscall] modeled S3 point lookup small=${ms}ms big=${mb}ms")
+    assert(mb <= ms * 1.5 + 100.0,
+      s"modeled S3 lookup cost grew with table size: $ms -> $mb ms")
+    assert(mb <= 2500.0, s"modeled S3 point lookup costs $mb ms")
+    small.dropIfExists(); big.dropIfExists()
+  }
 }
