@@ -262,6 +262,78 @@ object MultiProcessStress {
     require(morTbl.pointLookup(Seq(1L, 7L, 100L)).count() == 3,
       "post-storm point lookup missed rows through the folded index")
 
+    // ---- ROLLBACK-vs-FOREIGN-FOLD arm: the coverage-manifest race on
+    // its REAL surface. A COW upsert REPLACES files; rolling it back
+    // RESURRECTS them; a fold in a FOREIGN process that read its sources'
+    // coverage before the rollback's manifest rewrite would re-claim
+    // exactly the resurrected instants — after which indexed point
+    // lookups silently prune the resurrected files (their mappings were
+    // liveness-purged at fold time). The in-JVM fold lock cannot reach a
+    // foreign process; what closes this window is the fold protocol
+    // itself (source manifests re-read + timeline resurrection recheck
+    // immediately before the claim is written — GraftTable round 13).
+    // Gate: every post-rollback point lookup returns the pre-upsert row,
+    // across many rollback/fold overlaps.
+    val rbPath = "/tmp/graft_multiproc_stress/rollback_cow"
+    val rbCfg = GraftTableConfig(rbPath, "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 8)
+    val rbTbl = GraftTable(spark, rbCfg)
+    rbTbl.dropIfExists()
+    rbTbl.insert(orders, numFiles = 8)
+    rbTbl.upsert(orders.filter(col("o_orderkey") === 1L)
+      .withColumn("o_orderstatus", lit("SEED")))
+    // merged base claiming coverage (a fold needs >= 2 source dirs)
+    require(rbTbl.compactRecordIndex() == 2,
+      "rollback-vs-fold arm: seed fold did not consume insert + upsert")
+    val rbStop = "/tmp/graft_multiproc_stress/fold.stop"
+    val rbOut = "/tmp/graft_multiproc_stress/fold.json"
+    new java.io.File(rbStop).delete()
+    new java.io.File(rbOut).delete()
+    val foldProc = spawn("graft.tools.MultiProcessFoldChild",
+      Seq(rbPath, rbStop, rbOut), "/tmp/graft_multiproc_stress/fold-child.log")
+    val rbKeys = Seq(3L, 7L, 13L)
+    val rbBaseline = rbTbl.pointLookup(rbKeys).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("o_orderstatus")).toMap
+    require(rbBaseline.size == rbKeys.size, "probe keys missing before the storm")
+    val rbRounds = 20
+    var rbAnomalies = 0
+    (1 to rbRounds).foreach { r =>
+      // rewrite the probe keys' files: their pre-upsert versions die, so
+      // any foreign fold in this window liveness-purges those mappings
+      val inst = rbTbl.upsert(orders.filter(col("o_orderkey").isin(rbKeys: _*))
+        .withColumn("o_orderstatus", lit(s"RB$r")))
+      // deterministic spread over the fold's own duration (~0.5-1.5 s in
+      // the child): short sleeps hit the fold mid-read (it crashes on the
+      // vanished source — legal), long sleeps let it COMPLETE and claim
+      // coverage first, so the rollback's un-claim and the fold's
+      // last-before-write recheck both get real overlaps
+      Thread.sleep(50L + (r * 137L) % 1900L)
+      rbTbl.rollback(inst) // resurrects the pre-upsert files
+      rbKeys.foreach { k =>
+        val got = rbTbl.pointLookup(Seq(k)).collect()
+        if (got.length != 1 ||
+            got(0).getAs[String]("o_orderstatus") != rbBaseline(k)) {
+          rbAnomalies += 1
+          println(s"[multiproc] rollback-vs-fold anomaly r$r key $k: " +
+            s"${got.map(_.getAs[String]("o_orderstatus")).mkString(",")}")
+        }
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(rbStop), "stop")
+    val foldExit = foldProc.waitFor()
+    val foldJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(rbOut))).trim
+    def foldCount(k: String): Int =
+      ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(foldJson)
+        .map(_.group(1).toInt).getOrElse(0)
+    require(foldExit == 0, "fold child failed — see fold-child.log")
+    require(foldCount("folds") > 0,
+      s"foreign fold child never folded — no race was exercised: $foldJson")
+    require(rbAnomalies == 0,
+      s"$rbAnomalies silent lookup misses under rollback-vs-foreign-fold")
+    require(rbTbl.read().count() == nOrders,
+      "rollback-vs-fold arm drifted the row count")
+
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val out =
       s"""{"writers":$writers,"commits":${writers * perWriter},"wall_s":${f2(wallS)},""" +
@@ -274,6 +346,8 @@ object MultiProcessStress {
       s""""reader_probes":$morProbes,"reader_anomalies":$morAnomalies,""" +
       s""""services":$svcJson,"writer_exits":[${morExits.mkString(",")}],""" +
       s""""services_exit":$svcExit,"correct":true},""" +
+      s""""rollback_vs_foreign_fold":{"rounds":$rbRounds,"anomalies":$rbAnomalies,""" +
+      s""""fold_child":$foldJson,"fold_exit":$foldExit,"correct":true},""" +
       s""""correct":true,"note":"N real child JVMs (own SparkSessions) sharing one table: """ +
       s"""exercises the cross-process reservation createExclusive, the .commit.lock lease, """ +
       s"""and rename-fenced commits that the same-JVM storms never reach (the per-table JVM """ +
@@ -284,7 +358,12 @@ object MultiProcessStress {
       s"""AsyncServices (compaction + index folds) in its own child JVM against a MOR """ +
       s"""table two foreign writer processes append to: cross-process rename visibility """ +
       s"""for the fold-marker + lease protocol, gated on zero anomalies, exact slices, """ +
-      s"""exact point lookups, and index_folds > 0."}"""
+      s"""exact point lookups, and index_folds > 0. The rollback_vs_foreign_fold arm """ +
+      s"""pins the coverage-manifest race: a foreign process folds continuously while """ +
+      s"""the parent upserts and rolls back probe keys (each rollback resurrects files """ +
+      s"""whose mappings a mid-flight fold may just have liveness-purged); every """ +
+      s"""post-rollback point lookup must return the pre-upsert row — zero silent """ +
+      s"""misses across the overlaps."}"""
     println(s"[multiproc] $out")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
     catch { case e: Exception => System.err.println(s"[multiproc] FAILED to write $outPath: $e") }
@@ -384,6 +463,44 @@ object MultiProcessServicesChild {
       s""""conflicts_retried":${svc.conflictsRetried}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(s"[services] $json")
+    spark.stop()
+  }
+}
+
+/** Child-JVM entry looping ONLY record-index folds on a COW table — the
+  * foreign-process foil for the rollback_vs_foreign_fold arm. A fold
+  * that crashes mid-run (its source dir deleted under it by the parent's
+  * rollback) is LEGAL — the fold protocol is crash-safe and the marker
+  * falls back lookups to their exact non-index path — so crashes are
+  * counted, not fatal; silent lookup misses in the PARENT are the only
+  * failure. Args: `<tablePath> <stopFile> <outJson>`. */
+object MultiProcessFoldChild {
+  def main(args: Array[String]): Unit = {
+    val Array(path, stopFile, outFile) = args.take(3)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tbl = GraftTable(spark, GraftTableConfig(
+      path, "o_orderkey", "o_orderkey", recordIndexBuckets = 8))
+    var folds = 0
+    var noops = 0
+    var crashes = 0
+    while (!new java.io.File(stopFile).exists()) {
+      try {
+        if (tbl.compactRecordIndex() > 0) folds += 1 else noops += 1
+      } catch { case scala.util.control.NonFatal(e) =>
+        crashes += 1
+        println(s"[fold-child] fold crashed (legal, crash-safe): ${e.getMessage}")
+      }
+      Thread.sleep(30L)
+    }
+    val json = s"""{"folds":$folds,"noops":$noops,"crashes":$crashes}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    println(s"[fold-child] $json")
     spark.stop()
   }
 }
