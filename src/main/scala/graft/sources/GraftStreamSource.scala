@@ -35,8 +35,13 @@ final class GraftStreamSource(
     graft.tables.Timeline.pad(l)
   }
 
+  // headInstant, not latestInstant: on a table whose newest commits were
+  // archived under a covering checkpoint (pre-head-pinning archive), the
+  // hot-only latest under-reports the head and the stream would stop
+  // short of the newest data forever; headInstant is the same bound
+  // read() resolves to, so batch reads and snapshot reads always agree
   override def getOffset: Option[Offset] =
-    table.timeline.latestInstant().map(i => LongOffset(i.toLong))
+    table.timeline.headInstant().map(i => LongOffset(i.toLong))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val begin = start.map(instantOf).getOrElse(graft.tables.Timeline.pad(0))

@@ -2826,6 +2826,13 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val latest = timeline.latestInstant()
     require(latest.contains(instant),
       s"only the latest commit (${latest.getOrElse("none")}) can be rolled back, not $instant")
+    // a checkpoint PINS this instant's snapshot as a full file listing —
+    // deleting the commit's files would leave the checkpoint referencing
+    // them (reads resolve from checkpoints first: silent corruption).
+    // restore() handles this by deleting later checkpoints first.
+    require(!timeline.checkpoints().contains(instant),
+      s"instant $instant is pinned by a timeline checkpoint and cannot be " +
+        "rolled back (restore to an earlier savepoint instead)")
     val c = timeline.readCommit(instant)
     // external (bootstrapped) files are not owned by the table: deregister only
     c.adds.filterNot(_.path.startsWith("ext:"))

@@ -231,6 +231,19 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
 
   def latestInstant(): Option[String] = instants().lastOption
 
+  /** The table's true HEAD: the newest instant whose snapshot is
+    * reconstructable — the newest hot commit or checkpoint, whichever is
+    * later. On tables written before archive kept the head commit hot,
+    * the newest commits can live only in the archive under a covering
+    * checkpoint; `latestInstant()` (hot-only) then under-reports the
+    * head, and a stream offset bound to it would stop short forever.
+    * This is the bound [[liveFiles]] resolves `asOf = None` to, so
+    * `read()` and a stream's `getOffset` agree by construction. */
+  def headInstant(): Option[String] = {
+    val all = instants() ++ checkpoints()
+    if (all.isEmpty) None else Some(all.maxBy(_.toLong))
+  }
+
   def nextInstant(): String = {
     val all = allInstants()
     val n = all.lastOption.map(_.toLong + 1).getOrElse(1L)
@@ -617,7 +630,14 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       val cover = cps.filter(_ <= sp).lastOption
       instants().filter(i => i <= sp && cover.forall(i > _))
     }.toSet
-    val victims = instants().filter(i => i <= cp && !needed.contains(i))
+    // the HEAD commit always stays hot: archiving it makes latestInstant()
+    // regress to an older hot commit, so stream offsets stop short of the
+    // real head (consumers silently never see the newest commits —
+    // StreamReplaySpec seed-sweep-found) and rollback's latest-only check
+    // binds to the wrong instant
+    val head = instants().lastOption
+    val victims = instants().filter(i => i <= cp && !needed.contains(i) &&
+      !head.contains(i))
     val archDir = new Path(metaDir, "archive")
     if (victims.nonEmpty) fs.mkdirs(archDir)
     victims.count { i =>

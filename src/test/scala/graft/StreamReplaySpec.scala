@@ -49,10 +49,12 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
   private type M = mutable.Map[Long, (Long, Long, String)]
 
   private def runScenario(name: String, cdcMode: Boolean,
-      withDeletes: Boolean, rounds: Int, seed: Long): Unit = {
+      withDeletes: Boolean, rounds: Int, seed: Long,
+      tableType: String = TableType.Cow): Unit = {
     val rng = new Random(seed)
     val root = s"/tmp/graft_spec/streamreplay_$name"
     val tbl = GraftTable(spark, GraftTableConfig(root, "id", "ver",
+      tableType = tableType,
       recordIndexBuckets = 4, secondaryIndexCols = Seq("grp"),
       writeChangelog = cdcMode))
     tbl.dropIfExists()
@@ -156,8 +158,14 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
         val missing = want.keySet -- got.keySet
         val drift = got.keySet.intersect(want.keySet)
           .filter(k => got(k) != want(k)).take(3)
+        // localize the fault: does a DIRECT snapshot match the model?
+        // yes → the stream path lost/invented data; no → table corruption
+        val direct = tbl.read().select("id", "ver", "grp", "v").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+          .toMap
         s"[$name r$round seed=$seed upTo=$consumedUpTo] stream replay " +
-          s"drift: extra=${extra.take(3)} missing=${missing.take(3)} " +
+          s"drift (direct snapshot matches model: ${direct == want}): " +
+          s"extra=${extra.take(3)} missing=${missing.take(3)} " +
           s"changed=${drift.map(k => (k, got(k), want(k)))}"
       })
     }
@@ -252,6 +260,15 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("incremental stream replay matches the model through 28 rounds") {
     runScenario("inc", cdcMode = false, withDeletes = false,
       rounds = 28, seed = 0x57E0402)
+  }
+
+  test("MOR incremental stream replay matches the model through 24 rounds") {
+    // MOR: commits append deltas, compaction rewrites them into base
+    // files — the stream's commit-time filter must neither re-deliver a
+    // compaction as new data (beyond idempotent re-delivery the replay
+    // absorbs) nor lose a delta row across fold/rollback/checkpoint
+    runScenario("mor_inc", cdcMode = false, withDeletes = false,
+      rounds = 24, seed = 0x57E0403, tableType = TableType.Mor)
   }
 
   // Deeper sweeps on demand: -DstreamReplaySeeds=7,11 adds seeds per mode

@@ -612,9 +612,12 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = tbl.read().orderBy("o_orderkey").collect()
 
     val cp = tbl.checkpointTimeline()
-    // every commit at or before the checkpoint left the hot dir
-    assert(tbl.timeline.instants().isEmpty)
-    assert(tbl.timeline.archivedInstants().size == 6)
+    // every commit BEFORE the checkpoint left the hot dir; the HEAD
+    // commit stays hot so latestInstant()/stream offsets never regress
+    // (archiving it made consumers stop short of the real head forever —
+    // StreamReplaySpec seed-sweep-found)
+    assert(tbl.timeline.instants() == Seq(cp))
+    assert(tbl.timeline.archivedInstants().size == 5)
     // a FRESH handle (cold caches) resolves the same snapshot from the
     // checkpoint alone
     val fresh = GraftTable(spark, tbl.cfg)
@@ -623,7 +626,7 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // new commits replay on top of the checkpoint
     val i7 = fresh.upsert(orders.filter(col("o_orderkey") % 50 === 7)
       .withColumn("o_orderstatus", lit("S7")))
-    assert(fresh.timeline.instants() == Seq(i7))
+    assert(fresh.timeline.instants() == Seq(cp, i7))
     assert(fresh.read().filter(col("o_orderstatus") === "S7").count() ==
       orders.filter(col("o_orderkey") % 50 === 7).count())
     // instant numbers are never reused after archive
@@ -1379,13 +1382,39 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.read().filter(col("o_orderstatus") === "C").count() == 10)
   }
 
-  test("checkpointTimeline re-run after full archival is an idempotent no-op") {
+  test("checkpointTimeline re-run with no new commits is an idempotent no-op") {
     val tbl = freshTable("cp_idempotent")
     tbl.insert(orders, numFiles = 2)
     val cp1 = tbl.checkpointTimeline()
-    assert(tbl.timeline.instants().isEmpty)
+    // the head commit stays hot (latestInstant/stream offsets must not
+    // regress); nothing older exists, so nothing archived
+    assert(tbl.timeline.instants() == Seq(cp1))
     // periodic maintenance re-runs with no new commits: same checkpoint back
     assert(tbl.checkpointTimeline() == cp1)
+    assert(tbl.read().count() == orders.count())
+  }
+
+  test("archive pins the head commit hot; checkpointed instants refuse rollback") {
+    val tbl = freshTable("cp_head")
+    tbl.insert(orders, numFiles = 2)
+    val i2 = tbl.upsert(orders.filter(col("o_orderkey") % 50 === 1)
+      .withColumn("o_orderstatus", lit("H")))
+    val cp = tbl.checkpointTimeline()
+    assert(cp == i2)
+    assert(tbl.timeline.instants().lastOption.contains(i2),
+      "the head commit must never be archived")
+    assert(tbl.timeline.headInstant().contains(i2))
+    // the checkpoint PINS i2's full file listing — rolling back i2 would
+    // delete files the checkpoint still lists (reads resolve from it):
+    // refuse loudly instead of corrupting
+    val ex = intercept[IllegalArgumentException](tbl.rollback(i2))
+    assert(ex.getMessage.contains("checkpoint"), ex.getMessage)
+    assert(tbl.read().count() == orders.count())
+    // the NEXT commit rolls back normally
+    val i3 = tbl.upsert(orders.filter(col("o_orderkey") % 50 === 2)
+      .withColumn("o_orderstatus", lit("X")))
+    tbl.rollback(i3)
+    assert(tbl.read().filter(col("o_orderstatus") === "X").count() == 0)
     assert(tbl.read().count() == orders.count())
   }
 
