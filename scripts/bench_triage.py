@@ -154,10 +154,16 @@ def main():
             ["git", "show", f"{rev}:BENCH_SELF.json"], capture_output=True,
             text=True, cwd=repo_dir, check=True).stdout)
         # "suspect a code change" is impossible by construction when the
-        # working tree's op code equals the committed epoch's — label
-        # honestly instead of sending a judge to rerun the protocol
-        same_tree = subprocess.run(
-            ["git", "diff", "--quiet", rev, "--", "src/main"],
+        # working tree's op code equals the code the committed epoch RAN ON
+        # — which is the newest commit (at or before rev) that touched
+        # BENCH_SELF.json, not rev itself: the artifact may predate later
+        # code commits, and diffing against rev would mislabel a regression
+        # introduced by them as context
+        epoch_commit = subprocess.run(
+            ["git", "log", "-1", "--format=%H", rev, "--", "BENCH_SELF.json"],
+            capture_output=True, text=True, cwd=repo_dir).stdout.strip()
+        same_tree = bool(epoch_commit) and subprocess.run(
+            ["git", "diff", "--quiet", epoch_commit, "--", "src/main"],
             cwd=repo_dir).returncode == 0
     elif len(args) == 2:
         prev_id = args[0]
