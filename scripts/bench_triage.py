@@ -162,8 +162,11 @@ def main():
         epoch_commit = subprocess.run(
             ["git", "log", "-1", "--format=%H", rev, "--", "BENCH_SELF.json"],
             capture_output=True, text=True, cwd=repo_dir).stdout.strip()
+        # build config changes (scala flags, JVM options) are as
+        # perf-relevant as source — include them in the "same tree" test
         same_tree = bool(epoch_commit) and subprocess.run(
-            ["git", "diff", "--quiet", epoch_commit, "--", "src/main"],
+            ["git", "diff", "--quiet", epoch_commit, "--",
+             "src/main", "build.sbt", "project"],
             cwd=repo_dir).returncode == 0
     elif len(args) == 2:
         prev_id = args[0]

@@ -267,10 +267,21 @@ object Bench {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val triage = mapper.readTree(
         new java.io.File(artifactDir, "BENCH_TRIAGE.json"))
+      // floor every row whose verdict is not yet FINAL: flagged rows, and
+      // same-tree/load rows whose verdict still says "pending" — the
+      // triage's whole point is epochs that need no judge follow-up, and
+      // "isolated floor pending" left unresolved forever defeats it
       val flaggedOps = {
-        val it = triage.path("flagged").elements()
         val b = Seq.newBuilder[String]
-        while (it.hasNext) b += it.next().path("op").asText()
+        Seq("flagged", "explained_by_load").foreach { sect =>
+          val it = triage.path(sect).elements()
+          while (it.hasNext) {
+            val row = it.next()
+            if (sect == "flagged" ||
+                row.path("verdict").asText("").contains("pending"))
+              b += row.path("op").asText()
+          }
+        }
         b.result()
       }
       if (flaggedOps.nonEmpty) {

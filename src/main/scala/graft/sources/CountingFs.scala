@@ -24,8 +24,55 @@ import org.apache.hadoop.util.Progressable
 object FsCalls {
   private val counters = new ConcurrentHashMap[String, LongAdder]()
 
-  def inc(op: String): Unit =
+  /** Current attribution phase: while nonempty AND [[enablePhases]] was
+    * called, every call ALSO counts under `p:<phase>/<op>` — the per-phase
+    * breakdown S3CostModel needs to say WHICH part of a commit pays the
+    * metadata bill (write job vs footer harvest vs index write vs
+    * timeline). Process-global on purpose: in local mode executor task
+    * threads share the JVM, and a driver-set phase attributes their calls
+    * to the enclosing step — exactly the accounting an object store's
+    * bill would show. OPT-IN (S3CostModel/FsTraceProbe call
+    * enablePhases()): consumers that SUM a delta (FsCallSpec pins, Bench's
+    * per-op fs metric) would otherwise double-count every phased call. */
+  @volatile private var phaseLabel: String = ""
+  @volatile private var phasesOn: Boolean = false
+
+  def enablePhases(): Unit = phasesOn = true
+
+  def withPhase[T](name: String)(body: => T): T = {
+    val prev = phaseLabel
+    phaseLabel = name
+    try body finally phaseLabel = prev
+  }
+
+  /** When `GRAFT_FS_TRACE=<op>` is set (diagnostics only — never in a
+    * timed run), every call of that class records its call stack; dump
+    * with [[traceTop]]. This is how the round-14 commit-bill work found
+    * WHICH code path paid each status/list class. */
+  private val traceOp: String = sys.env.getOrElse("GRAFT_FS_TRACE", "")
+  private val traces = new ConcurrentHashMap[String, LongAdder]()
+
+  def traceReset(): Unit = traces.clear()
+
+  def traceTop(n: Int): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    traces.asScala.map { case (k, v) => k -> v.sum() }.toSeq
+      .sortBy(-_._2).take(n)
+  }
+
+  def inc(op: String): Unit = {
     counters.computeIfAbsent(op, _ => new LongAdder).increment()
+    val ph = phaseLabel
+    if (phasesOn && ph.nonEmpty)
+      counters.computeIfAbsent(s"p:$ph/$op", _ => new LongAdder).increment()
+    if (op == traceOp) {
+      val frames = Thread.currentThread().getStackTrace
+        .drop(3).take(14).map(_.toString)
+        .filterNot(f => f.startsWith("java.") || f.startsWith("jdk."))
+        .mkString(" <- ")
+      traces.computeIfAbsent(frames, _ => new LongAdder).increment()
+    }
+  }
 
   def snapshot(): Map[String, Long] = {
     import scala.jdk.CollectionConverters._
@@ -53,6 +100,20 @@ object FsCalls {
   * O(1)/flatness pin. */
 class CountingLocalFileSystem extends LocalFileSystem {
   import FsCalls.inc
+
+  /** Disable the local CHECKSUM layer: LocalFileSystem wraps every file
+    * in a `.crc` shadow — each open pays a getFileStatus in the checker
+    * init, each footer seek a getContentSummary→getFileStatus, each
+    * vectored row-group read another (stack-traced: ~3 extra HEADs per
+    * file read). No object store has this layer, so metering it would
+    * overbill every read ~3× relative to the S3 cost the counts model;
+    * data integrity still has parquet's own page-level checksums. */
+  override def initialize(name: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(name, conf)
+    setVerifyChecksum(false)
+    setWriteChecksum(false)
+  }
 
   override def listStatus(f: Path): Array[FileStatus] = {
     inc("list"); super.listStatus(f)

@@ -45,11 +45,28 @@ final class GraftStreamSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val begin = start.map(instantOf).getOrElse(graft.tables.Timeline.pad(0))
-    val df =
+    val df0 =
       // CDC batches carry `_commit` so a consumer can sequence same-key
       // images across the commits one micro-batch may span
       if (cdc) table.cdcWithCommit(begin, instantOf(end))
       else table.incremental(begin, instantOf(end))
+    // ALIGN the batch to the declared source schema BY NAME: Spark's v1
+    // Source contract rebinds the returned frame to the stream's
+    // attributes POSITIONALLY, so a batch whose column ORDER drifts from
+    // `schema` silently transposes columns into the sink. The stream fuzz
+    // found exactly that: a CDC union spanning an add-column commit
+    // appends the new column AFTER _change_type/_commit (unionByName
+    // keeps the first frame's order), while a consumer started after the
+    // evolution declares it in data position — every row of that batch
+    // landed transposed. Declared columns a narrower batch lacks read as
+    // null (a range before the column existed); batch columns the
+    // declared schema lacks are dropped (a consumer bound before the
+    // evolution sees them only after restart — the documented contract).
+    val have = df0.columns.toSet
+    val df = df0.select(schema.map(f =>
+      (if (have(f.name)) org.apache.spark.sql.functions.col(s"`${f.name}`")
+       else org.apache.spark.sql.functions.lit(null))
+        .cast(f.dataType).as(f.name)): _*)
     GraftSqlShim.internalCreateDataFrame(
       spark, df.queryExecution.toRdd, df.schema, isStreaming = true)
   }

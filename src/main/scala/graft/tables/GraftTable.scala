@@ -144,7 +144,6 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * inference. */
   private[tables] def readFiles(files: Seq[FileMeta]): DataFrame = {
     require(files.nonEmpty, s"no live files in ${cfg.path}")
-    val reader = spark.read.option("recursiveFileLookup", "true")
     // With the accumulated union schema from _graft/schema.json the scan
     // needs NO schema-inference job (mergeSchema reads every footer on every
     // read — a whole Spark job, and at cloud scale a storage-request storm).
@@ -152,9 +151,21 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // external files without meta columns) read it as null, which is
     // exactly mergeSchema's semantics.
     readSchema() match {
-      case Some(sch) => reader.schema(sch).parquet(files.map(f => dataPath(f.path)): _*)
-      case None => reader.option("mergeSchema", "true")
-        .parquet(files.map(f => dataPath(f.path)): _*)
+      case Some(sch) if files.forall(_.len > 0L) =>
+        // every file's length is in the commit metadata: plan the scan
+        // from a metadata-served FileIndex — ZERO per-file LIST/HEAD
+        // round-trips (S3CostModel measured the listed path at ~6 calls
+        // per file just to rebuild statuses the commit already recorded)
+        MetaFileIndex.scan(spark,
+          files.map(f => (fs.makeQualified(new Path(dataPath(f.path))), f.len)),
+          sch)
+      case Some(sch) =>
+        spark.read.option("recursiveFileLookup", "true")
+          .schema(sch).parquet(files.map(f => dataPath(f.path)): _*)
+      case None =>
+        spark.read.option("recursiveFileLookup", "true")
+          .option("mergeSchema", "true")
+          .parquet(files.map(f => dataPath(f.path)): _*)
     }
   }
 
@@ -199,6 +210,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * instant and whether that commit was a `delta` (MOR un-merged updates
     * and tombstones). Archived commits still answer (readCommit falls back
     * to `_graft/archive/`). */
+  /** The [[FileMeta]] rows under which `paths` were originally committed —
+    * resolved by walking the (archived + hot) commit history's adds. Used
+    * by derived CDC images of remove-only commits, whose Commit carries
+    * only the removed PATHS; the metas (and the files) outlive the remove
+    * until `clean`, the same availability contract CDC already has. */
+  private def fileMetasByPath(paths: Set[String]): Seq[FileMeta] =
+    (timeline.archivedInstants() ++ timeline.instants()).distinct.sorted
+      .flatMap(i => timeline.readCommit(i).adds.filter(f => paths(f.path)))
+      .distinctBy(_.path)
+
   private def addCommits(asOf: Option[String]): Map[String, (String, Boolean)] =
     (timeline.archivedInstants() ++ timeline.instants()).distinct.sorted
       .filter(i => asOf.forall(i <= _))
@@ -432,7 +453,24 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             .drop(cfg.keyGen.syntheticCols: _*)
             .withColumn("_change_type", lit("insert")), i))
         else Seq.empty
-      changelog ++ derivedInserts
+      val derivedDeletes =
+        // drop-partition/TTL is a REMOVE-ONLY commit that writes no
+        // changelog (it reads no data at commit time) — derive its delete
+        // images at CDC-read time from the removed files instead, exactly
+        // like derivedInserts (stream-fuzz-found: a CDC consumer otherwise
+        // silently kept every TTL'd/dropped row forever). The removed
+        // files outlive the commit until `clean`, the same availability
+        // contract the changelog path already has. resolve() collapses
+        // MOR removes to the latest live row per key, so a tombstoned or
+        // superseded version never produces a spurious image.
+        if (c.op == "delete_partition" && c.removes.nonEmpty) {
+          val removed = fileMetasByPath(c.removes.toSet)
+          if (removed.isEmpty) Seq.empty
+          else Seq(tag(dropInternal(resolve(readFiles(removed)))
+            .drop(cfg.keyGen.syntheticCols: _*)
+            .withColumn("_change_type", lit("delete")), i))
+        } else Seq.empty
+      changelog ++ derivedInserts ++ derivedDeletes
     }
     // a change-free range (compaction/clustering commits only) is a valid
     // empty changelog, not an error — streaming CDC readers hit this on
@@ -906,7 +944,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * and tombstones the reservation, making the rejection atomic. */
   private def commitValidated(c: Commit): Unit = {
     val vs = validators
-    if (vs.nonEmpty && !layoutOps(c.op) && (c.adds.nonEmpty || c.removes.nonEmpty)) {
+    if (vs.nonEmpty && !layoutOps(c.op) && (c.adds.nonEmpty || c.removes.nonEmpty))
+      graft.sources.FsCalls.withPhase("precommit_validate") {
       val removed = c.removes.toSet
       val files = timeline.liveFiles(None).filterNot(f => removed(f.path)) ++ c.adds
       val candidate =
@@ -932,7 +971,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         }
       } finally spark.catalog.dropTempView(view)
     }
-    timeline.commit(c)
+    graft.sources.FsCalls.withPhase("timeline_commit") { timeline.commit(c) }
   }
 
   /** Hive partition-path values round-trip verbatim only over a safe
@@ -1205,22 +1244,50 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       // the FPP for the ACTUAL key count.
       .option(s"parquet.bloom.filter.enabled#${cfg.keyField}", "true")
       .option("parquet.bloom.filter.adaptive.enabled", "true")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
+    // FsCalls phases are pure attribution (a volatile label the metered FS
+    // reads) so S3CostModel can say WHICH commit step pays the metadata
+    // bill — the reference's Glue suite exists to measure exactly that
+    graft.sources.FsCalls.withPhase("data_write") {
+      (if (partCols.nonEmpty) GraftTable.committerV2(writer).partitionBy(partCols: _*)
+       else GraftTable.committerV2(writer)).parquet(dir)
+    }
+    // ONE recursive listing of the just-written dir feeds EVERYTHING below:
+    // the index-write scan (a metadata-served FileIndex — no re-listing, no
+    // schema-inference footer read) and the stats harvest (footers opened
+    // from these statuses — no per-file HEAD). S3CostModel measured the
+    // doubled listing + per-file status probes as ~20% of the commit bill.
+    val listed = graft.sources.FsCalls.withPhase("footer_harvest") {
+      val it = fs.listFiles(new Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          buf += ((f.getPath, f.getLen))
+      }
+      buf.toSeq
+    }
     // ONE column-pruned scan of the just-written files feeds BOTH index
     // writes: at 10k files per commit, each extra pass over the new data
     // pays 10k file-open costs — the files-dimension sweep measured the
     // second scan as a material share of large-commit insert time
-    if (cfg.recordIndexBuckets > 0 || cfg.secondaryIndexCols.nonEmpty) {
-      val written = spark.read.option("recursiveFileLookup", "true").parquet(dir)
-      val siCols = cfg.secondaryIndexCols.filter(written.columns.contains)
-      val proj = written.select(
-        (Seq(keyStr(keyCol, written).as("_gik"), col("_metadata.file_path").as("_gif")) ++
-          siCols.map(c => col(s"`$c`"))): _*).cache()
-      try {
-        if (cfg.recordIndexBuckets > 0) writeRecordIndex(instant, proj)
-        writeSecondaryIndex(instant, proj, siCols)
-      } finally proj.unpersist()
-    }
+    if ((cfg.recordIndexBuckets > 0 || cfg.secondaryIndexCols.nonEmpty) &&
+        listed.nonEmpty)
+      graft.sources.FsCalls.withPhase("index_write") {
+        // written-file schema = the writer's frame minus partitionBy cols
+        // (hive layout stores those as directories, not in the files)
+        val writtenSchema = org.apache.spark.sql.types.StructType(
+          out.schema.filterNot(f => partCols.contains(f.name)))
+        val written = MetaFileIndex.scan(spark,
+          listed.map { case (p, l) => (fs.makeQualified(p), l) }, writtenSchema)
+        val siCols = cfg.secondaryIndexCols.filter(written.columns.contains)
+        val proj = written.select(
+          (Seq(keyStr(keyCol, written).as("_gik"), col("_metadata.file_path").as("_gif")) ++
+            siCols.map(c => col(s"`$c`"))): _*).cache()
+        try {
+          if (cfg.recordIndexBuckets > 0) writeRecordIndex(instant, proj)
+          writeSecondaryIndex(instant, proj, siCols)
+        } finally proj.unpersist()
+      }
 
     // per-file key-range stats for upsert/lookup pruning, harvested from
     // the parquet FOOTERS the write just produced — no data is re-read.
@@ -1233,16 +1300,12 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // the commit's bottleneck and its last O(#files) driver-side work.
     // The stats are per-file and the merge is associative, so the job is
     // a plain map + collect of #files small FileMeta rows.
-    val it = fs.listFiles(new Path(dir), true)
-    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    graft.sources.FsCalls.withPhase("footer_harvest") {
+      GraftTable.harvestFileMetas(spark, listed, cfg.keyField,
+          cfg.statsCols.toSet, rootStr, cfg.numBuckets,
+          GraftTable.footerHarvestDriverMax(spark))
+        .sortBy(_.path) // deterministic commit order under par harvest
     }
-    GraftTable.harvestFileMetas(spark, files.toSeq, cfg.keyField,
-        cfg.statsCols.toSet, rootStr, cfg.numBuckets,
-        GraftTable.footerHarvestDriverMax(spark))
-      .sortBy(_.path) // deterministic commit order under par harvest
   }
 
   /** Reserve an instant and run `body` with it. On ANY failure after the
@@ -1321,7 +1384,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       // through one task), while partitionBy still sees whole buckets per
       // task — <= 1 file per bucket per commit, AQE-coalesced when small
       .repartition(col("b"))
-      .write.mode("overwrite").partitionBy("b")
+      .write.mode("overwrite").option("mapreduce.fileoutputcommitter.algorithm.version", "2").partitionBy("b")
       .parquet(s"${cfg.path}/_graft/rli/$instant")
     // self-describe the bucket count (like the SI's merged manifest): a
     // reading handle whose recordIndexBuckets drifted from the writer's
@@ -1400,6 +1463,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         .distinct()
         .select(col("v"), GraftTable.relativizeCol(col("af"), rootS).as("f"))
         .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         .parquet(s"${cfg.path}/_graft/si/$c/$instant")
     }
   }
@@ -1781,7 +1845,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         // LIVE KEY SET of the whole table — the one index job that must
         // scale (the incremental path only ever shuffles the new commits)
         .repartition(col("b"))
-        .write.mode("overwrite").partitionBy("b")
+        .write.mode("overwrite").option("mapreduce.fileoutputcommitter.algorithm.version", "2").partitionBy("b")
         .parquet(mergedDir.toString)
     }
     // adopt the previous merged base: move each bucket file under the new
@@ -1832,17 +1896,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         else old.toSeq.flatMap(p =>
           if (p.getName.startsWith("merged-")) siCoveredInstants(p)
           else Seq(p.getName))
-      // RECHECK + write, as the last two steps before source deletion: a
-      // rollback whose merged-dir scan could MISS this mergedDir listed
-      // dirs before the fold created it, so its commit-file delete is
-      // visible to this fresh timeline read (program order) — files live
+      // RECHECK + write + post-write recheck loop, as the last steps before
+      // source deletion: a rollback whose merged-dir scan could MISS this
+      // mergedDir listed dirs before the fold created it, so its commit-file
+      // delete is visible to a recheck's fresh timeline read — files live
       // NOW but dead in the fold's liveness snapshot are exactly the
       // resurrected ones whose mappings this fold filtered out; their
-      // instants must not be claimed. A rollback starting after this write
-      // sees mergedDir in its scan and un-claims it itself.
-      val covered = claimed.distinct.sorted
-        .filterNot(resurrectedSince(liveAtFold.toSet))
-      writeCoveredManifest(mergedDir, covered)
+      // instants must not be claimed. The post-write loop (see
+      // writeCoveredManifestRechecked) closes the sub-ms window between a
+      // pre-write recheck and the write itself.
+      writeCoveredManifestRechecked(mergedDir, claimed, liveAtFold.toSet)
     }
     old.foreach(p => fs.delete(p, true))
     clearFoldMarker(rli)
@@ -1877,6 +1940,30 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     finally out.close()
   }
 
+  /** Write a merged dir's coverage manifest with a POST-write resurrection
+    * recheck loop. The pre-write recheck alone leaves a sub-ms cross-process
+    * window: a rollback that completes AFTER the pre-write recheck reads the
+    * timeline but BEFORE the manifest hits disk finds no manifest to
+    * un-claim (its merged-dir scan sees a dir with no `_covered`, a no-op),
+    * yet the write then claims the resurrected instants. Closing it: after
+    * every write, re-run the recheck and REWRITE if new resurrections
+    * appeared, looping until a write is followed by a recheck that removes
+    * nothing. Each iteration strictly shrinks the claim set, so the loop
+    * terminates; a rollback finishing before the final recheck is caught by
+    * the rewrite, and one starting after it sees the written manifest and
+    * un-claims it itself — no interleaving escapes both. */
+  private def writeCoveredManifestRechecked(
+      dir: Path, claimed: Seq[String], liveAtFold: Set[String]): Unit = {
+    var covered = claimed.distinct.sorted.filterNot(resurrectedSince(liveAtFold))
+    writeCoveredManifest(dir, covered)
+    var stable = false
+    while (!stable) {
+      val again = covered.filterNot(resurrectedSince(liveAtFold))
+      if (again == covered) stable = true
+      else { covered = again; writeCoveredManifest(dir, covered) }
+    }
+  }
+
   /** Instants of files live NOW but NOT live in `liveAtFold` — files a
     * rollback/restore resurrected while a fold was in flight. A fold's
     * liveness filter (taken at `liveAtFold`) dropped exactly those files'
@@ -1905,6 +1992,12 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     * files have since been re-mapped. One aggregate over the just-written
     * merged index (already O(live keys) — the full fold's own cost). */
   private def provenRecordIndexCoverage(mergedDir: Path): Seq[String] = {
+    // a full fold whose liveness filter dropped every mapping (a table
+    // emptied by deletes — exactly the state dead-weight escalation
+    // recurses into full=true on) writes an empty partitioned dir; parquet
+    // schema inference over it throws. Under-claiming is defined
+    // conservative, so an empty merged index claims nothing.
+    if (!visibleParquetExists(Seq(mergedDir))) return Seq.empty
     val mapped = spark.read.option("recursiveFileLookup", "true")
       .parquet(mergedDir.toString)
       .groupBy("f").agg(countDistinct("k").as("n"))
@@ -1972,16 +2065,17 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     sum
   }.sum
 
-  private def visibleParquetFiles(dirs: Seq[Path]): Seq[Path] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+  private def visibleParquetFiles(dirs: Seq[Path]): Seq[(Path, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
     dirs.foreach { d =>
       val base = d.toUri.getPath
       val it = fs.listFiles(d, true)
       while (it.hasNext) {
-        val f = it.next().getPath
+        val st = it.next()
+        val f = st.getPath
         val rel = f.toUri.getPath.stripPrefix(base).stripPrefix("/")
         val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
-        if (!hidden && f.getName.endsWith(".parquet")) out += f
+        if (!hidden && f.getName.endsWith(".parquet")) out += ((f, st.getLen))
       }
     }
     out.toSeq
@@ -2003,9 +2097,12 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       import scala.collection.parallel.CollectionConverters._
       val pc = files.par
       pc.tasksupport = GraftTable.footerHarvestPool
-      pc.map { p =>
-        val r = ParquetFileReader.open(
-          HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
+      pc.map { case (p, len) =>
+        // length from the enclosing listing: no per-file HEAD (see
+        // footerKeyStatsAt)
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(
+          new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, 0L, p),
+          spark.sparkContext.hadoopConfiguration))
         try {
           var n = 0L
           r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
@@ -2016,13 +2113,15 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
       val slices = math.min(files.size,
         math.max(spark.sparkContext.defaultParallelism * 4, 32))
-      spark.sparkContext.parallelize(files.map(_.toString), slices)
+      spark.sparkContext.parallelize(
+          files.map { case (p, len) => (p.toString, len) }, slices)
         .mapPartitions { ps =>
           val conf = sconf.value
           var n = 0L
-          ps.foreach { s =>
-            val r = ParquetFileReader.open(
-              HadoopInputFile.fromPath(new Path(s), conf))
+          ps.foreach { case (s, len) =>
+            val r = ParquetFileReader.open(HadoopInputFile.fromStatus(
+              new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, 0L,
+                new Path(s)), conf))
             try r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
             finally r.close()
           }
@@ -2133,7 +2232,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         // by-bucket shuffle: a full fold covers the table's whole value
         // set and must parallelize across buckets, like the RLI fold
         .repartition(col("vb"))
-        .write.mode("overwrite").partitionBy("vb")
+        .write.mode("overwrite").option("mapreduce.fileoutputcommitter.algorithm.version", "2").partitionBy("vb")
         .parquet(mergedDir.toString)
     } else fs.mkdirs(mergedDir)
     adopt.foreach { base =>
@@ -2160,13 +2259,12 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // manifest write (sources are deleted only below, so their manifests
     // are still on disk): a rollback completing anywhere before this point
     // has already rewritten the source manifests. Then the resurrection
-    // RECHECK, last before the write (interleaving proof at the RLI fold's
-    // manifest-write site).
-    val covered = old.flatMap(p =>
+    // recheck + post-write recheck loop (interleaving proof at the RLI
+    // fold's manifest-write site and writeCoveredManifestRechecked).
+    val claimed = old.flatMap(p =>
       if (p.getName.startsWith("merged-")) siCoveredInstants(p)
-      else Seq(p.getName)).distinct.sorted
-      .filterNot(resurrectedSince(liveAtFold.toSet))
-    writeCoveredManifest(mergedDir, covered.toSeq)
+      else Seq(p.getName)).toSeq
+    writeCoveredManifestRechecked(mergedDir, claimed, liveAtFold.toSet)
     old.foreach(p => fs.delete(p, true))
     clearFoldMarker(siDir)
     old.length
@@ -2239,19 +2337,19 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
           .distinct()
           .withColumn("vb", pmod(xxhash64(col("v")), lit(bCount)))
           .repartition(col("vb"))
-          .write.mode("overwrite").partitionBy("vb")
+          .write.mode("overwrite").option("mapreduce.fileoutputcommitter.algorithm.version", "2").partitionBy("vb")
           .parquet(mergedDir.toString)
       } else fs.mkdirs(mergedDir)
       writeBucketsManifest(mergedDir, bCount)
       // claim every instant with live data files, minus any resurrected
-      // by a rollback racing this rebuild (same last-before-write recheck
+      // by a rollback racing this rebuild (same recheck + post-write loop
       // as the folds; proof at compactRecordIndexLocked's write site)
-      val covered = dataFiles.flatMap(_.path.split("/") match {
+      val claimed = dataFiles.flatMap(_.path.split("/") match {
           case Array("data", i, _*) => Some(i)
           case _ => None
-        }).distinct.sorted
-        .filterNot(resurrectedSince(liveAtFold.map(_.path).toSet))
-      writeCoveredManifest(mergedDir, covered)
+        })
+      writeCoveredManifestRechecked(mergedDir, claimed,
+        liveAtFold.map(_.path).toSet)
       old.foreach(p => fs.delete(p, true))
       clearFoldMarker(siDir)
       old.length
@@ -2265,8 +2363,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       cfg.keyField, cfg.statsCols.toSet)
 
   private def writeCdc(df: DataFrame, instant: String): Unit =
-    if (cfg.writeChangelog) {
-      df.write.mode("overwrite").parquet(s"${cfg.path}/_graft/cdc/$instant")
+    if (cfg.writeChangelog) graft.sources.FsCalls.withPhase("cdc_write") {
+      GraftTable.committerV2(df.write.mode("overwrite")).parquet(s"${cfg.path}/_graft/cdc/$instant")
     }
 
   private def withMeta(df: DataFrame, instant: String, deleted: Boolean = false): DataFrame =
@@ -2395,7 +2493,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
 
     val (hitFiles, affected) =
       if (cand.isEmpty) (Seq.empty[FileMeta], None)
-      else {
+      else graft.sources.FsCalls.withPhase("candidate_probe") {
         // capture the file name BEFORE the join (ambiguous once two scans
         // are in the plan), and via _metadata.file_path, NEVER
         // input_file_name(): the CacheManager substitutes any concurrently
@@ -2950,16 +3048,20 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       val src = new Path(sourceDir)
       val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = sfs.listFiles(src, true)
-      val found = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val found = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) found += f.getPath
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          found += ((f.getPath, f.getLen))
       }
       require(found.nonEmpty, s"no parquet files under $sourceDir")
-      val adds = found.flatMap { p =>
-        footerKeyStats(p).map { case (mn, mx, rows, cs) =>
-          FileMeta("ext:" + p.toUri.getPath, "", 0, mn, mx, rows, cs)
-        }
+      val adds = found.flatMap { case (p, len) =>
+        GraftTable.footerKeyStatsAt(p, len,
+            spark.sparkContext.hadoopConfiguration, cfg.keyField,
+            cfg.statsCols.toSet)
+          .map { case (mn, mx, rows, cs) =>
+            FileMeta("ext:" + p.toUri.getPath, "", 0, mn, mx, rows, cs, len = len)
+          }
       }.toSeq
       // persist the user schema so streaming readers resolve without data
       TableProperties.saveSchema(spark, cfg.path,
@@ -3259,6 +3361,23 @@ object GraftTable {
     else "ext:" + decoded // bootstrapped external file
   }
 
+  /** Run a graft-internal write under FileOutputCommitter ALGORITHM 2:
+    * task commit renames each output file straight into the destination
+    * dir; job commit only writes `_SUCCESS` — versus v1's task-dir rename
+    * PLUS a serialized driver-side per-file merge (getFileStatus + rename
+    * per file) at job commit. On an object store (rename = COPY+DELETE)
+    * v1 is the single largest slice of the commit bill — S3CostModel
+    * measured the data-write phase at 2 renames + ~12 statuses per file.
+    * v1's reason to exist — readers must never see a partially-committed
+    * output dir — is moot here: every graft output dir is INVISIBLE until
+    * the timeline's atomic commit-file rename publishes it, and a failed
+    * write's dir is deleted wholesale by withReservedInstant. Scoped
+    * per-write (Spark folds writer options into the job's Hadoop conf);
+    * the session default and user writes are untouched. */
+  private[tables] def committerV2[T](w: org.apache.spark.sql.DataFrameWriter[T])
+      : org.apache.spark.sql.DataFrameWriter[T] =
+    w.option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+
   /** Default ceiling for DRIVER-side commit-time footer harvesting; above
     * it the harvest runs as a Spark job (see the call sites). Overridable
     * via `spark.graft.footerHarvest.driverMaxFiles` — tests use a tiny
@@ -3282,7 +3401,7 @@ object GraftTable {
     * not recorded. `private[graft]` so the scale-stress tools can time
     * both tiers on identical inputs. */
   private[graft] def harvestFileMetas(spark: org.apache.spark.sql.SparkSession,
-      files: Seq[Path], keyField: String, statsCols: Set[String],
+      files: Seq[(Path, Long)], keyField: String, statsCols: Set[String],
       rootStr: String, numBuckets: Int, driverMax: Int): Seq[FileMeta] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     if (files.size <= driverMax) {
@@ -3291,30 +3410,31 @@ object GraftTable {
       // dedicated bounded pool — never the JVM-global one the executors
       // and other libraries share (see GraftTable.footerHarvestPool)
       parFiles.tasksupport = footerHarvestPool
-      parFiles.flatMap { p =>
-        footerKeyStatsOf(p, hconf, keyField, statsCols) match {
+      parFiles.flatMap { case (p, len) =>
+        footerKeyStatsAt(p, len, hconf, keyField, statsCols) match {
           case None => // empty part file (no row groups): drop it, not a data file
             p.getFileSystem(hconf).delete(p, false)
             None
           case Some((mn, mx, rows, cs)) =>
-            Some(fileMetaOf(p, rootStr, numBuckets, mn, mx, rows, cs))
+            Some(fileMetaOf(p, len, rootStr, numBuckets, mn, mx, rows, cs))
         }
       }.seq.toSeq
     } else {
       val sconf = new SerializableHadoopConf(hconf)
       val slices = math.min(files.size,
         math.max(spark.sparkContext.defaultParallelism * 4, 32))
-      spark.sparkContext.parallelize(files.map(_.toString), slices)
+      spark.sparkContext.parallelize(
+          files.map { case (p, len) => (p.toString, len) }, slices)
         .mapPartitions { ps =>
           val conf = sconf.value
-          ps.flatMap { s =>
+          ps.flatMap { case (s, len) =>
             val p = new Path(s)
-            footerKeyStatsOf(p, conf, keyField, statsCols) match {
+            footerKeyStatsAt(p, len, conf, keyField, statsCols) match {
               case None => // empty part file: drop it, not a data file
                 p.getFileSystem(conf).delete(p, false)
                 None
               case Some((mn, mx, rows, cs)) =>
-                Some(fileMetaOf(p, rootStr, numBuckets, mn, mx, rows, cs))
+                Some(fileMetaOf(p, len, rootStr, numBuckets, mn, mx, rows, cs))
             }
           }
         }.collect().toSeq
@@ -3327,13 +3447,34 @@ object GraftTable {
     * (data skipping): numeric columns as double bounds, strings lexically;
     * unsupported types or all-null chunks record no stat (file is kept by
     * every skip check). */
+  /** [[footerKeyStatsOf]] with a KNOWN file length: opens the footer via a
+    * fabricated FileStatus, skipping the per-file HEAD round-trip
+    * `HadoopInputFile.fromPath` pays just to learn the length the caller's
+    * enclosing listing (or commit metadata) already holds. On a 1e5-file
+    * bulk-load commit that is 1e5 object-store requests removed from the
+    * harvest. Committed files are immutable, so the length is exact. */
+  private[tables] def footerKeyStatsAt(p: Path, len: Long,
+      conf: org.apache.hadoop.conf.Configuration, keyField: String,
+      statsCols: Set[String]): Option[(String, String, Long, Map[String, ColStat])] = {
+    if (len > 0L) {
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val st = new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, 0L, p)
+      footerKeyStatsIn(HadoopInputFile.fromStatus(st, conf), p, keyField, statsCols)
+    } else footerKeyStatsOf(p, conf, keyField, statsCols)
+  }
+
   private[tables] def footerKeyStatsOf(p: Path,
       conf: org.apache.hadoop.conf.Configuration, keyField: String,
       statsCols: Set[String]): Option[(String, String, Long, Map[String, ColStat])] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(p, conf))
+    footerKeyStatsIn(HadoopInputFile.fromPath(p, conf), p, keyField, statsCols)
+  }
+
+  private def footerKeyStatsIn(in: org.apache.parquet.hadoop.util.HadoopInputFile,
+      p: Path, keyField: String,
+      statsCols: Set[String]): Option[(String, String, Long, Map[String, ColStat])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks
       var rows = 0L
@@ -3464,8 +3605,9 @@ object GraftTable {
 
   /** Build one [[FileMeta]] from a harvested footer — pure and static, so
     * the driver-pool and executor-job harvest paths share it exactly. */
-  private[tables] def fileMetaOf(p: Path, rootStr: String, numBuckets: Int,
-      mn: String, mx: String, rows: Long, cs: Map[String, ColStat]): FileMeta = {
+  private[tables] def fileMetaOf(p: Path, len: Long, rootStr: String,
+      numBuckets: Int, mn: String, mx: String, rows: Long,
+      cs: Map[String, ColStat]): FileMeta = {
     // Path.toUri handles spaces etc. without a lossy string round-trip
     val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
     val segs = rel.split("/").filter(_.contains("="))
@@ -3473,7 +3615,8 @@ object GraftTable {
       .map(_.stripPrefix("_gp_")).mkString("/")
     val bucket = segs.find(_.startsWith(GraftMeta.Bucket + "="))
       .map(_.split("=")(1).toInt).getOrElse(0)
-    FileMeta(rel, partition, bucket, mn, mx, rows, cs, bucketMod = numBuckets)
+    FileMeta(rel, partition, bucket, mn, mx, rows, cs,
+      bucketMod = numBuckets, len = len)
   }
 
 }

@@ -143,7 +143,14 @@ final case class FileMeta(
     // files written under a different modulus must not be bucket-pruned by
     // a handle configured with another count (0 = unknown/unbucketed:
     // never pruned by bucket)
-    bucketMod: Int = 0)
+    bucketMod: Int = 0,
+    // file length in bytes, harvested for free from the commit-time
+    // listing. Lets every snapshot/candidate scan plan from COMMIT
+    // METADATA alone (a FileIndex built from these), with ZERO per-file
+    // LIST/HEAD round-trips — the Hudi-metadata-table/Delta-log idea.
+    // 0 = unknown (pre-len commits): those files fall back to a listed
+    // scan, never to a fabricated zero-length status
+    len: Long = 0L)
 
 /** One commit instant on the timeline. `meta` carries small app-level
   * key/values committed ATOMICALLY with the data (e.g. incremental-pipeline
@@ -177,6 +184,7 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
     n.put("minKey", f.minKey)
     n.put("maxKey", f.maxKey)
     n.put("rows", f.rows)
+    if (f.len != 0L) n.put("len", f.len)
     if (f.bucketMod != 0) n.put("bucketMod", f.bucketMod)
     if (f.colStats.nonEmpty) {
       val cs = n.putObject("colStats")
@@ -212,7 +220,8 @@ final class Timeline(fs: FileSystem, tableDir: Path) {
       n.get("maxKey").asText(),
       n.get("rows").asLong(),
       cs,
-      Option(n.get("bucketMod")).map(_.asInt()).getOrElse(0))
+      Option(n.get("bucketMod")).map(_.asInt()).getOrElse(0),
+      Option(n.get("len")).map(_.asLong()).getOrElse(0L))
   }
 
   def init(): Unit = fs.mkdirs(metaDir)

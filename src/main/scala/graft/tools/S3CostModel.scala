@@ -37,11 +37,25 @@ object S3CostModel {
     "create" -> 25.0, "append" -> 25.0, "rename" -> 50.0,
     "delete" -> 10.0, "mkdirs" -> 5.0)
 
-  /** Modeled milliseconds for one op's FS-call delta. */
+  /** Modeled milliseconds for one op's FS-call delta. Phase-attribution
+    * counters (`p:<phase>/<op>`) are a second view of calls already in
+    * the base classes — excluded here to avoid double-counting. */
   def modeledMs(calls: Map[String, Long]): Double =
-    calls.map { case (k, n) => LatencyMs.getOrElse(k, 10.0) * n }.sum
+    calls.filterNot(_._1.startsWith("p:"))
+      .map { case (k, n) => LatencyMs.getOrElse(k, 10.0) * n }.sum
+
+  /** Per-phase (class -> count) breakdown from a delta's `p:` counters. */
+  def phaseBreakdown(calls: Map[String, Long]): Map[String, Map[String, Long]] =
+    calls.collect { case (k, n) if k.startsWith("p:") =>
+      val body = k.stripPrefix("p:")
+      val i = body.lastIndexOf('/')
+      (body.take(i), body.drop(i + 1), n)
+    }.groupBy(_._1).map { case (ph, rows) =>
+      ph -> rows.map(r => r._2 -> r._3).toMap
+    }
 
   def main(args: Array[String]): Unit = {
+    graft.sources.FsCalls.enablePhases() // per-phase commit-bill attribution
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val counts = args.lift(1).getOrElse("256,1024,4096")
       .split(",").map(_.trim.toInt).toSeq
@@ -75,10 +89,30 @@ object S3CostModel {
       (wall, d, modeledMs(d))
     }
     def shapeJson(name: String, s: (Double, Map[String, Long], Double)): String = {
-      val calls = s._2.toSeq.sortBy(_._1)
+      val base = s._2.filterNot(_._1.startsWith("p:"))
+      val calls = base.toSeq.sortBy(_._1)
         .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+      // per-phase attribution (write job vs index write vs footer harvest
+      // vs timeline) with each phase's modeled ms — names the dominant
+      // class instead of leaving the bill one opaque number
+      val phases = phaseBreakdown(s._2)
+      val attributed = phases.values.flatten
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      val other = base.map { case (k, n) =>
+        k -> (n - attributed.getOrElse(k, 0L)) }.filter(_._2 > 0L)
+      val phaseJson = (phases.toSeq.sortBy(-_._2.map {
+          case (k, n) => LatencyMs.getOrElse(k, 10.0) * n }.sum) ++
+          (if (other.nonEmpty && phases.nonEmpty) Seq("other" -> other) else Nil))
+        .map { case (ph, cs) =>
+          val cj = cs.toSeq.sortBy(_._1)
+            .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+          "\"" + ph + "\":{\"modeled_s3_ms\":" + f1(cs.map {
+            case (k, n) => LatencyMs.getOrElse(k, 10.0) * n }.sum) +
+            ",\"calls\":" + cj + "}"
+        }.mkString("{", ",", "}")
       "\"" + name + "\":{\"wall_ms\":" + f1(s._1) +
-        ",\"modeled_s3_ms\":" + f1(s._3) + ",\"calls\":" + calls + "}"
+        ",\"modeled_s3_ms\":" + f1(s._3) + ",\"calls\":" + calls +
+        (if (phases.nonEmpty) ",\"phases\":" + phaseJson else "") + "}"
     }
 
     val rows = counts.map { nf =>
@@ -150,10 +184,46 @@ object S3CostModel {
       line
     }
 
+    // STREAMING POLL AXIS: a scheduled AvailableNow poll pays
+    // getOffset→getBatch metadata per trigger — the per-poll bill must be
+    // FLAT in table age once the timeline is checkpointed (the Spark-side
+    // sink/checkpoint IO is included: it is a real per-trigger object-store
+    // cost in production, identical at every age). Each row: a table aged
+    // by `age` upsert commits + checkpointTimeline, fully consumed, then
+    // ONE new commit and the metered poll that picks it up.
+    val pollRows = Seq(16, 64, 192).map { age =>
+      val p = s"/tmp/graft_s3model_poll_$age"
+      val t = GraftTable(spark, GraftTableConfig(p, "o_orderkey",
+        "o_orderkey", recordIndexBuckets = 8))
+      t.dropIfExists()
+      val base = orders.limit(5000)
+      t.insert(base, numFiles = 4)
+      (1 to age).foreach(_ => t.upsert(base.limit(40)))
+      t.checkpointTimeline()
+      val cp = java.nio.file.Files.createTempDirectory("s3m_cp").toString
+      val outD = java.nio.file.Files.createTempDirectory("s3m_out").toString
+      def poll(): Unit = {
+        val q = spark.readStream.format("graft").load(p)
+          .writeStream.format("parquet").option("path", outD)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      poll() // initial snapshot consume to head
+      t.upsert(base.limit(40)) // exactly one unconsumed commit
+      val pollShape = shape(poll())
+      t.dropIfExists()
+      val line =
+        s"""{"age_commits":$age,${shapeJson("poll_one_commit", pollShape)}}"""
+      println(line)
+      line
+    }
+
     val latJson = LatencyMs.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f1(v) }.mkString("{", ",", "}")
     val doc =
-      s"""{"metric":"modeled_s3_cost","unit":"ms","sf":"$sfDir","latency_model_ms":$latJson,"note":"modeled_s3_ms = sum(calls * class latency): the SERIALIZED object-store metadata bill for one op — proportional to per-request cost, an upper bound on added wall; flat across the files axis = the scale claim","rows":[${rows.mkString(",")}]}"""
+      s"""{"metric":"modeled_s3_cost","unit":"ms","sf":"$sfDir","latency_model_ms":$latJson,"note":"modeled_s3_ms = sum(calls * class latency): the SERIALIZED object-store metadata bill for one op — proportional to per-request cost, an upper bound on added wall; flat across the files axis = the scale claim","rows":[${rows.mkString(",")}],"stream_poll":[${pollRows.mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), doc + "\n")
     println(s"wrote $outPath")
     spark.stop()

@@ -108,10 +108,12 @@ object TableFilesStress {
         val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val it = fsys.listFiles(new org.apache.hadoop.fs.Path(s"$path/data"), true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(org.apache.hadoop.fs.Path, Long)]
         while (it.hasNext) {
           val f = it.next()
-          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+          if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+            buf += ((f.getPath, f.getLen))
         }
         buf.toSeq
       }

@@ -2665,4 +2665,122 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pruned read diverged: got ${got.count()}, want ${want.count()}")
     tbl.dropIfExists()
   }
+
+  test("cross-version read battery: a v0/legacy-written table reads exactly " +
+      "under current code (compatibility_test parity)") {
+    // the reference's compatibility harness writes tables under an OLD
+    // format version and reads them with NEW code (spark/scripts/
+    // compatibility_test_main.sh:28-38). graft's v0 analogue: commit JSONs
+    // with the LEGACY colStats shape ({"n": bool} instead of {"k": kind})
+    // and NO per-file "len" — both shapes current code must still read,
+    // the latter via the listed-scan fallback instead of the
+    // metadata-served FileIndex.
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/xver", "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 4, secondaryIndexCols = Seq("o_orderpriority"),
+      statsCols = Seq("o_totalprice", "o_orderpriority"),
+      writeChangelog = true))
+    tbl.dropIfExists()
+    val i1 = tbl.insert(orders, numFiles = 4)
+    tbl.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("X")))
+    val iHead = tbl.delete(col("o_orderkey") % 17 === 0)
+    def fingerprint(t: GraftTable): Seq[Any] = Seq(
+      t.read().agg(count(lit(1)), sum(col("o_orderkey")),
+        sum(length(col("o_orderstatus")))).head().toSeq,
+      t.readAsOf(i1).agg(count(lit(1)), sum(col("o_orderkey"))).head().toSeq,
+      t.incremental(i1, iHead).agg(count(lit(1))).head().toSeq,
+      t.cdc(i1, iHead).groupBy("_change_type").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq,
+      t.pointLookup(Seq(5L, 42L, 85L)).collect().map(_.toSeq).sortBy(_.toString).toSeq,
+      t.readBySecondary("o_orderpriority", Seq("1-URGENT")).count())
+    val want = fingerprint(tbl)
+
+    // downgrade the marker AND rewrite every hot commit JSON to the legacy
+    // on-disk shape current code's back-compat parser claims to read
+    assert(TableServices.downgradeTable(tbl, 0))
+    val fs = new org.apache.hadoop.fs.Path(tbl.cfg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    tbl.timeline.instants().foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"${tbl.cfg.path}/_graft/$i.commit.json")
+      val in = fs.open(p)
+      val doc = try mapper.readTree(in) finally in.close()
+      doc.path("adds").forEach { add =>
+        val o = add.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        o.remove("len") // v0 commits had no file lengths
+        val cs = o.path("colStats")
+        if (cs.isObject) cs.fields().forEachRemaining { e =>
+          val st = e.getValue.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val kind = st.path("k").asText()
+          st.remove("k")
+          st.put("n", kind == ColStat.Num) // v1 wrote a boolean "n"
+        }
+      }
+      val out = fs.create(p, true)
+      try out.write(mapper.writeValueAsBytes(doc)) finally out.close()
+    }
+    // FRESH handle: no cached metadata from the pre-downgrade reads
+    val legacy = GraftTable(spark, tbl.cfg)
+    assert(TableServices.tableVersion(legacy) == 0)
+    assert(fingerprint(legacy) == want,
+      "v0/legacy-written table must read byte-identically under current code")
+    // upgrade is metadata-only and must change nothing the reads see
+    assert(TableServices.upgradeTable(legacy))
+    assert(fingerprint(GraftTable(spark, tbl.cfg)) == want)
+    tbl.dropIfExists()
+  }
+
+  test("full RLI fold of an emptied table writes an empty claim instead of " +
+      "crashing on parquet schema inference") {
+    // ADVICE round 14: a table emptied by deletes is exactly the state the
+    // dead-weight escalation recurses into full=true on; the full fold's
+    // liveness filter then drops EVERY mapping, the merged dir has no
+    // visible parquet, and the coverage proof must under-claim (empty) —
+    // not crash and strand the _folding marker for the async service to
+    // crash-loop on.
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/empty_fold", "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 4))
+    tbl.dropIfExists()
+    tbl.insert(orders, numFiles = 4)
+    tbl.upsert(orders.filter(col("o_orderkey") % 3 === 0))
+    tbl.delete(col("o_orderkey") >= 0) // empty the table
+    assert(tbl.read().count() == 0)
+    tbl.compactRecordIndex(full = true) // must not throw
+    // the fold marker must be gone: lookups proceed un-guarded and exact
+    assert(tbl.pointLookup(Seq(1L, 2L, 3L)).count() == 0)
+    val again = orders.limit(50)
+    tbl.upsert(again)
+    assert(tbl.pointLookup(Seq(1L)).count() == 1,
+      "post-fold writes must index and look up normally")
+    tbl.dropIfExists()
+  }
+
+  test("CDC derives delete images for drop-partition/TTL commits") {
+    // remove-only commits write no changelog; the CDC read must derive
+    // their delete images from the removed files (stream-fuzz-found:
+    // consumers otherwise silently keep every dropped row)
+    val tbl = GraftTable(spark, GraftTableConfig(
+      "/tmp/graft_spec/cdc_droppart", "o_orderkey", "o_orderkey",
+      keyGen = FieldPartition("o_orderpriority"), writeChangelog = true))
+    tbl.dropIfExists()
+    val i1 = tbl.insert(orders, numFiles = 2)
+    val victim = tbl.timeline.liveFiles(None).map(_.partition)
+      .filter(_.nonEmpty).distinct.sorted.head
+    val droppedKeys = tbl.read()
+      .filter(col("o_orderpriority") === victim.stripPrefix("o_orderpriority="))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(droppedKeys.nonEmpty)
+    val i2 = tbl.dropPartitions(_ == victim)
+    val images = tbl.cdc(i1, i2)
+    assert(images.filter(col("_change_type") === "delete").count() ==
+      droppedKeys.size)
+    val imagedKeys = images.filter(col("_change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(imagedKeys == droppedKeys,
+      "derived delete images must cover exactly the dropped partition's keys")
+    tbl.dropIfExists()
+  }
 }

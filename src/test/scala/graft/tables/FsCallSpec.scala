@@ -239,4 +239,41 @@ class FsCallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mb <= 2500.0, s"modeled S3 point lookup costs $mb ms")
     small.dropIfExists(); big.dropIfExists()
   }
+
+  test("stream poll metadata bill is flat in table age post-checkpoint") {
+    // a scheduled AvailableNow poll pays getOffset→getBatch metadata per
+    // trigger; with the timeline checkpointed, that bill must ride the
+    // NEW commits a poll picks up, never the table's archived history
+    // (BENCH_SF100_S3MODEL's stream_poll axis, pinned)
+    def pollBill(age: Int): Long = {
+      val root = s"/tmp/graft_spec/fscall_poll_$age"
+      val tbl = GraftTable(spark, GraftTableConfig(root, "id", "id",
+        recordIndexBuckets = 4))
+      tbl.dropIfExists()
+      val base = spark.range(2000L).selectExpr("id", "id % 10 AS grp")
+      tbl.insert(base, numFiles = 2)
+      (1 to age).foreach(_ => tbl.upsert(base.filter(col("id") % 100 === 0)))
+      tbl.checkpointTimeline()
+      val cp = java.nio.file.Files.createTempDirectory("fscall_cp").toString
+      val outD = java.nio.file.Files.createTempDirectory("fscall_out").toString
+      def poll(): Unit = {
+        val q = spark.readStream.format("graft").load(root)
+          .writeStream.format("parquet").option("path", outD)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      poll() // consume to head
+      tbl.upsert(base.filter(col("id") % 100 === 0)) // one fresh commit
+      val (d, _) = calls(poll())
+      tbl.dropIfExists()
+      total(d)
+    }
+    val young = pollBill(4)
+    val old = pollBill(32)
+    println(s"[fscall] per-poll fs calls young=$young old=$old")
+    assert(old <= young + 16,
+      s"per-poll metadata bill grew with table age: $young -> $old calls")
+  }
 }
