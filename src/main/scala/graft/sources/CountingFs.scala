@@ -39,6 +39,11 @@ object FsCalls {
 
   def enablePhases(): Unit = phasesOn = true
 
+  /** For tests that enable phases around one pin: phased counting is
+    * process-global, and a later consumer that SUMS a delta would
+    * double-count every phased call. */
+  def disablePhases(): Unit = phasesOn = false
+
   def withPhase[T](name: String)(body: => T): T = {
     val prev = phaseLabel
     phaseLabel = name

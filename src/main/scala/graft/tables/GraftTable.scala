@@ -1443,6 +1443,108 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     Some((hits, indexed))
   }
 
+  /** Record-index-served hit-file TAGGING for keyed COW writes (upsert /
+    * deleteByKeys) — Hudi's record-index write-path tagging re-expressed
+    * (reference: quickstart.sql's upsert flow rides
+    * `hoodie.metadata.record.index.enable` for exactly this probe). The
+    * batch's DISTINCT padded keys JOIN the index (k → file) instead of
+    * opening every candidate data file: the probe bill becomes O(index
+    * buckets the batch hashes to), not O(candidate files) — at 100 TB
+    * the difference between tens of index-bucket reads and thousands of
+    * data-file footer probes per streaming commit.
+    *
+    * Exactness mirrors lookupFiles' record-index contract:
+    *  - mappings are trusted only for candidates of COVERED instants;
+    *    uncovered candidates are returned in `_2` for the caller's
+    *    classic probe (their mappings may have been liveness-purged by a
+    *    fold and the files later resurrected by rollback/restore);
+    *  - the read must see a QUIET timeline (latestInstant unchanged
+    *    across it) — otherwise a racing fold's purge or a racing
+    *    commit's fresh rewrite could hide a mapping; retried, then None;
+    *  - a mapping k → f with f live implies k ∈ f (data files are
+    *    immutable; replacement kills whole files), so index-served hits
+    *    equal the open-and-semi-join probe's exactly — no false
+    *    positives, and coverage + quiet rule out false negatives.
+    * Returns None whenever the index cannot serve (no index data,
+    * timeline churn, fold-guard exhaustion, torn read) — the caller MUST
+    * fall back to the classic candidate probe, exact on any consistent
+    * snapshot. */
+  private def rliTagHits(batch: DataFrame, cand: Seq[FileMeta])
+      : Option[(Seq[FileMeta], Seq[FileMeta])] = {
+    // crossover gate: below ~a bucket's worth of candidates the classic
+    // probe (one open per candidate) is cheaper than the index read's
+    // listings + bucket scans — tagging pays off when range/bucket
+    // pruning leaves MANY candidates, the only shape that exists at scale
+    if (cfg.recordIndexBuckets <= 0 || cand.size < 8) return None
+    try {
+      val rli = new Path(s"${cfg.path}/_graft/rli")
+      if (!fs.exists(rli)) return None
+      var attempts = 0
+      while (attempts < 4) {
+        attempts += 1
+        val i0 = timeline.latestInstant()
+        withFoldGuard(rli) { rliTagOnce(rli, batch) } match {
+          case Some((hitPaths, indexed)) =>
+            if (timeline.latestInstant() == i0) {
+              def mapped(f: FileMeta): Boolean = f.path.split("/") match {
+                case Array("data", i, _*) => indexed.contains(i)
+                case _ => false // ext:/unrecognized layout — always probe
+              }
+              val (cov, uncov) = cand.partition(mapped)
+              return Some((cov.filter(f => hitPaths.contains(f.path)), uncov))
+            } // else a commit landed mid-read: retry at the new quiet point
+          case None => return None
+        }
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One guarded tagging attempt: (paths of live files mapping any batch
+    * key, covered instants). Reads only the index buckets the batch's
+    * keys hash to — per DIR under that dir's own recorded modulus (mixed
+    * moduli after a recordIndexBuckets change are the norm
+    * mid-migration), with ONE list per instant dir (an exists() probe
+    * per wanted bucket would pay more round-trips than it saves at
+    * batch-sized bucket sets). */
+  private def rliTagOnce(rli: Path, batch: DataFrame)
+      : Option[(Set[String], Set[String])] = {
+    val instantDirs = fs.listStatus(rli).filter(_.isDirectory).map(_.getPath)
+    if (instantDirs.isEmpty) return None
+    val indexed = instantDirs.toSeq.flatMap { d =>
+      if (d.getName.startsWith("merged-")) siCoveredInstants(d)
+      else Seq(d.getName)
+    }.toSet
+    // cached: feeds one tiny bucket agg per distinct modulus + the final
+    // semi-join, all over the same distinct'd projection
+    val keys = batch.select(keyStr(keyCol, batch).as("k")).distinct().cache()
+    try {
+      val byMod = scala.collection.mutable.Map.empty[Int, Set[Long]]
+      def bucketsFor(m: Int): Set[Long] = byMod.getOrElseUpdate(m,
+        keys.select(pmod(xxhash64(col("k")), lit(m.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSet)
+      val dirs = instantDirs.toSeq.flatMap { d =>
+        val m0 = siBucketCount(d)
+        val m = if (m0 > 0) m0 else cfg.recordIndexBuckets
+        val want = bucketsFor(m)
+        fs.listStatus(d).filter(_.isDirectory).map(_.getPath).filter { p =>
+          p.getName.startsWith("b=") &&
+            scala.util.Try(p.getName.stripPrefix("b=").toLong)
+              .toOption.exists(want.contains)
+        }.map(_.toString)
+      }
+      if (dirs.isEmpty) Some((Set.empty[String], indexed))
+      else {
+        // the index layout is fixed (k, f) — an explicit schema skips
+        // the inference job and its footer round-trips
+        val hits = spark.read.schema("k STRING, f STRING").parquet(dirs: _*)
+          .join(keys, Seq("k"), "leftsemi")
+          .select("f").distinct().collect().map(_.getString(0)).toSet
+        Some((hits, indexed))
+      }
+    } finally keys.unpersist()
+  }
+
   /** Append this commit's (secondary-key value → data file) mappings — the
     * Hudi 1.0 secondary index re-expressed. One `_graft/si/<col>/<instant>/`
     * parquet of the DISTINCT (value, file) pairs per indexed column: an
@@ -2481,6 +2583,31 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     if (cfg.keyGen.partitionCols.isEmpty && cfg.numBuckets <= 0) Seq(cfg.keyField)
     else Nil
 
+  /** The classic candidate probe: open the candidate files and semi-join
+    * the batch's keys — exact on any consistent snapshot, and the
+    * fallback tier under record-index tagging (rliTagHits).
+    *
+    * The file name is captured BEFORE the join (ambiguous once two scans
+    * are in the plan), and via _metadata.file_path, NEVER
+    * input_file_name(): the CacheManager substitutes any concurrently
+    * .cache()d identical scan into this query by canonical-plan match,
+    * and input_file_name() returns "" on cached rows — hit detection
+    * then attributes matches to no file and re-INSERTS existing keys
+    * (duplicate rows; ConcurrencyStress caught it as a whole slice
+    * duplicated under 2 OCC writers). _metadata.file_path is part of
+    * the scan's required output, so a cache entry lacking it can
+    * never be substituted in; pinned by FileAttributionSpec. */
+  private def probeCandidates(batch: DataFrame, cand: Seq[FileMeta]): Seq[FileMeta] =
+    if (cand.isEmpty) Seq.empty
+    else {
+      val candDF = readFiles(cand).withColumn("_graft_file", col("_metadata.file_path"))
+      val hits = candDF
+        .join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftsemi")
+        .select(col("_graft_file")).distinct()
+        .collect().map(r => relPath(r.getString(0))).toSet
+      cand.filter(f => hits.contains(f.path))
+    }
+
   private def upsertNonEmpty(batch: DataFrame, live: Seq[FileMeta],
       instant: String, op: String, commitMeta: Map[String, String],
       bMin: String, bMax: String, batchRows: Long, batchBuckets: Set[Int]): Unit = {
@@ -2494,22 +2621,15 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     val (hitFiles, affected) =
       if (cand.isEmpty) (Seq.empty[FileMeta], None)
       else graft.sources.FsCalls.withPhase("candidate_probe") {
-        // capture the file name BEFORE the join (ambiguous once two scans
-        // are in the plan), and via _metadata.file_path, NEVER
-        // input_file_name(): the CacheManager substitutes any concurrently
-        // .cache()d identical scan into this query by canonical-plan match,
-        // and input_file_name() returns "" on cached rows — hit detection
-        // then attributes matches to no file and re-INSERTS existing keys
-        // (duplicate rows; ConcurrencyStress caught it as a whole slice
-        // duplicated under 2 OCC writers). _metadata.file_path is part of
-        // the scan's required output, so a cache entry lacking it can
-        // never be substituted in; pinned by FileAttributionSpec.
-        val candDF = readFiles(cand).withColumn("_graft_file", col("_metadata.file_path"))
-        val hits = candDF
-          .join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftsemi")
-          .select(col("_graft_file")).distinct()
-          .collect().map(r => relPath(r.getString(0))).toSet
-        val hit = cand.filter(f => hits.contains(f.path))
+        // index-served tagging first (probe bill rides the batch's index
+        // buckets, not the candidate count); candidates of uncovered
+        // instants — and everything, when the index can't serve exactly —
+        // go through the classic open-and-semi-join probe
+        val hit = rliTagHits(batch, cand) match {
+          case Some((idxHits, unmapped)) =>
+            idxHits ++ probeCandidates(batch, unmapped)
+          case None => probeCandidates(batch, cand)
+        }
         // cached: reused by the rewrite union and both CDC image branches
         (hit, if (hit.isEmpty) None else Some(readFiles(hit).cache()))
       }
@@ -2635,13 +2755,17 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         } else {
           val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
           val cand = live.filter(f => f.minKey <= bMax && bMin <= f.maxKey)
-          val hits =
-            if (cand.isEmpty) Set.empty[String]
-            else readFiles(cand).withColumn("_graft_file", col("_metadata.file_path"))
-              .join(kdf, Seq(cfg.keyField), "leftsemi")
-              .select(col("_graft_file")).distinct()
-              .collect().map(r => relPath(r.getString(0))).toSet
-          val hitFiles = cand.filter(f => hits.contains(f.path))
+          // index-served tagging with the classic probe as the fallback
+          // tier, same contract as upsert's candidate probe
+          val hitFiles =
+            if (cand.isEmpty) Seq.empty[FileMeta]
+            else graft.sources.FsCalls.withPhase("candidate_probe") {
+              rliTagHits(kdf, cand) match {
+                case Some((idxHits, unmapped)) =>
+                  idxHits ++ probeCandidates(kdf, unmapped)
+                case None => probeCandidates(kdf, cand)
+              }
+            }
           if (hitFiles.isEmpty) {
             commitValidated(Commit(instant, "delete", Nil, Nil))
           } else {

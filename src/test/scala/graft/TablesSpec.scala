@@ -2341,6 +2341,46 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     w.dropIfExists()
   }
 
+  test("record-index tagging: uncovered instants fall back to the classic probe, exactly") {
+    val path = "/tmp/graft_spec/rli_tag_fallback"
+    val t = GraftTable(spark, GraftTableConfig(path, "o_orderkey", "o_orderkey",
+      recordIndexBuckets = 4))
+    t.dropIfExists()
+    // 12+ files: the batch's key span keeps enough candidates that the
+    // probe takes the TAGGED path (the <8-candidate crossover gate skips
+    // the index read for tiny probes)
+    t.insert(orders, numFiles = 12)
+    t.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderstatus", lit("S")))
+    assert(t.compactRecordIndex() >= 1)
+    val n = orders.count()
+    // the batch's keys SPAN the key-clustered files so range pruning
+    // keeps a tagging-sized candidate set; a tagging false-negative
+    // would re-INSERT existing keys (count grows)
+    val spread = col("o_orderkey") % 97 === 0
+    t.upsert(orders.filter(spread).withColumn("o_orderstatus", lit("T")))
+    assert(t.read().count() == n, "tagged upsert duplicated keys")
+    assert(t.read().filter(spread)
+      .filter(col("o_orderstatus") =!= "T").count() == 0)
+    // strip the coverage manifest: every candidate of the folded instants
+    // is now UNCOVERED — tagging must hand them to the classic probe,
+    // result identical
+    val merged = new java.io.File(s"$path/_graft/rli").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("merged-"))
+    assert(merged.nonEmpty)
+    merged.foreach(m => assert(new java.io.File(m, "_covered").delete()))
+    t.upsert(orders.filter(spread).withColumn("o_orderstatus", lit("U")))
+    assert(t.read().count() == n, "fallback probe duplicated keys")
+    assert(t.read().filter(spread)
+      .filter(col("o_orderstatus") =!= "U").count() == 0)
+    // keyed delete rides the same tagging contract
+    val doomed = orders.filter(spread)
+    t.deleteByKeys(doomed)
+    assert(t.read().count() == n - doomed.count())
+    assert(t.read().filter(spread).count() == 0)
+    t.dropIfExists()
+  }
+
   test("siValueBucket: driver-local bucket ids match the engine's pmod(xxhash64(v), B)") {
     // the lookup computes its target vb= buckets WITHOUT a Spark job; the
     // local XxHash64 eval must agree with the engine expression the fold

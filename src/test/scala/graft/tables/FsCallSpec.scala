@@ -276,4 +276,31 @@ class FsCallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(old <= young + 16,
       s"per-poll metadata bill grew with table age: $young -> $old calls")
   }
+
+  test("record-index tagging: upsert probe rides the index, not the candidate count") {
+    // 32-file indexed table, folded; a batch whose key range spans every
+    // file keeps ALL 32 candidates after range pruning — the tagged probe
+    // must still pay O(index buckets + hit files), never an open per
+    // candidate (the classic probe's bill, which at 100 TB is thousands
+    // of footer round-trips per streaming commit)
+    val t = freshTable("tagprobe", 32, 1)
+    val batch = spark.range(20000L).filter(col("id") % 613 === 0)
+      .selectExpr("id", "id % 50 AS grp", "cast(1.5 AS double) AS v")
+    val nKeys = batch.count()
+    FsCalls.enablePhases()
+    val probed = try {
+      val (c, _) = calls(t.upsert(batch))
+      c.filter(_._1.startsWith("p:candidate_probe/"))
+    } finally FsCalls.disablePhases()
+    val probeOpens = probed.getOrElse("p:candidate_probe/open", 0L)
+    println(s"[fscall] tagged probe: ${probed.values.sum} calls " +
+      s"($probeOpens opens) for $nKeys keys over 32 candidates")
+    // 4 index buckets ≈ a handful of parquet opens; 32 candidates would
+    // cost 32+ — anything near the candidate count means tagging fell back
+    assert(probeOpens < 24,
+      s"probe opened $probeOpens files — rode the candidate count, not the index")
+    // exactness: every batch key updated, nothing duplicated
+    assert(t.read().count() == 20000L)
+    assert(t.read().filter(col("v") === 1.5).count() == nKeys)
+  }
 }
