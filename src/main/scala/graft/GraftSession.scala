@@ -42,6 +42,34 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Spread a narrow scan across the session's cores before a per-row
+    * EXPENSIVE chain (shingle extraction, tokenization, vector math,
+    * binary decode). Parquet scan parallelism is bounded by row groups:
+    * a small single-file table is ONE split, so everything fused into its
+    * scan stage runs single-threaded no matter how many cores the session
+    * has (measured: d_minhash_est's two 6.4 s single-task stages at
+    * local[32] — the whole extraction chain on one core). Guide §2.5:
+    * "one huge unsplittable file — repartition immediately after the
+    * read." SCALE-ADAPTIVE: fires only when the scan yields fewer
+    * partitions than the session's parallelism, so at production scale
+    * (thousands of splits) it is a no-op and no payload shuffle is added;
+    * locally it shuffles only the small table's bytes once. */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
+  /** Cache AND materialize now. `.cache()` alone dedupes only reads that
+    * START after the first computation finishes — Spark fires every
+    * broadcast-subquery / AQE-stage job of a query CONCURRENTLY, so N
+    * broadcast builds over a shared lazy-cached subtree each recompute the
+    * whole chain from the scan (measured on d_prefix_filter: 127 stages,
+    * the shingle chain rebuilt ~10x inside broadcast threads; 36 stages
+    * after). One eager count serializes the build once; every subsequent
+    * job reads the in-memory blocks. The count runs inside the operator,
+    * i.e. inside the bench's timed region. */
+  def eager(df: DataFrame): DataFrame = { df.cache().count(); df }
+
   /** Load one testdata table from a scale-factor directory.
     *
     * Timestamp handling is adaptive because the driver has shipped two

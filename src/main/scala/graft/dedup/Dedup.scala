@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryRegistry {
 
+  // spread: the whole family's cost is per-row extraction (shingles, md5
+  // signatures, normText) fused into the scan stage — a single-file scan
+  // would run it all on one core (GraftSession.spread doc; guide §2.5)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    GraftSession.table(s, dir, "documents")
+    GraftSession.spread(GraftSession.table(s, dir, "documents"))
 
   private def embs(s: SparkSession, dir: String): DataFrame =
-    GraftSession.table(s, dir, "embeddings")
+    GraftSession.spread(GraftSession.table(s, dir, "embeddings"))
 
   // --- d_exact: hash-groupBy exact dedup; keep the lowest doc_id per group.
   def dExact(s: SparkSession, dir: String): DataFrame =
@@ -76,6 +79,11 @@ object Dedup extends QueryRegistry {
     * blocked join's worst case bounded instead of quadratic. */
   private[dedup] val MaxShingleDf = 100
 
+  /** See [[GraftSession.eager]]: cache and materialize NOW, so concurrent
+    * broadcast/AQE jobs of the final query read blocks instead of each
+    * recomputing the shared subtree. */
+  private def eager(df: DataFrame): DataFrame = GraftSession.eager(df)
+
   private def jaccardPairs(sh: DataFrame, candidates: Option[DataFrame] = None): DataFrame = {
     val restricted = candidates match {
       case Some(cand) =>
@@ -114,7 +122,7 @@ object Dedup extends QueryRegistry {
   def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // cached: feeds the self-join twice plus the per-doc size aggregate —
     // uncached, the shingle extraction (regex + split + hash) runs 3x
-    val sh = shingles(s, dir).cache()
+    val sh = eager(shingles(s, dir))
     jaccardPairs(sh)
       .filter(col("jac") >= 0.5)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
@@ -160,7 +168,7 @@ object Dedup extends QueryRegistry {
     val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("sh")
     // the capped token universe defines BOTH the prefixes and the Jaccard
-    val sh = sh0.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh").cache()
+    val sh = eager(sh0.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh"))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
     val wOrd = Window.partitionBy("doc_id").orderBy("f", "sh")
     val prefix = sh.join(freq, "sh")
@@ -168,9 +176,12 @@ object Dedup extends QueryRegistry {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rn") <= col("n") - expr(s"($PrefixT10 * n + 9) div 10") + 1)
       .select("doc_id", "sh")
-    val cand = prefix.toDF("da", "sh")
+    // cand feeds jaccardPairs TWICE (the doc-restrict broadcast and the
+    // pair leftsemi) — eager, or both broadcasts recompute the window +
+    // prefix self-join
+    val cand = eager(prefix.toDF("da", "sh")
       .join(prefix.toDF("db", "sh2"), col("sh") === col("sh2") && col("da") < col("db"))
-      .select("da", "db").distinct()
+      .select("da", "db").distinct())
     jaccardPairs(sh, Some(cand))
       .filter(lit(10 + PrefixT10) * col("c") >= lit(PrefixT10) * (col("na") + col("nb")))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
@@ -254,7 +265,7 @@ object Dedup extends QueryRegistry {
   // the same keep-lowest convention as d_exact, restated incrementally.
   // Every batch doc is reported (kept or not) with its two dup flags.
   def dIncrDedup(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = eager(shingles(s, dir))
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("sh")
     val shf = sh.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh")
@@ -317,7 +328,7 @@ object Dedup extends QueryRegistry {
   // integer; the similarity is one IEEE division — both exact across
   // engines.
   def dEditDistance(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = eager(shingles(s, dir))
     val cand = jaccardPairs(sh).filter(col("jac") >= 0.3).select("da", "db")
     val tn = docs(s, dir).select(col("doc_id"), normText(col("text")).as("tn"))
     val sim = round(lit(1.0) - col("lev").cast("double") /
@@ -367,7 +378,7 @@ object Dedup extends QueryRegistry {
   // — and every round touches only the PAIR GRAPH (dup clusters, not
   // the corpus). Empty pair graphs short-circuit to an empty result.
   def dNeardupClusters(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = eager(shingles(s, dir))
     val pairs = jaccardPairs(sh).filter(col("jac") >= 0.5)
       .select(col("da").as("a"), col("db").as("b"))
     ConnectedComponents.run(pairs)
@@ -428,7 +439,7 @@ object Dedup extends QueryRegistry {
   // floor(jac*20) is exact cross-engine: jac is the same IEEE division
   // in both, and *20/floor introduce no further rounding differences.
   def dThresholdSweep(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = eager(shingles(s, dir))
     jaccardPairs(sh)
       .filter(col("jac") >= 0.5)
       .withColumn("bucket", floor(col("jac") * 20) / 20)
@@ -462,7 +473,7 @@ object Dedup extends QueryRegistry {
   // like. Same scale shape: shared-shingle blocking, no cross product,
   // one grouped count per co-shingled pair.
   def dContainment(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = eager(shingles(s, dir))
     jaccardPairs(sh)
       .withColumn("containment",
         col("c").cast("double") / least(col("na"), col("nb")))
@@ -498,7 +509,7 @@ object Dedup extends QueryRegistry {
   // can't see it. Pair discovery is the same shared-shingle blocked join;
   // the drop set and the per-source rollup are aggregate-sized.
   def dNeardupImpact(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = eager(shingles(s, dir))
     val dropSet = jaccardPairs(sh)
       .filter(col("jac") >= 0.5)
       .select(greatest(col("da"), col("db")).as("doc_id"))
@@ -638,7 +649,7 @@ object Dedup extends QueryRegistry {
   private val Bands = 16 // 16 bands x 4 rows
 
   def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = eager(shingles(s, dir))
     // 64 min-aggregates over the exploded shingle stream: a hash aggregate
     // with map-side partials whose xxhash64 evaluations are all CODEGEN'd.
     // (A per-doc array fold via transform/aggregate looks shuffle-free but
@@ -653,9 +664,8 @@ object Dedup extends QueryRegistry {
     // cached: the tiny (doc, band, sig) table feeds BOTH self-join sides —
     // uncached, each side re-plans the signature pipeline and the doubled
     // wide codegen costs seconds of compile time alone
-    val buckets = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
-      .cache()
+    val buckets = eager(mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.sig")))
     val cand = buckets.toDF("da", "band", "sig")
       .join(buckets.toDF("db", "band", "sig"), Seq("band", "sig"))
       .filter(col("da") < col("db"))
@@ -809,7 +819,7 @@ object Dedup extends QueryRegistry {
 
   def dMinhashEst(s: SparkSession, dir: String): DataFrame = {
     // string shingles (not the native hash): md5 parity needs the text
-    val shf = cappedStringShingles(s, dir).cache()
+    val shf = eager(cappedStringShingles(s, dir))
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shf.select(col("doc_id").as("da"), col("sh"))
     val b = shf.select(col("doc_id").as("db"), col("sh"))
@@ -885,19 +895,18 @@ object Dedup extends QueryRegistry {
       .orderBy(asc_nulls_first("_hr"), asc("doc_id"))
       .limit(TuningSampleDocs)
       .select("doc_id")
-    val shf = cappedStringShingles(s, dir, Some(sample)).cache()
+    val shf = eager(cappedStringShingles(s, dir, Some(sample)))
     val mhCols = mhAggCols
-    val mh = shf.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).cache()
+    val mh = eager(shf.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*))
     // exact >= 0.5 pairs ONCE, cached, computed on the NATIVE 8-byte
     // shingle-hash stream restricted to the same sample (string keys cost
     // ~3x in the self-join; the retained shingle space is identical modulo
     // negligible 64-bit collisions): every config's verify count probes
     // this tiny pair set instead of re-running a shingle self-join
-    val dup = jaccardPairs(
-        shingles(s, dir).join(broadcast(sample), Seq("doc_id"), "left_semi").cache())
+    val dup = eager(jaccardPairs(
+        eager(shingles(s, dir).join(broadcast(sample), Seq("doc_id"), "left_semi")))
       .filter(col("jac") >= 0.5)
-      .select(col("da"), col("db"), lit(1L).as("is_dup"))
-      .cache()
+      .select(col("da"), col("db"), lit(1L).as("is_dup")))
     val perConfig = TuningConfigs.map { case (bands, rows) =>
       val bandCols = (0 until bands).map { bb =>
         struct(lit(bb).as("band"),
@@ -991,10 +1000,9 @@ object Dedup extends QueryRegistry {
     val sigs = bitSums.select(col("doc_id"), simhash.as("sh"))
     // cached for the same reason as the LSH buckets: two self-join sides of
     // a plan holding 64 aggregate columns would double a very wide codegen
-    val chunks = sigs
+    val chunks = eager(sigs
       .select(col("doc_id"), col("sh"),
-        explode(HammingBlocks.comboKeys(col("sh"))).as("ck"))
-      .cache()
+        explode(HammingBlocks.comboKeys(col("sh"))).as("ck")))
     val pairs = chunks.select(col("doc_id").as("da"), col("sh").as("sha"), col("ck"))
       .join(chunks.select(col("doc_id").as("db"), col("sh").as("shb"), col("ck")),
         Seq("ck"))
@@ -1058,12 +1066,11 @@ object Dedup extends QueryRegistry {
   // converges in 1-3 rounds at any corpus size). Oracle: recursive-CTE
   // transitive closure in DuckDB.
   def dDupGroups(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(shingles(s, dir).cache())
+    val pairs = eager(jaccardPairs(eager(shingles(s, dir)))
       .filter(col("jac") >= 0.5)
-      .select(col("da"), col("db"))
-      .cache() // used twice by the edges union — uncached it would mine pairs twice
-    val edges = pairs.union(pairs.select(col("db"), col("da")))
-      .toDF("u", "v").cache()
+      .select(col("da"), col("db"))) // used twice by the edges union
+    val edges = eager(pairs.union(pairs.select(col("db"), col("da")))
+      .toDF("u", "v"))
     // seed with min(self, direct neighbors) — one aggregation replaces what
     // would otherwise be the whole first propagation round (join + union)
     var labels = edges
@@ -1367,12 +1374,12 @@ object Dedup extends QueryRegistry {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val cents = graft.ann.Centroids.sample(e, graft.ann.Centroids.scaledK(e.count()))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
-    val assigned = e.join(broadcast(cents), lit(true))
+    val assigned = eager(e.join(broadcast(cents), lit(true))
       .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
-      .cache() // feeds both sides of the pair join plus the final output
+      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket")))
+      // feeds both sides of the pair join plus the final output
     val left = assigned.select(col("bucket"), col("vec_id").as("da"), col("embedding").as("ea"))
     val right = assigned.select(col("bucket"), col("vec_id").as("db"), col("embedding").as("eb"))
     val dropped = left.join(right, Seq("bucket"))
@@ -1419,7 +1426,7 @@ object Dedup extends QueryRegistry {
   def dCrossSource(s: SparkSession, dir: String): DataFrame = {
     val src = docs(s, dir).select(col("doc_id"), col("source"),
       substring(col("source"), 4, 10).cast("int").as("prio"))
-    val sh = shingles(s, dir).cache()
+    val sh = eager(shingles(s, dir))
     val pairs = jaccardPairs(sh).filter(col("jac") >= 0.5).select("da", "db")
     val pa = src.select(col("doc_id").as("da"), col("prio").as("prio_a"))
     val pb = src.select(col("doc_id").as("db"), col("prio").as("prio_b"))

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryRegistry {
 
+  // spread: tokenization/normText chains fuse into the scan stage — a
+  // single-file scan runs them on one core (GraftSession.spread; guide §2.5)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    GraftSession.table(s, dir, "documents")
+    GraftSession.spread(GraftSession.table(s, dir, "documents"))
 
   /** Canonical text normalization shared by all dedup/text operators:
     * collapse whitespace, trim, lowercase. DuckDB twin:

@@ -23,15 +23,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def planString(df: DataFrame): String = executed(df).toString
 
-  /** Hash/round-robin shuffles only — the final presentation ORDER BY adds
-    * one RangePartitioning exchange, which is not data-movement we can avoid
-    * while emitting deterministically ordered results. */
+  /** Hash shuffles only. Excluded from the count: the final presentation
+    * ORDER BY's RangePartitioning exchange (unavoidable while emitting
+    * deterministically ordered results), and RoundRobinPartitioning — the
+    * only round-robin in query paths is GraftSession.spread, the
+    * scale-adaptive small-scan parallelizer (fires only when the scan has
+    * fewer splits than the session's cores, i.e. never at production
+    * scale; it moves only the small table's bytes). Key-hash shuffles are
+    * the data movement these pins budget. */
   private def countShuffles(df: DataFrame): Int = {
     def walk(p: SparkPlan): Int = {
       val self = p match {
         case e: ShuffleExchangeExec
             if !e.outputPartitioning.isInstanceOf[
-              org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => 1
+              org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] &&
+              !e.outputPartitioning.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => 1
         case a: AdaptiveSparkPlanExec => return walk(a.executedPlan)
         case _ => 0
       }
