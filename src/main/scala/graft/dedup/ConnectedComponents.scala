@@ -28,9 +28,13 @@ object ConnectedComponents {
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
     val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("m"))
+    // no intermediate distinct (one shuffle per round saved, guide §2.4):
+    // smallStar's groupBy-min is duplicate-insensitive and ITS output is
+    // distinct'd, so the round's fixpoint edge set is identical; duplicate
+    // (a,b) rows here are bounded per vertex by its degree and collapse
+    // map-side in smallStar's partial aggregation before any shuffle
     nbrs.join(mins, "u").filter(col("v") > col("u"))
       .select(col("v").as("a"), col("m").as("b"))
-      .distinct()
   }
 
   /** Small-star: on a downward edge set (a > b), attach every vertex's

@@ -510,13 +510,26 @@ object Queries extends QueryRegistry {
   // rank mass is n*1e9, so a single node absorbing ALL mass stays ~1e17
   // < 2^63 even at 100x the test scale.
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val edges = li.toDF("k", "src")
+    // spread: the 2-column edge-build feed, so the self-join's map side
+    // isn't a single-split scan (guide §2.5); only (k, part) bytes move
+    val li = graft.GraftSession.spread(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey"))
+    // eager cache, NOT localCheckpoint: the edge list is rescanned by every
+    // iteration (plus the outdeg/nodes builds) and columnar in-memory
+    // batches rescan several times faster than a checkpoint's row-serialized
+    // blocks; lineage here is one self-join, constant across iterations, so
+    // checkpoint's lineage truncation buys nothing (ranks still truncates)
+    val edges = graft.GraftSession.eager(li.toDF("k", "src")
       .join(li.toDF("k2", "dst"), col("k") === col("k2") && col("src") =!= col("dst"))
-      .select("src", "dst")
-      .localCheckpoint()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+      .select("src", "dst"))
+    // eager (guide §2.4): outdeg and nodes are consumed by EVERY
+    // iteration's broadcast builds — lazy, each of the 5 rounds re-ran the
+    // full edge aggregation (and the nodes distinct) inside its broadcast
+    // thread; cached+materialized once, the rounds read ~|nodes| rows
+    val outdeg = graft.GraftSession.eager(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val nodes = graft.GraftSession.eager(
+      edges.select(col("src").as("node")).distinct())
     var ranks = nodes.withColumn("r", lit(1000000000L))
     (1 to 5).foreach { _ =>
       val inflow = edges

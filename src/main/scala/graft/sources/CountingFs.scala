@@ -47,8 +47,28 @@ object FsCalls {
   def withPhase[T](name: String)(body: => T): T = {
     val prev = phaseLabel
     phaseLabel = name
-    try body finally phaseLabel = prev
+    val t0 = System.nanoTime()
+    try body finally {
+      phaseLabel = prev
+      // wall attribution rides along for dev profiling (phaseWall): which
+      // commit phase pays in TIME, not just FS calls — two nanoTime reads,
+      // negligible against any phase body
+      phaseNanos.computeIfAbsent(name, _ => new LongAdder)
+        .add(System.nanoTime() - t0)
+    }
   }
+
+  private val phaseNanos = new ConcurrentHashMap[String, LongAdder]()
+
+  /** Cumulative wall seconds spent inside each [[withPhase]] body (dev
+    * profiling; phases nest rarely and briefly, so outer phases include
+    * inner time — read alongside the call counters). */
+  def phaseWall(): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    phaseNanos.asScala.map { case (k, v) => k -> v.sum() / 1e9 }.toMap
+  }
+
+  def phaseWallReset(): Unit = phaseNanos.clear()
 
   /** When `GRAFT_FS_TRACE=<op>` is set (diagnostics only — never in a
     * timed run), every call of that class records its call stack; dump
@@ -103,7 +123,95 @@ object FsCalls {
   * (mutations). Calls Hadoop internally routes around the FileSystem API
   * are invisible — counts are a floor, which only strengthens an
   * O(1)/flatness pin. */
-class CountingLocalFileSystem extends LocalFileSystem {
+/** RawLocalFileSystem with a pure-Java chmod. Without libhadoop.so (not
+  * shipped in the Spark dist this sandbox runs), Hadoop's setPermission
+  * FORKS a `chmod` subprocess — and RawLocalFileSystem.create/mkdirs call
+  * setPermission for every file and directory, so every commit paid
+  * several process forks (sampled live in the commit path as
+  * Shell.runCommand frames). java.nio sets POSIX permissions in-process.
+  * A LOCAL artifact fix, same class as the checksum-layer disable below:
+  * no object store forks processes and real clusters ship the native lib. */
+class NioRawLocalFileSystem extends RawLocalFileSystem {
+  private def nioChmod(file: java.io.File, permission: FsPermission): Unit = {
+    import java.nio.file.attribute.PosixFilePermission._
+    val bits = permission.toShort
+    val perms = java.util.EnumSet.noneOf(classOf[java.nio.file.attribute.PosixFilePermission])
+    val order = Seq(OTHERS_EXECUTE, OTHERS_WRITE, OTHERS_READ,
+      GROUP_EXECUTE, GROUP_WRITE, GROUP_READ,
+      OWNER_EXECUTE, OWNER_WRITE, OWNER_READ)
+    order.zipWithIndex.foreach { case (perm, i) =>
+      if ((bits & (1 << i)) != 0) perms.add(perm)
+    }
+    java.nio.file.Files.setPosixFilePermissions(file.toPath, perms)
+  }
+
+  override def setPermission(p: Path, permission: FsPermission): Unit =
+    nioChmod(pathToFile(p), permission)
+
+  /** Route the permissioned create through the permissionless native path
+    * plus an in-process chmod: Hadoop's LocalFSFileOutputStream otherwise
+    * calls the STATIC FileUtil.setPermission (a `chmod` fork per file).
+    * Semantics match Hadoop's own fallback: create, then chmod. */
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val out = create(f, overwrite, bufferSize, replication, blockSize, progress)
+    if (permission != null) nioChmod(pathToFile(f), permission)
+    out
+  }
+
+  override def createNonRecursive(f: Path, permission: FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: Progressable): FSDataOutputStream = {
+    val out = super.createNonRecursive(f, null, overwrite, bufferSize,
+      replication, blockSize, progress)
+    if (permission != null) nioChmod(pathToFile(f), permission)
+    out
+  }
+
+  /** Same fork-avoidance for directories: mkOneDirWithMode otherwise runs
+    * FileUtil.chmod (another subprocess) for every permissioned mkdir. */
+  override def mkOneDirWithMode(p: Path, p2f: java.io.File,
+      permission: FsPermission): Boolean = {
+    val ok = p2f.mkdir()
+    if (ok && permission != null) nioChmod(p2f, permission)
+    ok
+  }
+
+  /** Statuses with permissions PRE-FILLED via one in-process NIO read.
+    * Hadoop's lazy DeprecatedRawLocalFileStatus forks `ls -ld` the first
+    * time getPermission()/getOwner() is called — and LocatedFileStatus's
+    * constructor calls getPermission, so every FileSystem.listFiles /
+    * listLocatedStatus (Spark's InMemoryFileIndex listing, the commit
+    * path's recursive harvest listing) forked one subprocess PER FILE
+    * (sampled live: the dominant fork class in the commit path). */
+  private def withNioPerms(s: FileStatus): FileStatus = try {
+    val attrs = java.nio.file.Files.readAttributes(
+      pathToFile(s.getPath).toPath,
+      classOf[java.nio.file.attribute.PosixFileAttributes],
+      java.nio.file.LinkOption.NOFOLLOW_LINKS)
+    import java.nio.file.attribute.PosixFilePermission._
+    val order = Seq(OTHERS_EXECUTE, OTHERS_WRITE, OTHERS_READ,
+      GROUP_EXECUTE, GROUP_WRITE, GROUP_READ,
+      OWNER_EXECUTE, OWNER_WRITE, OWNER_READ)
+    var bits = 0
+    val ps = attrs.permissions()
+    order.zipWithIndex.foreach { case (perm, i) =>
+      if (ps.contains(perm)) bits |= (1 << i)
+    }
+    new FileStatus(s.getLen, s.isDirectory, 1, s.getBlockSize,
+      s.getModificationTime, s.getAccessTime, new FsPermission(bits.toShort),
+      attrs.owner().getName, attrs.group().getName, null, s.getPath)
+  } catch { case _: Exception => s }
+
+  override def getFileStatus(f: Path): FileStatus =
+    withNioPerms(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(withNioPerms)
+}
+
+class CountingLocalFileSystem extends LocalFileSystem(new NioRawLocalFileSystem) {
   import FsCalls.inc
 
   /** Disable the local CHECKSUM layer: LocalFileSystem wraps every file

@@ -46,9 +46,13 @@ object ProfileDedup {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     (1 to runs).foreach { i =>
       stages = Nil
+      graft.sources.FsCalls.phaseWallReset()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[profdedup] $name run$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      val pw = graft.sources.FsCalls.phaseWall().toSeq.sortBy(-_._2)
+      if (pw.nonEmpty) println("[profdedup] phase wall: " + pw.map {
+        case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
       spark.catalog.clearCache()
       if (i == runs) {
         println(f"[profdedup] stages=${stages.size} wallSum=${stages.map(_._3).sum / 1e3}%.2f s")
