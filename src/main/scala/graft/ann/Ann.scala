@@ -20,7 +20,7 @@ object Ann extends QueryRegistry {
 
   private def embs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    GraftSession.spread(GraftSession.table(s, dir, "embeddings"))
+    GraftSession.table(s, dir, "embeddings")
   }
 
   private val K = 10
@@ -1041,7 +1041,7 @@ object Ann extends QueryRegistry {
   // the scan), queries broadcast as in s_topk_bruteforce.
   def sFilteredKnn(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val en = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val en = GraftSession.table(s, dir, "documents")
       .filter(col("lang") === "en").select(col("doc_id"))
     val corpus = e.join(broadcast(en), col("vec_id") === col("doc_id"), "left_semi")
     val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")

@@ -48,14 +48,14 @@ object Multimodal extends QueryRegistry {
   /** Build a deterministic binary media column from documents (UTF-8 bytes
     * of the first 64 chars) — the transport shape of a real corpus. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    GraftSession.table(s, dir, "documents")
       .select(col("doc_id"), lit("image/fake").as("media_type"),
         substring(col("text"), 1, 64).cast("binary").as("payload"))
 
   // --- m_binary_meta: binary payload + metadata extraction, SQL-checkable
   // (byte length, content hash, fake dimensions are all byte-derived).
   def mBinaryMeta(s: SparkSession, dir: String): DataFrame =
-    GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    GraftSession.table(s, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
       .select(
         col("doc_id"),
@@ -129,7 +129,7 @@ object Multimodal extends QueryRegistry {
   // doc. At scale this is one map stage + one hash aggregation on the
   // fingerprint — no pairwise comparison.
   def mFrameDedup(s: SparkSession, dir: String): DataFrame = {
-    val base = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val base = GraftSession.table(s, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
       .select(col("doc_id"),
         length(col("head").cast("binary")).cast("long").as("n"),
@@ -171,7 +171,7 @@ object Multimodal extends QueryRegistry {
     import org.apache.spark.sql.expressions.Window
     val modality = when(col("doc_id") % 3 === 0, "image")
       .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
-    val m = GraftSession.spread(GraftSession.table(s, dir, "documents")).select(
+    val m = GraftSession.table(s, dir, "documents").select(
       col("doc_id"), modality.as("media_type"),
       length(substring(col("text"), 1, 64).cast("binary")).cast("long").as("n_bytes"))
       .withColumn("bkt", floor(col("doc_id") / 1024L))
@@ -222,7 +222,7 @@ object Multimodal extends QueryRegistry {
     import org.apache.spark.sql.expressions.Window
     val modality = when(col("doc_id") % 3 === 0, "image")
       .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
-    val m = GraftSession.spread(GraftSession.table(s, dir, "documents")).select(
+    val m = GraftSession.table(s, dir, "documents").select(
       col("doc_id"), modality.as("media_type"),
       length(substring(col("text"), 1, 64).cast("binary")).cast("long").as("n_bytes"))
       .withColumn("bkt", floor(col("doc_id") / 1024L))
@@ -276,7 +276,7 @@ object Multimodal extends QueryRegistry {
     def hexByte(i: Int) = substring(hx, i, 2)
     val lo = conv(concat(hexByte(23), hexByte(21), hexByte(19), hexByte(17)), 16, 10).cast("long")
     val hi = conv(concat(hexByte(31), hexByte(29), hexByte(27), hexByte(25)), 16, 10).cast("long")
-    val frames = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val frames = GraftSession.table(s, dir, "documents")
       .select((col("doc_id") % 50).as("video_id"), col("doc_id").as("frame_no"),
         shiftleft(hi, 32).bitwiseOR(lo).as("fp"))
     val w = Window.partitionBy("video_id").orderBy("frame_no")
@@ -324,7 +324,7 @@ object Multimodal extends QueryRegistry {
   // else is per-row projection, no extra shuffle.
   def mCaptionPairs(s: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(s, dir)
-    val captions = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val captions = GraftSession.table(s, dir, "documents")
       .filter(col("lang").isin("en", "de", "fr", "es") &&
         col("n_chars").between(100, 20000))
       .select(col("doc_id"), col("lang"), col("text"))
@@ -368,7 +368,7 @@ object Multimodal extends QueryRegistry {
   // explicitly (Spark's sequence(0, -1) would emit [0, -1] where the
   // oracle's w*8 < length(head) emits nothing).
   def mAudioWindows(s: SparkSession, dir: String): DataFrame =
-    GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    GraftSession.table(s, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
       .filter(length(col("head")) > 0)
       .select(col("doc_id"), col("head"),
@@ -403,7 +403,7 @@ object Multimodal extends QueryRegistry {
   // map-side-combinable hash agg with |modalities|·|langs| output and a
   // 1-row broadcast total — O(1) output at any corpus size.
   def mModalityMix(s: SparkSession, dir: String): DataFrame = {
-    val m = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val m = GraftSession.table(s, dir, "documents")
       .select(
         when(pmod(col("doc_id"), lit(3)) === 0, "image")
           .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
@@ -448,7 +448,7 @@ object Multimodal extends QueryRegistry {
   // states the same pair semantics via the equivalent-output 4x16 banding
   // (cheapest exhaustive form at oracle scale).
   def mPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val base = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val base = GraftSession.table(s, dir, "documents")
       .select(col("doc_id"), rpad(substring(col("text"), 1, 64), 64, " ").as("head"))
     // STUB luma kernel: cell i's brightness = (code(char_i) * (2i-1)) % 251.
     // The position salt decorrelates cells of unrelated payloads; identical
@@ -537,7 +537,7 @@ object Multimodal extends QueryRegistry {
   // drifting from the oracle's per-codepoint moments.
   def mChannelStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    GraftSession.table(s, dir, "documents")
       .select(
         when(pmod(col("doc_id"), lit(3)) === 0, "image")
           .when(pmod(col("doc_id"), lit(3)) === 1, "audio")

@@ -22,8 +22,8 @@ object Curation extends QueryRegistry {
 
   def cCurationFunnel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = GraftSession.spread(GraftSession.table(s, dir, "documents"))
-    val embs = GraftSession.spread(GraftSession.table(s, dir, "embeddings"))
+    val docs = GraftSession.table(s, dir, "documents")
+    val embs = GraftSession.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"))
 
     val nChars = length(col("text")).cast("long")
@@ -73,7 +73,7 @@ object Curation extends QueryRegistry {
   def cMixturePlan(s: SparkSession, dir: String): DataFrame = {
     val toks = when(trim(col("text")) === "", 0L)
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
-    val perSrc = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val perSrc = GraftSession.table(s, dir, "documents")
       .select(col("source"), toks.as("n_tok"))
       .groupBy("source").agg(sum("n_tok").as("n_tokens"))
     val totals = perSrc.agg(
@@ -110,7 +110,7 @@ object Curation extends QueryRegistry {
   def cEpochPlan(s: SparkSession, dir: String): DataFrame = {
     val toks = when(trim(col("text")) === "", 0L)
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
-    val perSrc = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val perSrc = GraftSession.table(s, dir, "documents")
       .select(col("source"), toks.as("n_tok"))
       .groupBy("source").agg(sum("n_tok").as("n_tokens"))
     val totals = perSrc.agg(
@@ -157,7 +157,7 @@ object Curation extends QueryRegistry {
   def cTokenBudget(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Budget = 2000L
-    val d = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val d = GraftSession.table(s, dir, "documents")
     val m = d.select(col("doc_id"), col("lang"),
       when(trim(col("text")) === "", 0L)
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("toks"),
@@ -210,7 +210,7 @@ object Curation extends QueryRegistry {
     val toks = when(trim(col("text")) === "", 0L)
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
     val wDedup = Window.partitionBy("fp").orderBy("doc_id")
-    val perSrc = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val perSrc = GraftSession.table(s, dir, "documents")
       .withColumn("fp", md5(normText(col("text"))))
       .withColumn("rn", row_number().over(wDedup))
       .select(col("source"), toks.as("n_tok"),
@@ -271,7 +271,7 @@ object Curation extends QueryRegistry {
   def cClusterKeeper(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val comps = graft.dedup.Dedup.dNeardupClusters(s, dir)
-    val q = GraftSession.spread(GraftSession.table(s, dir, "documents")).select(
+    val q = GraftSession.table(s, dir, "documents").select(
       col("doc_id"), col("source"),
       (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
         length(col("text")).cast("double")).as("q"))
@@ -329,7 +329,7 @@ object Curation extends QueryRegistry {
     import org.apache.spark.sql.expressions.Window
     val toks = when(trim(col("text")) === "", 0L)
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
-    val perSrc = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val perSrc = GraftSession.table(s, dir, "documents")
       .select(col("source"), toks.as("n_tok"),
         length(col("text")).cast("long").as("chars"),
         length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha"))
@@ -385,8 +385,8 @@ object Curation extends QueryRegistry {
   def cIncrCuration(s: SparkSession, dir: String): DataFrame = {
     import graft.tables.{GraftTable, GraftTableConfig}
     import org.apache.spark.sql.expressions.Window
-    val docsAll = GraftSession.spread(GraftSession.table(s, dir, "documents"))
-    val embs = GraftSession.spread(GraftSession.table(s, dir, "embeddings")).select(col("vec_id"), col("label"))
+    val docsAll = GraftSession.table(s, dir, "documents")
+    val embs = GraftSession.table(s, dir, "embeddings").select(col("vec_id"), col("label"))
     val root = "/tmp/graft_tables/c_incr_curation_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val tbl = GraftTable(s, GraftTableConfig(root, "doc_id", "doc_id"))
     tbl.dropIfExists()
@@ -437,8 +437,8 @@ object Curation extends QueryRegistry {
   // re-scans the corpus. Integer counts, one rounded share division.
   def cFunnelStages(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = GraftSession.spread(GraftSession.table(s, dir, "documents"))
-    val embIds = GraftSession.spread(GraftSession.table(s, dir, "embeddings")).select(col("vec_id"))
+    val docs = GraftSession.table(s, dir, "documents")
+    val embIds = GraftSession.table(s, dir, "embeddings").select(col("vec_id"))
     val nChars = length(col("text")).cast("long")
     val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
     val keepRate = when(col("lang") === "en", 80)
@@ -511,7 +511,7 @@ object Curation extends QueryRegistry {
   // |sources|×|sources| — broadcast trivially.
   def cDatasetCard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = GraftSession.spread(GraftSession.table(s, dir, "documents"))
+    val d = GraftSession.table(s, dir, "documents")
       .select(col("source"), col("lang"), col("n_chars"),
         md5(normText(col("text"))).as("fp"),
         when(trim(col("text")) === "", 0L)
