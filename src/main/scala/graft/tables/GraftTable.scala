@@ -778,7 +778,11 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     fs.delete(exprIndexDir(name), true)
     harvestExprStatsDf(exprSql, kind, live)
       .withColumn("b", exprBucketCol(nb))
-      .repartition(col("b"))
+      // explicit width: a bare repartition(col) is AQE-coalescible and a
+      // small build collapses to ONE task serializing every bucket's
+      // parquet writer; N = bucket count is the write's natural width at
+      // any scale (tasks beyond it would be empty)
+      .repartition(nb, col("b"))
       .write.partitionBy("b").mode("overwrite")
       .parquet(exprIndexDir(name).toString)
     writeExprMeta(name, exprSql, kind, nb)
@@ -819,7 +823,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         .join(liveDf, Seq("path"), "left_semi")
         .unionByName(fresh)
         .localCheckpoint()
-      merged.repartition(col("b"))
+      merged.repartition(buckets, col("b"))
         .write.partitionBy("b").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(exprIndexDir(name).toString)
@@ -1379,11 +1383,14 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       .select(col("_gik").as("k"),
         GraftTable.relativizeCol(col("_gif"), rootS).as("f"))
       .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
-      // shuffle BY BUCKET: a bulk commit's index write parallelizes across
-      // buckets (repartition(1) would push every key of a 100 TB import
-      // through one task), while partitionBy still sees whole buckets per
-      // task — <= 1 file per bucket per commit, AQE-coalesced when small
-      .repartition(col("b"))
+      // shuffle BY BUCKET with an EXPLICIT width: a bulk commit's index
+      // write parallelizes across buckets (repartition(1) would push every
+      // key of a 100 TB import through one task), and the explicit N stops
+      // AQE collapsing a small commit's write to one task that serializes
+      // all bucket writers (measured: the single-task write was the
+      // dominant index_write cost at bench scale); partitionBy still sees
+      // whole buckets per task — <= 1 file per bucket per commit
+      .repartition(cfg.recordIndexBuckets, col("b"))
       .write.mode("overwrite").option("mapreduce.fileoutputcommitter.algorithm.version", "2").partitionBy("b")
       .parquet(s"${cfg.path}/_graft/rli/$instant")
     // self-describe the bucket count (like the SI's merged manifest): a
@@ -1945,8 +1952,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         .withColumn("b", pmod(xxhash64(col("k")), lit(cfg.recordIndexBuckets)))
         // by-bucket shuffle, not repartition(1): a full fold covers the
         // LIVE KEY SET of the whole table — the one index job that must
-        // scale (the incremental path only ever shuffles the new commits)
-        .repartition(col("b"))
+        // scale (the incremental path only ever shuffles the new commits).
+        // Explicit width: AQE would collapse a small fold to one task
+        // serializing every bucket's writer
+        .repartition(cfg.recordIndexBuckets, col("b"))
         .write.mode("overwrite").option("mapreduce.fileoutputcommitter.algorithm.version", "2").partitionBy("b")
         .parquet(mergedDir.toString)
     }
@@ -2333,7 +2342,8 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         .withColumn("vb", pmod(xxhash64(col("v")), lit(bCount)))
         // by-bucket shuffle: a full fold covers the table's whole value
         // set and must parallelize across buckets, like the RLI fold
-        .repartition(col("vb"))
+        // (explicit width: see the RLI fold note on AQE collapse)
+        .repartition(bCount, col("vb"))
         .write.mode("overwrite").option("mapreduce.fileoutputcommitter.algorithm.version", "2").partitionBy("vb")
         .parquet(mergedDir.toString)
     } else fs.mkdirs(mergedDir)
@@ -2438,7 +2448,7 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
             GraftTable.relativizeCol(col("_metadata.file_path"), rootStr).as("f"))
           .distinct()
           .withColumn("vb", pmod(xxhash64(col("v")), lit(bCount)))
-          .repartition(col("vb"))
+          .repartition(bCount, col("vb"))
           .write.mode("overwrite").option("mapreduce.fileoutputcommitter.algorithm.version", "2").partitionBy("vb")
           .parquet(mergedDir.toString)
       } else fs.mkdirs(mergedDir)

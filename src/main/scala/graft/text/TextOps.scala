@@ -14,6 +14,14 @@ object TextOps extends QueryRegistry {
   // spread: tokenization/normText chains fuse into the scan stage — a
   // single-file scan runs them on one core (GraftSession.spread; guide §2.5)
   private def docs(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "documents")
+
+  /** Spread variant for the handful of ops whose per-row regex/shingle
+    * cost dominates the scan stage (battery-order A/B: x_repetition
+    * 1.71->0.75 s, x_gopher 1.25->0.74, x_boilerplate, x_readability);
+    * the lighter tokenization ops measured FASTER without the extra
+    * exchange, so spread is per-op here, not family-wide. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
     GraftSession.spread(GraftSession.table(s, dir, "documents"))
 
   /** Canonical text normalization shared by all dedup/text operators:
@@ -305,7 +313,7 @@ object TextOps extends QueryRegistry {
     val grams = when(size(col("w")) >= 3,
       expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
       .otherwise(array().cast("array<string>"))
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
       .select(col("doc_id"),
         size(grams).cast("long").as("n_grams"),
@@ -868,7 +876,7 @@ object TextOps extends QueryRegistry {
   // carries one row per (doc, distinct shingle) and the df aggregate
   // combines map-side; top-20 via TakeOrdered.
   def xBoilerplate(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsSpread(s, dir)
       .withColumn("w", split(normText(col("text")), " "))
       .select(col("doc_id"),
         explode(array_distinct(when(size(col("w")) >= 8,
@@ -957,7 +965,7 @@ object TextOps extends QueryRegistry {
       t => t =!= "")).cast("long")
     val syll = (length(regexp_replace(norm, "[aeiou]+", "V")) -
       length(regexp_replace(norm, "[aeiou]+", ""))).cast("long")
-    docs(s, dir).select(
+    docsSpread(s, dir).select(
       col("doc_id"), words.as("n_words"), sents.as("n_sentences"), syll.as("n_syllables"),
       round(lit(206.835)
         - lit(1.015) * words.cast("double") / greatest(sents, lit(1L)).cast("double")
@@ -1036,7 +1044,7 @@ object TextOps extends QueryRegistry {
     val okMwl = nTok > 0L && charsw >= nTok * 3L && charsw <= nTok * 10L
     val okSym = hashes * 10L < nTok
     val okStops = stops >= 2L
-    docs(s, dir).select(
+    docsSpread(s, dir).select(
       col("doc_id"), nTok.as("n_words"),
       okWords.cast("long").as("ok_words"),
       okMwl.cast("long").as("ok_mean_wlen"),
