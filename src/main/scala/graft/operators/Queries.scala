@@ -1325,8 +1325,11 @@ object Queries extends QueryRegistry {
   // values, broadcast) + a codegen'd comparison assignment + a bounded
   // hash agg — no sort, no window, no NTILE single-task shuffle.
   def qHistogramEquidepth(s: SparkSession, dir: String): DataFrame = {
-    val cents = t(s, dir, "orders")
-      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // spread: both the percentile partials and the binning pass otherwise
+    // run inside a single-split scan stage (guide §2.5); only the 8-byte
+    // cents column moves
+    val cents = graft.GraftSession.spread(t(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents")))
     val fracs = (1 to 7).map(k => k / 8.0)
     val bounds = cents.agg(
       percentile(col("cents"), lit(fracs.head)).as("b1"),
@@ -1377,7 +1380,9 @@ object Queries extends QueryRegistry {
     }
     def bucket(tpe: Column, seed: Int): Column =
       pmod(md5lower(concat(tpe, lit("#"), lit(seed.toString))), lit(512))
-    val ev = t(s, dir, "events").select(col("event_type"))
+    // spread: the 3-way md5 bucket explode runs in the scan stage — one
+    // split means one core computes 3 md5-hex-conv chains per event
+    val ev = graft.GraftSession.spread(t(s, dir, "events").select(col("event_type")))
     val sketch = ev
       .select(explode(array((0 until 3).map(sd =>
         struct(lit(sd).as("seed"), bucket(col("event_type"), sd).as("bucket"))): _*))
@@ -1554,7 +1559,11 @@ object Queries extends QueryRegistry {
   // via coalesce would conflate margins with genuine NULL (or literal
   // 'ALL') dimension values on an arbitrary corpus.
   def qCube(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    // spread: the cube expands every row 4x INSIDE the scan stage's
+    // partial aggregate — a single-split scan runs that 4x expansion on
+    // one core (guide §2.5); only the 4 needed columns move
+    graft.GraftSession.spread(t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"))
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -1940,10 +1949,18 @@ object Queries extends QueryRegistry {
     // need the buckets' distribution, and a set-without-restore would leak
     // planner behavior into every op that runs after this one
     dropBucketTables(s, dir)
-    t(s, dir, "orders").write.mode("overwrite")
+    // repartition by the bucket key to the bucket count BEFORE the bucketed
+    // write (guide §6, write.distribution-mode=hash): bucketBy alone writes
+    // task-locally, so a narrow scan (one split at bench scale) sorts and
+    // writes ALL buckets single-threaded — and a wide scan would write
+    // #tasks x #buckets small files. The hash repartition matches the
+    // bucket spec's partitioning, so each task owns whole buckets: same
+    // file count (1 per bucket), parallel sort+write at any scale.
+    t(s, dir, "orders").repartition(8, col("o_orderkey")).write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").format("parquet").saveAsTable(ot)
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price"))
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").format("parquet").saveAsTable(lt)
     // merge hint: at test SF the orders side fits a broadcast, which would
