@@ -1186,12 +1186,32 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     if (cfg.numBuckets > 0) out = out.withColumn(GraftMeta.Bucket, bucketOf(keyCol))
     val partCols = cfg.keyGen.partitionCols.map(c => s"_gp_$c") ++
       (if (cfg.numBuckets > 0) Seq(GraftMeta.Bucket) else Nil)
+    // Range repartition (the key-locality rewrite path below) SAMPLES its
+    // child to compute the range bounds — a SECOND full computation of the
+    // rewrite union (candidate scan + anti-join + union + key-gen) before
+    // the real shuffle map pass even starts (RangePartitioner.sketch runs
+    // its own job over the child lineage; guide §1/§2: don't compute things
+    // twice). Pin the rows once: the sampling job materializes the pinned
+    // blocks and the exchange re-reads them. Bounds are unchanged (same
+    // rows, same partition layout, same per-partition sampling seeds), so
+    // the written files are byte-identical to the unpinned plan's. The pin
+    // is freed right after the data write; at scale the pinned set is the
+    // rewrite's touched file groups, not the table, and MEMORY_AND_DISK
+    // trades the object-store re-scan for local blocks.
+    var pinnedRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     if (numFiles > 0) {
       out =
-        if (sortCols.nonEmpty)
-          out.repartitionByRange(numFiles, sortCols.map(col): _*)
+        if (sortCols.nonEmpty) {
+          val pinned =
+            if (numFiles > 1) { // a 1-file rewrite never samples: skip the pin
+              pinnedRdd = out.queryExecution.toRdd.map(_.copy())
+              pinnedRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              org.apache.spark.sql.GraftSqlShim.internalCreateDataFrame(
+                spark, pinnedRdd, out.schema, isStreaming = false)
+            } else out
+          pinned.repartitionByRange(numFiles, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.map(col): _*)
-        else if (partCols.nonEmpty)
+        } else if (partCols.nonEmpty)
           // co-locate each hive partition in one task: a random repartition
           // would have EVERY task write EVERY partition — numFiles × #parts
           // small files and as many concurrent parquet writers per task
@@ -1252,8 +1272,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // reads) so S3CostModel can say WHICH commit step pays the metadata
     // bill — the reference's Glue suite exists to measure exactly that
     graft.sources.FsCalls.withPhase("data_write") {
-      (if (partCols.nonEmpty) GraftTable.committerV2(writer).partitionBy(partCols: _*)
-       else GraftTable.committerV2(writer)).parquet(dir)
+      try (if (partCols.nonEmpty) GraftTable.committerV2(writer).partitionBy(partCols: _*)
+           else GraftTable.committerV2(writer)).parquet(dir)
+      finally if (pinnedRdd != null) pinnedRdd.unpersist(blocking = false)
     }
     // ONE recursive listing of the just-written dir feeds EVERYTHING below:
     // the index-write scan (a metadata-served FileIndex — no re-listing, no
