@@ -70,6 +70,24 @@ object GraftSession {
     * i.e. inside the bench's timed region. */
   def eager(df: DataFrame): DataFrame = { df.cache().count(); df }
 
+  /** Pin `df`'s internal rows (MEMORY_AND_DISK, lazy) and return a frame
+    * whose plan is just the pinned RDD, plus the RDD for real unpersist.
+    * Two uses: (1) ahead of a range repartition, whose bound-sampling job
+    * otherwise re-computes the whole child lineage once more than the
+    * exchange itself; (2) iterative fixpoints, where it both truncates the
+    * logical plan (like localCheckpoint) and lets the FIRST job over the
+    * frame double as the materializer — no separate checkpoint job — while
+    * `rdd.unpersist` actually frees the blocks (Dataset.unpersist on a
+    * checkpointed frame is a CacheManager no-op and the blocks linger
+    * until GC). Rows are copied because toRdd reuses UnsafeRow buffers. */
+  def pinRows(df: DataFrame): (
+      DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (org.apache.spark.sql.GraftSqlShim.internalCreateDataFrame(
+      df.sparkSession, rdd, df.schema, isStreaming = false), rdd)
+  }
+
   /** Load one testdata table from a scale-factor directory.
     *
     * Timestamp handling is adaptive because the driver has shipped two

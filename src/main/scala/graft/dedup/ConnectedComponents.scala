@@ -82,15 +82,18 @@ object ConnectedComponents {
     // every round references the previous frame several times (the union
     // inside largeStar plus two join sides), so WITHOUT lineage
     // truncation the logical plan grows ~5x per round and the planner
-    // itself OOMs after a handful of rounds — eagerly pin each round's
-    // (edge-list-sized) result and drop the chain behind it; each pinned
-    // frame is explicitly unpersisted once the NEXT round's checksum has
-    // materialized its successor, so storage stays one-round-sized
-    // instead of growing until the ContextCleaner notices
-    var edges = edgesIn
+    // itself OOMs after a handful of rounds. Each round's edge set is
+    // pinned via GraftSession.pinRows (lazy MEMORY_AND_DISK over the
+    // internal rows): the round's CHECKSUM job doubles as the
+    // materializer, so a round costs ONE job, not a checkpoint job plus a
+    // checksum job — and rdd.unpersist actually frees the previous
+    // round's blocks (Dataset.unpersist on a localCheckpoint'd frame is a
+    // CacheManager no-op; the blocks lingered until a GC cycle, measured
+    // as run-over-run growth in back-to-back CC runs in one JVM)
+    var (edges, edgesRdd) = graft.GraftSession.pinRows(edgesIn
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint()
+      .distinct())
     var rounds = 0
     // the star forest: empty edge sets (including self-loop-only inputs)
     // skip the fixpoint — every vertex is its own component and the
@@ -98,13 +101,14 @@ object ConnectedComponents {
     // handled identically whether or not real edges accompany them
     val star = if (edges.isEmpty) edges else {
       var prev = (-1L, 0L, 0L)
-      var cs = checksum(edges)
+      var cs = checksum(edges) // materializes the pinned input edges
       while (cs != prev) {
-        val next = smallStar(largeStar(edges)).localCheckpoint()
+        val (next, nextRdd) = graft.GraftSession.pinRows(smallStar(largeStar(edges)))
         prev = cs
-        cs = checksum(next) // materializes `next`: safe to drop its parent
-        edges.unpersist()
+        cs = checksum(next) // the round's ONE job: materializes `next`
+        edgesRdd.unpersist(blocking = false)
         edges = next
+        edgesRdd = nextRdd
         rounds += 1
       }
       edges // (v, componentMin); centers appear only on b and self-label

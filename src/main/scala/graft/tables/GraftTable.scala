@@ -1204,10 +1204,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         if (sortCols.nonEmpty) {
           val pinned =
             if (numFiles > 1) { // a 1-file rewrite never samples: skip the pin
-              pinnedRdd = out.queryExecution.toRdd.map(_.copy())
-              pinnedRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              org.apache.spark.sql.GraftSqlShim.internalCreateDataFrame(
-                spark, pinnedRdd, out.schema, isStreaming = false)
+              val (df, rdd) = GraftTable.pinRows(out)
+              pinnedRdd = rdd
+              df
             } else out
           pinned.repartitionByRange(numFiles, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.map(col): _*)
@@ -2987,12 +2986,16 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       (col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1))
     }
     val z = graft.functions.ZOrder.zValueN(dims)
-    val out = snap.selectExpr(cols.map(c => s"`$c`"): _*)
-      .withColumn("_graft_z", z)
+    // pin before the range repartition: the bound-sampling job would
+    // otherwise re-scan the whole table and recompute every z-value
+    val (zin, zrdd) = GraftTable.pinRows(
+      snap.selectExpr(cols.map(c => s"`$c`"): _*).withColumn("_graft_z", z))
+    val out = zin
       .repartitionByRange(numFiles, col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
-    val adds = writeFiles(out, instant)
+    val adds = try writeFiles(out, instant)
+      finally zrdd.unpersist(blocking = false)
     commitValidated(Commit(instant, "cluster", adds, live.map(_.path)))
     instant
   }
@@ -3472,6 +3475,13 @@ object GraftTable {
 
   def apply(spark: SparkSession, cfg: GraftTableConfig): GraftTable =
     new GraftTable(spark, cfg)
+
+  /** Range-repartitioned writes pin their child first: see
+    * [[graft.GraftSession.pinRows]] (RangePartitioner.sketch otherwise
+    * recomputes the whole child lineage for bound sampling). */
+  private[tables] def pinRows(df: DataFrame): (
+      DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) =
+    graft.GraftSession.pinRows(df)
 
   /** Floor for [[GraftTable.rewriteFileCount]]'s per-file row target. Low
     * enough that any healthy table's average dominates it (a 128 MB file
