@@ -223,7 +223,12 @@ object Dedup extends QueryRegistry {
   // corpus at every scale, so both branches stay exercised at the gate.
   def dSeenFilter(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val fp = docs(s, dir)
+    // UNspread loader: this op runs THREE driver actions (bloom sizing
+    // count, bitmap build, final probe query) and each would re-pay the
+    // spread exchange, while the per-row work is one md5 over a 40-char
+    // prefix — the light class the spread A/B showed regressing (isolated
+    // warm 0.85 s unspread vs 1.6-2.0 s spread)
+    val fp = GraftSession.table(s, dir, "documents")
       .select(col("doc_id"), md5(substring(normText(col("text")), 1, 40)).as("fp"))
     val history = fp.filter(col("doc_id") % 5 =!= 0)
     val batch = fp.filter(col("doc_id") % 5 === 0)
