@@ -72,11 +72,22 @@ object ConnectedComponents {
     * aggregate is ever read off an empty frame. */
   def run(edgesIn: DataFrame): DataFrame = runCounted(edgesIn)._1
 
+  /** [[run]] for inputs the caller GUARANTEES carry no self-loop rows
+    * (a != b everywhere — e.g. a strict a < b pair list). Labels are then
+    * derived purely from the converged star forest, so the result frame
+    * never re-references `edgesIn`: without this, the final labels query
+    * re-ran the caller's whole edge-building lineage (shingle join +
+    * Jaccard aggregation) once more just to enumerate the vertex set —
+    * the fixpoint jobs had already computed those rows (guide §1.2:
+    * don't compute things twice). */
+  def runNoSelfLoops(edgesIn: DataFrame): DataFrame =
+    runCounted(edgesIn, selfLoopFree = true)._1
+
   /** [[run]] plus the number of contraction rounds the fixpoint took —
     * exposed so scale tests can pin the O(log^2 n) round bound on
     * high-diameter graphs (a chain of length d converges in O(log d)
     * rounds here vs d rounds under min-label propagation). */
-  def runCounted(edgesIn: DataFrame): (DataFrame, Int) = {
+  def runCounted(edgesIn: DataFrame, selfLoopFree: Boolean = false): (DataFrame, Int) = {
     val spark = edgesIn.sparkSession
     import spark.implicits._
     // every round references the previous frame several times (the union
@@ -113,11 +124,36 @@ object ConnectedComponents {
       }
       edges // (v, componentMin); centers appear only on b and self-label
     }
-    val nodes = edgesIn.select(col("a").cast("long").as("v"))
-      .unionAll(edgesIn.select(col("b").cast("long").as("v")))
-      .distinct()
-    (nodes
-      .join(star.select(col("a").as("v"), col("b").as("lab")), Seq("v"), "left")
-      .select(col("v"), coalesce(col("lab"), col("v")).as("lab")), rounds)
+    val labels =
+      if (selfLoopFree) {
+        // At the fixpoint every non-center vertex has EXACTLY ONE star
+        // edge (v -> componentMin) and every center appears only on the b
+        // side, so the full label set falls out of the star forest alone:
+        // no join back to edgesIn, no recomputation of the caller's edge
+        // lineage. (With no self-loops, every input vertex sits in a
+        // component of size >= 2 and therefore appears in the star.)
+        star.select(col("a").as("v"), col("b").as("lab"))
+          .unionAll(star.select(col("b")).distinct()
+            .select(col("b").as("v"), col("b").as("lab")))
+      } else {
+        val nodes = edgesIn.select(col("a").cast("long").as("v"))
+          .unionAll(edgesIn.select(col("b").cast("long").as("v")))
+          .distinct()
+        nodes
+          .join(star.select(col("a").as("v"), col("b").as("lab")), Seq("v"), "left")
+          .select(col("v"), coalesce(col("lab"), col("v")).as("lab"))
+      }
+    // Pin and materialize the labels NOW (one job over the star-sized
+    // pin), then free the final round's edge pin deterministically — the
+    // unreturned pin otherwise leaked one edge-set-sized MEMORY_AND_DISK
+    // RDD per call until a GC cycle let the ContextCleaner find it.
+    // Consumers (keeper windows, cluster-size rollups) also get a
+    // plan that is just the pinned labels instead of the whole transitive
+    // lineage. The labels pin itself is the returned result; it is freed
+    // by the ContextCleaner once the caller drops the frame.
+    val (labFrame, labRdd) = graft.GraftSession.pinRows(labels)
+    labRdd.count()
+    edgesRdd.unpersist(blocking = false)
+    (labFrame, rounds)
   }
 }

@@ -382,13 +382,24 @@ object Dedup extends QueryRegistry {
   // — a crawl-mirror chain of length d no longer costs d shuffle rounds
   // — and every round touches only the PAIR GRAPH (dup clusters, not
   // the corpus). Empty pair graphs short-circuit to an empty result.
-  def dNeardupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dNeardupClusters(s: SparkSession, dir: String): DataFrame =
+    neardupClusterLabels(s, dir).orderBy("doc_id")
+
+  /** The unsorted (doc_id, cluster_id) component labels — shared with
+    * consumers that feed them into a join/window (c_cluster_keeper),
+    * where the public op's final global sort would be dead weight. */
+  private[graft] def neardupClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val sh = eager(shingles(s, dir))
     val pairs = jaccardPairs(sh).filter(col("jac") >= 0.5)
       .select(col("da").as("a"), col("db").as("b"))
-    ConnectedComponents.run(pairs)
+    // pairs are strict da < db, so the self-loop-free path applies: the
+    // labels come straight off the converged star forest and this op's
+    // final query (and every consumer's, e.g. c_cluster_keeper's keeper
+    // window) is a scan of the pinned labels — not a second run of the
+    // shingle-join lineage to enumerate vertices (was 96 Exchange nodes
+    // in the final plan; now the pin + sort)
+    ConnectedComponents.runNoSelfLoops(pairs)
       .select(col("v").as("doc_id"), col("lab").as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   private val dNeardupClustersSql =
@@ -1077,41 +1088,45 @@ object Dedup extends QueryRegistry {
     val edges = eager(pairs.union(pairs.select(col("db"), col("da")))
       .toDF("u", "v"))
     // seed with min(self, direct neighbors) — one aggregation replaces what
-    // would otherwise be the whole first propagation round (join + union)
-    var labels = edges
+    // would otherwise be the whole first propagation round (join + union).
+    // Rounds are pinned via GraftSession.pinRows, not localCheckpoint(true):
+    // the CHECKSUM job doubles as the materializer, so a round costs ONE
+    // job instead of a checkpoint job plus a checksum job — and
+    // rdd.unpersist actually frees the superseded round's blocks
+    // (Dataset.unpersist on a localCheckpoint'd frame is a CacheManager
+    // no-op; the blocks lingered until a GC cycle). Same change CC's
+    // star-contraction rounds got in round 14.
+    var (labels, labelsRdd) = GraftSession.pinRows(edges
       .groupBy(col("u").as("doc_id"))
       .agg(min(col("v")).as("mn"))
-      .select(col("doc_id"), least(col("mn"), col("doc_id")).as("group_id"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), least(col("mn"), col("doc_id")).as("group_id")))
     // min-label propagation converges when the label multiset stops moving;
     // a single checksum aggregate detects that — no per-round compare join
     // decimal sum: a long sum of 64-bit hashes overflows under ANSI mode
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(xxhash64(col("doc_id"), col("group_id"))
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
-    var prev = checksum(labels)
+    var prev = checksum(labels) // materializes the pinned seed
     var rounds = 0
     var converged = false
     while (!converged && rounds < 20) {
-      // eager localCheckpoint truncates the lineage each round — without it
-      // every iteration replays all previous joins
-      val propagated = labels
+      val (propagated, propagatedRdd) = GraftSession.pinRows(labels
         .join(edges, labels("doc_id") === edges("u"))
         .select(col("v").as("doc_id"), col("group_id"))
         .unionByName(labels)
-        .groupBy("doc_id").agg(min("group_id").as("group_id"))
-        .localCheckpoint(true)
-      val cs = checksum(propagated)
+        .groupBy("doc_id").agg(min("group_id").as("group_id")))
+      val cs = checksum(propagated) // the round's ONE job: materializes it
       // labels only ever decrease per doc, so an unchanged checksum means an
       // unchanged assignment (collision odds ~2^-64 per round)
       converged = cs == prev
       prev = cs
-      // superseded checkpoints are freed by the ContextCleaner once this
-      // reference drops (unpersist() doesn't cover localCheckpoint blocks)
+      labelsRdd.unpersist(blocking = false)
       labels = propagated
+      labelsRdd = propagatedRdd
       rounds += 1
     }
-    // the checkpointed labels no longer reference either cache
+    // the pinned labels no longer reference either cache; the final pin is
+    // the returned result and is freed by the ContextCleaner once consumed
     edges.unpersist()
     pairs.unpersist()
     labels.orderBy("doc_id")

@@ -270,7 +270,9 @@ object Curation extends QueryRegistry {
   // integers — bit-stable, as everywhere in this family.
   def cClusterKeeper(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comps = graft.dedup.Dedup.dNeardupClusters(s, dir)
+    // unsorted labels: the keeper join/window doesn't care about order, so
+    // dNeardupClusters' final global sort would be a dead exchange here
+    val comps = graft.dedup.Dedup.neardupClusterLabels(s, dir)
     val q = GraftSession.table(s, dir, "documents").select(
       col("doc_id"), col("source"),
       (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /

@@ -1192,12 +1192,15 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     // the real shuffle map pass even starts (RangePartitioner.sketch runs
     // its own job over the child lineage; guide §1/§2: don't compute things
     // twice). Pin the rows once: the sampling job materializes the pinned
-    // blocks and the exchange re-reads them. Bounds are unchanged (same
-    // rows, same partition layout, same per-partition sampling seeds), so
-    // the written files are byte-identical to the unpinned plan's. The pin
-    // is freed right after the data write; at scale the pinned set is the
-    // rewrite's touched file groups, not the table, and MEMORY_AND_DISK
-    // trades the object-store re-scan for local blocks.
+    // blocks and the exchange re-reads them. The pinned plan carries the
+    // same row set with an equivalent layout (RangePartitioner seeds its
+    // reservoir sample from the sampled RDD's id, which differs between
+    // the pinned and unpinned plans, so range bounds — hence file splits —
+    // are not guaranteed identical; row CONTENT and per-file key-range
+    // disjointness are). The pin is freed right after the data write; at
+    // scale the pinned set is the rewrite's touched file groups, not the
+    // table, and MEMORY_AND_DISK trades the object-store re-scan for
+    // local blocks.
     var pinnedRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     if (numFiles > 0) {
       out =
@@ -2986,16 +2989,28 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       (col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1))
     }
     val z = graft.functions.ZOrder.zValueN(dims)
+    val zSnap = snap.selectExpr(cols.map(c => s"`$c`"): _*).withColumn("_graft_z", z)
     // pin before the range repartition: the bound-sampling job would
-    // otherwise re-scan the whole table and recompute every z-value
-    val (zin, zrdd) = GraftTable.pinRows(
-      snap.selectExpr(cols.map(c => s"`$c`"): _*).withColumn("_graft_z", z))
+    // otherwise re-scan the whole table and recompute every z-value.
+    // SIZE-GATED: this is a WHOLE-TABLE rewrite, so the pin stores a full
+    // table copy on executor-local memory/disk — fine for the small/medium
+    // tables the pin was measured on, but a multi-TB cluster would trade an
+    // object-store re-scan for local-disk exhaustion. Above the threshold
+    // (conf `spark.graft.zorder.pinMaxBytes`, default 4 GiB of live file
+    // length from commit metadata) the pin is skipped and the rewrite pays
+    // the sampling re-scan — the bounded, scale-safe cost.
+    val liveBytes = live.map(_.len).sum
+    val pinMax = spark.conf.getOption("spark.graft.zorder.pinMaxBytes")
+      .map(_.toLong).getOrElse(4L << 30)
+    val (zin, zrdd) =
+      if (liveBytes <= pinMax) GraftTable.pinRows(zSnap)
+      else (zSnap, null)
     val out = zin
       .repartitionByRange(numFiles, col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
     val adds = try writeFiles(out, instant)
-      finally zrdd.unpersist(blocking = false)
+      finally if (zrdd != null) zrdd.unpersist(blocking = false)
     commitValidated(Commit(instant, "cluster", adds, live.map(_.path)))
     instant
   }
