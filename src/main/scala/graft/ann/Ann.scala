@@ -46,7 +46,15 @@ object Ann extends QueryRegistry {
   }
 
   // --- s_topk_bruteforce: exact cosine top-k for query vectors vec_id < 5.
-  def sTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+  def sTopkBruteforce(s: SparkSession, dir: String): DataFrame =
+    topkBruteforceUnsorted(s, dir).orderBy("q_id", "rank")
+
+  /** The unsorted brute-force top-k — shared with the recall/sweep ops
+    * that JOIN it (s_recall_eval, s_probe_sweep, s_recall_refined), where
+    * the public op's final global sort survived into the consumer plan as
+    * a dead rangepartitioning exchange + sort (EliminateSorts does not
+    * strip it under these join shapes). */
+  private def topkBruteforceUnsorted(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -54,7 +62,6 @@ object Ann extends QueryRegistry {
     rankTopK(scored, K, Seq(desc("cos_r"), asc("vec_id")), "rank")
       .withColumn("rank", col("rank").cast("long"))
       .select("q_id", "rank", "vec_id", "cos_r")
-      .orderBy("q_id", "rank")
   }
 
   private val sTopkBruteforceSql =
@@ -85,7 +92,13 @@ object Ann extends QueryRegistry {
     * deterministic hash-rank [[Centroids.sample]] (None); deployments can
     * pass [[Centroids.refine]]d centroids — PipelineSpec property-tests
     * that refinement does not degrade recall. */
-  def sTopkIvf(s: SparkSession, dir: String, centroids: Option[DataFrame]): DataFrame = {
+  def sTopkIvf(s: SparkSession, dir: String, centroids: Option[DataFrame]): DataFrame =
+    topkIvfUnsorted(s, dir, centroids).orderBy("q_id", "rank")
+
+  /** Unsorted IVF top-k — see [[topkBruteforceUnsorted]]: recall ops join
+    * this, and the public op's global sort would be dead weight there. */
+  private def topkIvfUnsorted(s: SparkSession, dir: String,
+      centroids: Option[DataFrame]): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val cents = centroids.getOrElse(Centroids.sample(e))
     // IVF build: assign each vector to its nearest centroid (one broadcast pass)
@@ -110,7 +123,6 @@ object Ann extends QueryRegistry {
     rankTopK(scored, K, Seq(desc("cos_r"), asc("vec_id")), "rank")
       .withColumn("rank", col("rank").cast("long"))
       .select("q_id", "rank", "vec_id", "cos_r")
-      .orderBy("q_id", "rank")
   }
 
   // --- s_kmeans: deterministic k-means topic clustering over embeddings
@@ -792,8 +804,8 @@ object Ann extends QueryRegistry {
   // (q_id, vec_id) equi-join of two k-row-per-query tables — evaluation
   // cost is O(|queries|·k), independent of corpus size.
   def sRecallEval(s: SparkSession, dir: String): DataFrame = {
-    val bf = sTopkBruteforce(s, dir).select(col("q_id"), col("vec_id"))
-    val iv = sTopkIvf(s, dir)
+    val bf = topkBruteforceUnsorted(s, dir).select(col("q_id"), col("vec_id"))
+    val iv = topkIvfUnsorted(s, dir, None)
       .select(col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
     bf.join(iv, col("q_id") === col("iq_id") && col("vec_id") === col("ivec_id"), "left")
       .groupBy("q_id")
@@ -827,37 +839,59 @@ object Ann extends QueryRegistry {
     val n = e.count()
     val cents = Centroids.sample(e)
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    // no .cache() on assigned/probesAll: the fused sweep below references
+    // each exactly once (inside the eager'd `scored` build)
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("c_cos", round(expr("cosine_sim(embedding, ce)"), 6))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
-      .cache()
     val q = e.filter(col("vec_id") < 5).toDF("q_id", "qe")
     val wProbe = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("c_id"))
     val probesAll = q.join(broadcast(cents), lit(true))
       .withColumn("c_cos", round(expr("cosine_sim(qe, ce)"), 6))
       .withColumn("prn", row_number().over(wProbe))
       .select(col("q_id"), col("qe"), col("c_id").as("bucket_p"), col("prn"))
-      .cache()
-    val bf = sTopkBruteforce(s, dir).select(col("q_id"), col("vec_id")).cache()
-    val rows = Seq(1, 2, 4).map { np =>
-      val probes = probesAll.filter(col("prn") <= np).drop("prn")
-      val scored = assigned.join(broadcast(probes), col("bucket") === col("bucket_p"))
+    val bf = topkBruteforceUnsorted(s, dir).select(col("q_id"), col("vec_id"))
+    // ONE query for the whole sweep: an nprobe-np point's candidate set is
+    // exactly the rows whose bucket PROBE RANK (prn) is <= np, so the
+    // deepest probe's scored set — cosines computed ONCE — fans out to
+    // every point through an explode over the tiny nprobe list. Before,
+    // each of the 3 points ran TWO driver actions (recall + scanned count)
+    // that each re-scanned its buckets: 6 sequential jobs and ~3.5x the
+    // cosine evaluations of the deepest point alone (1+1+2+2+4+4 vs 4
+    // bucket-units). eager: `scored` feeds the rank and the scanned-count
+    // subtrees, which AQE fires concurrently (GraftSession.eager doc).
+    val npDf = broadcast(Seq(1L, 2L, 4L).toDF("nprobe"))
+    val probes = probesAll.filter(col("prn") <= 4)
+    val scored = graft.GraftSession.eager(
+      assigned.join(broadcast(probes), col("bucket") === col("bucket_p"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos_r", round(expr("cosine_sim(embedding, qe)"), 6))
-      val ranked = rankTopK(scored, K, Seq(desc("cos_r"), asc("vec_id")), "rank")
-        .select(col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
-      val rec = bf.join(ranked, col("q_id") === col("iq_id") &&
-          col("vec_id") === col("ivec_id"), "left")
-        .groupBy("q_id").agg(count(col("ivec_id")).as("h"))
-        .agg(count(lit(1)), sum("h")).head()
-      val scanned = scored.agg(count(lit(1))).head().getLong(0)
-      (np.toLong, rec.getLong(0), rec.getLong(1), scanned)
-    }
+        .select(col("q_id"), col("vec_id"), col("cos_r"), col("prn")))
+    // per-(q, np) rank: the ordering ends in the unique vec_id, so the
+    // point sets are identical to the per-point rankTopK's; a partition
+    // holds one probe set's candidates, bounded by the nprobe cap
+    val wRank = Window.partitionBy("q_id", "nprobe")
+      .orderBy(desc("cos_r"), asc("vec_id"))
+    val ranked = scored.join(npDf, col("prn") <= col("nprobe"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= K)
+      .select(col("nprobe").as("rnp"), col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
+    val scanned = scored.join(npDf, col("prn") <= col("nprobe"))
+      .groupBy("nprobe").agg(count(lit(1)).as("scanned0"))
+    val rec = bf.crossJoin(npDf)
+      .join(ranked, col("nprobe") === col("rnp") && col("q_id") === col("iq_id") &&
+        col("vec_id") === col("ivec_id"), "left")
+      .groupBy("nprobe", "q_id").agg(count(col("ivec_id")).as("h"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_queries"), sum("h").as("th"))
     // the two ratios round via Spark's round (HALF_UP, same as DuckDB's) —
-    // a driver-side rint would be HALF_EVEN and can differ by 1e-6
-    rows.toDF("nprobe", "n_queries", "th", "scanned")
+    // a driver-side rint would be HALF_EVEN and can differ by 1e-6.
+    // left join + coalesce: an nprobe point whose buckets held no
+    // candidates must report scanned = 0, exactly like the old per-point
+    // count over an empty relation
+    rec.join(scanned, Seq("nprobe"), "left")
+      .withColumn("scanned", coalesce(col("scanned0"), lit(0L)))
       .select(col("nprobe"), col("n_queries"), col("scanned"),
         round(col("th").cast("double") /
           (col("n_queries") * lit(K)).cast("double"), 6).as("mean_recall"),
@@ -931,9 +965,9 @@ object Ann extends QueryRegistry {
   // O(sampleN·k·iters) with constant-size broadcasts — corpus-size-free.
   def sRecallRefined(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val bf = sTopkBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+    val bf = topkBruteforceUnsorted(s, dir).select(col("q_id"), col("vec_id"))
     def meanRecall(variant: String, cents: Option[DataFrame]): DataFrame = {
-      val iv = sTopkIvf(s, dir, cents)
+      val iv = topkIvfUnsorted(s, dir, cents)
         .select(col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
       bf.join(iv, col("q_id") === col("iq_id") &&
           col("vec_id") === col("ivec_id"), "left")
@@ -1120,23 +1154,31 @@ object Ann extends QueryRegistry {
         e.join(broadcast(qv), lit(true)).filter(col("vec_id") =!= col("q_id"))
           .withColumn("l2_i", expr(d2i("v", "qfull"))),
         K, Seq(asc("l2_i"), asc("vec_id")), "trn")
-      .select(col("q_id").as("tq"), col("vec_id").as("tv")).cache()
+      .select(col("q_id").as("tq"), col("vec_id").as("tv"))
     // exact distances once, on the deepest shortlist only
     val slx = shortlist.join(e, "vec_id").join(broadcast(qv), "q_id")
       .withColumn("l2_i", expr(d2i("v", "qfull")))
-      .select("q_id", "vec_id", "srn", "l2_i").cache()
-    val rows = depths.map { r =>
-      val rr = rankTopK(slx.filter(col("srn") <= r), K,
-          Seq(asc("l2_i"), asc("vec_id")), "rank")
-        .select(col("q_id").as("iq"), col("vec_id").as("iv"))
-      val rec = truth.join(rr,
-          col("tq") === col("iq") && col("tv") === col("iv"), "left")
-        .groupBy("tq").agg(count(col("iv")).as("h"))
-        .agg(count(lit(1)), sum("h")).head()
-      (r.toLong, rec.getLong(0), rec.getLong(1))
-    }
+      .select("q_id", "vec_id", "srn", "l2_i")
+    // ONE query for the whole sweep: each depth point is the srn <= depth
+    // prefix of the SAME shortlist, so the sweep is an explode over the
+    // tiny depth list + a (q_id, depth)-partitioned rank — not |depths|
+    // sequential driver actions each re-planning/re-scanning the cached
+    // shortlist (4 jobs -> 1; per-point tie semantics identical: the
+    // ordering ends in the unique vec_id, and a depth partition holds at
+    // most `depth` <= 100 rows per query at ANY corpus size, so the plain
+    // window is as bounded as rankTopK's two-level form).
+    val depthsDf = broadcast(depths.map(_.toLong).toDF("depth"))
+    val wRank = Window.partitionBy("q_id", "depth").orderBy(asc("l2_i"), asc("vec_id"))
+    val ranked = slx.join(depthsDf, col("srn") <= col("depth"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= K)
+      .select(col("depth").as("rd"), col("q_id").as("iq"), col("vec_id").as("iv"))
     // ratios round via Spark's round (HALF_UP, same as DuckDB's)
-    rows.toDF("depth", "n_queries", "th")
+    truth.crossJoin(depthsDf)
+      .join(ranked, col("depth") === col("rd") &&
+        col("tq") === col("iq") && col("tv") === col("iv"), "left")
+      .groupBy("depth", "tq").agg(count(col("iv")).as("h"))
+      .groupBy("depth").agg(count(lit(1)).as("n_queries"), sum("h").as("th"))
       .select(col("depth"), col("n_queries"),
         round(col("th").cast("double") /
           (col("n_queries") * lit(K)).cast("double"), 6).as("mean_recall"))

@@ -1546,8 +1546,10 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
       else Seq(d.getName)
     }.toSet
     // cached: feeds one tiny bucket agg per distinct modulus + the final
-    // semi-join, all over the same distinct'd projection
-    val keys = batch.select(keyStr(keyCol, batch).as("k")).distinct().cache()
+    // semi-join. No .distinct(): callers pass key-unique frames and both
+    // consumers (the per-modulus bucket set, the semi-join) are
+    // duplicate-insensitive — the distinct was a dead exchange per probe
+    val keys = batch.select(keyStr(keyCol, batch).as("k")).cache()
     try {
       val byMod = scala.collection.mutable.Map.empty[Int, Set[Long]]
       def bucketsFor(m: Int): Set[Long] = byMod.getOrElseUpdate(m,
@@ -2634,8 +2636,12 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     if (cand.isEmpty) Seq.empty
     else {
       val candDF = readFiles(cand).withColumn("_graft_file", col("_metadata.file_path"))
+      // no .distinct() on the batch keys: a semi-join is duplicate-
+      // insensitive, and every caller passes a key-unique frame anyway
+      // (precombined batch, window-deduped changelog, distinct'd key set)
+      // — the distinct was one dead exchange + aggregate PER COMMIT
       val hits = candDF
-        .join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftsemi")
+        .join(batch.select(keyCol), Seq(cfg.keyField), "leftsemi")
         .select(col("_graft_file")).distinct()
         .collect().map(r => relPath(r.getString(0))).toSet
       cand.filter(f => hits.contains(f.path))
@@ -2672,7 +2678,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
     try {
     val out = affected match {
       case Some(aff) =>
-        val carried = aff.join(batch.select(keyCol).distinct(), Seq(cfg.keyField), "leftanti")
+        // anti-joins are duplicate-insensitive and the batch is
+        // precombined (key-unique): no distinct exchange needed
+        val carried = aff.join(batch.select(keyCol), Seq(cfg.keyField), "leftanti")
           .drop(cfg.keyGen.syntheticCols: _*)
         // allowMissingColumns = schema evolution: a batch may ADD columns;
         // carried rows get nulls for them (and vice versa for columns the
@@ -2864,7 +2872,9 @@ final class GraftTable(val spark: SparkSession, val cfg: GraftTableConfig) {
         } else {
           val (bMin, bMax) = (rangeRow.getString(0), rangeRow.getString(1))
           val cand = live.filter(f => f.minKey <= bMax && bMin <= f.maxKey)
-          val allKeys = last.select(keyCol).distinct()
+          // `last` is already one row per key (the row_number window):
+          // the semi/anti joins below need no distinct exchange
+          val allKeys = last.select(keyCol)
           val hits =
             if (cand.isEmpty) Set.empty[String]
             else readFiles(cand).withColumn("_graft_file", col("_metadata.file_path"))
