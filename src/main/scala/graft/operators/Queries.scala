@@ -528,8 +528,10 @@ object Queries extends QueryRegistry {
     // thread; cached+materialized once, the rounds read ~|nodes| rows
     val outdeg = graft.GraftSession.eager(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    val nodes = graft.GraftSession.eager(
-      edges.select(col("src").as("node")).distinct())
+    // nodes ≡ outdeg's key set (a groupBy emits each src once): derive it
+    // from the outdeg cache instead of paying a separate distinct + eager
+    // cache + materialization job over the edge list
+    val nodes = outdeg.select(col("src").as("node"))
     var ranks = nodes.withColumn("r", lit(1000000000L))
     (1 to 5).foreach { _ =>
       val inflow = edges
@@ -655,10 +657,18 @@ object Queries extends QueryRegistry {
       .select(col("o_orderpriority"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy("o_orderpriority")
-      .agg(percentile(col("cents"), lit(0.25)).as("p25_cents"),
-        percentile(col("cents"), lit(0.5)).as("p50_cents"),
-        percentile(col("cents"), lit(0.75)).as("p75_cents"),
+      // ONE array-percentile aggregate, not three scalar ones: each scalar
+      // percentile builds and merges its own per-group counts map (3x the
+      // buffer work, merged in one final task); the array form computes
+      // every fraction from a single shared buffer with the SAME
+      // interpolation — values bit-identical
+      .agg(percentile(col("cents"), array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        element_at(col("ps"), 1).as("p25_cents"),
+        element_at(col("ps"), 2).as("p50_cents"),
+        element_at(col("ps"), 3).as("p75_cents"),
+        col("n_orders"))
       .orderBy("o_orderpriority")
 
   private val qPercentilesSql =
@@ -1331,11 +1341,14 @@ object Queries extends QueryRegistry {
     val cents = graft.GraftSession.spread(t(s, dir, "orders")
       .select(round(col("o_totalprice") * 100).cast("long").as("cents")))
     val fracs = (1 to 7).map(k => k / 8.0)
+    // ONE array-percentile aggregate, not seven scalar ones: each scalar
+    // percentile built and merged its OWN counts map over every order row,
+    // and the seven final merges ran in one task (a measured 1.1 s
+    // single-task stage); the array form shares a single buffer and
+    // interpolates identically — boundary values bit-identical
     val bounds = cents.agg(
-      percentile(col("cents"), lit(fracs.head)).as("b1"),
-      fracs.tail.zipWithIndex.map { case (f, i) =>
-        percentile(col("cents"), lit(f)).as(s"b${i + 2}") }: _*)
-    val bin = (1 to 7).map(k => (col("cents") > col(s"b$k")).cast("long"))
+      percentile(col("cents"), array(fracs.map(lit): _*)).as("bs"))
+    val bin = (1 to 7).map(k => (col("cents") > element_at(col("bs"), k)).cast("long"))
       .reduce(_ + _) + 1L
     cents.crossJoin(broadcast(bounds))
       .withColumn("bin", bin)

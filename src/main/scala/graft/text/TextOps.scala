@@ -818,12 +818,17 @@ object TextOps extends QueryRegistry {
     docs(s, dir)
       .select(col("lang"), col("n_chars"))
       .groupBy("lang")
+      // one array-percentile buffer per group instead of three scalar ones
+      // (same interpolation, bit-identical values — see q_percentiles)
       .agg(count(lit(1)).as("n_docs"),
         min("n_chars").as("min_chars"),
-        percentile(col("n_chars"), lit(0.25)).as("p25_chars"),
-        percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
-        percentile(col("n_chars"), lit(0.75)).as("p75_chars"),
+        percentile(col("n_chars"), array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
         max("n_chars").as("max_chars"))
+      .select(col("lang"), col("n_docs"), col("min_chars"),
+        element_at(col("ps"), 1).as("p25_chars"),
+        element_at(col("ps"), 2).as("p50_chars"),
+        element_at(col("ps"), 3).as("p75_chars"),
+        col("max_chars"))
       .orderBy("lang")
 
   private val xLengthProfileSql =
