@@ -532,18 +532,27 @@ object Queries extends QueryRegistry {
     // from the outdeg cache instead of paying a separate distinct + eager
     // cache + materialization job over the edge list
     val nodes = outdeg.select(col("src").as("node"))
+    // rounds pin via GraftSession.pinRows + an eager materializing count —
+    // the same 1-job-per-round shape as the eager localCheckpoint it
+    // replaces, but rdd.unpersist actually frees the superseded round's
+    // blocks (Dataset.unpersist on a checkpointed frame is a CacheManager
+    // no-op; five rank frames leaked per run until a GC cycle)
     var ranks = nodes.withColumn("r", lit(1000000000L))
+    var prevPin: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     (1 to 5).foreach { _ =>
       val inflow = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
-      ranks = nodes
+      val (next, nextRdd) = graft.GraftSession.pinRows(nodes
         .join(inflow, col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(150000000L) + expr("coalesce(inflow, 0L) * 85 div 100")).as("r"))
-        .localCheckpoint()
+          (lit(150000000L) + expr("coalesce(inflow, 0L) * 85 div 100")).as("r")))
+      nextRdd.count() // the round's one job
+      if (prevPin != null) prevPin.unpersist(blocking = false)
+      ranks = next
+      prevPin = nextRdd
     }
     ranks.orderBy(desc("r"), asc("node"))
       .limit(100)
